@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Lake
+
+/** Event/time-series analytics over the `events` table.
+  *
+  * `events.ts` is Parquet `TIMESTAMP(NANOS)`; with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[graft.GraftSession]])
+  * it reads as `bigint` epoch-nanoseconds and is converted explicitly here.
+  * `ts DIV 1000` stays in integer arithmetic — epoch-nanos (~1.7e18)
+  * overflow the 53-bit double mantissa, so float division would corrupt
+  * timestamps. Outputs are TIMESTAMP_NTZ to match the naive timestamps the
+  * DuckDB oracle sees.
+  *
+  * Exercises the reference's epoch->timestamp derivation chain
+  * (reference `etl.py:98-102`, seconds truncation) plus the streaming-style
+  * operators the reference lacks: JSON property extraction, tumbling
+  * windows, gap-based sessionization.
+  */
+object EventsQueries {
+
+  /** epoch-nanos bigint -> TimestampType at microsecond precision.
+    * `DIV` (integer division) is load-bearing: `/` on Columns is double
+    * division, and epoch-nanos exceed the 53-bit double mantissa — the
+    * low microsecond digits would round (off-by-1us vs the oracle). */
+  private val tsMicrosExpr: Column = timestamp_micros(expr("ts DIV 1000"))
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Lake(s, dir).events
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- epoch -> timestamp with seconds truncation (etl.py:98-102) ----
+    "q17_event_seconds" -> Q(
+      (s, dir) => events(s, dir)
+        .select(
+          col("event_id"),
+          col("event_type"),
+          timestamp_seconds(expr("ts DIV 1000000000"))
+            .cast(TimestampNTZType).as("ts_sec"))
+        .orderBy("event_id"),
+      """SELECT event_id, event_type, date_trunc('second', ts) AS ts_sec
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // ---- semi-structured: JSON property column -------------------------
+    "q18_event_props" -> Q(
+      (s, dir) => events(s, dir)
+        .withColumn("k",
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("k")).as("sum_k"),
+             max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- tumbling window aggregation ------------------------------------
+    "q19_hourly_windows" -> Q(
+      (s, dir) => events(s, dir)
+        .withColumn("t", tsMicrosExpr)
+        .groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+        .select(
+          col("window.start").cast(TimestampNTZType).as("hour_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("hour_start", "event_type"),
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+      headline = true),
+
+    // ---- gap-based sessionization (session_window, 30-min gap) ---------
+    // Oracle: classic gaps-and-islands via LAG. A new session starts when
+    // the gap to the previous event is >= 30 min (session_window treats
+    // [start, last+gap) as the open interval).
+    "q20_sessions" -> Q(
+      (s, dir) => events(s, dir)
+        .withColumn("t", tsMicrosExpr)
+        .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("session_value"))
+        .select(
+          col("user_id"),
+          col("session_window.start").cast(TimestampNTZType).as("session_start"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start"),
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+      headline = true)
+  )
+}

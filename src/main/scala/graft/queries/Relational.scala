@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Lake
+import graft.operators.OrEquiJoin
+
+/** Core relational operator inventory over the driver's star schema.
+  *
+  * Each query exercises one operator family from SURVEY.md §2a (projection
+  * P1/P2, derived columns P3, filter F1, joins J1-J3, distinct A1,
+  * repartition X1, the weekday derivation U1) plus the standard analytics
+  * surface the reference lacks (sorts/limits, set ops, rollup/cube,
+  * windows, semi/anti joins) so the engine is a complete replacement.
+  *
+  * Scale notes (100 TB mindset, verified on `.explain`):
+  *  - dimension joins (`region`, `nation`, `supplier`) are explicitly
+  *    broadcast — no shuffle of the fact side;
+  *  - filters/projections sit directly on the scan so Parquet gets
+  *    `PushedFilters` + pruned `ReadSchema`;
+  *  - aggregates are exact-decimal, order-independent (safe under partial
+  *    aggregation / AQE re-planning);
+  *  - the OR-predicate left join (reference `etl.py:147-151`, a
+  *    BroadcastNestedLoopJoin trap) runs through [[OrEquiJoin]], which
+  *    rewrites it to two hash joins + an anti join.
+  */
+object Relational {
+
+  /** Exact money/quantity arithmetic: DECIMAL(18,2) keeps sums independent
+    * of floating-point accumulation order across partitions. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- F1 + P1: filter & projection pushed into the Parquet scan -----
+    "q01_filter_project" -> Q(
+      (s, dir) => Lake(s, dir).lineitem
+        .where(col("l_returnflag") === "R" && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      headline = true),
+
+    // ---- groupBy aggregate (TPC-H Q1 shape) ----------------------------
+    "q02_agg_pricing" -> Q(
+      (s, dir) => Lake(s, dir).lineitem
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      headline = true),
+
+    // ---- J1 inner equi-joins + agg + top-k (TPC-H Q3 shape) ------------
+    "q03_topk_revenue" -> Q(
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        lk.customer.where(col("c_mktsegment") === "BUILDING")
+          .join(lk.orders, col("c_custkey") === col("o_custkey"))
+          .where(col("o_orderdate") < lit("1999-01-01").cast(TimestampNTZType))
+          .join(lk.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .where(col("l_shipdate") > lit("1999-01-01").cast(TimestampNTZType))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(desc("revenue"), asc("l_orderkey"))
+          .limit(10)
+      },
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      headline = true),
+
+    // ---- broadcast star join: dims never shuffle the fact table --------
+    "q04_star_revenue" -> Q(
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        lk.orders
+          .join(lk.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(lk.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(lk.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(dsum(col("o_totalprice")).as("total_spend"),
+               count(lit(1)).as("n_orders"))
+          .orderBy("r_name", "n_name")
+      },
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+      headline = true),
+
+    // ---- J3-style left outer join (unmatched rows preserved) -----------
+    "q05_left_join_spend" -> Q(
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        lk.customer
+          .join(lk.orders, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+               coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
+    // ---- left-semi join (EXISTS) ---------------------------------------
+    "q06_semi_join" -> Q(
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        lk.orders
+          .join(lk.lineitem.where(col("l_quantity") >= 48),
+                col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // ---- left-anti join (NOT EXISTS) -----------------------------------
+    "q07_anti_join" -> Q(
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        lk.customer
+          .join(lk.orders.where(col("o_orderstatus") === "P"),
+                col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---- J2: left join on OR of equalities (reference etl.py:147-151).
+    // Naive Spark plans BroadcastNestedLoopJoin (quadratic); the engine
+    // rewrites to two hash joins + anti join via OrEquiJoin. The oracle is
+    // the naive OR form — results must be multiset-identical.
+    "q08_or_join" -> Q(
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        OrEquiJoin.leftOrJoin(lk.customer, lk.supplier,
+            ("c_nationkey", "s_nationkey"), ("c_name", "s_name"))
+          .groupBy("c_custkey")
+          .agg(count(col("s_suppkey")).as("n_match"),
+               min(col("s_name")).as("first_sup"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, COUNT(s_suppkey) AS n_match, MIN(s_name) AS first_sup
+        |FROM customer LEFT JOIN supplier
+        |  ON c_nationkey = s_nationkey OR c_name = s_name
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
+    // ---- ranking window: per-nation top-3 by balance -------------------
+    "q09_window_rank" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lk = Lake(s, dir)
+        val w = Window.partitionBy("n_name")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        lk.customer
+          .join(broadcast(lk.nation), col("c_nationkey") === col("n_nationkey"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select("n_name", "c_custkey", "c_acctbal", "rk")
+          .orderBy("n_name", "rk")
+      },
+      """SELECT n_name, c_custkey, c_acctbal, rk FROM (
+        |  SELECT n_name, c_custkey, c_acctbal,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+        |         ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin),
+
+    // ---- analytic window: running sum with explicit frame --------------
+    "q10_window_running" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // (l_suppkey, l_shipdate, l_orderkey, l_linenumber) is the minimal
+        // unique key in the driver data — (orderkey, linenumber) alone has
+        // duplicates, so both the frame order and the final order use all 4.
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Lake(s, dir).lineitem
+          .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast(DoubleType))
+          .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
+          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      },
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+      headline = true),
+
+    // ---- global sort + limit (TakeOrderedAndProject, no full sort) -----
+    "q11_top_orders" -> Q(
+      (s, dir) => Lake(s, dir).orders
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(20),
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin),
+
+    // ---- set operations: EXCEPT / INTERSECT (set semantics) ------------
+    "q12_set_ops" -> Q(
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        val custN = lk.customer.select(col("c_nationkey").as("k"))
+        val suppN = lk.supplier.select(col("s_nationkey").as("k"))
+        custN.except(suppN).withColumn("tag", lit("cust_only"))
+          .unionByName(custN.intersect(suppN).withColumn("tag", lit("both")))
+          .select("tag", "k")
+          .orderBy("tag", "k")
+      },
+      """SELECT 'cust_only' AS tag, k FROM
+        |  (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) a
+        |UNION ALL
+        |SELECT 'both' AS tag, k FROM
+        |  (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) b
+        |ORDER BY tag, k""".stripMargin),
+
+    // ---- ROLLUP grouping sets ------------------------------------------
+    "q13_rollup" -> Q(
+      (s, dir) => Lake(s, dir).lineitem
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
+    // ---- CUBE grouping sets --------------------------------------------
+    "q14_cube" -> Q(
+      (s, dir) => Lake(s, dir).orders
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+
+    // ---- A1: DISTINCT (hash aggregate on all columns) ------------------
+    "q15_distinct" -> Q(
+      (s, dir) => Lake(s, dir).customer
+        .select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey"),
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin),
+
+    // ---- P3 + U1: the reference `time` dimension (etl.py:115-131), with
+    // date_format(..,'EEEE') replacing the reference's Python weekday UDF.
+    "q16_date_dim" -> Q(
+      (s, dir) => Lake(s, dir).orders
+        .select(col("o_orderdate").as("start_time")).distinct()
+        .select(
+          col("start_time"),
+          hour(col("start_time")).as("hour"),
+          dayofmonth(col("start_time")).as("day"),
+          weekofyear(col("start_time")).as("week"),
+          date_format(col("start_time"), "EEEE").as("weekday"),
+          year(col("start_time")).as("year"),
+          month(col("start_time")).as("month"))
+        .orderBy("start_time"),
+      """SELECT DISTINCT o_orderdate AS start_time,
+        |  CAST(EXTRACT(hour FROM o_orderdate) AS INTEGER) AS hour,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS day,
+        |  CAST(EXTRACT(week FROM o_orderdate) AS INTEGER) AS week,
+        |  dayname(o_orderdate) AS weekday,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month
+        |FROM orders ORDER BY start_time""".stripMargin)
+  )
+}
