@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis building blocks for large-scale training-data pipelines.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` expression
+  * composition — whole-stage-codegen'd, no UDFs, no driver round trips —
+  * so each helper scales to 100 TB as a per-row map over the scan.
+  *
+  * Tokenization convention (shared with the DuckDB oracles):
+  * lowercase, trim, split on runs of whitespace.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Contiguous word n-gram shingles (space-joined), empty array when the
+    * text has fewer than n tokens. `sequence` would generate a DESCENDING
+    * range if stop < start, hence the explicit guard. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Distinct shingle set (the unit of Jaccard/MinHash similarity). */
+  def shingleSet(c: Column, n: Int): Column = array_distinct(wordShingles(c, n))
+
+  /** "BPE-ish" token count: letter runs, digit runs, and single
+    * non-space symbols each count as one token — a cheap, deterministic
+    * proxy for subword tokenizer counts. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("""\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"""), lit(0)))
+
+  /** Stopword-list hit patterns per language for the n-gram language-ID
+    * heuristic. Word-boundary regexes keep this expressible in both Spark
+    * and the DuckDB oracle. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> """\b(the|a|of|and|to|in|is)\b""",
+    "es" -> """\b(el|la|de|que|y|en|los)\b""",
+    "de" -> """\b(der|die|und|das|ist|von)\b""")
+
+  def langScore(c: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(c), lit(pattern), lit(0)))
+
+  /** Heuristic language ID: argmax of stopword-marker hit counts with a
+    * deterministic en > es > de tie-break; 'unk' when nothing matches. */
+  def langId(c: Column): Column = {
+    val Seq(en, es, de) = langMarkers.map { case (_, p) => langScore(c, p) }
+    when(en === 0 && es === 0 && de === 0, lit("unk"))
+      .when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Document quality score in [0,1]: length saturation + stopword share
+    * + symbol cleanliness. Deliberately NOT rounded: the raw double is
+    * bit-identical across engines (same IEEE ops in the same order),
+    * while decimal rounding at a .5 boundary is not. */
+  def qualityScore(c: Column): Column = {
+    val nTok = size(tokens(c)).cast(DoubleType)
+    val stopHits = langScore(c, langMarkers.head._2).cast(DoubleType)
+    val punct = size(regexp_extract_all(c, lit("""[^\s\p{L}\p{N}]"""), lit(0)))
+      .cast(DoubleType)
+    val lenSat = least(nTok / 100.0, lit(1.0))
+    val stopShare = when(nTok > 0, stopHits / nTok).otherwise(lit(0.0))
+    val punctShare = when(length(c) > 0, punct / length(c).cast(DoubleType))
+      .otherwise(lit(0.0))
+    lenSat * 0.5 + stopShare * 0.3 + (lit(1.0) - punctShare) * 0.2
+  }
+
+  /** Whitespace-normalized text: the canonical form fingerprints hash. */
+  def normalized(c: Column): Column =
+    regexp_replace(lower(trim(c)), """\s+""", " ")
+
+  /** Content fingerprint: md5 of the normalized text. Portable (DuckDB
+    * md5 produces the identical hex), exact-dup detection at any scale. */
+  def fingerprintMd5(c: Column): Column = md5(normalized(c))
+
+  /** Rolling polynomial fingerprint over tokens, mod 2^40:
+    * acc = (acc * 1000003 + low28(xxhash64(token))) mod 2^40.
+    * Order-sensitive (unlike a token-set hash) and cheap to compute
+    * streaming. The modulus keeps every intermediate < 2^61, so the
+    * aggregation never trips ANSI-mode overflow (Spark 4 default).
+    * Spark-specific hash family, so no SQL oracle. */
+  def fingerprintRolling(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => pmod(
+        acc * lit(1000003L) + xxhash64(t).bitwiseAND(lit(0xFFFFFFFL)),
+        lit(1L << 40)))
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * near-duplicate, each designed shuffle-bounded (no driver collection,
+  * no quadratic all-pairs stage) so the same code runs at 100 TB:
+  *
+  *  - [[dedupExact]]: one hash-aggregate shuffle on the dedup key.
+  *  - [[minHashLshPairs]]: shingle explode -> 1 groupBy (signatures) ->
+  *    band explode -> 1 self-join keyed on (band, bandHash). Candidate
+  *    volume is controlled by the band/row trade-off, never |docs|^2.
+  *  - [[simHashPairs]]: 64-bit SimHash, banded into 16-bit chunks; the
+  *    pigeonhole principle guarantees any pair within Hamming distance 3
+  *    shares at least one of the 4 chunks, so the join is equi-keyed.
+  *  - [[jaccardPairs]]: exact n-gram Jaccard via shingle-posting-list
+  *    self-join — the verification primitive the approximate methods
+  *    funnel into (and the form a SQL oracle can replay).
+  *
+  * Generalizes the reference's only dedup operator — `.distinct()` after
+  * each projection (reference `etl.py:42,58,91,169`).
+  */
+object Dedup {
+
+  /** Exact dedup keeping, per duplicate group, the row with the smallest
+    * tie-break value — deterministic, unlike `dropDuplicates` whose
+    * survivor depends on partition scan order. */
+  def dedupExact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** (id, shingle) posting list, distinct per document. */
+  private def postings(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id), explode(shingleSet(col(text), n)).as("shingle"))
+
+  /** MinHash signatures: for each document, the element-wise minimum of
+    * `numHashes` seeded xxhash64 values over its shingle set. One
+    * shuffle (groupBy id); the per-seed mins are partial-aggregated
+    * map-side. */
+  def minHashSignatures(df: DataFrame, id: String, text: String,
+                        shingleN: Int = 3, numHashes: Int = 32): DataFrame =
+    postings(df, id, text, shingleN)
+      .groupBy(col(id))
+      .agg(
+        array((0 until numHashes).map(j =>
+          min(xxhash64(col("shingle"), lit(j)))): _*).as("signature"),
+        count(lit(1)).as("n_shingles"))
+
+  /** LSH candidate pairs (idA < idB) from banded MinHash signatures, with
+    * exact Jaccard computed on the candidates and filtered at
+    * `threshold`. bands*rowsPerBand must equal numHashes. */
+  def minHashLshPairs(df: DataFrame, id: String, text: String,
+                      shingleN: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(df, id, text, shingleN, numHashes)
+    val banded = sigs.select(
+      col(id), col("n_shingles"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("signature"), b * rows + 1, rows), lit(b))): _*))
+        .as(Seq("band", "band_hash")))
+    val a = banded.select(col(id).as("id_a"), col("n_shingles").as("n_a"),
+      col("band"), col("band_hash"))
+    val b = banded.select(col(id).as("id_b"), col("n_shingles").as("n_b"),
+      col("band"), col("band_hash"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "n_a", "n_b").distinct()
+    // exact-Jaccard verification of the candidate set only
+    jaccardOfCandidates(candidates, postings(df, id, text, shingleN), id, threshold)
+  }
+
+  /** Exact Jaccard for an (id_a, id_b, n_a, n_b) candidate set against the
+    * shingle posting list: count common shingles per pair with two hash
+    * joins, then |A ∩ B| / (|A| + |B| - |A ∩ B|). */
+  private def jaccardOfCandidates(candidates: DataFrame, p: DataFrame,
+                                  id: String, threshold: Double): DataFrame = {
+    val pa = p.select(col(id).as("id_a"), col("shingle"))
+    val pb = p.select(col(id).as("id_b"), col("shingle"))
+    candidates
+      .join(pa, "id_a")
+      .join(pb, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("j_raw",
+        col("common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("common")).cast(DoubleType))
+      .where(col("j_raw") >= threshold) // threshold on raw, round for output
+      .select(col("id_a"), col("id_b"), round(col("j_raw"), 5).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs, no LSH: posting-list self-join
+    * on shared shingles. Fully SQL-expressible (the DuckDB oracle runs the
+    * same algorithm). With a reasonable shingle size the posting lists are
+    * near-unique, keeping the join linear; for skewed corpora prefer
+    * [[minHashLshPairs]] whose candidate volume is bounded by banding. */
+  def jaccardPairs(df: DataFrame, id: String, text: String,
+                   shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val p = postings(df, id, text, shingleN)
+    val counts = p.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val a = p.select(col(id).as("id_a"), col("shingle"))
+    val b = p.select(col(id).as("id_b"), col("shingle"))
+    val common = a.join(b, "shingle").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col(id).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(counts.select(col(id).as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("j_raw",
+        col("common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("common")).cast(DoubleType))
+      .where(col("j_raw") >= threshold) // threshold on raw, round for output
+      .select(col("id_a"), col("id_b"), round(col("j_raw"), 5).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: bit k of the hash is the sign of the
+    * sum over tokens of ±1 according to bit k of xxhash64(token). */
+  def simHash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id), explode(tokens(col(text))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$k"))
+    val sums = tok.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    val hashExpr = (0 until 64).map(k =>
+      when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col(id), hashExpr.as("simhash"))
+  }
+
+  /** Near-dup pairs within `maxHamming` (< 16) of each other's SimHash.
+    * Banded join: 4 chunks of 16 bits; Hamming <= 3 implies at least one
+    * equal chunk (pigeonhole), so candidates come from 4 equi-joins, not
+    * a cross product. */
+  def simHashPairs(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(df, id, text)
+    val banded = sh.select(col(id), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val a = banded.select(col(id).as("id_a"), col("simhash").as("sh_a"),
+      col("chunk"), col("chunk_val"))
+    val b = banded.select(col(id).as("id_b"), col("simhash").as("sh_b"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

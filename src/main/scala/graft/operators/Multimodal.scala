@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode / feature-extraction / frame-sampling as partition-batched
+  * transforms.
+  *
+  * The Spark-side architecture is the real deliverable here — schema
+  * (binary payload + metadata struct), partition-level batching, and the
+  * operator signatures — while the actual media decode is STUBBED with a
+  * deterministic fake (this environment ships no image/audio codecs; see
+  * the builder brief). Swapping [[StubCodec]] for a real decoder changes
+  * no plan shape: `mapPartitions` already amortizes per-batch model/codec
+  * init exactly like Arrow-batched Python UDFs do.
+  */
+object Multimodal {
+
+  /** One media row: payload + self-describing metadata. */
+  case class MediaRow(media_id: Long, format: String, n_bytes: Long,
+                      payload: Array[Byte])
+
+  /** Extracted feature record (fixed-width vector per media row). */
+  case class MediaFeatures(media_id: Long, n_frames: Int,
+                           features: Array[Float])
+
+  /** Sampled frame: `frame_idx`-th fixed-size chunk of the payload. */
+  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Deterministic fake codec. A real implementation would wrap an image
+    * or audio library behind the same two pure functions. */
+  object StubCodec {
+    val FrameSize = 64
+    /** "Decode" = 8-bin byte histogram normalized to [0,1]. */
+    def features(payload: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](8)
+      var i = 0
+      while (i < payload.length) { hist((payload(i) & 0xFF) >> 5) += 1f; i += 1 }
+      if (payload.length > 0) (0 until 8).foreach(j => hist(j) /= payload.length)
+      hist
+    }
+    def frames(payload: Array[Byte]): Iterator[(Int, Array[Byte])] =
+      payload.grouped(FrameSize).zipWithIndex.map { case (c, i) => (i, c) }
+  }
+
+  /** Wrap a text table as a media table: payload = UTF-8 bytes (stand-in
+    * for real image/audio bytes), metadata derived from the payload. */
+  def packMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      lit("utf8-stub").as("format"),
+      octet_length(encode(col(payloadCol), "UTF-8")).cast(LongType).as("n_bytes"),
+      encode(col(payloadCol), "UTF-8").as("payload"))
+
+  /** Partition-batched feature extraction (the mapInPandas analogue):
+    * one codec instantiation per partition, streamed over rows. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition codec init would go here (model load, etc.)
+      rows.map { r =>
+        val f = StubCodec.features(r.payload)
+        MediaFeatures(r.media_id, (r.n_bytes / StubCodec.FrameSize).toInt + 1, f)
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size chunk, as its own row.
+    * flatMap keeps it pipelined — no per-document materialization. */
+  def sampleFrames(media: DataFrame, stride: Int = 2): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      StubCodec.frames(r.payload).filter(_._1 % stride == 0)
+        .map { case (i, c) => Frame(r.media_id, i, c) }
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Lake
+import graft.operators.Dedup
+
+/** Dedup operator inventory over `documents` (SURVEY.md §2b).
+  *
+  * The SQL-expressible forms (exact dedup, exact n-gram Jaccard) carry
+  * DuckDB oracles; the hash-family methods (MinHash, SimHash) depend on
+  * Spark's xxhash64 and are declared rows-only — but their *verification*
+  * stage is the oracled Jaccard, so their correctness is still pinned in
+  * the test suite by containment/recall assertions against `d3`.
+  */
+object DedupQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- exact dedup, deterministic survivor ---------------------------
+    "d1_dedup_exact" -> Q(
+      (s, dir) => Dedup.dedupExact(Lake(s, dir).documents, Seq("text"), "doc_id")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    // ---- MinHash + LSH near-dup pairs (banded, then exact-verified) ----
+    "d2_minhash_pairs" -> Q(
+      (s, dir) => Dedup.minHashLshPairs(Lake(s, dir).documents,
+          "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8,
+          threshold = 0.7)
+        .orderBy("id_a", "id_b"),
+      None, headline = true),
+
+    // ---- exact n-gram Jaccard pairs (the SQL-checkable near-dup op) ----
+    "d3_jaccard_pairs" -> Q(
+      (s, dir) => Dedup.jaccardPairs(Lake(s, dir).documents,
+          "doc_id", "text", shingleN = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            for i in generate_series(1, len(w)-2)]) AS s
+          |  FROM tok
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b,
+          |  round(common * 1.0 / (ca.n + cb.n - common), 5) AS jaccard
+          |FROM pairs
+          |JOIN cnt ca ON ca.doc_id = id_a
+          |JOIN cnt cb ON cb.doc_id = id_b
+          |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- SimHash near-dup pairs (banded Hamming join) ------------------
+    "d4_simhash_pairs" -> Q(
+      (s, dir) => Dedup.simHashPairs(Lake(s, dir).documents,
+          "doc_id", "text", maxHamming = 6)
+        .orderBy("id_a", "id_b"),
+      None)
+  )
+}

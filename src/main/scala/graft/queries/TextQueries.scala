@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Lake
+import graft.functions.TextFunctions._
+
+/** Text-analysis inventory over `documents` (SURVEY.md §2b): language ID,
+  * quality scoring, token counting, fingerprinting. All pure codegen'd
+  * expression pipelines — per-row maps that scale linearly. Oracles mirror
+  * the exact same formulas in DuckDB SQL (shared regex dialect subset).
+  */
+object TextQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- heuristic language ID ----------------------------------------
+    "t1_langid" -> Q(
+      (s, dir) => Lake(s, dir).documents
+        .select(col("doc_id"), col("lang").as("lang_tagged"),
+          langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, lang AS lang_tagged,
+          |  CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unk'
+          |       WHEN en >= es AND en >= de THEN 'en'
+          |       WHEN es >= de THEN 'es'
+          |       ELSE 'de' END AS lang_pred
+          |FROM (
+          |  SELECT doc_id, lang,
+          |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS en,
+          |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los)\b')) AS es,
+          |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|von)\b')) AS de
+          |  FROM documents) t
+          |ORDER BY doc_id""".stripMargin),
+      headline = true),
+
+    // ---- quality scoring ------------------------------------------------
+    "t2_quality" -> Q(
+      (s, dir) => Lake(s, dir).documents
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |    least(CAST(ntok AS DOUBLE) / 100.0, 1.0) * 0.5
+          |  + (CASE WHEN ntok > 0 THEN CAST(stop_hits AS DOUBLE) / ntok ELSE 0.0 END) * 0.3
+          |  + (1.0 - CASE WHEN nchars > 0 THEN CAST(punct AS DOUBLE) / nchars ELSE 0.0 END) * 0.2
+          |  AS quality
+          |FROM (
+          |  SELECT doc_id,
+          |    len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+          |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+          |    len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS punct,
+          |    length(text) AS nchars
+          |  FROM documents) t
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- token counting (whitespace + BPE-ish regex), per language -----
+    "t3_token_stats" -> Q(
+      (s, dir) => Lake(s, dir).documents
+        .select(col("lang"),
+          size(tokens(col("text"))).cast(LongType).as("ws"),
+          bpeTokenCount(col("text")).cast(LongType).as("bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"))
+        .orderBy("lang"),
+      Some(
+        """SELECT lang, COUNT(*) AS n_docs,
+          |  CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS ws_tokens,
+          |  CAST(SUM(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]'))) AS BIGINT) AS bpe_tokens
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- portable content fingerprint (md5 of normalized text) ---------
+    "t4_fingerprint" -> Q(
+      (s, dir) => Lake(s, dir).documents
+        .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- order-sensitive rolling-hash fingerprint (Spark xxhash64) -----
+    "t5_rolling_fingerprint" -> Q(
+      (s, dir) => Lake(s, dir).documents
+        .select(col("doc_id"), fingerprintRolling(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      None)
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH finds every exact-Jaccard pair at the same threshold") {
+    val docs = Lake(spark, sf0001).documents
+    val exact = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8))
+    val lsh = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.8))
+    // LSH verifies candidates with exact Jaccard, so lsh ⊆ exact always;
+    // at these similarities (planted dups ~0.97) banding recall is ~1.
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact, s"missed ${(exact diff lsh).size} of ${exact.size} pairs")
+  }
+
+  test("dedupExact keeps the smallest tie-break row per group, deterministically") {
+    import spark.implicits._
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "x"), (7L, "y"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupExact(df, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 7L))
+  }
+
+  test("simhash is deterministic and separates near-dups from unrelated docs") {
+    val docs = Lake(spark, sf0001).documents
+    val h1 = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 === h2)
+    // near-dup pairs (exact jaccard >= 0.8) should sit at low Hamming
+    val near = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(h1(a) ^ h1(b))
+    val nearHam = near.toSeq.map { case (a, b) => ham(a, b) }
+    assert(nearHam.nonEmpty && nearHam.max <= 10,
+      s"planted near-dups should have small simhash distance, got ${nearHam.max}")
+  }
+}
