@@ -38,7 +38,8 @@ object Dedup {
 
   /** (id, shingle) posting list, distinct per document. */
   private def postings(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id), explode(shingleSet(col(text), n)).as("shingle"))
+    Parallelism.ensure(df)
+      .select(col(id), explode(shingleSet(col(text), n)).as("shingle"))
 
   /** MinHash signatures: for each document, the element-wise minimum of
     * `numHashes` seeded xxhash64 values over its shingle set. One
@@ -63,36 +64,27 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minHashSignatures(df, id, text, shingleN, numHashes)
     val banded = sigs.select(
-      col(id), col("n_shingles"),
+      col(id),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("signature"), b * rows + 1, rows), lit(b))): _*))
         .as(Seq("band", "band_hash")))
-    val a = banded.select(col(id).as("id_a"), col("n_shingles").as("n_a"),
-      col("band"), col("band_hash"))
-    val b = banded.select(col(id).as("id_b"), col("n_shingles").as("n_b"),
-      col("band"), col("band_hash"))
+    val a = banded.select(col(id).as("id_a"), col("band"), col("band_hash"))
+    val b = banded.select(col(id).as("id_b"), col("band"), col("band_hash"))
     val candidates = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "n_a", "n_b").distinct()
-    // exact-Jaccard verification of the candidate set only
-    jaccardOfCandidates(candidates, postings(df, id, text, shingleN), id, threshold)
-  }
-
-  /** Exact Jaccard for an (id_a, id_b, n_a, n_b) candidate set against the
-    * shingle posting list: count common shingles per pair with two hash
-    * joins, then |A ∩ B| / (|A| + |B| - |A ∩ B|). */
-  private def jaccardOfCandidates(candidates: DataFrame, p: DataFrame,
-                                  id: String, threshold: Double): DataFrame = {
-    val pa = p.select(col(id).as("id_a"), col("shingle"))
-    val pb = p.select(col(id).as("id_b"), col("shingle"))
+      .select("id_a", "id_b").distinct()
+    // Exact-Jaccard verification of the candidate set only. Per-doc
+    // shingle ARRAYS + codegen'd array_intersect: two equi-joins and a
+    // per-row intersection — no posting-list explode, no extra
+    // aggregation shuffle (this stage dominated the bench before).
+    val sh = Parallelism.ensure(df)
+      .select(col(id), shingleSet(col(text), shingleN).as("sh"))
     candidates
-      .join(pa, "id_a")
-      .join(pb, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("common"))
+      .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("j_raw",
-        col("common").cast(DoubleType) /
-          (col("n_a") + col("n_b") - col("common")).cast(DoubleType))
+        col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .where(col("j_raw") >= threshold) // threshold on raw, round for output
       .select(col("id_a"), col("id_b"), round(col("j_raw"), 5).as("jaccard"))
   }
@@ -123,7 +115,8 @@ object Dedup {
   /** 64-bit SimHash per document: bit k of the hash is the sign of the
     * sum over tokens of ±1 according to bit k of xxhash64(token). */
   def simHash(df: DataFrame, id: String, text: String): DataFrame = {
-    val tok = df.select(col(id), explode(tokens(col(text))).as("t"))
+    val tok = Parallelism.ensure(df)
+      .select(col(id), explode(tokens(col(text))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map(k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1))

@@ -26,7 +26,8 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val c = Parallelism.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id")
@@ -43,7 +44,8 @@ object Similarity {
     * recall lever left for a later round. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, planes: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val c = Parallelism.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", lshBucket(col("c_vec"), planes))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("bucket", lshBucket(col("q_vec"), planes))
@@ -62,7 +64,8 @@ object Similarity {
     * hyperplane signs with high probability. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.95, planes: Int = 4): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val v = Parallelism.ensure(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), planes))
     val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
     val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))

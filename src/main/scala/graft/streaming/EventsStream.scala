@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming counterparts of the batch events analytics
+  * (SURVEY.md §2b "event/time-series"): the same tumbling-window and
+  * dedup semantics, expressed as an unbounded `readStream` so the engine
+  * covers both bounded and continuous ingestion of the events feed.
+  *
+  * The batch `events` Parquet directory doubles as a bounded stream for
+  * tests (file-source + `processAllAvailable`); a production deployment
+  * points the same transforms at Kafka or a landing directory. State is
+  * bounded by watermarks — nothing here grows without bound.
+  */
+object EventsStream {
+
+  /** Parquet file-source schema for the events feed. `ts` arrives as
+    * epoch-nanos bigint (nanosAsLong read of TIMESTAMP(NANOS)). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Unbounded read of an events directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling 1-hour counts per event type — streaming twin of the batch
+    * q19_hourly_windows; with a 2-hour watermark late events beyond the
+    * horizon are dropped and window state is reclaimed. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("t", "2 hours")
+      .groupBy(window(col("t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+
+  /** Streaming exact dedup on a key within the watermark horizon — the
+    * continuous counterpart of Dedup.dedupExact. */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events.withWatermark("t", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful aggregation: running per-user totals via
+    * mapGroupsWithState (the escape hatch for state machines SQL can't
+    * express). NoTimeout here — with a processing-time timeout the query
+    * keeps scheduling timeout batches and `processAllAvailable` never
+    * drains on a bounded input; an unbounded deployment with key churn
+    * would re-enable it (or move to event-time timeout + watermark) to
+    * reclaim abandoned keys. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events; var v = prev.total_value
+          rows.foreach { r => n += 1; v += r._2 }
+          val next = UserRunning(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+}

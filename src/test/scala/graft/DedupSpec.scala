@@ -13,7 +13,7 @@ class DedupSpec extends AnyFunSuite {
   test("minhash-LSH finds every exact-Jaccard pair at the same threshold") {
     val docs = Lake(spark, sf0001).documents
     val exact = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8))
-    val lsh = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.8))
+    val lsh = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 8, 0.8))
     // LSH verifies candidates with exact Jaccard, so lsh ⊆ exact always;
     // at these similarities (planted dups ~0.97) banding recall is ~1.
     assert(lsh.subsetOf(exact))

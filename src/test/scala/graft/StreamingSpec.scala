@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+
+/** Streaming/batch equivalence: the bounded events Parquet pushed through
+  * the streaming operators must reproduce the batch answers. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // the streaming file source requires a *directory*; the driver tables
+  // are single files, so stage a copy
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val stream = EventsStream.hourlyCounts(
+      EventsStream.readEvents(spark, eventsDir))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hourly").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select("hour_start", "event_type", "n")
+        .collect().map(_.toString).sorted.toSeq
+      val want = Lake(spark, sf0001).events
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("streaming dedup emits each event_id once") {
+    val deduped = EventsStream.dedupByEventId(
+      EventsStream.readEvents(spark, eventsDir))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup").count()
+      val distinctIds = spark.table("dedup").select("event_id").distinct().count()
+      assert(n === distinctIds)
+      assert(n === Lake(spark, sf0001).events.count()) // fixture has no dups
+    } finally q.stop()
+  }
+
+  test("stateful running totals accumulate per user") {
+    val totals = EventsStream.runningUserTotals(spark,
+      EventsStream.readEvents(spark, eventsDir))
+    val q = totals.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("running").start()
+    try {
+      q.processAllAvailable()
+      // last update per user must equal the batch per-user totals
+      val got = spark.table("running")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+      val want = Lake(spark, sf0001).events
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val diff = got.join(want, "user_id")
+        .where(got("n") =!= want("n")).count()
+      assert(diff === 0)
+    } finally q.stop()
+  }
+}
