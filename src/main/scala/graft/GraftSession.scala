@@ -26,6 +26,7 @@ object GraftSession {
 
   /** Apply the engine's semantic configs to any builder. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.plans.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")

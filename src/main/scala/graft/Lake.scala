@@ -27,4 +27,15 @@ final case class Lake(spark: SparkSession, dir: String) {
   def events: DataFrame     = table("events")
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
+
+  /** Register every table as a temp view — the SQL-text surface. */
+  def registerViews(): Unit = Lake.tableNames.foreach { n =>
+    table(n).createOrReplaceTempView(n)
+  }
+}
+
+object Lake {
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
 }

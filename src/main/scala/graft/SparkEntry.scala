@@ -15,7 +15,8 @@ object SparkEntry {
   /** Full declared inventory, grouped by module. */
   def all: Map[String, Q] =
     Relational.defs ++ EventsQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs
+      SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs ++
+      SurfaceQueries.defs ++ JoinQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-schema revenue rollup: broadcast dims, exact-decimal aggregate. */

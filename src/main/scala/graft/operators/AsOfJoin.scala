@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for each left row, the single most recent right
+  * row with `rightTime <= leftTime` within the same key group.
+  *
+  * Spark has no native as-of join. The naive composition — inequality join
+  * then per-left-row max — shuffles |L| x avg-matches rows and pays a
+  * second aggregation. This implementation is the single-shuffle
+  * sort-based form:
+  *
+  *   1. tag and union both inputs on (key, time),
+  *   2. one window per key ordered by (time, side): rights sort before
+  *      lefts at equal timestamps (ties are matches, like SQL ASOF `>=`),
+  *   3. `last(rightStruct, ignoreNulls)` carries the latest right row
+  *      forward; every left row then reads its match from the running
+  *      state,
+  *   4. keep left rows, unpack both structs.
+  *
+  * One hash exchange on the key + one sort — the same cost profile as a
+  * sort-merge join, independent of match fan-out. At 100 TB this is the
+  * difference between an as-of enrichment being a join and being a blowup.
+  */
+object AsOfJoin {
+
+  /** `left ASOF LEFT JOIN right ON keys AND right(rightTime) <= left(leftTime)`.
+    * Right columns appear prefixed with `rightPrefix`, null when no prior
+    * right row exists. */
+  def asOfBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   rightPrefix: String = "asof_"): DataFrame = {
+    val l = left.select(
+      keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+        struct(left.columns.map(col): _*).as("__l")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        struct(right.columns.map(col): _*).as("__r")): _*)
+    val lAug = l.withColumn("__r", lit(null).cast(r.schema("__r").dataType))
+    val rAug = r.withColumn("__l", lit(null).cast(l.schema("__l").dataType))
+      .select(lAug.columns.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lAug.unionByName(rAug)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(
+        left.columns.map(c => col(s"__l.$c").as(c)) ++
+          right.columns.map(c => col(s"__match.$c").as(rightPrefix + c)): _*)
+  }
+}

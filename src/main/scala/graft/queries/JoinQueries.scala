@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Lake
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Specialized join inventory: as-of and range joins — operators Spark
+  * lacks natively, built as shuffle-bounded compositions (SURVEY.md §2b,
+  * "custom operators" preference (a)). Both oracled: DuckDB has native
+  * ASOF JOIN, and the banded range join reduces to a BETWEEN predicate. */
+object JoinQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- as-of join: latest prior purchase per event --------------------
+    "a1_asof_purchase" -> Q(
+      (s, dir) => {
+        val ev = Lake(s, dir).events
+          .withColumn("t", expr("ts DIV 1000")) // epoch-micros, matches oracle
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id", "t").agg(max("event_id").as("purchase_id"))
+        AsOfJoin.asOfBackward(
+            ev.select("event_id", "user_id", "t"), purchases,
+            keys = Seq("user_id"), leftTime = "t", rightTime = "t")
+          .select(col("event_id"), col("user_id"),
+            col("asof_purchase_id").as("prior_purchase_id"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT user_id, ts, max(event_id) AS purchase_id
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+          |SELECT e.event_id, e.user_id, p.purchase_id AS prior_purchase_id
+          |FROM events e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND e.ts >= p.ts
+          |ORDER BY e.event_id""".stripMargin),
+      headline = true),
+
+    // ---- banded range join: |c_acctbal - s_acctbal| <= 10 ---------------
+    "r1_range_join" -> Q(
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        RangeJoin.binnedRangeJoin(lk.customer, lk.supplier,
+            "c_acctbal", "s_acctbal", width = 10.0)
+          .select("c_custkey", "s_suppkey")
+          .orderBy("c_custkey", "s_suppkey")
+      },
+      Some(
+        """SELECT c_custkey, s_suppkey
+          |FROM customer JOIN supplier ON abs(c_acctbal - s_acctbal) <= 10
+          |ORDER BY c_custkey, s_suppkey""".stripMargin))
+  )
+}

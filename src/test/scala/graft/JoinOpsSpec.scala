@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+
+class JoinOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("asOfBackward equals the naive inequality-join + argmax form") {
+    val ev = Lake(spark, sf0001).events.withColumn("t", expr("ts DIV 1000"))
+    val l = ev.select("event_id", "user_id", "t")
+    val r = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "t").agg(max("event_id").as("purchase_id"))
+    val got = AsOfJoin.asOfBackward(l, r, Seq("user_id"), "t", "t")
+      .select("event_id", "asof_purchase_id")
+
+    val naive = l.as("e").join(r.as("p"),
+        col("e.user_id") === col("p.user_id") && col("e.t") >= col("p.t"), "left")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("event_id").orderBy(desc_nulls_last("p.t"))))
+      .where(col("__rn") === 1)
+      .select(col("event_id"), col("purchase_id"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    assert(canon(got) === canon(naive))
+  }
+
+  test("asOfBackward matches at equal timestamps (>= semantics)") {
+    import spark.implicits._
+    val l = Seq((1L, "k", 100L), (2L, "k", 99L)).toDF("id", "k", "t")
+    val r = Seq((7L, "k", 100L)).toDF("rid", "k", "rt")
+    val got = AsOfJoin.asOfBackward(l, r, Seq("k"), "t", "rt")
+      .select("id", "asof_rid").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, Some(7L)), (2L, None)))
+  }
+
+  test("binned range join equals the naive cross + filter") {
+    val lk = Lake(spark, sf0001)
+    val got = RangeJoin.binnedRangeJoin(lk.customer, lk.supplier,
+        "c_acctbal", "s_acctbal", 10.0)
+      .select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = lk.customer.crossJoin(lk.supplier)
+      .where(abs(col("c_acctbal") - col("s_acctbal")) <= 10.0)
+      .select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
+  test("salted join is multiset-identical to the plain equi-join") {
+    val lk = Lake(spark, sf0001)
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    }
+    val custKeyed = lk.customer.withColumnRenamed("c_custkey", "o_custkey")
+    val salted = SkewJoin.saltedJoin(lk.orders, custKeyed, "o_custkey", 8)
+    val plain = lk.orders.join(custKeyed, "o_custkey")
+    assert(canon(salted.drop("o_custkey")) === canon(plain.drop("o_custkey")))
+  }
+}
