@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Lake
 import graft.functions.TextFunctions._
+import graft.functions.TopKAggregator
 
 /** Text-analysis inventory over `documents` (SURVEY.md §2b): language ID,
   * quality scoring, token counting, fingerprinting. All pure codegen'd
@@ -87,6 +88,35 @@ object TextQueries {
       (s, dir) => Lake(s, dir).documents
         .select(col("doc_id"), fingerprintRolling(col("text")).as("fp"))
         .orderBy("doc_id"),
-      None)
+      None),
+
+    // ---- typed top-k aggregate: 3 best-quality docs per language -------
+    // TopKAggregator keeps a k-bounded buffer per group map-side; the
+    // oracle is the window formulation of the same answer.
+    "t6_topk_quality" -> Q(
+      (s, dir) => {
+        val scored = Lake(s, dir).documents.select(
+          col("lang"), qualityScore(col("text")).as("score"), col("doc_id"))
+        val topk = TopKAggregator.topK(3)
+        scored.groupBy("lang").agg(topk(col("score"), col("doc_id")).as("top"))
+          .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
+          .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+            col("s.id").as("doc_id"))
+          .orderBy("lang", "rank")
+      },
+      Some(
+        """SELECT lang, rank, doc_id FROM (
+          |  SELECT lang, doc_id,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          |         ORDER BY q DESC, doc_id) AS INTEGER) AS rank
+          |  FROM (
+          |    SELECT doc_id, lang,
+          |        least(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+          |      + CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+          |        / len(string_split_regex(lower(trim(text)), '\s+')) * 0.3
+          |      + (1.0 - CAST(len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS DOUBLE)
+          |        / length(text)) * 0.2 AS q
+          |    FROM documents) t) r
+          |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin))
   )
 }
