@@ -15,5 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs(0), exprs(1))))
+    // opt-in via spark.graft.rewriteOrJoin (see OrEquiJoinRule scaladoc)
+    e.injectOptimizerRule(_ => OrEquiJoinRule)
   }
 }
