@@ -38,17 +38,27 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** Approximate top-k: probe only the query's LSH bucket. With p planes,
-    * expected candidates = |corpus| / 2^p; recall measured in the test
-    * suite. Multi-probe (flipping low-confidence bits) is the standard
-    * recall lever left for a later round. */
+  /** Approximate top-k: probe the query's LSH bucket. With p planes,
+    * expected candidates = |corpus| / 2^p per probe.
+    *
+    * `multiProbe` is the recall lever: additionally probe the buckets at
+    * Hamming distance 1 (each single hyperplane-bit flip, up to
+    * `multiProbe` of them) — recall rises toward brute-force at the cost
+    * of (1 + multiProbe) x candidates. Corpus rows own one bucket, so a
+    * (query, neighbor) pair can surface at most once — no dedup stage. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, planes: Int = 4): DataFrame = {
+              idCol: String, vecCol: String, k: Int, planes: Int = 4,
+              multiProbe: Int = 0): DataFrame = {
     val c = Parallelism.ensure(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", lshBucket(col("c_vec"), planes))
+    val probes = math.min(multiProbe, planes)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("bucket", lshBucket(col("q_vec"), planes))
+      .withColumn("__b", lshBucket(col("q_vec"), planes))
+      .withColumn("bucket", explode(array(
+        (col("__b") +: (0 until probes).map(p =>
+          col("__b").bitwiseXOR(lit(1 << p)))): _*)))
+      .drop("__b")
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
     c.join(broadcast(q), "bucket")

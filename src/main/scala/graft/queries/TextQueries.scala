@@ -90,6 +90,24 @@ object TextQueries {
         .orderBy("doc_id"),
       None),
 
+    // ---- n-gram frequency table (Generator/explode path) ---------------
+    "t7_bigram_counts" -> Q(
+      (s, dir) => Lake(s, dir).documents
+        .select(explode(wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram"))
+        .limit(20),
+      Some(
+        """WITH tok AS (
+          |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |bg AS (
+          |  SELECT unnest([w[i] || ' ' || w[i+1]
+          |                 for i in generate_series(1, len(w)-1)]) AS bigram
+          |  FROM tok)
+          |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+
     // ---- typed top-k aggregate: 3 best-quality docs per language -------
     // TopKAggregator keeps a k-bounded buffer per group map-side; the
     // oracle is the window formulation of the same answer.

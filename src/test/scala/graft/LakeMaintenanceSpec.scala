@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.LakeMaintenance
+
+class LakeMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dynamic partition overwrite replaces only the incoming partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dyn_overwrite").toString
+    val day1 = Seq((1L, "d1"), (2L, "d2")).toDF("id", "day")
+    LakeMaintenance.overwritePartitions(day1, dir, Seq("day"))
+    // incremental batch: only day 2, with corrected content
+    val day2fix = Seq((99L, "d2")).toDF("id", "day")
+    LakeMaintenance.overwritePartitions(day2fix, dir, Seq("day"))
+    val got = spark.read.parquet(dir).select("id", "day").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // day 1 untouched, day 2 replaced
+    assert(got === Set((1L, "d1"), (99L, "d2")))
+  }
+
+  test("full overwrite (the reference's mode) would have dropped day 1") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("full_overwrite").toString
+    Seq((1L, "d1")).toDF("id", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    Seq((99L, "d2")).toDF("id", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val days = spark.read.parquet(dir).select("day").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(days === Set("d2")) // history gone — why dynamic matters
+  }
+
+  test("compaction reduces file count without changing data") {
+    val dir = Files.createTempDirectory("fragmented").toString
+    val out = Files.createTempDirectory("compacted").toString
+    val li = Lake(spark, sf0001).lineitem
+    li.repartition(64).write.mode("overwrite").parquet(dir) // 64 tiny files
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(dir) === 64)
+    LakeMaintenance.compact(spark, dir, out)
+    assert(parquetFiles(out) === 1) // ~300 KB input, one target file
+    assert(spark.read.parquet(out).count() === li.count())
+  }
+}

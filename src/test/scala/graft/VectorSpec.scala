@@ -48,4 +48,34 @@ class VectorSpec extends AnyFunSuite {
     assert(top1.forall(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
     assert(top1.forall(r => math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9))
   }
+
+  test("multi-probe LSH recall strictly dominates single-probe") {
+    val emb = Lake(spark, sf0001).embeddings
+    val corpus = emb.where(col("vec_id") >= 10)
+    val queries = emb.where(col("vec_id") < 10)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ids(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    def recall(probes: Int): Double = {
+      val approx = ids(Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+        5, planes = 4, multiProbe = probes))
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r0 = recall(0)
+    val r4 = recall(4)
+    assert(r4 >= r0, s"multi-probe recall $r4 must not be below single-probe $r0")
+    assert(r4 > 0.3, s"4-probe recall $r4 unexpectedly low")
+  }
+
+  test("approx_count_distinct (HLL) lands within its error bound") {
+    val li = Lake(spark, sf001).lineitem
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).head()
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"HLL estimate $approx vs exact $exact")
+  }
 }
