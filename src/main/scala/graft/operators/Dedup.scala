@@ -112,6 +112,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("j_raw"), 5).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list: every document gets
+    * the minimum doc-id reachable through the pair graph as its cluster
+    * id — the step that turns pairwise similarity into dedup groups
+    * (keep one representative per cluster).
+    *
+    * Iterative min-label propagation: each round, every vertex takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(diameter) rounds. Near-dup graphs are forests of tiny cliques, so
+    * diameter is small; each round is one shuffle-bounded join + agg, no
+    * driver-side data. (The alternating large-star/small-star variant
+    * drops the round count to O(log n) for adversarial chains — noted for
+    * a later round.) */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("v", "dst")
+          .withColumnRenamed("label", "n_label"), "dst")
+        .groupBy(col("src").as("v"))
+        .agg(min(col("n_label")).as("n_min"))
+      val next = labels.join(neighborMin, "v")
+        .select(col("v"), least(col("label"), col("n_min")).as("label"))
+        .localCheckpoint(eager = true) // truncate the growing lineage
+      val changes = next.join(labels.withColumnRenamed("label", "old"), "v")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      converged = changes == 0
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash per document: bit k of the hash is the sign of the
     * sum over tokens of ±1 according to bit k of xxhash64(token). */
   def simHash(df: DataFrame, id: String, text: String): DataFrame = {

@@ -66,6 +66,66 @@ object SurfaceQueries {
       (s, dir) => { Lake(s, dir).registerViews(); s.sql(sharedSql) },
       sharedSql),
 
+    // ---- order-robust statistics: median + moments ----------------------
+    // Median on integer cents: halfway interpolation of exact integers is
+    // bit-deterministic in both engines (general p is formula-order
+    // sensitive). Stddev from exact decimal moments, not the streaming
+    // variance aggregate, so partial-aggregation order can't shift bits.
+    "q25_stats" -> Q(
+      (s, dir) => {
+        val cents = round(col("l_extendedprice") * 100).cast(LongType)
+        val decP = col("l_extendedprice").cast(DecimalType(18, 2))
+        Lake(s, dir).lineitem
+          .withColumn("cents", cents)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            (expr("percentile(cents, 0.5)") / 100.0).as("median_price"),
+            sum(decP).cast(DoubleType).as("sum_p"),
+            sum(decP * decP).cast(DoubleType).as("sumsq_p"))
+          .select(
+            col("l_returnflag"), col("n"), col("min_price"), col("max_price"),
+            col("median_price"),
+            sqrt((col("sumsq_p") - col("sum_p") * col("sum_p") / col("n"))
+              / (col("n") - 1)).as("stddev_price"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """SELECT l_returnflag, n, min_price, max_price, median_price,
+          |  sqrt((sumsq_p - sum_p * sum_p / n) / (n - 1)) AS stddev_price
+          |FROM (
+          |  SELECT l_returnflag, COUNT(*) AS n,
+          |    MIN(l_extendedprice) AS min_price,
+          |    MAX(l_extendedprice) AS max_price,
+          |    quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) / 100.0
+          |      AS median_price,
+          |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+          |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_p
+          |  FROM lineitem GROUP BY l_returnflag) t
+          |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- scalar string-function coverage --------------------------------
+    "q26_string_funcs" -> Q(
+      (s, dir) => Lake(s, dir).part
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("ub"),
+          substring(col("p_name"), 1, 8).as("prefix"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("tag"),
+          length(col("p_name")).as("name_len"),
+          levenshtein(col("p_brand"), col("p_type")).as("dist"))
+        .orderBy("p_partkey"),
+      Some(
+        """SELECT p_partkey, upper(p_brand) AS ub,
+          |  substring(p_name, 1, 8) AS prefix,
+          |  concat_ws('-', p_brand, p_type) AS tag,
+          |  CAST(length(p_name) AS INTEGER) AS name_len,
+          |  CAST(levenshtein(p_brand, p_type) AS INTEGER) AS dist
+          |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // ---- native expression through the SQL surface ---------------------
     // cosine_similarity is the engine's fused codegen expression,
     // registered via SparkSessionExtensions.injectFunction.
