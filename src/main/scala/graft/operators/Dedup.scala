@@ -151,6 +151,20 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** End-to-end near-dedup: detect near-dup pairs (MinHash-LSH), cluster
+    * them (connected components), keep the minimum-id representative of
+    * each cluster — the full "dedup the corpus" pipeline as one call.
+    * Documents outside any cluster pass through untouched. */
+  def dedupNear(df: DataFrame, id: String, text: String,
+                shingleN: Int = 3, numHashes: Int = 64, bands: Int = 8,
+                threshold: Double = 0.8): DataFrame = {
+    val pairs = minHashLshPairs(df, id, text, shingleN, numHashes, bands, threshold)
+    val clusters = connectedComponents(pairs, "id_a", "id_b")
+    val losers = clusters.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(id))
+    df.join(losers, Seq(id), "left_anti")
+  }
+
   /** 64-bit SimHash per document: bit k of the hash is the sign of the
     * sum over tokens of ±1 according to bit k of xxhash64(token). */
   def simHash(df: DataFrame, id: String, text: String): DataFrame = {

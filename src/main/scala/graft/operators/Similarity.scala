@@ -38,6 +38,35 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Pre-normalized exact top-k: the corpus is L2-normalized ONCE (in
+    * practice: materialized once and reused across query batches —
+    * normalization is the write-side cost, scoring drops to a bare dot
+    * product). Rankings are identical to [[bruteForceTopK]]; the scored
+    * value is the same cosine. */
+  def bruteForceTopKPrenormed(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, k: Int): DataFrame = {
+    def normalize(v: Column): Column = {
+      val n = sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, b) => a + b))
+      when(n === 0.0, v.cast("array<double>"))
+        .otherwise(transform(v, x => x.cast("double") / n))
+    }
+    val c = Parallelism.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("c_unit"))
+    val q = queries
+      .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("q_unit"))
+    val dot = aggregate(
+      zip_with(col("q_unit"), col("c_unit"), (x, y) => x * y),
+      lit(0.0), (a, b) => a + b)
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("sim", dot)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Approximate top-k: probe the query's LSH bucket. With p planes,
     * expected candidates = |corpus| / 2^p per probe.
     *

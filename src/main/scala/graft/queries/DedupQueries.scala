@@ -107,6 +107,48 @@ object DedupQueries {
           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
           |mins AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
           |SELECT a AS doc_id, least(a, mb) AS cluster_id FROM mins
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- end-to-end near-dedup: corpus minus non-representatives -------
+    // LSH recall is exactly 1.0 on this corpus (DedupSpec pins lsh ==
+    // exact at the same threshold), so the exact recursive-CTE oracle
+    // applies to the LSH-routed pipeline.
+    "d6_dedup_corpus" -> Q(
+      (s, dir) => Dedup.dedupNear(Lake(s, dir).documents, "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 8, threshold = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(
+        """WITH RECURSIVE tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            for i in generate_series(1, len(w)-2)]) AS s
+          |  FROM tok
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |cand AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT id_a, id_b FROM cand
+          |  JOIN cnt ca ON ca.doc_id = id_a
+          |  JOIN cnt cb ON cb.doc_id = id_b
+          |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8),
+          |edges AS (
+          |  SELECT id_a AS a, id_b AS b FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |losers AS (
+          |  SELECT a AS doc_id FROM reach GROUP BY a
+          |  HAVING least(a, min(b)) != a)
+          |SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
           |ORDER BY doc_id""".stripMargin))
   )
 }

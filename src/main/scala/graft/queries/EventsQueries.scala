@@ -77,6 +77,28 @@ object EventsQueries {
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
       headline = true),
 
+    // ---- lag/lead analytics: inter-event gaps per user ------------------
+    "q21b_event_deltas" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // work on micros throughout: the oracle's timestamps are already
+        // us-truncated, so deltas (and order ties) must be computed on
+        // us values — flooring an ns delta is off by one when the
+        // sub-us parts straddle a boundary
+        val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+        events(s, dir)
+          .withColumn("t_us", expr("ts DIV 1000"))
+          .withColumn("gap_us", col("t_us") - lag(col("t_us"), 1).over(w))
+          .select("user_id", "event_id", "gap_us")
+          .orderBy("user_id", "event_id")
+      },
+      Some(
+        """SELECT user_id, event_id,
+          |  CAST(epoch_us(ts - LAG(ts) OVER w) AS BIGINT) AS gap_us
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- gap-based sessionization (session_window, 30-min gap) ---------
     // Oracle: classic gaps-and-islands via LAG. A new session starts when
     // the gap to the previous event is >= 30 min (session_window treats

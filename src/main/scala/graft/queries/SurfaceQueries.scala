@@ -46,6 +46,28 @@ object SurfaceQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // ---- CSV sink + source (schema'd read, no inference scan) ----------
+    "q27_csv_roundtrip" -> Q(
+      (s, dir) => {
+        val stage = s"/root/repo/target/csv_stage/lineitem_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        Lake(s, dir).lineitem
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+          .write.mode("overwrite").option("header", "true").csv(stage)
+        s.read
+          .schema(StructType(Seq(
+            StructField("l_orderkey", LongType),
+            StructField("l_returnflag", StringType),
+            StructField("l_quantity", DoubleType))))
+          .option("header", "true").csv(stage)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // ---- exact distinct counting (COUNT DISTINCT expand) ---------------
     "q22_distinct_counts" -> Q(
       (s, dir) => Lake(s, dir).lineitem

@@ -68,6 +68,18 @@ class VectorSpec extends AnyFunSuite {
     assert(r4 > 0.3, s"4-probe recall $r4 unexpectedly low")
   }
 
+  test("pre-normalized top-k ranks identically to the direct cosine form") {
+    val emb = Lake(spark, sf0001).embeddings
+    val corpus = emb.where(col("vec_id") >= 10)
+    val queries = emb.where(col("vec_id") < 10)
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    val direct = ranks(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    val prenorm = ranks(Similarity.bruteForceTopKPrenormed(corpus, queries, "vec_id", "embedding", 5))
+    assert(prenorm === direct)
+  }
+
   test("approx_count_distinct (HLL) lands within its error bound") {
     val li = Lake(spark, sf001).lineitem
     val row = li.agg(
