@@ -97,6 +97,47 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** IVF-style ANN: inverted lists with a learned-free coarse quantizer.
+    *
+    * The corpus is split into inverted lists (here: LSH buckets — at
+    * production scale, k-means cells trained offline slot into the same
+    * shape) and each list gets a centroid = element-wise mean vector.
+    * A query ranks CENTROIDS by cosine and probes only the `nProbe`
+    * nearest lists — unlike pure LSH, the probe set adapts to where the
+    * query actually sits relative to the data rather than to its own
+    * hash, which is what lifts recall at equal candidate volume.
+    * Candidates then score exactly with the fused cosine. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              planes: Int = 4, nProbe: Int = 2): DataFrame = {
+    val c = Parallelism.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("bucket", lshBucket(col("c_vec"), planes))
+    // centroid per list: element-wise mean via posexplode + re-assembly
+    val centroids = c
+      .select(col("bucket"), posexplode(col("c_vec")).as(Seq("pos", "x")))
+      .groupBy("bucket", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("bucket")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(desc("c_sim"), asc("bucket"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosineHof(
+        transform(col("q_vec"), x => x.cast("double")), col("centroid")))
+      .withColumn("c_rank", row_number().over(wProbe))
+      .where(col("c_rank") <= nProbe)
+      .select("query_id", "q_vec", "bucket")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    c.join(broadcast(probes), "bucket")
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
     * Bucketed by LSH so the pair join is equi-keyed per bucket; exact
     * threshold check on candidates. Near-identical vectors agree on all

@@ -226,6 +226,69 @@ object Relational {
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
       headline = true),
 
+    // ---- RANGE window frame: trailing 30-day spend per customer --------
+    // Order key is epoch-day (integer): RANGE frames over physical value
+    // offsets, portable across engines.
+    "q10b_range_frame" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("d")
+          .rangeBetween(-30, 0)
+        Lake(s, dir).orders
+          .withColumn("d", datediff(col("o_orderdate"), lit("1970-01-01").cast(TimestampNTZType)))
+          .withColumn("trailing_30d",
+            sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+          .groupBy("o_custkey")
+          .agg(max(col("trailing_30d")).as("peak_30d_spend"))
+          .orderBy("o_custkey")
+      },
+      Some(
+        """SELECT o_custkey, MAX(t) AS peak_30d_spend FROM (
+          |  SELECT o_custkey,
+          |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |      PARTITION BY o_custkey
+          |      ORDER BY datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+          |      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS t
+          |  FROM orders) x
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // ---- PIVOT: order counts by status x priority -----------------------
+    // Oracle uses the portable CASE-aggregation form of the same reshape.
+    "q14b_pivot" -> Q(
+      (s, dir) => Lake(s, dir).orders
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+          "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .orderBy("o_orderstatus"),
+      Some(
+        """SELECT o_orderstatus,
+          |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+          |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+          |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+          |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+          |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- UNPIVOT/melt: wide metrics back to long form -------------------
+    "q14c_unpivot" -> Q(
+      (s, dir) => Lake(s, dir).customer
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_nationkey").cast(DoubleType).as("c_nation_d"))
+        .unpivot(
+          ids = Array(col("c_custkey")),
+          values = Array(col("c_acctbal"), col("c_nation_d")),
+          variableColumnName = "metric", valueColumnName = "v")
+        .orderBy("c_custkey", "metric"),
+      Some(
+        """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS v FROM customer
+          |UNION ALL
+          |SELECT c_custkey, 'c_nation_d', CAST(c_nationkey AS DOUBLE) FROM customer
+          |ORDER BY c_custkey, metric""".stripMargin)),
+
     // ---- global sort + limit (TakeOrderedAndProject, no full sort) -----
     "q11_top_orders" -> Q(
       (s, dir) => Lake(s, dir).orders

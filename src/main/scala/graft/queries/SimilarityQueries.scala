@@ -62,6 +62,20 @@ object SimilarityQueries {
       },
       None),
 
+    // ---- IVF-probed approximate top-k -----------------------------------
+    "s4_ann_ivf" -> Q(
+      (s, dir) => {
+        val emb = Lake(s, dir).embeddings
+        Similarity.ivfTopK(
+            corpus = emb.where(col("vec_id") >= 10),
+            queries = emb.where(col("vec_id") < 10),
+            idCol = "vec_id", vecCol = "embedding", k = 5,
+            planes = 4, nProbe = 2)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // ---- embedding near-duplicate pairs --------------------------------
     // planes = 0 => exact all-pairs (SQL-oracle-able); the driver corpus
     // has no planted embedding near-dups (max pairwise cosine ~0.51), so

@@ -68,6 +68,24 @@ class VectorSpec extends AnyFunSuite {
     assert(r4 > 0.3, s"4-probe recall $r4 unexpectedly low")
   }
 
+  test("IVF probing returns k rows per query and beats own-bucket LSH recall") {
+    val emb = Lake(spark, sf0001).embeddings
+    val corpus = emb.where(col("vec_id") >= 10)
+    val queries = emb.where(col("vec_id") < 10)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ids(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    val ivf = ids(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5,
+      planes = 4, nProbe = 4))
+    val lsh1 = ids(Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 5,
+      planes = 4, multiProbe = 0))
+    def recall(s: Set[(Long, Long)]) = (exact intersect s).size.toDouble / exact.size
+    assert(ivf.groupBy(_._1).forall(_._2.size == 5), "k rows per query")
+    assert(recall(ivf) >= recall(lsh1),
+      s"IVF(nProbe=4) recall ${recall(ivf)} below own-bucket LSH ${recall(lsh1)}")
+  }
+
   test("pre-normalized top-k ranks identically to the direct cosine form") {
     val emb = Lake(spark, sf0001).embeddings
     val corpus = emb.where(col("vec_id") >= 10)
