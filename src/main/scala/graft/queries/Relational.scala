@@ -266,11 +266,11 @@ object Relational {
         .orderBy("o_orderstatus"),
       Some(
         """SELECT o_orderstatus,
-          |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
-          |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
-          |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
-          |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
-          |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+          |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+          |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+          |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+          |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+          |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // ---- UNPIVOT/melt: wide metrics back to long form -------------------

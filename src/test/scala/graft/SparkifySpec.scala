@@ -97,6 +97,20 @@ class SparkifySpec extends AnyFunSuite {
     assert(canon(outDir) === canon(out2))
   }
 
+  test("explicit schemas reproduce schema-inference results (parity mode)") {
+    val in3 = Files.createTempDirectory("sparkify_in3").toString
+    val out3 = Files.createTempDirectory("sparkify_out3").toString
+    SparkifyFixtures.write(in3)
+    Sparkify.run(spark, Sparkify.Config(in3, out3, inferSchema = true))
+    def canon(dir: String, t: String) = {
+      val df = spark.read.parquet(s"$dir/$t")
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    }
+    for (t <- Seq("songs", "artists", "users", "time", "songplays"))
+      assert(canon(outDir, t) === canon(out3, t), s"table $t diverged")
+  }
+
   test("timestamp truncation matches the reference expression chain") {
     import spark.implicits._
     val got = Seq(1542241826123L).toDF("ts")
