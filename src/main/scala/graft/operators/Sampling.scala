@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling primitives for training-data curation.
+  *
+  * [[hashSample]] is the scale-correct default: membership is a pure
+  * function of the key (md5 prefix vs a hex threshold), so the sample is
+  * reproducible across runs, engines, partitionings and cluster sizes, it
+  * composes with incremental loads (a document's fate never changes), and
+  * two tables sampled on the same key stay join-consistent. Seeded RNG
+  * sampling (`df.sample`) guarantees none of that under re-partitioning.
+  *
+  * [[stratified]] wraps per-stratum fractions (e.g. language-balanced
+  * subsampling) over the same deterministic membership function.
+  */
+object Sampling {
+
+  /** Uniform-hash membership test: md5 of the key, lexicographic hex
+    * compare. `sixteenths` in [0,16]: 2 => keep ~2/16 = 12.5% of keys.
+    * Hex digits are uniform under md5 and hex-lex order = numeric order,
+    * so the first digit is a portable 1/16-granular threshold. */
+  def hashKeep(key: Column, sixteenths: Int): Column = {
+    require(sixteenths >= 0 && sixteenths <= 16)
+    md5(key.cast("string").cast("binary")) < lit(f"$sixteenths%x")
+  }
+
+  def hashSample(df: DataFrame, keyCol: String, sixteenths: Int): DataFrame =
+    df.where(hashKeep(col(keyCol), sixteenths))
+
+  /** Per-stratum deterministic sampling: `fractions` maps stratum value ->
+    * sixteenths kept; absent strata are dropped. */
+  def stratified(df: DataFrame, stratumCol: String, keyCol: String,
+                 fractions: Map[String, Int]): DataFrame = {
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, sx)) =>
+      acc || (col(stratumCol) === stratum && hashKeep(col(keyCol), sx))
+    }
+    df.where(keep)
+  }
+}

@@ -108,6 +108,31 @@ object TextQueries {
           |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
           |ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
 
+    // ---- deterministic hash sampling (engine-portable membership) ------
+    "t8_hash_sample" -> Q(
+      (s, dir) => graft.operators.Sampling.hashSample(
+          Lake(s, dir).documents, "doc_id", sixteenths = 2)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, lang FROM documents
+          |WHERE md5(CAST(doc_id AS VARCHAR)) < '2'
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- stratified deterministic sampling ------------------------------
+    "t9_stratified_sample" -> Q(
+      (s, dir) => graft.operators.Sampling.stratified(
+          Lake(s, dir).documents, "lang", "doc_id",
+          Map("es" -> 8, "de" -> 4, "zh" -> 2))
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, lang FROM documents
+          |WHERE (lang = 'es' AND md5(CAST(doc_id AS VARCHAR)) < '8')
+          |   OR (lang = 'de' AND md5(CAST(doc_id AS VARCHAR)) < '4')
+          |   OR (lang = 'zh' AND md5(CAST(doc_id AS VARCHAR)) < '2')
+          |ORDER BY doc_id""".stripMargin)),
+
     // ---- typed top-k aggregate: 3 best-quality docs per language -------
     // TopKAggregator keeps a k-bounded buffer per group map-side; the
     // oracle is the window formulation of the same answer.
