@@ -1,0 +1,106 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Dedup, OrEquiJoin, RangeJoin}
+
+/** Property-based operator laws: each rewritten/engineered operator is
+  * equivalent to its naive specification on randomized small inputs —
+  * nulls, ties, negatives, and empty sides included, the corners a fixed
+  * fixture can miss. ScalaCheck drives the generation; each trial round-
+  * trips through real Spark plans. */
+class OperatorLawsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, trials: Int = 12): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(trials), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  // tiny alphabets force key collisions; None forces null-key paths
+  private val keyGen = Gen.option(Gen.oneOf("a", "b", "c", "d"))
+  private val leftGen = Gen.listOfN(25,
+    Gen.zip(Gen.choose(0L, 1000L), keyGen, keyGen))
+  private val rightGen = Gen.listOfN(8, Gen.zip(keyGen, keyGen))
+
+  test("OR-equi left join rewrite law (random nullable keys)") {
+    check("orJoin", Prop.forAll(leftGen, rightGen) { (l, r) =>
+      val left = l.toDF("id", "k1", "k2")
+      val right = r.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rid", "r1", "r2")
+      val naive = left.join(right,
+        col("k1") === col("r1") || col("k2") === col("r2"), "left")
+      val rewritten = OrEquiJoin.leftOrJoin(left, right, ("k1", "r1"), ("k2", "r2"))
+      canon(rewritten) == canon(naive)
+    })
+  }
+
+  test("as-of join law: equals per-row argmax (random times incl. ties)") {
+    val evGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 100000L), Gen.choose(0L, 3L), Gen.choose(0L, 20L)))
+    check("asOf", Prop.forAll(evGen, evGen) { (l, r) =>
+      val left = l.zipWithIndex.map { case ((_, k, t), i) => (i.toLong, k, t) }
+        .toDF("id", "k", "t")
+      val right = r.zipWithIndex.map { case ((_, k, t), i) => (i.toLong + 1000, k, t) }
+        .toDF("rid", "k", "rt")
+        // as-of needs a deterministic winner among equal (k, rt): keep max rid
+        .groupBy("k", "rt").agg(max("rid").as("rid"))
+      val got = AsOfJoin.asOfBackward(left, right, Seq("k"), "t", "rt")
+        .select(col("id"), col("asof_rid"))
+      val naive = left.as("e").join(right.as("p"),
+          col("e.k") === col("p.k") && col("e.t") >= col("p.rt"), "left")
+        .groupBy("id")
+        .agg(max_by(col("rid"), struct(col("rt"), col("rid"))).as("asof_rid"))
+      canon(got) == canon(naive)
+    })
+  }
+
+  test("banded range join law (random signed doubles)") {
+    val valsGen = Gen.listOfN(30, Gen.choose(-100.0, 100.0))
+    check("rangeJoin", Prop.forAll(valsGen, valsGen, Gen.choose(1.0, 25.0)) {
+      (l, r, width) =>
+        val left = l.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+        val right = r.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+        val got = RangeJoin.binnedRangeJoin(left, right, "lv", "rv", width)
+          .select("lid", "rid")
+        val naive = left.crossJoin(right)
+          .where(abs(col("lv") - col("rv")) <= width)
+          .select("lid", "rid")
+        canon(got) == canon(naive)
+    })
+  }
+
+  test("connected components law: equals driver-side union-find") {
+    val edgeGen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)).suchThat(p => p._1 != p._2))
+    check("components", Prop.forAll(edgeGen) { edges0 =>
+      val edges = edges0.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      if (edges.isEmpty) true
+      else {
+        val got = Dedup.connectedComponents(
+            edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference: driver-side union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(v => v -> find(v)).toMap
+        got == want
+      }
+    }, trials = 8)
+  }
+}
