@@ -175,9 +175,26 @@ object Sparkify {
     processLogData(spark, cfg)
   }
 
+  /** CLI with the reference's parameter surface (`etl.py:194-199`):
+    * `--root_bucket B --input_data I --step_app_name N` — output goes to
+    * `B/tables` exactly as the reference derives it — or plain positional
+    * `<input> <output>`. */
   def main(args: Array[String]): Unit = {
-    val Array(input, output) = args
-    val spark = graft.GraftSession.local("sparkify")
+    val named = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+    val (input, output, appName) =
+      if (named.contains("input_data") || named.contains("root_bucket")) {
+        val in = named.getOrElse("input_data",
+          sys.error("--input_data is required with named arguments"))
+        val out = named.get("root_bucket").map(b => s"$b/tables")
+          .getOrElse(sys.error("--root_bucket is required with named arguments"))
+        (in, out, named.getOrElse("step_app_name", "sparkify"))
+      } else {
+        val Array(in, out) = args
+        (in, out, "sparkify")
+      }
+    val spark = graft.GraftSession.local(appName)
     run(spark, Config(input, output))
     spark.stop()
   }
