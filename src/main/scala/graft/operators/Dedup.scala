@@ -42,16 +42,20 @@ object Dedup {
       .select(col(id), explode(shingleSet(col(text), n)).as("shingle"))
 
   /** MinHash signatures: for each document, the element-wise minimum of
-    * `numHashes` seeded xxhash64 values over its shingle set. One
-    * shuffle (groupBy id); the per-seed mins are partial-aggregated
-    * map-side. */
+    * `numHashes` seeded hash values over its shingle set. One shuffle
+    * (groupBy id); the per-seed mins are partial-aggregated map-side.
+    * The shingle STRING is hashed once to a long (`base`) and the seed
+    * family hashes the 8-byte long — hashing variable-length strings per
+    * seed would cost numHashes string traversals per posting, the
+    * dominant CPU in the LSH pipeline. */
   def minHashSignatures(df: DataFrame, id: String, text: String,
                         shingleN: Int = 3, numHashes: Int = 32): DataFrame =
     postings(df, id, text, shingleN)
+      .withColumn("base", xxhash64(col("shingle")))
       .groupBy(col(id))
       .agg(
         array((0 until numHashes).map(j =>
-          min(xxhash64(col("shingle"), lit(j)))): _*).as("signature"),
+          min(xxhash64(col("base"), lit(j)))): _*).as("signature"),
         count(lit(1)).as("n_shingles"))
 
   /** LSH candidate pairs (idA < idB) from banded MinHash signatures, with
