@@ -99,6 +99,41 @@ object EventsQueries {
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
           |ORDER BY user_id, event_id""".stripMargin)),
 
+    // ---- anomaly scoring: per-type z-scores from exact decimal moments --
+    // Group stats computed once, broadcast back onto the stream of events;
+    // z-scores from decimal sums are order-robust (cf. q25_stats).
+    "q22b_event_anomalies" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val stats = ev.groupBy(col("event_type").as("et"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("s1"),
+            sum(col("value").cast(DecimalType(18, 2))
+              * col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("s2"))
+          .select(col("et"),
+            (col("s1") / col("n")).as("mean"),
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+              .as("sd"))
+        ev.join(broadcast(stats), col("event_type") === col("et"))
+          .withColumn("z", (col("value") - col("mean")) / col("sd"))
+          .where(abs(col("z")) > 2.5)
+          .select("event_id", "event_type", "value", "z")
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH stats AS (
+          |  SELECT event_type AS et,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+          |    sqrt((CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |          - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |            * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+          |         / (COUNT(*) - 1)) AS sd
+          |  FROM events GROUP BY event_type)
+          |SELECT event_id, event_type, value, (value - mean) / sd AS z
+          |FROM events JOIN stats ON event_type = et
+          |WHERE abs((value - mean) / sd) > 2.5
+          |ORDER BY event_id""".stripMargin)),
+
     // ---- gap-based sessionization (session_window, 30-min gap) ---------
     // Oracle: classic gaps-and-islands via LAG. A new session starts when
     // the gap to the previous event is >= 30 min (session_window treats

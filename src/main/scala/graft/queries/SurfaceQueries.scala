@@ -68,6 +68,28 @@ object SurfaceQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // ---- array scalar functions over tokenized text ---------------------
+    "q28_array_funcs" -> Q(
+      (s, dir) => {
+        val toks = split(lower(trim(col("text"))), "\\s+")
+        Lake(s, dir).documents.select(
+          col("doc_id"),
+          concat_ws(" ", slice(sort_array(toks), 1, 3)).as("first3_sorted"),
+          array_contains(toks, "spark").as("has_spark"),
+          element_at(toks, 3).as("third_token"),
+          size(array_distinct(toks)).as("n_unique"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  array_to_string(list_sort(string_split_regex(lower(trim(text)), '\s+'))[1:3], ' ')
+        |    AS first3_sorted,
+        |  list_contains(string_split_regex(lower(trim(text)), '\s+'), 'spark')
+        |    AS has_spark,
+        |  string_split_regex(lower(trim(text)), '\s+')[3] AS third_token,
+        |  CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS INTEGER)
+        |    AS n_unique
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // ---- exact distinct counting (COUNT DISTINCT expand) ---------------
     "q22_distinct_counts" -> Q(
       (s, dir) => Lake(s, dir).lineitem
