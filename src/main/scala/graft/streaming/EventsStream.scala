@@ -45,6 +45,28 @@ object EventsStream {
     events.withWatermark("t", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases joined to error events by the
+    * same user within the following 30 minutes. Both sides are
+    * watermarked, and the time-interval condition bounds the join state
+    * Spark must retain — the canonical funnel/attribution join shape.
+    * (The 2-hour watermark mirrors hourlyCounts; state for rows older
+    * than watermark + interval is reclaimed.) */
+  def purchaseToError(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("t").as("p_t"))
+      .withWatermark("p_t", "2 hours")
+    val errors = events.where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        col("user_id").as("e_user"), col("t").as("e_t"))
+      .withWatermark("e_t", "2 hours")
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_t") >= col("p_t") &&
+        col("e_t") <= col("p_t") + expr("INTERVAL 30 MINUTES"))
+      .select("purchase_id", "error_id", "p_user")
+  }
+
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom stateful aggregation: running per-user totals via

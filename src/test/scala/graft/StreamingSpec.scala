@@ -53,6 +53,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch formulation") {
+    val joined = EventsStream.purchaseToError(
+      EventsStream.readEvents(spark, eventsDir))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("p2e").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("p2e").collect().map(_.toString).sorted.toSeq
+      val ev = Lake(spark, sf0001).events
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("t").as("p_t"))
+      val e = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          col("user_id").as("e_user"), col("t").as("e_t"))
+      val want = p.join(e,
+          col("p_user") === col("e_user") &&
+            col("e_t") >= col("p_t") &&
+            col("e_t") <= col("p_t") + expr("INTERVAL 30 MINUTES"))
+        .select("purchase_id", "error_id", "p_user")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want)
+      assert(got.nonEmpty, "fixture should contain purchase->error sequences")
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate per user") {
     val totals = EventsStream.runningUserTotals(spark,
       EventsStream.readEvents(spark, eventsDir))
