@@ -42,8 +42,14 @@ object AsOfJoin {
     val rAug = r.withColumn("__l", lit(null).cast(l.schema("__l").dataType))
       .select(lAug.columns.map(col): _*)
 
+    // __r as the final sort key makes the choice among duplicate
+    // (key, time) right rows deterministic: last() picks the greatest
+    // right row in struct field order, independent of partitioning and
+    // input order (same convention as Dedup.dedupExact's tie-break).
+    // Requires right columns to be orderable types (no maps) — true of
+    // every relational schema this engine targets.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lAug.unionByName(rAug)

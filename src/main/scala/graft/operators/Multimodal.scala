@@ -63,7 +63,10 @@ object Multimodal {
       // per-partition codec init would go here (model load, etc.)
       rows.map { r =>
         val f = StubCodec.features(r.payload)
-        MediaFeatures(r.media_id, (r.n_bytes / StubCodec.FrameSize).toInt + 1, f)
+        // ceil(n_bytes / FrameSize), matching StubCodec.frames' chunk
+        // count exactly (incl. 0 frames for an empty payload).
+        val nFrames = ((r.n_bytes + StubCodec.FrameSize - 1) / StubCodec.FrameSize).toInt
+        MediaFeatures(r.media_id, nFrames, f)
       }
     }
   }

@@ -33,6 +33,12 @@ object OrEquiJoin {
   /** `left LEFT OUTER JOIN right ON OR_k (leftCol_k = rightCol_k)`. */
   def leftOrJoin(left: DataFrame, right: DataFrame, preds: (String, String)*): DataFrame = {
     require(preds.nonEmpty, "at least one equality predicate")
+    // The null complement is built with withColumn over right-schema names;
+    // an overlapping left column would be silently replaced with null.
+    // Disjoint schemas are a precondition, not a silent corruption.
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left and right column sets must be disjoint, overlap: ${overlap.mkString(", ")}")
     def eq(p: (String, String)): Column = left(p._1) === right(p._2)
     def notYet(k: Int): Column =
       not(coalesce(preds.take(k).map(eq).reduce(_ || _), lit(false)))

@@ -18,12 +18,20 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Uniform-hash membership test: md5 of the key, lexicographic hex
-    * compare. `sixteenths` in [0,16]: 2 => keep ~2/16 = 12.5% of keys.
-    * Hex digits are uniform under md5 and hex-lex order = numeric order,
-    * so the first digit is a portable 1/16-granular threshold. */
+    * compare on the FIRST digit only. `sixteenths` in [0,16]: 2 => keep
+    * ~2/16 = 12.5% of keys. Hex digits are uniform under md5 and hex-lex
+    * order = numeric order, so the first digit is a portable
+    * 1/16-granular threshold. The boundary values are handled explicitly:
+    * 0 keeps nothing and 16 keeps everything (16 formats as "10", which
+    * would otherwise lex-compare below every multi-digit hash prefix and
+    * silently keep only ~1/16). */
   def hashKeep(key: Column, sixteenths: Int): Column = {
     require(sixteenths >= 0 && sixteenths <= 16)
-    md5(key.cast("string").cast("binary")) < lit(f"$sixteenths%x")
+    sixteenths match {
+      case 0  => lit(false)
+      case 16 => lit(true)
+      case s  => substring(md5(key.cast("string").cast("binary")), 1, 1) < lit(f"$s%x")
+    }
   }
 
   def hashSample(df: DataFrame, keyCol: String, sixteenths: Int): DataFrame =

@@ -14,7 +14,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_similarity takes exactly 2 arguments, got ${exprs.length}")
+        CosineSimilarityExpr(exprs(0), exprs(1))
+      }))
     // opt-in via spark.graft.rewriteOrJoin (see OrEquiJoinRule scaladoc)
     e.injectOptimizerRule(_ => OrEquiJoinRule)
   }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
@@ -36,6 +37,26 @@ class JoinOpsSpec extends AnyFunSuite {
       .select("id", "asof_rid").collect()
       .map(x => (x.getLong(0), Option(x.get(1)))).sortBy(_._1).toSeq
     assert(got === Seq((1L, Some(7L)), (2L, None)))
+  }
+
+  test("asOfBackward picks a deterministic right row on (key, time) ties") {
+    import spark.implicits._
+    // three right rows share (k, rt=100); the deterministic winner is the
+    // greatest right struct in field order => max rid
+    val l = Seq((1L, "k", 150L)).toDF("id", "k", "t")
+    val dupes = Seq((9L, "k", 100L), (3L, "k", 100L), (7L, "k", 100L))
+    (0 until 6).foreach { i =>
+      val r = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          scala.util.Random.shuffle(dupes).map(Row.fromTuple), i % 3 + 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rt", org.apache.spark.sql.types.LongType))))
+      val got = AsOfJoin.asOfBackward(l, r, Seq("k"), "t", "rt")
+        .select("asof_rid").head().getLong(0)
+      assert(got === 9L, s"iteration $i: nondeterministic tie-break, got $got")
+    }
   }
 
   test("binned range join equals the naive cross + filter") {

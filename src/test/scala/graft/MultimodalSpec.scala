@@ -24,6 +24,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.values.forall(f => math.abs(f.map(_.toDouble).sum - 1.0) < 1e-3))
   }
 
+  test("n_frames is ceil(n_bytes/64), including exact multiples and empty") {
+    import spark.implicits._
+    val fs = Multimodal.StubCodec.FrameSize // 64
+    val payloads = Seq(0, 1, fs - 1, fs, fs + 1, 2 * fs, 2 * fs + 1)
+    val media = payloads.zipWithIndex.map { case (len, i) =>
+      Multimodal.MediaRow(i.toLong, "utf8-stub", len.toLong, Array.fill(len)('x'.toByte))
+    }.toDS().toDF()
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.n_frames).toMap
+    payloads.zipWithIndex.foreach { case (len, i) =>
+      val expected = Multimodal.StubCodec.frames(Array.fill(len)('x'.toByte)).size
+      assert(got(i.toLong) === expected,
+        s"payload of $len bytes: n_frames ${got(i.toLong)} != codec chunk count $expected")
+      assert(expected === (len + fs - 1) / fs)
+    }
+  }
+
   test("frame sampling covers the payload with the right chunk count") {
     val media = Multimodal.packMedia(Lake(spark, sf0001).documents, "doc_id", "text")
     val frames = Multimodal.sampleFrames(media, stride = 1).toDF()

@@ -29,6 +29,16 @@ class OrEquiJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("overlapping left/right column names are rejected up front") {
+    import spark.implicits._
+    val left = Seq((1L, "a")).toDF("id", "name")
+    val right = Seq(("a", "x")).toDF("name", "other")
+    val e = intercept[IllegalArgumentException] {
+      OrEquiJoin.leftOrJoin(left, right, ("id", "other"))
+    }
+    assert(e.getMessage.contains("name"))
+  }
+
   test("null join keys fall through to the null-complement branch") {
     import spark.implicits._
     val left = Seq((1L, Some("a"), Some("x")), (2L, None, None))

@@ -33,6 +33,34 @@ class VectorSpec extends AnyFunSuite {
     assert(withNull.forall(_.isNullAt(0)))
   }
 
+  test("cosine accepts array<double> and mixed widths; rejects non-arrays") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(3.0, 2.0, 1.0))).toDF("f", "d")
+    // double-width right side read as doubles, not misread float slots
+    val mixed = df.select(VectorFunctions.cosine(col("f"), col("d"))).as[Double].head()
+    val expected = (3.0 + 4.0 + 3.0) / (math.sqrt(1 + 4 + 9) * math.sqrt(9 + 4 + 1))
+    assert(math.abs(mixed - expected) < 1e-12)
+    val dd = df.select(VectorFunctions.cosine(col("d"), col("d"))).as[Double].head()
+    assert(math.abs(dd - 1.0) < 1e-12)
+    // SQL surface: transform() yields array<double> — must be correct too
+    df.createOrReplaceTempView("cos_types")
+    val viaSql = spark.sql(
+      "SELECT cosine_similarity(transform(f, x -> CAST(x AS DOUBLE)), d) FROM cos_types")
+      .as[Double].head()
+    assert(math.abs(viaSql - expected) < 1e-12)
+    // wrong element type is an analysis error, not a silent misread
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array('a','b'), array('c')) ").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_similarity") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"))
+    // wrong arity fails with a clear message, not IndexOutOfBounds
+    val arity = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array(1.0f))").collect()
+    }
+    assert(!arity.isInstanceOf[IndexOutOfBoundsException])
+  }
+
   test("LSH bucketing always retrieves an identical vector (self-recall 1.0)") {
     // Driver embeddings are near-random (max pairwise cosine ~0.5), so
     // general top-k recall at planes=4 is legitimately low (~(1-θ/π)^4).
