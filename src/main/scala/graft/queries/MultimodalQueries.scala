@@ -6,9 +6,14 @@ import graft.operators.Multimodal
 
 /** Multimodal-column inventory (SURVEY.md §2b): binary payloads with
   * typed metadata, partition-batched stub decode, frame sampling, and the
-  * documents-embeddings multimodal join. The metadata path (m1) is
-  * oracled; decode outputs (m2-m4) depend on the stub codec and are
-  * rows-only, with their determinism pinned by the test suite.
+  * documents-embeddings multimodal join. All four are DuckDB-oracled:
+  * the stub codec is deterministic byte math (8-bin byte histogram +
+  * 64-byte chunking), so its outputs are expressible as SQL over the
+  * UTF-8 bytes of `text`. Histogram bin 3 (bytes 0x60-0x7f — all
+  * single-byte codepoints, so char count == byte count) is compared as
+  * an exact integer count recovered from the float feature
+  * (`rint(f3 * n_bytes)`; float roundtrip error is ~len*2^-24, far
+  * below 0.5), sidestepping cross-engine double-rounding drift.
   */
 object MultimodalQueries {
 
@@ -26,13 +31,21 @@ object MultimodalQueries {
 
     // ---- partition-batched feature extraction (stub codec) -------------
     "m2_media_features" -> Q(
-      (s, dir) => Multimodal.extractFeatures(
-          Multimodal.packMedia(Lake(s, dir).documents, "doc_id", "text"))
-        .toDF()
-        .select(col("media_id"), col("n_frames"),
-          round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
-        .orderBy("media_id"),
-      None),
+      (s, dir) => {
+        val media = Multimodal.packMedia(Lake(s, dir).documents, "doc_id", "text")
+        Multimodal.extractFeatures(media).toDF()
+          .join(media.select("media_id", "n_bytes"), "media_id")
+          .select(col("media_id"), col("n_frames"),
+            round(element_at(col("features"), 4).cast("double") * col("n_bytes"))
+              .cast("long").as("f3_count"))
+          .orderBy("media_id")
+      },
+      Some(
+        """SELECT doc_id AS media_id,
+          |  CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) AS n_frames,
+          |  CAST(length(text) - length(regexp_replace(text, '[\x60-\x7f]', '', 'g'))
+          |       AS BIGINT) AS f3_count
+          |FROM documents ORDER BY media_id""".stripMargin)),
 
     // ---- frame sampling (flatMap chunking) ------------------------------
     "m3_frame_sample" -> Q(
@@ -43,7 +56,18 @@ object MultimodalQueries {
         .select(col("media_id"), col("frame_idx"),
           octet_length(col("frame")).as("frame_bytes"))
         .orderBy("media_id", "frame_idx"),
-      None),
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id AS media_id,
+          |    octet_length(encode(text)) AS n_bytes,
+          |    CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) AS nf
+          |  FROM documents
+          |)
+          |SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+          |  CAST(CASE WHEN i = nf - 1 THEN n_bytes - 64 * (nf - 1)
+          |       ELSE 64 END AS INTEGER) AS frame_bytes
+          |FROM m, unnest([x for x in generate_series(0, nf - 1) if x % 2 = 0]) AS u(i)
+          |ORDER BY media_id, frame_idx""".stripMargin)),
 
     // ---- multimodal join: text + embedding as one struct row -----------
     "m4_multimodal_join" -> Q(
