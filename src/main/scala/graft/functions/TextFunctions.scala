@@ -94,4 +94,14 @@ object TextFunctions {
       (acc, t) => pmod(
         acc * lit(1000003L) + xxhash64(t).bitwiseAND(lit(0xFFFFFFFL)),
         lit(1L << 40)))
+
+  /** Portable variant of [[fingerprintRolling]]: the per-token hash is
+    * the low 28 bits of md5 (first 7 hex chars) instead of xxhash64, so
+    * any engine with md5 replays the fold exactly (the t5 DuckDB oracle
+    * does, via list_reduce). Same polynomial, same modulus. */
+  def fingerprintRollingPortable(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => pmod(
+        acc * lit(1000003L) + conv(substring(md5(t), 1, 7), 16, 10).cast(LongType),
+        lit(1L << 40)))
 }

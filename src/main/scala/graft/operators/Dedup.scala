@@ -169,33 +169,60 @@ object Dedup {
     df.join(losers, Seq(id), "left_anti")
   }
 
-  /** 64-bit SimHash per document: bit k of the hash is the sign of the
-    * sum over tokens of ±1 according to bit k of xxhash64(token). */
-  def simHash(df: DataFrame, id: String, text: String): DataFrame = {
+  /** Portable 60-bit token hash: the first 15 hex chars of md5 parsed to
+    * a long. Any engine with md5 reproduces it digit-for-digit (the d4
+    * DuckDB oracle does), unlike xxhash64 which is Spark-family-specific.
+    * xxhash64 stays the scale-path default — md5 costs one string digest
+    * per token, fine for verification runs. */
+  val md5Hash60: Column => Column =
+    t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)
+
+  /** `numBits`-bit SimHash per document: bit k of the hash is the sign of
+    * the sum over tokens of ±1 according to bit k of `tokenHash(token)`.
+    * `tokenHash` must populate bits 0..numBits-1 (xxhash64 for 64,
+    * [[md5Hash60]] for 60). */
+  def simHash(df: DataFrame, id: String, text: String,
+              numBits: Int = 64,
+              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(numBits >= 1 && numBits <= 64)
     val tok = Parallelism.ensure(df)
       .select(col(id), explode(tokens(col(text))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map(k =>
+      .withColumn("h", tokenHash(col("t")))
+    val bitSums = (0 until numBits).map(k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$k"))
     val sums = tok.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
-    val hashExpr = (0 until 64).map(k =>
+    val hashExpr = (0 until numBits).map(k =>
       when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     sums.select(col(id), hashExpr.as("simhash"))
   }
 
-  /** Near-dup pairs within `maxHamming` (< 16) of each other's SimHash.
-    * Banded join: 4 chunks of 16 bits; Hamming <= 3 implies at least one
-    * equal chunk (pigeonhole), so candidates come from 4 equi-joins, not
-    * a cross product. */
+  /** Near-dup pairs within `maxHamming` of each other's SimHash.
+    * Banded join on `maxHamming + 1` balanced bit chunks: a pair within
+    * Hamming distance h <= maxHamming differs in at most h chunks, so at
+    * least one of the maxHamming+1 chunks is equal (pigeonhole) — every
+    * qualifying pair surfaces from an equi-join, never a cross product,
+    * and the exact Hamming filter on candidates makes the output exact. */
   def simHashPairs(df: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(df, id, text)
+                   maxHamming: Int = 3, numBits: Int = 64,
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < numBits,
+      "need maxHamming + 1 <= numBits chunks for the pigeonhole guarantee")
+    val chunks = maxHamming + 1
+    // balanced partition of [0, numBits): first (numBits % chunks) chunks
+    // are one bit wider — exactly `chunks` non-empty chunks
+    val base = numBits / chunks
+    val extra = numBits % chunks
+    val bounds = (0 until chunks).scanLeft(0)((acc, b) =>
+      acc + base + (if (b < extra) 1 else 0))
+    val sh = simHash(df, id, text, numBits, tokenHash)
     val banded = sh.select(col(id), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk", "chunk_val")))
+      posexplode(array((0 until chunks).map { b =>
+        val lo = bounds(b)
+        val w = bounds(b + 1) - lo
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
+      }: _*)).as(Seq("chunk", "chunk_val")))
     val a = banded.select(col(id).as("id_a"), col("simhash").as("sh_a"),
       col("chunk"), col("chunk_val"))
     val b = banded.select(col(id).as("id_b"), col("simhash").as("sh_b"),

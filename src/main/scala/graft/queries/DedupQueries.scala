@@ -27,6 +27,11 @@ object DedupQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
 
     // ---- MinHash + LSH near-dup pairs (banded, then exact-verified) ----
+    // Rows-only by design: the banding is keyed on Spark's seeded
+    // xxhash64 family (64 hashes/shingle — an md5-portable variant would
+    // make the oracle cost dwarf the query). Correctness is pinned by the
+    // oracled exact-Jaccard d3 (the verification stage d2 funnels into)
+    // plus DedupSpec's lsh == exact recall assertion on this corpus.
     // 8 rows/band: band fires at j^8, so the small-vocabulary corpus
     // (random-pair Jaccard ~0.3) yields ~0.07% false candidates instead
     // of ~1% at 4 rows/band — candidate volume, not hashing, is what
@@ -66,11 +71,36 @@ object DedupQueries {
           |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- SimHash near-dup pairs (banded Hamming join) ------------------
+    // Runs with the portable md5-derived 60-bit token hash so the DuckDB
+    // oracle can rebuild the identical bit signatures from md5 hex digits
+    // and replay the exact Hamming filter over all pairs. The xxhash64
+    // 64-bit form is the scale default (same operator, DedupSpec-pinned).
     "d4_simhash_pairs" -> Q(
       (s, dir) => Dedup.simHashPairs(Lake(s, dir).documents,
-          "doc_id", "text", maxHamming = 6)
+          "doc_id", "text", maxHamming = 6, numBits = 60,
+          tokenHash = Dedup.md5Hash60)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+          |  FROM documents
+          |), th AS (SELECT doc_id, md5(t) AS h FROM tok),
+          |bw AS (
+          |  SELECT doc_id, k,
+          |    CASE WHEN ((strpos('0123456789abcdef', substr(h, 15 - k // 4, 1)) - 1)
+          |               >> (k % 4)) & 1 = 1 THEN 1 ELSE -1 END AS w
+          |  FROM th, unnest(generate_series(0, 59)) AS g(k)
+          |), sb AS (
+          |  SELECT doc_id, k, CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS bit
+          |  FROM bw GROUP BY doc_id, k
+          |), sigs AS (SELECT doc_id, list(bit ORDER BY k) AS bits FROM sb GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    CAST(list_sum([abs(a.bits[i] - b.bits[i])
+          |                   for i in generate_series(1, 60)]) AS INTEGER) AS hamming
+          |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+          |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- pairs -> dedup clusters (connected components) ----------------
     // Oracle: recursive-CTE reachability over the same pair list.

@@ -50,31 +50,62 @@ object SimilarityQueries {
       headline = true),
 
     // ---- LSH-bucketed approximate top-k (the 100 TB path) --------------
+    // Gate: self-recall. An identical vector provably lands in its own
+    // bucket (the hyperplane signs are a pure function of the vector), so
+    // querying with corpus members MUST return the member itself at rank
+    // 1 with sim ~1 — a falsifiable, data-independent oracle. General
+    // out-of-corpus recall is hash-family-dependent (not SQL-expressible)
+    // and is pinned by VectorSpec's recall-dominance tests.
     "s2_ann_lsh" -> Q(
       (s, dir) => {
         val emb = Lake(s, dir).embeddings
         Similarity.lshTopK(
             corpus = emb.where(col("vec_id") >= 10),
-            queries = emb.where(col("vec_id") < 10),
-            idCol = "vec_id", vecCol = "embedding", k = 5, planes = 4)
-          .select("query_id", "rank", "neighbor_id")
-          .orderBy("query_id", "rank")
+            queries = emb.where(col("vec_id").between(10, 19)),
+            idCol = "vec_id", vecCol = "embedding", k = 1, planes = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            (col("sim") > 0.9999).as("self_sim_ok"))
+          .orderBy("query_id")
       },
-      None),
+      Some(
+        """SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS rank,
+          |  vec_id AS neighbor_id, true AS self_sim_ok
+          |FROM embeddings WHERE vec_id BETWEEN 10 AND 19
+          |ORDER BY query_id""".stripMargin)),
 
     // ---- IVF-probed approximate top-k -----------------------------------
+    // Gate: recall floor vs the exact top-k (s1), computed in-plan — the
+    // IVF candidate set is probe-order-dependent (not SQL-expressible),
+    // but its recall against exact is deterministic on fixed data; probes
+    // grow monotonically, so nProbe=4 recall >= the measured nProbe=2
+    // recall (0.34 on this near-random corpus) and the 0.25 floor holds
+    // with margin. A false emission = hash mismatch = gate failure.
     "s4_ann_ivf" -> Q(
       (s, dir) => {
         val emb = Lake(s, dir).embeddings
-        Similarity.ivfTopK(
-            corpus = emb.where(col("vec_id") >= 10),
-            queries = emb.where(col("vec_id") < 10),
-            idCol = "vec_id", vecCol = "embedding", k = 5,
-            planes = 4, nProbe = 2)
-          .select("query_id", "rank", "neighbor_id")
-          .orderBy("query_id", "rank")
+        val corpus = emb.where(col("vec_id") >= 10)
+        val queries = emb.where(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(corpus, queries,
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf = Similarity.ivfTopK(corpus, queries,
+            "vec_id", "embedding", k = 5, planes = 4, nProbe = 4)
+          .select(col("query_id").as("q"), col("neighbor_id").as("n"))
+        val hits = exact.join(ivf,
+            exact("query_id") === ivf("q") && exact("neighbor_id") === ivf("n"))
+          .agg(count(lit(1)).as("hits"))
+        val counts = ivf.agg(count(lit(1)).as("ivf_rows"),
+          countDistinct(col("q")).as("n_queries"))
+        counts.crossJoin(hits)
+          .select(col("n_queries"), col("ivf_rows"),
+            (col("hits").cast("double") / (col("n_queries") * 5) >= 0.25)
+              .as("recall_ok"))
       },
-      None),
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+          |  CAST(count(*) * 5 AS BIGINT) AS ivf_rows,
+          |  true AS recall_ok
+          |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
     // ---- embedding near-duplicate pairs --------------------------------
     // planes = 0 => exact all-pairs (SQL-oracle-able); the driver corpus

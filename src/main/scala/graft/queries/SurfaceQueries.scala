@@ -172,7 +172,10 @@ object SurfaceQueries {
 
     // ---- native expression through the SQL surface ---------------------
     // cosine_similarity is the engine's fused codegen expression,
-    // registered via SparkSessionExtensions.injectFunction.
+    // registered via SparkSessionExtensions.injectFunction. The oracle
+    // replays the identical double-accumulation cosine (same op order =>
+    // bit-equal, as s1/s3 establish), so the SQL-surface wiring itself is
+    // hash-gated.
     "q24_sql_cosine" -> Q(
       (s, dir) => {
         Lake(s, dir).registerViews()
@@ -182,6 +185,18 @@ object SurfaceQueries {
             |WHERE cosine_similarity(a.embedding, b.embedding) >= 0.4
             |ORDER BY id_a, id_b""".stripMargin)
       },
-      None)
+      Some(
+        """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+          |p AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    list_sum([a.v[i]::DOUBLE * b.v[i]::DOUBLE
+          |              for i in generate_series(1, len(a.v))]) /
+          |    (sqrt(list_sum([a.v[i]::DOUBLE * a.v[i]::DOUBLE
+          |                    for i in generate_series(1, len(a.v))])) *
+          |     sqrt(list_sum([b.v[i]::DOUBLE * b.v[i]::DOUBLE
+          |                    for i in generate_series(1, len(b.v))]))) AS sim
+          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          |SELECT id_a, id_b FROM p WHERE sim >= 0.4
+          |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -83,12 +83,27 @@ object TextQueries {
           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ---- order-sensitive rolling-hash fingerprint (Spark xxhash64) -----
+    // ---- order-sensitive rolling-hash fingerprint ----------------------
+    // Portable md5-token variant so DuckDB can replay the identical fold
+    // (list_reduce over the same polynomial mod 2^40); the xxhash64 form
+    // is the scale default of the same fold (OperatorLawsSpec pins the
+    // fold's order-sensitivity + range laws for both hash families).
     "t5_rolling_fingerprint" -> Q(
       (s, dir) => Lake(s, dir).documents
-        .select(col("doc_id"), fingerprintRolling(col("text")).as("fp"))
+        .select(col("doc_id"), fingerprintRollingPortable(col("text")).as("fp"))
         .orderBy("doc_id"),
-      None),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+          |  FROM documents)
+          |SELECT doc_id,
+          |  list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT),
+          |      [CAST(list_sum([(strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)
+          |                      * pow(16, 7 - i) for i in generate_series(1, 7)]) AS BIGINT)
+          |       for w in ws]),
+          |    (acc, x) -> (acc * 1000003 + x) % 1099511627776) AS fp
+          |FROM tok ORDER BY doc_id""".stripMargin)),
 
     // ---- n-gram frequency table (Generator/explode path) ---------------
     "t7_bigram_counts" -> Q(

@@ -30,6 +30,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L, 7L))
   }
 
+  test("banded simHashPairs equals brute-force Hamming pairs (pigeonhole at maxHamming=6)") {
+    val docs = Lake(spark, sf0001).documents
+    for ((numBits, hashFn) <- Seq(
+        60 -> Dedup.md5Hash60,
+        64 -> ((c: org.apache.spark.sql.Column) => xxhash64(c)))) {
+      val sig = Dedup.simHash(docs, "doc_id", "text", numBits, hashFn).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val brute = (for {
+        a <- sig.keys; b <- sig.keys if a < b
+        if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 6
+      } yield (a, b)).toSet
+      val banded = pairs(Dedup.simHashPairs(docs, "doc_id", "text",
+        maxHamming = 6, numBits = numBits, tokenHash = hashFn))
+      assert(banded === brute,
+        s"numBits=$numBits: banded join must be exact, " +
+          s"missing ${(brute diff banded).size}, extra ${(banded diff brute).size}")
+      assert(brute.nonEmpty, s"numBits=$numBits: fixture should produce pairs")
+    }
+  }
+
   test("simhash is deterministic and separates near-dups from unrelated docs") {
     val docs = Lake(spark, sf0001).documents
     val h1 = Dedup.simHash(docs, "doc_id", "text").collect()

@@ -78,6 +78,30 @@ class OperatorLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("rolling fingerprint law: equals a driver-side fold (portable), both in range, order-sensitive") {
+    import graft.functions.TextFunctions
+    val textGen = Gen.listOfN(20, Gen.listOfN(6,
+      Gen.oneOf("alpha", "beta", "Gamma", "x1", "—", "beta")).map(_.mkString(" ")))
+    check("rollingFp", Prop.forAll(textGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.select(col("id"),
+          TextFunctions.fingerprintRollingPortable(col("text")).as("p"),
+          TextFunctions.fingerprintRolling(col("text")).as("x"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // driver-side reference fold for the portable variant
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def ref(text: String): Long =
+        text.trim.toLowerCase.split("\\s+", -1).foldLeft(0L) { (acc, w) =>
+          val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val tok = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+          java.lang.Math.floorMod(acc * 1000003L + tok, 1L << 40)
+        }
+      got.forall { case (id, p, x) =>
+        p == ref(texts(id.toInt)) && p >= 0 && p < (1L << 40) && x >= 0 && x < (1L << 40)
+      }
+    }, trials = 8)
+  }
+
   test("connected components law: equals driver-side union-find") {
     val edgeGen = Gen.listOfN(15,
       Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)).suchThat(p => p._1 != p._2))
