@@ -58,9 +58,26 @@ object Sparkify {
     StructField("status", LongType), StructField("itemInSession", LongType),
     StructField("length", DoubleType), StructField("registration", DoubleType)))
 
+  /** `sessionTz`: zone for date-part derivations (hour/day/week/...).
+    * The reference pipeline inherited the writer machine's local zone —
+    * its golden outputs are UTC+2-derived (SURVEY.md §1) — while the
+    * engine pins UTC by default. `Some("+02:00")` reproduces the golden
+    * derivations exactly (SparkifyGoldenSpec proves it row-level). */
   final case class Config(
       inputData: String, outputData: String,
-      inferSchema: Boolean = false, rewriteOrJoin: Boolean = true)
+      inferSchema: Boolean = false, rewriteOrJoin: Boolean = true,
+      sessionTz: Option[String] = None)
+
+  /** Run `f` with the session time zone overridden, restoring after. */
+  def withSessionTz[T](spark: SparkSession, tz: Option[String])(f: => T): T =
+    tz match {
+      case None => f
+      case Some(z) =>
+        val key = "spark.sql.session.timeZone"
+        val old = spark.conf.get(key)
+        spark.conf.set(key, z)
+        try f finally spark.conf.set(key, old)
+    }
 
   private def readJson(spark: SparkSession, path: String,
                        schema: StructType, infer: Boolean): DataFrame =
@@ -170,10 +187,11 @@ object Sparkify {
 
   /** Full run — the reference's `main` (`etl.py:186-199`) minus the cloud
     * provisioning, as one spark-submit-able entry point. */
-  def run(spark: SparkSession, cfg: Config): Unit = {
-    processSongData(spark, cfg)
-    processLogData(spark, cfg)
-  }
+  def run(spark: SparkSession, cfg: Config): Unit =
+    withSessionTz(spark, cfg.sessionTz) {
+      processSongData(spark, cfg)
+      processLogData(spark, cfg)
+    }
 
   /** CLI with the reference's parameter surface (`etl.py:194-199`):
     * `--root_bucket B --input_data I --step_app_name N` — output goes to
