@@ -51,9 +51,11 @@ object VectorFunctions {
   }
 
   /** LSH bucket id from `nPlanes` hyperplane sign bits (0 planes = the
-    * degenerate single bucket, i.e. exact all-pairs mode). */
-  def lshBucket(v: Column, nPlanes: Int): Column =
+    * degenerate single bucket, i.e. exact all-pairs mode). `planeOffset`
+    * selects a disjoint hyperplane family — offset t*nPlanes gives the
+    * t-th independent hash table for multi-table banding. */
+  def lshBucket(v: Column, nPlanes: Int, planeOffset: Int = 0): Column =
     if (nPlanes == 0) lit(0)
-    else (0 until nPlanes).map(p => hyperplaneBit(v, p) * lit(1 << p))
+    else (0 until nPlanes).map(p => hyperplaneBit(v, planeOffset + p) * lit(1 << p))
       .reduce(_ + _)
 }

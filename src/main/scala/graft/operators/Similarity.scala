@@ -138,18 +138,52 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Plane count that keeps expected LSH bucket occupancy near
+    * `targetBucketRows` for a corpus of `n` rows: ceil(log2(n / target)),
+    * clamped to [1, 24]. This is what makes the near-dup self-join volume
+    * ~n * target instead of (n / 2^fixedPlanes)^2 — linear in corpus
+    * size, the difference between a pair scan and a blowup at 100 TB. */
+  def adaptivePlanes(n: Long, targetBucketRows: Long): Int = {
+    require(targetBucketRows >= 1)
+    val raw = math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0)
+    math.min(24, math.max(1, math.ceil(raw).toInt))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
     * Bucketed by LSH so the pair join is equi-keyed per bucket; exact
-    * threshold check on candidates. Near-identical vectors agree on all
-    * hyperplane signs with high probability. */
+    * threshold check on candidates.
+    *
+    * `planes < 0` (default) adapts the bucket count to the corpus size
+    * via [[adaptivePlanes]] (one cheap count job), so occupancy — and the
+    * within-bucket join cost — stays bounded as the corpus grows instead
+    * of re-quadratizing at a fixed 2^planes. `planes = 0` is the exact
+    * all-pairs mode (the SQL-oracle-able configuration); explicit
+    * `planes > 0` pins a bucket count.
+    *
+    * `tables` independent hyperplane families band the candidates the way
+    * MinHash bands signatures: a qualifying pair is missed only if it
+    * splits in EVERY table — miss probability (1-(1-θ/π)^p)^tables, driven
+    * toward 0 for near-identical vectors (θ ~ 0) while unrelated pairs
+    * stay filtered. Candidates are deduped before the exact cosine. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double = 0.95, planes: Int = 4): DataFrame = {
+                         threshold: Double = 0.95, planes: Int = -1,
+                         targetBucketRows: Long = 2048,
+                         tables: Int = 2): DataFrame = {
+    require(tables >= 1)
     val v = Parallelism.ensure(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", lshBucket(col("vec"), planes))
-    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
-    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
-    a.join(b, "bucket").where(col("id_a") < col("id_b"))
+    val p = if (planes >= 0) planes else adaptivePlanes(v.count(), targetBucketRows)
+    val nTables = if (p == 0) 1 else tables // single bucket: one table suffices
+    val banded = v.select(col("id"), col("vec"),
+      posexplode(array((0 until nTables).map(t =>
+        lshBucket(col("vec"), p, t * p)): _*)).as(Seq("table", "bucket")))
+    val a = banded.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("table"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b")
+      .dropDuplicates("id_a", "id_b")
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")

@@ -126,6 +126,38 @@ class VectorSpec extends AnyFunSuite {
     assert(prenorm === direct)
   }
 
+  test("adaptivePlanes keeps expected bucket occupancy at or under target") {
+    for (n <- Seq(50L, 256L, 1024L, 4096L, 1000000L, 10000000000L); t <- Seq(64L, 2048L)) {
+      val p = Similarity.adaptivePlanes(n, t)
+      assert(p >= 1 && p <= 24)
+      if (p < 24) // below the clamp, occupancy n/2^p is bounded by target
+        assert(n.toDouble / (1L << p) <= t.toDouble,
+          s"n=$n target=$t planes=$p leaves occupancy ${n / (1L << p)}")
+    }
+    // monotone in n: more corpus, never fewer planes
+    val seq = Seq(100L, 1000L, 10000L, 100000L).map(Similarity.adaptivePlanes(_, 64))
+    assert(seq === seq.sorted)
+  }
+
+  test("adaptive near-dup bucketing splits the corpus and finds planted dups") {
+    val emb = Lake(spark, sf001).embeddings
+    val planted = emb.where(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    val n = corpus.count()
+    val p = Similarity.adaptivePlanes(n, 64)
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.95, targetBucketRows = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical copies agree on every hyperplane sign in every table, so
+    // recall of the planted pairs is exactly 1; nothing else sits >= 0.95
+    assert(pairs === (0L until 20L).map(i => (i, i + 10000L)).toSet)
+    // the adaptive plane count genuinely splits the corpus
+    val occ = corpus.select(VectorFunctions.lshBucket(col("embedding"), p).as("b"))
+      .groupBy("b").count().agg(max("count")).head().getLong(0)
+    assert(occ < n / 2, s"max bucket $occ of $n rows — bucketing did not split")
+  }
+
   test("approx_count_distinct (HLL) lands within its error bound") {
     val li = Lake(spark, sf001).lineitem
     val row = li.agg(
