@@ -116,6 +116,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("j_raw"), 5).as("jaccard"))
   }
 
+  /** Truncate lineage between iterations. `dir = None` keeps the
+    * executor-local fast path (fine single-node); `Some(d)` uses a
+    * reliable checkpoint under `d` — on a real cluster localCheckpoint
+    * blocks die with their executor, killing any multi-round job past
+    * the first failure, so 100 TB deployments should pass a durable
+    * (HDFS/object-store) dir. */
+  private def truncate(df: DataFrame, dir: Option[String]): DataFrame = dir match {
+    case Some(d) =>
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+      df.checkpoint(eager = true)
+    case None => df.localCheckpoint(eager = true)
+  }
+
   /** Connected components over a near-dup pair list: every document gets
     * the minimum doc-id reachable through the pair graph as its cluster
     * id — the step that turns pairwise similarity into dedup groups
@@ -125,11 +139,14 @@ object Dedup {
     * minimum label among itself and its neighbors; converges in
     * O(diameter) rounds. Near-dup graphs are forests of tiny cliques, so
     * diameter is small; each round is one shuffle-bounded join + agg, no
-    * driver-side data. (The alternating large-star/small-star variant
-    * drops the round count to O(log n) for adversarial chains — noted for
-    * a later round.) */
+    * driver-side data. The convergence check rides on the materialized
+    * checkpoint (a `__changed` flag scanned from the checkpointed
+    * partitions) instead of re-running a join+count each round. For
+    * adversarial long-chain graphs use [[connectedComponentsStar]]
+    * (O(log n) rounds). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -143,16 +160,79 @@ object Dedup {
           .withColumnRenamed("label", "n_label"), "dst")
         .groupBy(col("src").as("v"))
         .agg(min(col("n_label")).as("n_min"))
-      val next = labels.join(neighborMin, "v")
-        .select(col("v"), least(col("label"), col("n_min")).as("label"))
-        .localCheckpoint(eager = true) // truncate the growing lineage
-      val changes = next.join(labels.withColumnRenamed("label", "old"), "v")
-        .where(col("label") =!= col("old")).count()
-      labels = next
-      converged = changes == 0
+      val next = truncate(
+        labels.join(neighborMin, "v")
+          .select(col("v"), least(col("label"), col("n_min")).as("label"),
+            (col("n_min") < col("label")).as("__changed")),
+        checkpointDir)
+      converged = next.where(col("__changed")).isEmpty // scan, no recompute
+      labels = next.drop("__changed")
       iter += 1
     }
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * converges in O(log n) rounds on ANY graph shape — the variant to
+    * reach for when dup chains can be long (label propagation needs
+    * O(diameter) rounds). Same output contract as
+    * [[connectedComponents]].
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach to
+    *    the minimum of its closed neighborhood;
+    *  - small-star: every node and its smaller neighbors re-attach to
+    *    that minimum.
+    *
+    * Both are one groupBy + one join per application; convergence is
+    * detected by an edge-set signature (count + order-independent
+    * bit_xor of pair hashes — one tiny aggregate per round, no edge-set
+    * diff join). */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 30,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    // input edges all (u > v); emit (v -> m) for the smaller neighbors
+    // plus (u -> m), m = min of the closed out-neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    // order-independent, overflow-free (ANSI) set signature
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      edges = truncate(smallStar(largeStar(edges)), checkpointDir)
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
+      iter += 1
+    }
+    // stars: non-roots point at their component min; roots label themselves
+    val vertices = pairs.select(col(aCol).as("doc_id"))
+      .unionByName(pairs.select(col(bCol).as("doc_id"))).distinct()
+    vertices.join(edges.select(col("u").as("doc_id"), col("v").as("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** End-to-end near-dedup: detect near-dup pairs (MinHash-LSH), cluster

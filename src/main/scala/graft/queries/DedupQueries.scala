@@ -139,6 +139,44 @@ object DedupQueries {
           |SELECT a AS doc_id, least(a, mb) AS cluster_id FROM mins
           |ORDER BY doc_id""".stripMargin)),
 
+    // ---- pairs -> clusters via large-star/small-star (O(log n) rounds) --
+    // Same contract and oracle shape as d5; the alternating-star algebra
+    // must land on identical min-label clusters.
+    "d7_dedup_clusters_star" -> Q(
+      (s, dir) => Dedup.connectedComponentsStar(
+          Dedup.jaccardPairs(Lake(s, dir).documents, "doc_id", "text", 3, 0.8),
+          "id_a", "id_b")
+        .orderBy("doc_id"),
+      Some(
+        """WITH RECURSIVE tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            for i in generate_series(1, len(w)-2)]) AS s
+          |  FROM tok
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |cand AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT id_a, id_b FROM cand
+          |  JOIN cnt ca ON ca.doc_id = id_a
+          |  JOIN cnt cb ON cb.doc_id = id_b
+          |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8),
+          |edges AS (
+          |  SELECT id_a AS a, id_b AS b FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |mins AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
+          |SELECT a AS doc_id, least(a, mb) AS cluster_id FROM mins
+          |ORDER BY doc_id""".stripMargin)),
+
     // ---- end-to-end near-dedup: corpus minus non-representatives -------
     // LSH recall is exactly 1.0 on this corpus (DedupSpec pins lsh ==
     // exact at the same threshold), so the exact recursive-CTE oracle

@@ -112,6 +112,9 @@ class OperatorLawsSpec extends AnyFunSuite {
         val got = Dedup.connectedComponents(
             edges.toDF("id_a", "id_b"), "id_a", "id_b")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val gotStar = Dedup.connectedComponentsStar(
+            edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // reference: driver-side union-find
         val parent = scala.collection.mutable.Map[Long, Long]()
         def find(x: Long): Long = {
@@ -123,8 +126,30 @@ class OperatorLawsSpec extends AnyFunSuite {
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
         val want = parent.keys.map(v => v -> find(v)).toMap
-        got == want
+        got == want && gotStar == want
       }
     }, trials = 8)
+  }
+
+  test("large-star/small-star converges in O(log n) rounds on a path graph") {
+    // a 64-node path has diameter 63 — label propagation needs ~63
+    // rounds, the star variant must finish well inside 12
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(path, "id_a", "id_b", maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 64)
+    assert(got.values.forall(_ == 0L), "every node must label to the path minimum")
+  }
+
+  test("connected components with a reliable checkpoint dir matches the local path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.connectedComponents(edges, "id_a", "id_b",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    assert(local === Map(5L -> 3L, 3L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
 }
