@@ -25,9 +25,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // Warmup pass: JVM/codegen compilation and file-system cache dominate
-    // the first execution of each plan shape; time the second run.
+    // the first execution of each plan shape. Then report best-of-N per
+    // query so round-over-round deltas reflect the code, not scheduler /
+    // GC jitter (SPARK_GRAFT_BENCH_REPS to override).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     queries.foreach { case (n, f) => runOne(n, f) }
-    val results = queries.map { case (name, fn) => name -> runOne(name, fn) }
+    val results = queries.map { case (name, fn) =>
+      name -> (0 until reps).map(_ => runOne(name, fn)).min
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
