@@ -107,19 +107,76 @@ object Similarity {
     * query actually sits relative to the data rather than to its own
     * hash, which is what lifts recall at equal candidate volume.
     * Candidates then score exactly with the fused cosine. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int,
-              planes: Int = 4, nProbe: Int = 2): DataFrame = {
-    val c = Parallelism.ensure(corpus)
+  /** Element-wise mean vector per group: posexplode + re-assembly. */
+  private def meanVectors(df: DataFrame, groupCol: String, vecCol: String,
+                          outCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(groupCol, "pos").agg(avg(col("x")).as("m"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as(outCol))
+
+  /** Inverted-list training: LSH-bucket means seed the cells; `kmeansIters`
+    * Lloyd iterations (spherical k-means: reassign each corpus vector to
+    * its most-cosine-similar centroid, re-mean) tighten them. Each
+    * iteration is one broadcast join + one aggregation — the offline
+    * "train the quantizer" step a production IVF runs periodically.
+    * Returns (assignments(neighbor_id, c_vec, bucket), centroids(bucket,
+    * centroid)). Training re-balances occupancy when the data's cluster
+    * structure doesn't align with random hyperplanes — bounded cells =
+    * bounded candidate volume per probe at 100 TB. */
+  private[graft] def trainCells(corpus: DataFrame, idCol: String, vecCol: String,
+                                planes: Int, kmeansIters: Int): (DataFrame, DataFrame) = {
+    val c0 = Parallelism.ensure(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", lshBucket(col("c_vec"), planes))
-    // centroid per list: element-wise mean via posexplode + re-assembly
-    val centroids = c
-      .select(col("bucket"), posexplode(col("c_vec")).as(Seq("pos", "x")))
-      .groupBy("bucket", "pos").agg(avg(col("x")).as("m"))
-      .groupBy("bucket")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
+    // Untrained cells are LSH buckets. For training, seed 2^planes
+    // centroids from a deterministic hash-sample of ACTUAL corpus vectors
+    // instead: LSH-bucket means can occupy far fewer than 2^planes cells
+    // when the data's cluster structure straddles the hyperplanes, and
+    // Lloyd iterations can rebalance cells but never create them — seed
+    // count is the cell-count ceiling.
+    var centroids =
+      if (kmeansIters == 0) meanVectors(c0, "bucket", "c_vec", "centroid")
+      else {
+        // global sort+limit plans as TakeOrderedAndProject (per-partition
+        // top-k, no full sort); the single-partition window then runs on
+        // just 2^planes rows
+        val seeds = c0
+          .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+          .limit(1 << planes)
+        val wSeed = Window.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+        seeds.withColumn("bucket", row_number().over(wSeed) - 1)
+          .select(col("bucket"),
+            transform(col("c_vec"), x => x.cast("double")).as("centroid"))
+      }
+    var c = c0
+    for (_ <- 0 until kmeansIters) {
+      val wAssign = Window.partitionBy("neighbor_id")
+        .orderBy(desc("a_sim"), asc("bucket"))
+      c = c.drop("bucket").crossJoin(broadcast(centroids))
+        .withColumn("a_sim", cosineHof(
+          transform(col("c_vec"), x => x.cast("double")), col("centroid")))
+        .withColumn("a_rank", row_number().over(wAssign))
+        .where(col("a_rank") === 1)
+        .select(col("neighbor_id"), col("c_vec"), col("bucket"))
+      centroids = meanVectors(c, "bucket", "c_vec", "centroid")
+    }
+    (c, centroids)
+  }
+
+  /** Cell assignment per corpus row — the materialize-the-index view of
+    * [[trainCells]] (persist this + centroids; queries then only probe). */
+  def ivfCells(corpus: DataFrame, idCol: String, vecCol: String,
+               planes: Int = 4, kmeansIters: Int = 0): DataFrame =
+    trainCells(corpus, idCol, vecCol, planes, kmeansIters)._1
+      .select(col("neighbor_id").as(idCol), col("bucket"))
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              planes: Int = 4, nProbe: Int = 2,
+              kmeansIters: Int = 0): DataFrame = {
+    val (c, centroids) = trainCells(corpus, idCol, vecCol, planes, kmeansIters)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(desc("c_sim"), asc("bucket"))

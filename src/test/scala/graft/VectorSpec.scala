@@ -126,6 +126,38 @@ class VectorSpec extends AnyFunSuite {
     assert(prenorm === direct)
   }
 
+  test("k-means training re-balances IVF cells and aligns them with real clusters") {
+    import spark.implicits._
+    // 4 clusters all near e0 (angularly close): random hyperplanes through
+    // the origin leave them piled into few LSH buckets — the case where
+    // trained cells beat hash cells
+    val vecs = for { c <- 0 until 4; j <- 0 until 50 } yield {
+      val id = (c * 50 + j).toLong
+      val v = Array.fill(8)(0f)
+      v(0) = 10f
+      v(c + 1) = 3f
+      (id, v.zipWithIndex.map { case (x, d) => x + ((id * 37 + d * 13) % 11).toFloat / 20f })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def occupancy(iters: Int): Seq[Long] =
+      Similarity.ivfCells(df, "vec_id", "embedding", planes = 2, kmeansIters = iters)
+        .groupBy("bucket").count().collect().map(_.getLong(1)).sorted.reverse.toSeq
+    val untrained = occupancy(0)
+    val trained = occupancy(2)
+    assert(untrained.max >= 100, s"fixture should skew LSH buckets, got $untrained")
+    assert(trained.length === 4 && trained.max <= 60,
+      s"2 Lloyd iterations should balance cells to the true clusters, got $trained")
+    // aligned cells => nProbe=1 already achieves exact recall
+    val queries = df.where(col("vec_id") % 40 === 0)
+    def ids(r: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      r.select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exact = ids(Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 3))
+    val trainedIvf = ids(Similarity.ivfTopK(df, queries, "vec_id", "embedding", 3,
+      planes = 2, nProbe = 1, kmeansIters = 2))
+    assert(trainedIvf === exact)
+  }
+
   test("adaptivePlanes keeps expected bucket occupancy at or under target") {
     for (n <- Seq(50L, 256L, 1024L, 4096L, 1000000L, 10000000000L); t <- Seq(64L, 2048L)) {
       val p = Similarity.adaptivePlanes(n, t)
