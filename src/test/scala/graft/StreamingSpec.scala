@@ -80,6 +80,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet file sink resumes exactly-once across restart") {
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("sink_in")
+    val sink = Files.createTempDirectory("sink_out").toString
+    val ckpt = Files.createTempDirectory("sink_ckpt").toString
+    val src = Paths.get(s"$sf0001/events.parquet")
+    def transformed(stream: org.apache.spark.sql.DataFrame) =
+      stream.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"),
+          date_trunc("hour", col("t")).as("hour_start"))
+    def runOnce(): Unit = {
+      val q = transformed(EventsStream.readEvents(spark, in.toString))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Files.copy(src, in.resolve("batch1.parquet"))
+    runOnce()
+    // second file arrives while the query is DOWN; the restarted query
+    // must pick it up from the checkpoint without reprocessing batch1
+    Files.copy(src, in.resolve("batch2.parquet"))
+    runOnce()
+    val got = spark.read.parquet(sink)
+      .groupBy("event_id").agg(count(lit(1)).as("n"))
+    // each event appears exactly twice (two identical input files) — any
+    // replay of batch1 on restart would show up as n > 2
+    assert(got.where(col("n") =!= 2).count() === 0)
+    val batch = Lake(spark, sf0001).events
+      .where(col("event_type") === "purchase").count()
+    assert(spark.read.parquet(sink).count() === 2 * batch)
+  }
+
   test("stateful running totals accumulate per user") {
     val totals = EventsStream.runningUserTotals(spark,
       EventsStream.readEvents(spark, eventsDir))
