@@ -97,10 +97,26 @@ object Dedup {
     * on shared shingles. Fully SQL-expressible (the DuckDB oracle runs the
     * same algorithm). With a reasonable shingle size the posting lists are
     * near-unique, keeping the join linear; for skewed corpora prefer
-    * [[minHashLshPairs]] whose candidate volume is bounded by banding. */
+    * [[minHashLshPairs]] whose candidate volume is bounded by banding.
+    *
+    * `maxShingleDf` guards the skew-quadratic failure mode: a boilerplate
+    * shingle appearing in d documents alone contributes d^2 join rows
+    * while carrying ~no similarity signal. Setting a cutoff drops
+    * shingles with document frequency above it from BOTH the join and
+    * the per-document set sizes — the metric becomes exact Jaccard over
+    * the informative-shingle universe, and per-shingle join fan-out is
+    * bounded by maxShingleDf^2. Default keeps the full exact metric. */
   def jaccardPairs(df: DataFrame, id: String, text: String,
-                   shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val p = postings(df, id, text, shingleN)
+                   shingleN: Int = 3, threshold: Double = 0.8,
+                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val p0 = postings(df, id, text, shingleN)
+    val p =
+      if (maxShingleDf == Int.MaxValue) p0
+      else {
+        val hot = p0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDf).select("shingle")
+        p0.join(hot, Seq("shingle"), "left_anti")
+      }
     val counts = p.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val a = p.select(col(id).as("id_a"), col("shingle"))
     val b = p.select(col(id).as("id_b"), col("shingle"))

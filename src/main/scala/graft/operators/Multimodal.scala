@@ -71,6 +71,17 @@ object Multimodal {
     }
   }
 
+  /** Crop-or-pad the payload to exactly `targetBytes` (zero padding) —
+    * the resize analogue for opaque media bytes; the normalize-before-
+    * batching step that gives downstream feature extraction fixed-width
+    * rows. Binary `rpad` truncates when longer and zero-pads when
+    * shorter — one codegen'd expression, no UDF. */
+  def resizePayload(media: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0)
+    media.withColumn("payload", expr(s"rpad(payload, $targetBytes, x'00')"))
+      .withColumn("n_bytes", lit(targetBytes.toLong))
+  }
+
   /** Frame sampling: every `stride`-th fixed-size chunk, as its own row.
     * flatMap keeps it pipelined — no per-document materialization. */
   def sampleFrames(media: DataFrame, stride: Int = 2): Dataset[Frame] = {

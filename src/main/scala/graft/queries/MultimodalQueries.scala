@@ -69,6 +69,22 @@ object MultimodalQueries {
           |FROM m, unnest([x for x in generate_series(0, nf - 1) if x % 2 = 0]) AS u(i)
           |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // ---- payload resize (crop-or-pad to fixed width) -------------------
+    // Content verified byte-exact via md5 over the hex rendering (DuckDB
+    // cannot slice blobs, but the hex-domain crop/pad is the same bytes).
+    "m5_media_resize" -> Q(
+      (s, dir) => Multimodal.resizePayload(
+          Multimodal.packMedia(Lake(s, dir).documents, "doc_id", "text"), 128)
+        .select(col("media_id"),
+          octet_length(col("payload")).as("out_len"),
+          md5(upper(hex(col("payload")))).as("content_md5"))
+        .orderBy("media_id"),
+      Some(
+        """SELECT doc_id AS media_id, CAST(128 AS INTEGER) AS out_len,
+          |  md5(rpad(substr(upper(hex(encode(text))), 1, 256), 256, '0'))
+          |    AS content_md5
+          |FROM documents ORDER BY media_id""".stripMargin)),
+
     // ---- multimodal join: text + embedding as one struct row -----------
     "m4_multimodal_join" -> Q(
       (s, dir) => {

@@ -30,6 +30,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L, 7L))
   }
 
+  test("jaccardPairs df-cutoff drops boilerplate-only candidates, keeps real dups") {
+    import spark.implicits._
+    // 40 docs sharing one boilerplate shingle; docs 0/1 are identical
+    val docs = (0 until 40).map { i =>
+      val tail = if (i <= 1) "planted duplicate body text here"
+      else s"unique$i body$i text$i words$i extra$i"
+      (i.toLong, s"the quick brown $tail")
+    }.toDF("doc_id", "text")
+    // cutoff = MaxValue is the exact metric (matches default)
+    val exact = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
+    val cutoffHi = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
+      maxShingleDf = Int.MaxValue))
+    assert(cutoffHi === exact)
+    // with the hot shingles dropped, docs sharing ONLY boilerplate never
+    // even become candidates (threshold 0 exposes the candidate set)...
+    val candidates = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0,
+      maxShingleDf = 10))
+    assert(candidates === Set((0L, 1L)),
+      s"only the planted dup should survive the df cutoff, got $candidates")
+    // ...while without the cutoff every boilerplate pair is a candidate
+    val noCutoff = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0))
+    assert(noCutoff.size === 40 * 39 / 2)
+    // and the planted pair keeps jaccard 1.0 over the filtered universe
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxShingleDf = 10)
+      .where(col("id_a") === 0 && col("id_b") === 1)
+      .select("jaccard").head().getDouble(0)
+    assert(j === 1.0)
+  }
+
   test("banded simHashPairs equals brute-force Hamming pairs (pigeonhole at maxHamming=6)") {
     val docs = Lake(spark, sf0001).documents
     for ((numBits, hashFn) <- Seq(

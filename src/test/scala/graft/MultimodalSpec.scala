@@ -41,6 +41,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizePayload crops or zero-pads to exactly the target width") {
+    import spark.implicits._
+    val target = 16
+    val lens = Seq(0, 1, target - 1, target, target + 1, 3 * target)
+    val media = lens.zipWithIndex.map { case (len, i) =>
+      Multimodal.MediaRow(i.toLong, "utf8-stub", len.toLong,
+        Array.tabulate(len)(j => (j % 251 + 1).toByte))
+    }.toDS().toDF()
+    val got = Multimodal.resizePayload(media, target)
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    lens.zipWithIndex.foreach { case (len, i) =>
+      val src = Array.tabulate(len)(j => (j % 251 + 1).toByte)
+      val want = src.take(target).padTo(target, 0.toByte)
+      assert(got(i.toLong).toSeq === want.toSeq,
+        s"payload of $len bytes resized to $target")
+    }
+  }
+
   test("frame sampling covers the payload with the right chunk count") {
     val media = Multimodal.packMedia(Lake(spark, sf0001).documents, "doc_id", "text")
     val frames = Multimodal.sampleFrames(media, stride = 1).toDF()
