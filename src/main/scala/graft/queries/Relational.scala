@@ -161,6 +161,27 @@ object Relational {
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin),
 
+    // ---- full outer join: unmatched rows survive from BOTH sides -------
+    "q07b_full_outer" -> Q(
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        val rich = lk.customer.where(col("c_acctbal") > 9000)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val busy = lk.orders.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+          .where(col("n_orders") >= 25)
+        rich.join(busy, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_acctbal"), col("n_orders"))
+          .orderBy("custkey")
+      },
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_acctbal, n_orders
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) r
+        |FULL JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |           FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 25) b
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin),
+
     // ---- J2: left join on OR of equalities (reference etl.py:147-151).
     // Naive Spark plans BroadcastNestedLoopJoin (quadratic); the engine
     // rewrites to two hash joins + anti join via OrEquiJoin. The oracle is
@@ -201,6 +222,38 @@ object Relational {
         |         ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rk
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin),
+
+    // ---- full analytic-window family over one pass ---------------------
+    // dense_rank / ntile / percent_rank / cume_dist / lead share the same
+    // window spec, so Catalyst evaluates all five in ONE Window operator —
+    // one sort, five functions (the plan-shape point of the query).
+    // percent_rank and cume_dist are small-integer ratios: both engines
+    // compute the identical correctly-rounded double.
+    "q09b_window_family" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lk = Lake(s, dir)
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        lk.customer
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+          .withColumn("drk", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("prk", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("next_bal", lead(col("c_acctbal"), 1).over(w))
+          .orderBy("c_nationkey", "drk", "c_custkey")
+      },
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  PERCENT_RANK() OVER w AS prk,
+        |  CUME_DIST() OVER w AS cd,
+        |  LEAD(c_acctbal, 1) OVER w AS next_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, drk, c_custkey""".stripMargin),
 
     // ---- analytic window: running sum with explicit frame --------------
     "q10_window_running" -> Q(
