@@ -29,6 +29,9 @@ object Multimodal {
   /** Sampled frame: `frame_idx`-th fixed-size chunk of the payload. */
   case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** Per-frame feature record (decode applied frame-by-frame). */
+  case class FrameFeatures(media_id: Long, frame_idx: Int, f3_count: Int)
+
   /** Deterministic fake codec. A real implementation would wrap an image
     * or audio library behind the same two pure functions. */
   object StubCodec {
@@ -67,6 +70,21 @@ object Multimodal {
         // count exactly (incl. 0 frames for an empty payload).
         val nFrames = ((r.n_bytes + StubCodec.FrameSize - 1) / StubCodec.FrameSize).toInt
         MediaFeatures(r.media_id, nFrames, f)
+      }
+    }
+  }
+
+  /** Frame-level decode: chunk the payload and run the codec on EACH
+    * frame (the video-style path — frame sampling composed with feature
+    * extraction in one pipelined flatMap, no intermediate frame table).
+    * Emits the bin-3 histogram count per frame (bytes 0x60-0x7f),
+    * recovered as an exact integer from the float feature. */
+  def frameFeatures(media: DataFrame, stride: Int = 1): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      StubCodec.frames(r.payload).filter(_._1 % stride == 0).map { case (i, c) =>
+        FrameFeatures(r.media_id, i, Math.round(StubCodec.features(c)(3) * c.length))
       }
     }
   }

@@ -69,6 +69,30 @@ object MultimodalQueries {
           |FROM m, unnest([x for x in generate_series(0, nf - 1) if x % 2 = 0]) AS u(i)
           |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // ---- per-frame decode (frame sampling ∘ feature extraction) --------
+    // The oracle counts hex pairs with high nibble 6/7 inside each
+    // frame's slice of the payload hex — byte-for-byte the codec's bin 3.
+    "m6_frame_features" -> Q(
+      (s, dir) => Multimodal.frameFeatures(
+          Multimodal.packMedia(Lake(s, dir).documents, "doc_id", "text"))
+        .toDF()
+        .orderBy("media_id", "frame_idx"),
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id AS media_id, upper(hex(encode(text))) AS h,
+          |    octet_length(encode(text)) AS n_bytes,
+          |    CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) AS nf
+          |  FROM documents)
+          |SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+          |  CAST(list_sum(
+          |    [CASE WHEN substr(h, i * 128 + 2 * j - 1, 1) IN ('6', '7')
+          |          THEN 1 ELSE 0 END
+          |     for j in generate_series(1,
+          |       CASE WHEN i = nf - 1 THEN n_bytes - 64 * (nf - 1) ELSE 64 END)])
+          |    AS INTEGER) AS f3_count
+          |FROM m, unnest(generate_series(0, nf - 1)) AS u(i)
+          |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // ---- payload resize (crop-or-pad to fixed width) -------------------
     // Content verified byte-exact via md5 over the hex rendering (DuckDB
     // cannot slice blobs, but the hex-domain crop/pad is the same bytes).

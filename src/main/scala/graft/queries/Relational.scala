@@ -369,6 +369,28 @@ object Relational {
         |  (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) b
         |ORDER BY tag, k""".stripMargin),
 
+    // ---- explicit GROUPING SETS (arbitrary set list, not rollup/cube) --
+    // grouping_id disambiguates a real NULL group value from a
+    // superaggregate NULL — the standard trick, identical in both engines.
+    "q13b_grouping_sets" -> Q(
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        lk.lineitem
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+            grouping_id().cast(IntegerType).as("gid"))
+          .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus"))
+      },
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
     // ---- ROLLUP grouping sets ------------------------------------------
     "q13_rollup" -> Q(
       (s, dir) => Lake(s, dir).lineitem

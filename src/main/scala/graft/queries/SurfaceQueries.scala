@@ -26,6 +26,18 @@ object SurfaceQueries {
       |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // scalar correlated subquery (decorrelated to agg+join by Catalyst) +
+  // correlated IN; integer-exact outputs so the hash compare is stable
+  private val correlatedSql =
+    """SELECT o_orderkey,
+      |  CAST((SELECT COUNT(*) FROM lineitem
+      |        WHERE l_orderkey = o_orderkey) AS BIGINT) AS n_items,
+      |  CAST((SELECT MAX(l_linenumber) FROM lineitem
+      |        WHERE l_orderkey = o_orderkey) AS BIGINT) AS max_line
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
 
     // ---- S1: JSON sink + source scan with explicit schema --------------
@@ -109,6 +121,14 @@ object SurfaceQueries {
     "q23_sql_text" -> Q(
       (s, dir) => { Lake(s, dir).registerViews(); s.sql(sharedSql) },
       sharedSql),
+
+    // ---- correlated subqueries through the SQL surface ------------------
+    // Catalyst decorrelates the scalar subquery into an aggregate + join
+    // (no per-row re-execution); IN becomes a semi join. Same string runs
+    // on the oracle.
+    "q23b_correlated" -> Q(
+      (s, dir) => { Lake(s, dir).registerViews(); s.sql(correlatedSql) },
+      correlatedSql),
 
     // ---- order-robust statistics: median + moments ----------------------
     // Median on integer cents: halfway interpolation of exact integers is
