@@ -34,9 +34,11 @@ object TextFunctions {
 
   /** "BPE-ish" token count: letter runs, digit runs, and single
     * non-space symbols each count as one token — a cheap, deterministic
-    * proxy for subword tokenizer counts. */
+    * proxy for subword tokenizer counts. regexp_count counts matches
+    * without materializing the match array regexp_extract_all would
+    * build — the per-row allocation is the hot-path cost at 100 TB. */
   def bpeTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("""\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"""), lit(0)))
+    regexp_count(c, lit("""\p{L}+|\p{N}+|[^\s\p{L}\p{N}]""")).cast("int")
 
   /** Stopword-list hit patterns per language for the n-gram language-ID
     * heuristic. Word-boundary regexes keep this expressible in both Spark
@@ -47,7 +49,7 @@ object TextFunctions {
     "de" -> """\b(der|die|und|das|ist|von)\b""")
 
   def langScore(c: Column, pattern: String): Column =
-    size(regexp_extract_all(lower(c), lit(pattern), lit(0)))
+    regexp_count(lower(c), lit(pattern)).cast("int")
 
   /** Heuristic language ID: argmax of stopword-marker hit counts with a
     * deterministic en > es > de tie-break; 'unk' when nothing matches. */
@@ -66,8 +68,7 @@ object TextFunctions {
   def qualityScore(c: Column): Column = {
     val nTok = size(tokens(c)).cast(DoubleType)
     val stopHits = langScore(c, langMarkers.head._2).cast(DoubleType)
-    val punct = size(regexp_extract_all(c, lit("""[^\s\p{L}\p{N}]"""), lit(0)))
-      .cast(DoubleType)
+    val punct = regexp_count(c, lit("""[^\s\p{L}\p{N}]""")).cast(DoubleType)
     val lenSat = least(nTok / 100.0, lit(1.0))
     val stopShare = when(nTok > 0, stopHits / nTok).otherwise(lit(0.0))
     val punctShare = when(length(c) > 0, punct / length(c).cast(DoubleType))
