@@ -72,6 +72,13 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("signature"), b * rows + 1, rows), lit(b))): _*))
         .as(Seq("band", "band_hash")))
+    // Candidate pairs via equi-self-join on (band, band_hash). This DOES
+    // evaluate the signature subtree twice (no exchange reuse across the
+    // broadcast), but measured alternatives lose: a shuffle-hash self-
+    // join adds two exchanges without achieving reuse, and bucket-local
+    // pair explosion through nested array HOFs runs interpreted (~2x
+    // slower end-to-end). At cluster scale, persist the `banded` frame
+    // (numHashes longs/doc) before calling if the corpus scan dominates.
     val a = banded.select(col(id).as("id_a"), col("band"), col("band_hash"))
     val b = banded.select(col(id).as("id_b"), col("band"), col("band_hash"))
     val candidates = a.join(b, Seq("band", "band_hash"))
