@@ -46,8 +46,15 @@ object Relational {
       headline = true),
 
     // ---- groupBy aggregate (TPC-H Q1 shape) ----------------------------
+    // Parallelism.ensure: the driver parquet has few row groups, so the
+    // scan (and with it the map-side partial agg) runs 3-wide; the guard
+    // re-parallelizes it (measured 1.6 -> 1.1s at sf0.1) and is a no-op
+    // on real many-file inputs. Deliberately NOT applied to window
+    // queries like q10 — their own exchange already re-parallelizes, and
+    // a pre-shuffle repartition is a wasted extra pass (measured 1.2 ->
+    // 1.7s).
     "q02_agg_pricing" -> Q(
-      (s, dir) => Lake(s, dir).lineitem
+      (s, dir) => graft.operators.Parallelism.ensure(Lake(s, dir).lineitem)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
