@@ -62,7 +62,7 @@ object Multimodal {
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
+    Parallelism.ensure(media).as[MediaRow].mapPartitions { rows =>
       // per-partition codec init would go here (model load, etc.)
       rows.map { r =>
         val f = StubCodec.features(r.payload)
@@ -82,7 +82,7 @@ object Multimodal {
   def frameFeatures(media: DataFrame, stride: Int = 1): Dataset[FrameFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].flatMap { r =>
+    Parallelism.ensure(media).as[MediaRow].flatMap { r =>
       StubCodec.frames(r.payload).filter(_._1 % stride == 0).map { case (i, c) =>
         FrameFeatures(r.media_id, i, Math.round(StubCodec.features(c)(3) * c.length))
       }
@@ -105,7 +105,7 @@ object Multimodal {
   def sampleFrames(media: DataFrame, stride: Int = 2): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].flatMap { r =>
+    Parallelism.ensure(media).as[MediaRow].flatMap { r =>
       StubCodec.frames(r.payload).filter(_._1 % stride == 0)
         .map { case (i, c) => Frame(r.media_id, i, c) }
     }

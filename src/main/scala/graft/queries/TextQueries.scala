@@ -13,11 +13,18 @@ import graft.functions.TopKAggregator
   */
 object TextQueries {
 
+  /** Documents scan re-parallelized for the CPU-heavy per-row
+    * expression pipelines (the driver file is a single row group -> one
+    * scan partition; no-op on real many-file inputs). The sampling
+    * queries t8/t9 keep the plain scan - they are filter-only. */
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.Parallelism.ensure(graft.Lake(s, dir).documents)
+
   val defs: Map[String, Q] = Map(
 
     // ---- heuristic language ID ----------------------------------------
     "t1_langid" -> Q(
-      (s, dir) => Lake(s, dir).documents
+      (s, dir) => docs(s, dir)
         .select(col("doc_id"), col("lang").as("lang_tagged"),
           langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
@@ -38,7 +45,7 @@ object TextQueries {
 
     // ---- quality scoring ------------------------------------------------
     "t2_quality" -> Q(
-      (s, dir) => Lake(s, dir).documents
+      (s, dir) => docs(s, dir)
         .select(col("doc_id"), qualityScore(col("text")).as("quality"))
         .orderBy("doc_id"),
       Some(
@@ -58,7 +65,7 @@ object TextQueries {
 
     // ---- token counting (whitespace + BPE-ish regex), per language -----
     "t3_token_stats" -> Q(
-      (s, dir) => Lake(s, dir).documents
+      (s, dir) => docs(s, dir)
         .select(col("lang"),
           size(tokens(col("text"))).cast(LongType).as("ws"),
           bpeTokenCount(col("text")).cast(LongType).as("bpe"))
@@ -75,7 +82,7 @@ object TextQueries {
 
     // ---- portable content fingerprint (md5 of normalized text) ---------
     "t4_fingerprint" -> Q(
-      (s, dir) => Lake(s, dir).documents
+      (s, dir) => docs(s, dir)
         .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id"),
       Some(
@@ -89,7 +96,7 @@ object TextQueries {
     // is the scale default of the same fold (OperatorLawsSpec pins the
     // fold's order-sensitivity + range laws for both hash families).
     "t5_rolling_fingerprint" -> Q(
-      (s, dir) => Lake(s, dir).documents
+      (s, dir) => docs(s, dir)
         .select(col("doc_id"), fingerprintRollingPortable(col("text")).as("fp"))
         .orderBy("doc_id"),
       Some(
@@ -107,7 +114,7 @@ object TextQueries {
 
     // ---- n-gram frequency table (Generator/explode path) ---------------
     "t7_bigram_counts" -> Q(
-      (s, dir) => Lake(s, dir).documents
+      (s, dir) => docs(s, dir)
         .select(explode(wordShingles(col("text"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("bigram"))
@@ -153,7 +160,7 @@ object TextQueries {
     // oracle is the window formulation of the same answer.
     "t6_topk_quality" -> Q(
       (s, dir) => {
-        val scored = Lake(s, dir).documents.select(
+        val scored = docs(s, dir).select(
           col("lang"), qualityScore(col("text")).as("score"), col("doc_id"))
         val topk = TopKAggregator.topK(3)
         scored.groupBy("lang").agg(topk(col("score"), col("doc_id")).as("top"))
