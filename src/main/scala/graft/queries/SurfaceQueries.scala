@@ -80,6 +80,26 @@ object SurfaceQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // ---- ORC sink + source (the third columnar format in the matrix) ---
+    // Roundtrip must be lossless: the oracle reads the ORIGINAL parquet.
+    "q29_orc_roundtrip" -> Q(
+      (s, dir) => {
+        val stage = s"/root/repo/target/orc_stage/docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        Lake(s, dir).documents
+          .select("doc_id", "lang", "n_chars", "text")
+          .write.mode("overwrite").orc(stage)
+        s.read.orc(stage)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(length(col("text")).cast(LongType)).as("text_chars"))
+          .orderBy("lang")
+      },
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS text_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
     // ---- array scalar functions over tokenized text ---------------------
     "q28_array_funcs" -> Q(
       (s, dir) => {
