@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Lake
+import graft.operators.Curation
+
+/** The end-to-end curation pipeline (SURVEY.md §2b capstone): every stage
+  * is individually oracled elsewhere (t1 langid, t2 quality, t4
+  * fingerprint, d1 dedup, t8 sampling); `c1` oracles the COMPOSITION so
+  * stage wiring (filter order, survivor choice, sample-after-dedup) is
+  * cell-exact too. */
+object CurationQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    "c1_curation" -> Q(
+      (s, dir) => Curation.curate(Lake(s, dir).documents, "doc_id", "text",
+          Curation.Config(minQuality = 0.5, dropUnknownLang = true,
+            sampleSixteenths = 8))
+        .select("doc_id", "lang_pred", "quality", "n_tokens", "fp")
+        .orderBy("doc_id"),
+      Some(
+        """WITH annotated AS (
+          |  SELECT doc_id,
+          |    CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unk'
+          |         WHEN en >= es AND en >= de THEN 'en'
+          |         WHEN es >= de THEN 'es'
+          |         ELSE 'de' END AS lang_pred,
+          |      least(CAST(ntok AS DOUBLE) / 100.0, 1.0) * 0.5
+          |    + (CASE WHEN ntok > 0 THEN CAST(stop_hits AS DOUBLE) / ntok ELSE 0.0 END) * 0.3
+          |    + (1.0 - CASE WHEN nchars > 0 THEN CAST(punct AS DOUBLE) / nchars ELSE 0.0 END) * 0.2
+          |      AS quality,
+          |    CAST(ntok AS BIGINT) AS n_tokens,
+          |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          |  FROM (
+          |    SELECT doc_id, text,
+          |      len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+          |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS en,
+          |      len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los)\b')) AS es,
+          |      len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|von)\b')) AS de,
+          |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+          |      len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS punct,
+          |      length(text) AS nchars
+          |    FROM documents) t
+          |), filtered AS (
+          |  SELECT * FROM annotated WHERE quality >= 0.5 AND lang_pred != 'unk'
+          |), deduped AS (
+          |  SELECT doc_id, lang_pred, quality, n_tokens, fp FROM (
+          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          |    FROM filtered) d
+          |  WHERE rn = 1
+          |)
+          |SELECT doc_id, lang_pred, quality, n_tokens, fp FROM deduped
+          |WHERE md5(CAST(doc_id AS VARCHAR)) < '8'
+          |ORDER BY doc_id""".stripMargin))
+  )
+}
