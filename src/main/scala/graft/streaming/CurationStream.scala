@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions._
+
+/** Streaming twin of [[graft.operators.Curation]]: documents arriving
+  * continuously are annotated, quality-filtered, near-identity-deduped
+  * within the watermark horizon, and deterministically sampled — the
+  * continuous ingestion edge of a training-data lake.
+  *
+  * The annotate/filter/sample stages are the SAME pure expressions as the
+  * batch pipeline (stateless — trivially streaming-safe). Dedup is the
+  * one stateful stage: `dropDuplicatesWithinWatermark` on the content
+  * fingerprint keeps the first arrival of each fingerprint and reclaims
+  * state beyond the horizon — the streaming analogue of the batch
+  * min-id survivor (same survivor CARDINALITY per fingerprint; which
+  * duplicate survives depends on arrival order, as any online dedup
+  * must). */
+object CurationStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("arrival", TimestampType)))
+
+  /** Unbounded read of a documents directory (arrival time defaults to
+    * ingestion time when the feed carries none). */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+      .withColumn("arrival", coalesce(col("arrival"), current_timestamp()))
+
+  def curate(docs: DataFrame, minQuality: Double = 0.5,
+             sampleSixteenths: Int = 8): DataFrame =
+    docs
+      .withColumn("lang_pred", langId(col("text")))
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("fp", fingerprintMd5(col("text")))
+      .where(col("quality") >= minQuality && col("lang_pred") =!= "unk")
+      .withWatermark("arrival", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .where(graft.operators.Sampling.hashKeep(col("doc_id"), sampleSixteenths))
+      .select("doc_id", "lang_pred", "quality", "n_tokens", "fp")
+}

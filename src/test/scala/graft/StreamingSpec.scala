@@ -114,6 +114,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() === 2 * batch)
   }
 
+  test("streaming curation emits the same deduped fingerprint set as batch") {
+    import graft.streaming.CurationStream
+    import graft.operators.Curation
+    val d = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      d.resolve("documents.parquet"))
+    // sixteenths=16 keeps everything: survivor IDENTITY differs between
+    // batch (min id) and stream (first arrival), so compare the
+    // arrival-order-invariant outcome — the surviving fingerprint set
+    val stream = CurationStream.curate(
+      CurationStream.readDocs(spark, d.toString), sampleSixteenths = 16)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("curated").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("curated").select("fp").collect()
+        .map(_.getString(0)).toSet
+      val want = Curation.curate(Lake(spark, sf0001).documents, "doc_id", "text",
+          Curation.Config(sampleSixteenths = 16))
+        .select("fp").collect().map(_.getString(0)).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+      assert(spark.table("curated").count() === want.size) // one row per fp
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate per user") {
     val totals = EventsStream.runningUserTotals(spark,
       EventsStream.readEvents(spark, eventsDir))
