@@ -63,22 +63,35 @@ object Dedup {
     * `threshold`. bands*rowsPerBand must equal numHashes. */
   def minHashLshPairs(df: DataFrame, id: String, text: String,
                       shingleN: Int = 3, numHashes: Int = 32,
-                      bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+                      bands: Int = 8, threshold: Double = 0.7): DataFrame =
+    minHashLshPairsFromSignatures(df,
+      minHashSignatures(df, id, text, shingleN, numHashes),
+      id, text, shingleN, numHashes, bands, threshold)
+
+  /** Candidate+verify stages over PRE-COMPUTED signatures — the persist
+    * escape hatch: `minHashSignatures(...).persist()` materializes the
+    * heaviest stage once (numHashes longs/doc), and this entry point
+    * reuses it for banding and both sides of the candidate join instead
+    * of re-deriving it per plan subtree. */
+  def minHashLshPairsFromSignatures(df: DataFrame, sigs: DataFrame,
+                                    id: String, text: String,
+                                    shingleN: Int = 3, numHashes: Int = 32,
+                                    bands: Int = 8, threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minHashSignatures(df, id, text, shingleN, numHashes)
     val banded = sigs.select(
       col(id),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("signature"), b * rows + 1, rows), lit(b))): _*))
         .as(Seq("band", "band_hash")))
-    // Candidate pairs via equi-self-join on (band, band_hash). This DOES
-    // evaluate the signature subtree twice (no exchange reuse across the
-    // broadcast), but measured alternatives lose: a shuffle-hash self-
-    // join adds two exchanges without achieving reuse, and bucket-local
-    // pair explosion through nested array HOFs runs interpreted (~2x
-    // slower end-to-end). At cluster scale, persist the `banded` frame
-    // (numHashes longs/doc) before calling if the corpus scan dominates.
+    // Candidate pairs via equi-self-join on (band, band_hash). Without a
+    // persisted `sigs` this evaluates the signature subtree twice (no
+    // exchange reuse across the broadcast), but measured alternatives
+    // lose: a shuffle-hash self-join adds two exchanges without
+    // achieving reuse, and bucket-local pair explosion through nested
+    // array HOFs runs interpreted (~2x slower end-to-end). When the
+    // corpus scan dominates, persist minHashSignatures(...) and call
+    // this entry point.
     val a = banded.select(col(id).as("id_a"), col("band"), col("band_hash"))
     val b = banded.select(col(id).as("id_b"), col("band"), col("band_hash"))
     val candidates = a.join(b, Seq("band", "band_hash"))

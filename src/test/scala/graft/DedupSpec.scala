@@ -30,6 +30,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L, 7L))
   }
 
+  test("LSH pairs from persisted signatures equal the one-shot form") {
+    val docs = Lake(spark, sf0001).documents
+    val oneShot = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 8, 0.8))
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 64).persist()
+    try {
+      val fromSigs = pairs(Dedup.minHashLshPairsFromSignatures(
+        docs, sigs, "doc_id", "text", 3, 64, 8, 0.8))
+      assert(fromSigs === oneShot)
+      assert(fromSigs.nonEmpty)
+    } finally sigs.unpersist()
+  }
+
   test("jaccardPairs df-cutoff drops boilerplate-only candidates, keeps real dups") {
     import spark.implicits._
     // 40 docs sharing one boilerplate shingle; docs 0/1 are identical
