@@ -277,9 +277,15 @@ object Dedup {
     * Documents outside any cluster pass through untouched. */
   def dedupNear(df: DataFrame, id: String, text: String,
                 shingleN: Int = 3, numHashes: Int = 64, bands: Int = 8,
-                threshold: Double = 0.8): DataFrame = {
+                threshold: Double = 0.8,
+                starClustering: Boolean = false): DataFrame = {
     val pairs = minHashLshPairs(df, id, text, shingleN, numHashes, bands, threshold)
-    val clusters = connectedComponents(pairs, "id_a", "id_b")
+    // near-dup graphs are forests of tiny cliques -> label propagation's
+    // O(diameter) is 2-3 rounds; starClustering swaps in the O(log n)
+    // large-star/small-star variant for corpora with long dup chains
+    val clusters =
+      if (starClustering) connectedComponentsStar(pairs, "id_a", "id_b")
+      else connectedComponents(pairs, "id_a", "id_b")
     val losers = clusters.where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(id))
     df.join(losers, Seq(id), "left_anti")

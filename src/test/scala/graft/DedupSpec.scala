@@ -42,6 +42,16 @@ class DedupSpec extends AnyFunSuite {
     } finally sigs.unpersist()
   }
 
+  test("dedupNear yields identical survivors under both clustering algorithms") {
+    val docs = Lake(spark, sf0001).documents
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val prop = ids(Dedup.dedupNear(docs, "doc_id", "text"))
+    val star = ids(Dedup.dedupNear(docs, "doc_id", "text", starClustering = true))
+    assert(prop === star)
+    assert(prop.size < docs.count(), "fixture has planted dups to remove")
+  }
+
   test("jaccardPairs df-cutoff drops boilerplate-only candidates, keeps real dups") {
     import spark.implicits._
     // 40 docs sharing one boilerplate shingle; docs 0/1 are identical
