@@ -49,4 +49,18 @@ object LakeMaintenance {
     (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
       .parquet(outDir)
   }
+
+  /** Range-cluster a table on `clusterCol`: repartitionByRange gives each
+    * output file a DISJOINT value range, and the within-partition sort
+    * tightens every row group's min/max stats inside it. Point/range
+    * filters on the clustered column then skip whole files' row groups at
+    * scan time via Parquet predicate pushdown — the write-side half of
+    * data-skipping, and at 100 TB the difference between a filtered scan
+    * reading one file or all of them. */
+  def clusterBy(df: DataFrame, outDir: String, clusterCol: String,
+                files: Int): Unit =
+    df.repartitionByRange(files, df.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(outDir)
 }

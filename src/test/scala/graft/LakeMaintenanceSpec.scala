@@ -46,4 +46,21 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(parquetFiles(out) === 1) // ~300 KB input, one target file
     assert(spark.read.parquet(out).count() === li.count())
   }
+
+  test("range clustering yields disjoint per-file value ranges") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("lake_cluster").toString
+    val li = Lake(spark, TestSpark.sf0001).lineitem
+    LakeMaintenance.clusterBy(li, out, "l_orderkey", files = 4)
+    val perFile = spark.read.parquet(out)
+      .select(col("l_orderkey"), input_file_name().as("f"))
+      .groupBy("f").agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length === 4)
+    // disjoint, ordered ranges: every file's min exceeds the previous max
+    perFile.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(lo2 > hi, s"overlapping file ranges: $perFile")
+    }
+    assert(spark.read.parquet(out).count() === li.count()) // lossless
+  }
 }
