@@ -16,22 +16,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.headline.toSeq.sortBy(_._1)
-    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // None = the run failed; a failed (fast) rep must never win best-of-N
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // Warmup pass: JVM/codegen compilation and file-system cache dominate
     // the first execution of each plan shape. Then report best-of-N per
     // query so round-over-round deltas reflect the code, not scheduler /
-    // GC jitter (SPARK_GRAFT_BENCH_REPS to override).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // GC jitter (SPARK_GRAFT_BENCH_REPS to override; floored at 1).
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     queries.foreach { case (n, f) => runOne(n, f) }
     val results = queries.map { case (name, fn) =>
-      name -> (0 until reps).map(_ => runOne(name, fn)).min
+      val ok = (0 until reps).flatMap(_ => runOne(name, fn))
+      name -> (if (ok.isEmpty) -1.0 else ok.min) // -1 marks all-reps-failed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -30,20 +30,26 @@ object Curation {
       dropUnknownLang: Boolean = true,
       sampleSixteenths: Int = 16)
 
+  /** The stateless annotate + filter stage, shared VERBATIM by the batch
+    * pipeline and [[graft.streaming.CurationStream]] (which swaps only
+    * the stateful dedup) — one definition, no batch/stream drift. Works
+    * on batch and streaming frames alike (pure expressions). */
+  def annotateAndFilter(df: DataFrame, textCol: String,
+                        cfg: Config = Config()): DataFrame = {
+    val text: Column = col(textCol)
+    df.withColumn("lang_pred", langId(text))
+      .withColumn("quality", qualityScore(text))
+      .withColumn("n_tokens", size(tokens(text)).cast("long"))
+      .withColumn("fp", fingerprintMd5(text))
+      .where(col("quality") >= cfg.minQuality)
+      .where(if (cfg.dropUnknownLang) col("lang_pred") =!= "unk" else lit(true))
+  }
+
   /** Curate `df` (needs `idCol` and `textCol`): returns the surviving
     * rows annotated with `lang_pred`, `quality`, `n_tokens`, `fp`. */
   def curate(df: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config()): DataFrame = {
-    val id: Column = col(idCol)
-    val text: Column = col(textCol)
-    val annotated = Parallelism.ensure(df)
-      .withColumn("lang_pred", langId(text))
-      .withColumn("quality", qualityScore(text))
-      .withColumn("n_tokens", size(tokens(text)).cast("long"))
-      .withColumn("fp", fingerprintMd5(text))
-    val filtered = annotated
-      .where(col("quality") >= cfg.minQuality)
-      .where(if (cfg.dropUnknownLang) col("lang_pred") =!= "unk" else lit(true))
+    val filtered = annotateAndFilter(Parallelism.ensure(df), textCol, cfg)
     val deduped = Dedup.dedupExact(filtered, Seq("fp"), idCol)
     Sampling.hashSample(deduped, idCol, cfg.sampleSixteenths)
   }

@@ -161,7 +161,9 @@ object Dedup {
   private def truncate(df: DataFrame, dir: Option[String]): DataFrame = dir match {
     case Some(d) =>
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+      // honor the REQUESTED dir even when some earlier code set another
+      // one (setCheckpointDir appends a UUID subdir, hence startsWith)
+      if (!sc.getCheckpointDir.exists(_.startsWith(d))) sc.setCheckpointDir(d)
       df.checkpoint(eager = true)
     case None => df.localCheckpoint(eager = true)
   }
@@ -343,7 +345,10 @@ object Dedup {
       posexplode(array((0 until chunks).map { b =>
         val lo = bounds(b)
         val w = bounds(b + 1) - lo
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
+        // w == 64 (single 64-bit chunk): (1L << 64) - 1 wraps to 0 under
+        // JVM shift-mod-64 and would collapse every doc into one bucket
+        val mask = if (w >= 64) -1L else (1L << w) - 1
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk", "chunk_val")))
     val a = banded.select(col(id).as("id_a"), col("simhash").as("sh_a"),
       col("chunk"), col("chunk_val"))

@@ -22,8 +22,10 @@ object Multimodal {
   case class MediaRow(media_id: Long, format: String, n_bytes: Long,
                       payload: Array[Byte])
 
-  /** Extracted feature record (fixed-width vector per media row). */
-  case class MediaFeatures(media_id: Long, n_frames: Int,
+  /** Extracted feature record (fixed-width vector per media row).
+    * Carries `n_bytes` through so downstream projections (e.g. exact
+    * count recovery from normalized features) need no second scan. */
+  case class MediaFeatures(media_id: Long, n_bytes: Long, n_frames: Int,
                            features: Array[Float])
 
   /** Sampled frame: `frame_idx`-th fixed-size chunk of the payload. */
@@ -69,7 +71,7 @@ object Multimodal {
         // ceil(n_bytes / FrameSize), matching StubCodec.frames' chunk
         // count exactly (incl. 0 frames for an empty payload).
         val nFrames = ((r.n_bytes + StubCodec.FrameSize - 1) / StubCodec.FrameSize).toInt
-        MediaFeatures(r.media_id, nFrames, f)
+        MediaFeatures(r.media_id, r.n_bytes, nFrames, f)
       }
     }
   }

@@ -53,10 +53,14 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   @inline private def get(a: ArrayData, i: Int, et: DataType): Double =
     if (et == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
 
+  // fixed at analysis time — hoisted so interpreted eval pays no per-row
+  // dataType pattern-match/Option allocation
+  @transient private lazy val ltype: DataType = elementType(left).get
+  @transient private lazy val rtype: DataType = elementType(right).get
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (ltype, rtype) = (elementType(left).get, elementType(right).get)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0

@@ -31,15 +31,15 @@ object MultimodalQueries {
 
     // ---- partition-batched feature extraction (stub codec) -------------
     "m2_media_features" -> Q(
-      (s, dir) => {
-        val media = Multimodal.packMedia(Lake(s, dir).documents, "doc_id", "text")
-        Multimodal.extractFeatures(media).toDF()
-          .join(media.select("media_id", "n_bytes"), "media_id")
-          .select(col("media_id"), col("n_frames"),
-            round(element_at(col("features"), 4).cast("double") * col("n_bytes"))
-              .cast("long").as("f3_count"))
-          .orderBy("media_id")
-      },
+      (s, dir) => Multimodal.extractFeatures(
+          Multimodal.packMedia(Lake(s, dir).documents, "doc_id", "text"))
+        .toDF()
+        // n_bytes rides through MediaFeatures — one corpus scan, no
+        // second packMedia branch re-encoding the text for a join
+        .select(col("media_id"), col("n_frames"),
+          round(element_at(col("features"), 4).cast("double") * col("n_bytes"))
+            .cast("long").as("f3_count"))
+        .orderBy("media_id"),
       Some(
         """SELECT doc_id AS media_id,
           |  CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) AS n_frames,

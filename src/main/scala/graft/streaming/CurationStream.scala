@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.functions.TextFunctions._
 
 /** Streaming twin of [[graft.operators.Curation]]: documents arriving
   * continuously are annotated, quality-filtered, near-identity-deduped
@@ -32,16 +31,12 @@ object CurationStream {
     spark.readStream.schema(docSchema).parquet(dir)
       .withColumn("arrival", coalesce(col("arrival"), current_timestamp()))
 
-  def curate(docs: DataFrame, minQuality: Double = 0.5,
-             sampleSixteenths: Int = 8): DataFrame =
-    docs
-      .withColumn("lang_pred", langId(col("text")))
-      .withColumn("quality", qualityScore(col("text")))
-      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-      .withColumn("fp", fingerprintMd5(col("text")))
-      .where(col("quality") >= minQuality && col("lang_pred") =!= "unk")
+  def curate(docs: DataFrame,
+             cfg: graft.operators.Curation.Config =
+               graft.operators.Curation.Config(sampleSixteenths = 8)): DataFrame =
+    graft.operators.Curation.annotateAndFilter(docs, "text", cfg)
       .withWatermark("arrival", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
-      .where(graft.operators.Sampling.hashKeep(col("doc_id"), sampleSixteenths))
+      .where(graft.operators.Sampling.hashKeep(col("doc_id"), cfg.sampleSixteenths))
       .select("doc_id", "lang_pred", "quality", "n_tokens", "fp")
 }

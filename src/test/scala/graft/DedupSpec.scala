@@ -101,6 +101,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simHashPairs maxHamming=0 single 64-bit chunk buckets by full hash") {
+    // w=64 chunk: (1L<<64)-1 wraps to 0 under JVM shift semantics — the
+    // mask must be -1L or every doc collapses into one bucket (silent
+    // cross product). Observable: pairs == exact-equal-simhash pairs.
+    val docs = Lake(spark, sf0001).documents
+    val sig = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for { a <- sig.keys; b <- sig.keys if a < b && sig(a) == sig(b) }
+      yield (a, b)).toSet
+    val got = pairs(Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 0))
+    assert(got === want)
+  }
+
   test("simhash is deterministic and separates near-dups from unrelated docs") {
     val docs = Lake(spark, sf0001).documents
     val h1 = Dedup.simHash(docs, "doc_id", "text").collect()

@@ -125,7 +125,8 @@ class StreamingSpec extends AnyFunSuite {
     // batch (min id) and stream (first arrival), so compare the
     // arrival-order-invariant outcome — the surviving fingerprint set
     val stream = CurationStream.curate(
-      CurationStream.readDocs(spark, d.toString), sampleSixteenths = 16)
+      CurationStream.readDocs(spark, d.toString),
+      Curation.Config(sampleSixteenths = 16))
     val q = stream.writeStream.outputMode("append")
       .format("memory").queryName("curated").start()
     try {
