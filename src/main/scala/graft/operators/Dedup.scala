@@ -41,31 +41,70 @@ object Dedup {
     Parallelism.ensure(df)
       .select(col(id), explode(shingleSet(col(text), n)).as("shingle"))
 
+  /** Seeded hash family for MinHash signatures. Both shapes hash the
+    * variable-length shingle STRING exactly once per posting (`base`) and
+    * derive the `numHashes` seeded values from the fixed-width base —
+    * hashing the string per seed would cost numHashes string traversals
+    * per posting, the dominant CPU in the LSH pipeline. */
+  sealed trait MinHashFamily {
+    /** one hash of the shingle string, evaluated once per posting */
+    def base(shingle: Column): Column
+    /** seed-j hash derived from the base */
+    def seeded(base: Column, seed: Int): Column
+  }
+
+  /** Scale-path default: xxhash64 of the shingle, re-hashed per seed.
+    * Fastest, but the hash family is Spark-specific (no SQL oracle). */
+  case object XxMinHash extends MinHashFamily {
+    def base(shingle: Column): Column = xxhash64(shingle)
+    def seeded(b: Column, seed: Int): Column = xxhash64(b, lit(seed))
+  }
+
+  /** Portable family via Kirsch–Mitzenmacher double hashing: one md5
+    * digest yields two independent values h1 (60 bits) and h2 (56 bits),
+    * and seed j's hash is (h1 + j*h2) mod 2^60 — pure integer arithmetic
+    * any engine replays digit-for-digit (the d2 DuckDB oracle does).
+    * All intermediates stay < 2^63 for j < 128, so ANSI mode never
+    * overflows. One md5 per posting keeps the cost within ~2x of
+    * [[XxMinHash]] (it is the string digest, not the seeds, that you pay
+    * for). */
+  case object Md5MinHash extends MinHashFamily {
+    def base(shingle: Column): Column = {
+      val m = md5(shingle)
+      struct(
+        conv(substring(m, 1, 15), 16, 10).cast(LongType).as("h1"),
+        conv(substring(m, 16, 14), 16, 10).cast(LongType).as("h2"))
+    }
+    def seeded(b: Column, seed: Int): Column =
+      pmod(b.getField("h1") + lit(seed.toLong) * b.getField("h2"), lit(1L << 60))
+  }
+
   /** MinHash signatures: for each document, the element-wise minimum of
     * `numHashes` seeded hash values over its shingle set. One shuffle
-    * (groupBy id); the per-seed mins are partial-aggregated map-side.
-    * The shingle STRING is hashed once to a long (`base`) and the seed
-    * family hashes the 8-byte long — hashing variable-length strings per
-    * seed would cost numHashes string traversals per posting, the
-    * dominant CPU in the LSH pipeline. */
+    * (groupBy id); the per-seed mins are partial-aggregated map-side. */
   def minHashSignatures(df: DataFrame, id: String, text: String,
-                        shingleN: Int = 3, numHashes: Int = 32): DataFrame =
+                        shingleN: Int = 3, numHashes: Int = 32,
+                        family: MinHashFamily = XxMinHash): DataFrame = {
+    require(family != Md5MinHash || numHashes < 128,
+      "Md5MinHash overflow headroom caps seeds at 127")
     postings(df, id, text, shingleN)
-      .withColumn("base", xxhash64(col("shingle")))
+      .withColumn("base", family.base(col("shingle")))
       .groupBy(col(id))
       .agg(
         array((0 until numHashes).map(j =>
-          min(xxhash64(col("base"), lit(j)))): _*).as("signature"),
+          min(family.seeded(col("base"), j))): _*).as("signature"),
         count(lit(1)).as("n_shingles"))
+  }
 
   /** LSH candidate pairs (idA < idB) from banded MinHash signatures, with
     * exact Jaccard computed on the candidates and filtered at
     * `threshold`. bands*rowsPerBand must equal numHashes. */
   def minHashLshPairs(df: DataFrame, id: String, text: String,
                       shingleN: Int = 3, numHashes: Int = 32,
-                      bands: Int = 8, threshold: Double = 0.7): DataFrame =
+                      bands: Int = 8, threshold: Double = 0.7,
+                      family: MinHashFamily = XxMinHash): DataFrame =
     minHashLshPairsFromSignatures(df,
-      minHashSignatures(df, id, text, shingleN, numHashes),
+      minHashSignatures(df, id, text, shingleN, numHashes, family),
       id, text, shingleN, numHashes, bands, threshold)
 
   /** Candidate+verify stages over PRE-COMPUTED signatures — the persist

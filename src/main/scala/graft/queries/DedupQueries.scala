@@ -27,11 +27,12 @@ object DedupQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
 
     // ---- MinHash + LSH near-dup pairs (banded, then exact-verified) ----
-    // Rows-only by design: the banding is keyed on Spark's seeded
-    // xxhash64 family (64 hashes/shingle — an md5-portable variant would
-    // make the oracle cost dwarf the query). Correctness is pinned by the
-    // oracled exact-Jaccard d3 (the verification stage d2 funnels into)
-    // plus DedupSpec's lsh == exact recall assertion on this corpus.
+    // Runs the portable Md5MinHash family (Kirsch–Mitzenmacher double
+    // hashing off one md5 digest) so the DuckDB oracle rebuilds the 64
+    // signature mins digit-for-digit and replays the banding as direct
+    // signature-slice equality — the same playbook that oracled d4. The
+    // xxhash64 family stays the scale default (same operator; DedupSpec
+    // pins both families to the identical pair set on this corpus).
     // 8 rows/band: band fires at j^8, so the small-vocabulary corpus
     // (random-pair Jaccard ~0.3) yields ~0.07% false candidates instead
     // of ~1% at 4 rows/band — candidate volume, not hashing, is what
@@ -39,9 +40,53 @@ object DedupQueries {
     "d2_minhash_pairs" -> Q(
       (s, dir) => Dedup.minHashLshPairs(Lake(s, dir).documents,
           "doc_id", "text", shingleN = 3, numHashes = 64, bands = 8,
-          threshold = 0.7)
+          threshold = 0.7, family = Dedup.Md5MinHash)
         .orderBy("id_a", "id_b"),
-      None, headline = true),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            for i in generate_series(1, len(w)-2)]) AS s
+          |  FROM tok
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |hv AS (
+          |  SELECT doc_id,
+          |    CAST(list_sum([(strpos('0123456789abcdef', substr(m, i, 1)) - 1)
+          |                   * CAST(pow(16, 15 - i) AS BIGINT)
+          |                   for i in generate_series(1, 15)]) AS BIGINT) AS h1,
+          |    CAST(list_sum([(strpos('0123456789abcdef', substr(m, i + 15, 1)) - 1)
+          |                   * CAST(pow(16, 14 - i) AS BIGINT)
+          |                   for i in generate_series(1, 14)]) AS BIGINT) AS h2
+          |  FROM (SELECT doc_id, md5(s) AS m FROM sh)
+          |), mh AS (
+          |  SELECT doc_id, j, min((h1 + j * h2) % 1152921504606846976) AS v
+          |  FROM hv, generate_series(0, 63) AS g(j)
+          |  GROUP BY doc_id, j
+          |), sigs AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+          |cand AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          |  WHERE a.sig[1:8] = b.sig[1:8] OR a.sig[9:16] = b.sig[9:16]
+          |     OR a.sig[17:24] = b.sig[17:24] OR a.sig[25:32] = b.sig[25:32]
+          |     OR a.sig[33:40] = b.sig[33:40] OR a.sig[41:48] = b.sig[41:48]
+          |     OR a.sig[49:56] = b.sig[49:56] OR a.sig[57:64] = b.sig[57:64]
+          |), com AS (
+          |  SELECT c.id_a, c.id_b, count(*) AS common
+          |  FROM cand c
+          |  JOIN sh a ON a.doc_id = c.id_a
+          |  JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
+          |  GROUP BY 1, 2)
+          |SELECT c.id_a, c.id_b,
+          |  round(common * 1.0 / (ca.n + cb.n - common), 5) AS jaccard
+          |FROM com c
+          |JOIN cnt ca ON ca.doc_id = c.id_a
+          |JOIN cnt cb ON cb.doc_id = c.id_b
+          |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.7
+          |ORDER BY id_a, id_b""".stripMargin),
+      headline = true),
 
     // ---- exact n-gram Jaccard pairs (the SQL-checkable near-dup op) ----
     "d3_jaccard_pairs" -> Q(

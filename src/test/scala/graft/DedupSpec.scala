@@ -21,6 +21,35 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact, s"missed ${(exact diff lsh).size} of ${exact.size} pairs")
   }
 
+  test("xxhash64 and md5-portable MinHash families yield the same pair behavior") {
+    // Both families band-and-verify, so each output ⊆ exact pairs by
+    // construction. Banding recall per pair is 1-(1-j^rows)^bands — a
+    // property of the CONFIG, not the hash family: at 8 rows/band a
+    // j=0.91 borderline pair has a ~0.7% per-family miss chance (and the
+    // families miss independently), while at 4 rows/band the miss
+    // probability is ~1e-7 even at j=0.89. The spec therefore pins
+    // (a) exact-set equality of both families at 16x4 banding and
+    // (b) full recall of the planted high-sim dups (j >= 0.95) at the
+    // d2 production shape (8x8) — the guarantee d2 actually relies on.
+    val docs = Lake(spark, sf0001).documents
+    val exact8 = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8))
+    val xx16 = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8,
+      family = Dedup.XxMinHash))
+    val md516 = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8,
+      family = Dedup.Md5MinHash))
+    assert(xx16 === md516)
+    assert(md516 === exact8)
+    assert(exact8.nonEmpty)
+    val high = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.95))
+    val xx8 = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 8, 0.95,
+      family = Dedup.XxMinHash))
+    val md58 = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 8, 0.95,
+      family = Dedup.Md5MinHash))
+    assert(xx8 === high)
+    assert(md58 === high)
+    assert(high.nonEmpty)
+  }
+
   test("dedupExact keeps the smallest tie-break row per group, deterministically") {
     import spark.implicits._
     val df = Seq((3L, "x"), (1L, "x"), (2L, "x"), (7L, "y"))
