@@ -107,62 +107,119 @@ object Similarity {
     * query actually sits relative to the data rather than to its own
     * hash, which is what lifts recall at equal candidate volume.
     * Candidates then score exactly with the fused cosine. */
-  /** Element-wise mean vector per group: posexplode + re-assembly. */
-  private def meanVectors(df: DataFrame, groupCol: String, vecCol: String,
-                          outCol: String): DataFrame =
-    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy(groupCol, "pos").agg(avg(col("x")).as("m"))
-      .groupBy(groupCol)
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as(outCol))
+  /** Element-wise mean vector per group, width-wise: one `avg` aggregate
+    * per dimension in a SINGLE groupBy — map-side partial aggregation
+    * collapses each partition to one row per cell before the shuffle, so
+    * shuffle volume is cells x partitions x dim doubles regardless of
+    * corpus size (the posexplode alternative fans every corpus row out
+    * dim-fold and shuffles all of it). */
+  private def meanVectorsWide(df: DataFrame, groupCol: String, vecCol: String,
+                              outCol: String, dim: Int): DataFrame = {
+    val avgs = (1 to dim).map(i =>
+      avg(element_at(col(vecCol), i).cast("double")).as(s"__m$i"))
+    df.groupBy(col(groupCol)).agg(avgs.head, avgs.tail: _*)
+      .select(col(groupCol), array((1 to dim).map(i => col(s"__m$i")): _*).as(outCol))
+  }
 
-  /** Inverted-list training: LSH-bucket means seed the cells; `kmeansIters`
-    * Lloyd iterations (spherical k-means: reassign each corpus vector to
-    * its most-cosine-similar centroid, re-mean) tighten them. Each
-    * iteration is one broadcast join + one aggregation — the offline
-    * "train the quantizer" step a production IVF runs periodically.
+  /** Narrow per-row cell assignment against a driver-held centroid set:
+    * argmax over dot products with the UNIT-normalized centroids (equal
+    * to argmax over cosine — the row norm is a positive per-row constant
+    * and drops out of the argmax; an all-zero vector dots 0 with every
+    * centroid and falls to the smallest cell id, as the cosine form did).
+    * Ties break to the smallest cell id via array_position's
+    * first-occurrence semantics over the ascending-id centroid array. */
+  private def argmaxCell(vec: Column, cents: Seq[(Int, Array[Double])]): Column = {
+    val units: Seq[Seq[Double]] = cents.map { case (_, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (if (n == 0.0) v else v.map(_ / n)).toSeq
+    }
+    val ids: Seq[Int] = cents.map(_._1)
+    val dots = transform(typedlit(units), u => dotHof(vec, u))
+    element_at(typedlit(ids), array_position(dots, array_max(dots)).cast("int"))
+  }
+
+  /** Inverted-list training: `kmeansIters` Lloyd iterations (spherical
+    * k-means: reassign each corpus vector to its most-cosine-similar
+    * centroid, re-mean) over seed centroids hash-sampled from actual
+    * corpus vectors — the offline "train the quantizer" step a
+    * production IVF runs periodically.
+    *
+    * The centroid set is tiny BY CONSTRUCTION (at most 2^planes rows), so
+    * it lives on the driver between iterations and each iteration is:
+    * one narrow per-row argmax expression over the centroid literal (no
+    * crossJoin row fan-out, no window shuffle) plus one width-wise mean
+    * aggregation (map-side combined). Corpus data is never shuffled, and
+    * the assignment lineage stays one expression deep regardless of
+    * iteration count — no checkpoint needed. Above `maxLiteralCells` the
+    * argmax literal would bloat codegen, so assignment falls back to a
+    * broadcast centroid join reduced by one map-side-combined max_by
+    * aggregation (shuffle rows = |corpus|, still no window, no fan-out
+    * past the partial aggregate).
+    *
     * Returns (assignments(neighbor_id, c_vec, bucket), centroids(bucket,
     * centroid)). Training re-balances occupancy when the data's cluster
     * structure doesn't align with random hyperplanes — bounded cells =
     * bounded candidate volume per probe at 100 TB. */
+  private val maxLiteralCells = 1024
+
   private[graft] def trainCells(corpus: DataFrame, idCol: String, vecCol: String,
                                 planes: Int, kmeansIters: Int): (DataFrame, DataFrame) = {
     val c0 = Parallelism.ensure(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("bucket", lshBucket(col("c_vec"), planes))
-    // Untrained cells are LSH buckets. For training, seed 2^planes
-    // centroids from a deterministic hash-sample of ACTUAL corpus vectors
-    // instead: LSH-bucket means can occupy far fewer than 2^planes cells
-    // when the data's cluster structure straddles the hyperplanes, and
-    // Lloyd iterations can rebalance cells but never create them — seed
-    // count is the cell-count ceiling.
-    var centroids =
-      if (kmeansIters == 0) meanVectors(c0, "bucket", "c_vec", "centroid")
-      else {
-        // global sort+limit plans as TakeOrderedAndProject (per-partition
-        // top-k, no full sort); the single-partition window then runs on
-        // just 2^planes rows
-        val seeds = c0
-          .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
-          .limit(1 << planes)
-        val wSeed = Window.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
-        seeds.withColumn("bucket", row_number().over(wSeed) - 1)
-          .select(col("bucket"),
-            transform(col("c_vec"), x => x.cast("double")).as("centroid"))
+    if (kmeansIters == 0) {
+      // untrained cells are LSH buckets; one width-wise mean per cell
+      val cells = c0.withColumn("bucket", lshBucket(col("c_vec"), planes))
+      val dim = cells.select(size(col("c_vec"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      (cells, meanVectorsWide(cells, "bucket", "c_vec", "centroid", dim))
+    } else {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      // Seed from a deterministic hash-sample of ACTUAL corpus vectors:
+      // LSH-bucket means can occupy far fewer than 2^planes cells when
+      // the data's cluster structure straddles the hyperplanes, and
+      // Lloyd iterations can rebalance cells but never create them —
+      // seed count is the cell-count ceiling. orderBy+limit plans as
+      // TakeOrderedAndProject (per-partition top-k, no global sort).
+      var cents: Seq[(Int, Array[Double])] = c0
+        .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+        .limit(1 << planes)
+        .select(transform(col("c_vec"), x => x.cast("double")).as("v"))
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Double](0).toArray }
+        .toSeq
+      if (cents.isEmpty) { // empty corpus: degenerate single empty cell
+        val c = c0.withColumn("bucket", lit(0))
+        return (c, c.select(col("bucket"),
+          transform(col("c_vec"), x => x.cast("double")).as("centroid")).limit(0))
       }
-    var c = c0
-    for (_ <- 0 until kmeansIters) {
-      val wAssign = Window.partitionBy("neighbor_id")
-        .orderBy(desc("a_sim"), asc("bucket"))
-      c = c.drop("bucket").crossJoin(broadcast(centroids))
-        .withColumn("a_sim", cosineHof(
-          transform(col("c_vec"), x => x.cast("double")), col("centroid")))
-        .withColumn("a_rank", row_number().over(wAssign))
-        .where(col("a_rank") === 1)
-        .select(col("neighbor_id"), col("c_vec"), col("bucket"))
-      centroids = meanVectors(c, "bucket", "c_vec", "centroid")
+      val dim = cents.head._2.length
+      def assign(cs: Seq[(Int, Array[Double])]): DataFrame =
+        if (cs.size <= maxLiteralCells)
+          c0.withColumn("bucket", argmaxCell(col("c_vec"), cs))
+        else {
+          val units = cs.map { case (b, v) =>
+            val n = math.sqrt(v.map(x => x * x).sum)
+            (b, (if (n == 0.0) v else v.map(_ / n)).toSeq)
+          }.toDF("bucket", "unit")
+          c0.crossJoin(broadcast(units))
+            .withColumn("__dot", dotHof(col("c_vec"), col("unit")))
+            .groupBy("neighbor_id")
+            .agg(first(col("c_vec")).as("c_vec"),
+              max_by(col("bucket"), struct(col("__dot"), -col("bucket")))
+                .as("bucket"))
+            .select("neighbor_id", "c_vec", "bucket")
+        }
+      for (_ <- 0 until kmeansIters) {
+        cents = meanVectorsWide(assign(cents), "bucket", "c_vec", "centroid", dim)
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+          .sortBy(_._1).toSeq
+      }
+      (assign(cents),
+        cents.map { case (b, v) => (b, v.toSeq) }.toDF("bucket", "centroid"))
     }
-    (c, centroids)
   }
 
   /** Cell assignment per corpus row — the materialize-the-index view of

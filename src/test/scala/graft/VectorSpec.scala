@@ -158,6 +158,27 @@ class VectorSpec extends AnyFunSuite {
     assert(trainedIvf === exact)
   }
 
+  test("IVF training plans shuffle no corpus rows: no window, no posexplode") {
+    import spark.implicits._
+    val df = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat / 13f))
+    }.toDF("vec_id", "embedding")
+    // trained assignment = scan + narrow argmax projection (the centroid
+    // set is a driver-side literal): the corpus never crossJoin-fans-out
+    // and never passes through a row_number window
+    val (assigned, _) = Similarity.trainCells(df, "vec_id", "embedding",
+      planes = 2, kmeansIters = 2)
+    val trainedPlan = assigned.queryExecution.executedPlan.toString
+    for (bad <- Seq("Window", "Generate", "NestedLoop"))
+      assert(!trainedPlan.contains(bad), s"trained-assignment plan has $bad:\n$trainedPlan")
+    // untrained centroid means aggregate width-wise: no posexplode fan-out
+    val (_, centroids) = Similarity.trainCells(df, "vec_id", "embedding",
+      planes = 2, kmeansIters = 0)
+    val meansPlan = centroids.queryExecution.executedPlan.toString
+    for (bad <- Seq("Window", "Generate"))
+      assert(!meansPlan.contains(bad), s"centroid-means plan has $bad:\n$meansPlan")
+  }
+
   test("adaptivePlanes keeps expected bucket occupancy at or under target") {
     for (n <- Seq(50L, 256L, 1024L, 4096L, 1000000L, 10000000000L); t <- Seq(64L, 2048L)) {
       val p = Similarity.adaptivePlanes(n, t)
