@@ -4,10 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline query set on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are fully materialized through the `noop`
-  * sink so Catalyst cannot prune work the way a bare `count()` would. */
+  * sink so Catalyst cannot prune work the way a bare `count()` would.
+  *
+  * A second scale factor (SPARK_GRAFT_SF_DIR2, default sf0.01) runs after
+  * the primary and lands in the same JSON line under `secondary`, so
+  * scaling BEHAVIOR — not just absolute time at one SF — is a tracked
+  * round-over-round signal. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder()
@@ -17,10 +23,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.headline.toSeq.sortBy(_._1)
     // None = the run failed; a failed (fast) rep must never win best-of-N
-    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    def runOne(name: String, dir: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -33,15 +40,26 @@ object Bench {
     // GC jitter (SPARK_GRAFT_BENCH_REPS to override; floored at 1).
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
-    queries.foreach { case (n, f) => runOne(n, f) }
-    val results = queries.map { case (name, fn) =>
-      val ok = (0 until reps).flatMap(_ => runOne(name, fn))
-      name -> (if (ok.isEmpty) -1.0 else ok.min) // -1 marks all-reps-failed
+    def benchAt(dir: String): (Seq[(String, Double)], Double, Int) = {
+      queries.foreach { case (n, f) => runOne(n, dir, f) }
+      val results = queries.map { case (name, fn) =>
+        val ok = (0 until reps).flatMap(_ => runOne(name, dir, fn))
+        name -> (if (ok.isEmpty) -1.0 else ok.min) // -1 marks all-reps-failed
+      }
+      // failed sentinels are EXCLUDED from the total (a -1 must not make
+      // a failing round look faster); they are counted separately
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      (results, total, results.count(_._2 < 0))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(results: Seq[(String, Double)]): String =
+      results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val (res1, total1, failed1) = benchAt(sfDir)
+    val secondary =
+      if (sfDir2.nonEmpty && sfDir2 != sfDir && new java.io.File(sfDir2).isDirectory) {
+        val (res2, total2, failed2) = benchAt(sfDir2)
+        s""","secondary":{"sf":"$sfDir2","total":$total2,"failed":$failed2,"queries":${fmt(res2)}}"""
+      } else ""
+    println(s"""{"metric":"total","value":$total1,"unit":"sec","queries":${fmt(res1)},"failed":$failed1,"sf":"$sfDir"$secondary}""")
     spark.stop()
   }
 }

@@ -12,16 +12,19 @@ import graft.functions.TextFunctions._
   *   2. filter: drop unidentifiable or low-quality documents;
   *   3. dedup: exact near-identity on the whitespace-normalized text
   *      (md5 fingerprint), deterministic min-id survivor;
-  *   4. sample: deterministic hash membership, so the curated corpus is
-  *      reproducible across runs, engines, partitionings and
-  *      incremental loads.
+  *   4. sample: deterministic hash membership keyed on the CONTENT
+  *      fingerprint, so the curated corpus is reproducible across runs,
+  *      engines, partitionings, incremental loads — and invariant to
+  *      document-id assignment and arrival order (the same text keeps or
+  *      drops no matter which duplicate survived dedup, which is what
+  *      lets the streaming twin emit the identical fingerprint set).
   *
   * Every stage is individually DuckDB-oracled (t1/t2/t3, t4, d1, t8);
   * the composed pipeline is oracled as `c1_curation` by composing the
   * same SQL — the whole chain stays cell-exact, not just the parts.
   * Scale shape: one window shuffle (dedup) + narrow maps; the sample
-  * predicate is a pure function of the id, so it pushes ahead of
-  * everything except the dedup that feeds it.
+  * predicate is a pure function of the fingerprint column, so it pushes
+  * ahead of everything except the annotate stage that derives it.
   */
 object Curation {
 
@@ -51,6 +54,6 @@ object Curation {
              cfg: Config = Config()): DataFrame = {
     val filtered = annotateAndFilter(Parallelism.ensure(df), textCol, cfg)
     val deduped = Dedup.dedupExact(filtered, Seq("fp"), idCol)
-    Sampling.hashSample(deduped, idCol, cfg.sampleSixteenths)
+    Sampling.hashSample(deduped, "fp", cfg.sampleSixteenths)
   }
 }

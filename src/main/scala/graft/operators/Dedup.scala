@@ -160,14 +160,22 @@ object Dedup {
     *
     * `maxShingleDf` guards the skew-quadratic failure mode: a boilerplate
     * shingle appearing in d documents alone contributes d^2 join rows
-    * while carrying ~no similarity signal. Setting a cutoff drops
-    * shingles with document frequency above it from BOTH the join and
-    * the per-document set sizes — the metric becomes exact Jaccard over
-    * the informative-shingle universe, and per-shingle join fan-out is
-    * bounded by maxShingleDf^2. Default keeps the full exact metric. */
+    * while carrying ~no similarity signal. The cutoff drops shingles with
+    * document frequency above it from BOTH the join and the per-document
+    * set sizes — the metric becomes exact Jaccard over the
+    * informative-shingle universe, and per-shingle join fan-out is
+    * bounded by maxShingleDf^2.
+    *
+    * The DEFAULT is a finite 1000: a naive call on boilerplate-heavy data
+    * must not detonate into a d^2 cross product (at df=1000 the worst
+    * single shingle already costs 10^6 join rows). A shingle shared by
+    * 1000+ documents is boilerplate by any reasonable measure, so the
+    * guarded metric equals the exact one on natural corpora; callers who
+    * want the unconditionally exact metric opt in with
+    * `maxShingleDf = Int.MaxValue` — explicitly buying the skew risk. */
   def jaccardPairs(df: DataFrame, id: String, text: String,
                    shingleN: Int = 3, threshold: Double = 0.8,
-                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
+                   maxShingleDf: Int = 1000): DataFrame = {
     val p0 = postings(df, id, text, shingleN)
     val p =
       if (maxShingleDf == Int.MaxValue) p0
@@ -201,8 +209,14 @@ object Dedup {
     case Some(d) =>
       val sc = df.sparkSession.sparkContext
       // honor the REQUESTED dir even when some earlier code set another
-      // one (setCheckpointDir appends a UUID subdir, hence startsWith)
-      if (!sc.getCheckpointDir.exists(_.startsWith(d))) sc.setCheckpointDir(d)
+      // one. getCheckpointDir returns the fully-qualified UUID subdir
+      // setCheckpointDir created (scheme + authority), so the raw caller
+      // path must be qualified the same way before comparing — else the
+      // guard never matches and every call mints a fresh UUID subdir.
+      val p = new org.apache.hadoop.fs.Path(d)
+      val qualified = p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+      if (!sc.getCheckpointDir.exists(_.startsWith(qualified + "/")))
+        sc.setCheckpointDir(d)
       df.checkpoint(eager = true)
     case None => df.localCheckpoint(eager = true)
   }
@@ -304,6 +318,12 @@ object Dedup {
       sig = next
       iter += 1
     }
+    // If maxIter ran out before the edge fixpoint, a vertex can still
+    // hold several outgoing edges; reduce to one min per u so the final
+    // join keeps the one-row-per-vertex contract (labels are then merely
+    // non-minimal, never duplicated or conflicting).
+    if (!converged)
+      edges = edges.groupBy("u").agg(min("v").as("v"))
     // stars: non-roots point at their component min; roots label themselves
     val vertices = pairs.select(col(aCol).as("doc_id"))
       .unionByName(pairs.select(col(bCol).as("doc_id"))).distinct()

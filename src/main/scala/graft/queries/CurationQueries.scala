@@ -51,7 +51,8 @@ object CurationQueries {
           |  WHERE rn = 1
           |)
           |SELECT doc_id, lang_pred, quality, n_tokens, fp FROM deduped
-          |WHERE md5(CAST(doc_id AS VARCHAR)) < '8'
-          |ORDER BY doc_id""".stripMargin))
+          |WHERE md5(fp) < '8'
+          |ORDER BY doc_id""".stripMargin),
+      headline = true),
   )
 }

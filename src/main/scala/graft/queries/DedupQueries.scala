@@ -262,6 +262,7 @@ object DedupQueries {
           |  HAVING least(a, min(b)) != a)
           |SELECT doc_id, lang, source, n_chars FROM documents
           |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin),
+      headline = true)
   )
 }

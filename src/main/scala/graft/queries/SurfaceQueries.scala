@@ -84,8 +84,7 @@ object SurfaceQueries {
     // Roundtrip must be lossless: the oracle reads the ORIGINAL parquet.
     "q29_orc_roundtrip" -> Q(
       (s, dir) => {
-        val stage = java.nio.file.Files.createTempDirectory("graft_orc_stage")
-          .resolve("docs").toString
+        val stage = s"/root/repo/target/orc_stage/docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         Lake(s, dir).documents
           .select("doc_id", "lang", "n_chars", "text")
           .write.mode("overwrite").orc(stage)

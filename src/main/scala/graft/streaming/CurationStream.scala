@@ -37,6 +37,12 @@ object CurationStream {
     graft.operators.Curation.annotateAndFilter(docs, "text", cfg)
       .withWatermark("arrival", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
-      .where(graft.operators.Sampling.hashKeep(col("doc_id"), cfg.sampleSixteenths))
+      // sample on the CONTENT fingerprint, exactly like the batch
+      // pipeline: arrival-invariant, so the emitted fp set equals the
+      // batch fp set even though WHICH duplicate survives the streaming
+      // dedup depends on arrival order (sampling on doc_id would let a
+      // fingerprint be kept in batch and dropped here whenever the two
+      // pipelines crown different survivors)
+      .where(graft.operators.Sampling.hashKeep(col("fp"), cfg.sampleSixteenths))
       .select("doc_id", "lang_pred", "quality", "n_tokens", "fp")
 }

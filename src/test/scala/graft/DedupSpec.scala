@@ -89,11 +89,15 @@ class DedupSpec extends AnyFunSuite {
       else s"unique$i body$i text$i words$i extra$i"
       (i.toLong, s"the quick brown $tail")
     }.toDF("doc_id", "text")
-    // cutoff = MaxValue is the exact metric (matches default)
-    val exact = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
-    val cutoffHi = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
+    // MaxValue = explicit exact mode; the finite default (1000) equals it
+    // whenever no shingle df exceeds the cutoff (max df here is 40)
+    val exact = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
       maxShingleDf = Int.MaxValue))
-    assert(cutoffHi === exact)
+    val default = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
+    val cutoff1000 = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
+      maxShingleDf = 1000))
+    assert(default === exact)
+    assert(default === cutoff1000)
     // with the hot shingles dropped, docs sharing ONLY boilerplate never
     // even become candidates (threshold 0 exposes the candidate set)...
     val candidates = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0,

@@ -152,4 +152,30 @@ class OperatorLawsSpec extends AnyFunSuite {
     assert(reliable === local)
     assert(local === Map(5L -> 3L, 3L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("checkpoint-dir guard qualifies the path: one UUID subdir per run") {
+    // getCheckpointDir returns a fully-qualified URI; comparing it
+    // against the caller's raw path never matched, so every iteration
+    // re-invoked setCheckpointDir and minted a fresh UUID subdir.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_guard")
+    // a path graph forces multiple label-propagation iterations
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Dedup.connectedComponents(chain, "id_a", "id_b",
+      checkpointDir = Some(dir.toString)).collect()
+    val subdirs = dir.toFile.listFiles().filter(_.isDirectory)
+    assert(subdirs.length === 1,
+      s"expected one UUID checkpoint subdir, got ${subdirs.map(_.getName).toSeq}")
+  }
+
+  test("star clustering keeps one row per vertex when maxIter exhausts early") {
+    // one alternating round cannot finish a 64-node path; the fallback
+    // min-reduction must still emit exactly one (possibly non-minimal)
+    // label per vertex rather than conflicting duplicates
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(path, "id_a", "id_b", maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 64, s"got ${got.length} rows for 64 vertices")
+    assert(got.map(_._1).distinct.length === 64)
+    assert(got.forall { case (v, c) => c <= v })
+  }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Parallelism
+
+class ParallelismSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("single small file scans re-parallelize to the cluster width") {
+    val docs = Lake(spark, sf0001).documents // one tiny parquet file
+    val target = spark.sparkContext.defaultParallelism
+    assert(docs.rdd.getNumPartitions < target, "fixture must be under-parallel")
+    assert(Parallelism.ensure(docs).rdd.getNumPartitions === target)
+    // and the metadata probe agrees with the old RDD probe's decision
+    assert(Parallelism.ensure(docs) ne docs)
+  }
+
+  test("decision matches the RDD-probe on every driver fixture table") {
+    val lake = Lake(spark, sf001)
+    val target = spark.sparkContext.defaultParallelism
+    for (df <- Seq(lake.documents, lake.embeddings, lake.events,
+        lake.lineitem, lake.orders, lake.customer)) {
+      val rddSays = df.rdd.getNumPartitions < target
+      val metaSays = Parallelism.ensure(df) ne df
+      assert(metaSays === rddSays,
+        s"probe disagreement (rdd=$rddSays meta=$metaSays)")
+    }
+  }
+
+  test("probe adds no extra job and leaves streaming frames untouched") {
+    // streaming: df.rdd would throw AnalysisException; the metadata probe
+    // must fall through without touching the frame
+    val d = java.nio.file.Files.createTempDirectory("par_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      d.resolve("documents.parquet"))
+    val stream = spark.readStream
+      .schema(Lake(spark, sf0001).documents.schema)
+      .parquet(d.toString)
+    assert(Parallelism.ensure(stream) eq stream)
+    // non-file source (local relation): also untouched
+    import spark.implicits._
+    val local = Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+    assert(Parallelism.ensure(local) eq local)
+  }
+}

@@ -142,6 +142,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation fp-set parity holds under sub-16 sampling") {
+    // Both pipelines sample on the CONTENT fingerprint, so the kept fp
+    // set is arrival-order-invariant even when survivor identity differs
+    // (sampling on doc_id would let batch keep a fp whose stream-side
+    // first-arrival survivor hash-drops). sixteenths=8 makes the sample
+    // stage a real filter.
+    import graft.streaming.CurationStream
+    import graft.operators.Curation
+    val d = java.nio.file.Files.createTempDirectory("docs_stream8")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      d.resolve("documents.parquet"))
+    val stream = CurationStream.curate(
+      CurationStream.readDocs(spark, d.toString),
+      Curation.Config(sampleSixteenths = 8))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("curated8").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("curated8").select("fp").collect()
+        .map(_.getString(0)).toSet
+      val all = Curation.curate(Lake(spark, sf0001).documents, "doc_id", "text",
+          Curation.Config(sampleSixteenths = 16))
+        .select("fp").collect().map(_.getString(0)).toSet
+      val want = Curation.curate(Lake(spark, sf0001).documents, "doc_id", "text",
+          Curation.Config(sampleSixteenths = 8))
+        .select("fp").collect().map(_.getString(0)).toSet
+      assert(got === want)
+      assert(want.nonEmpty && want.size < all.size,
+        s"sixteenths=8 should actually drop fps (${want.size} of ${all.size})")
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate per user") {
     val totals = EventsStream.runningUserTotals(spark,
       EventsStream.readEvents(spark, eventsDir))
