@@ -340,16 +340,33 @@ object Dedup {
                 shingleN: Int = 3, numHashes: Int = 64, bands: Int = 8,
                 threshold: Double = 0.8,
                 starClustering: Boolean = false): DataFrame = {
-    val pairs = minHashLshPairs(df, id, text, shingleN, numHashes, bands, threshold)
-    // near-dup graphs are forests of tiny cliques -> label propagation's
-    // O(diameter) is 2-3 rounds; starClustering swaps in the O(log n)
-    // large-star/small-star variant for corpora with long dup chains
-    val clusters =
-      if (starClustering) connectedComponentsStar(pairs, "id_a", "id_b")
-      else connectedComponents(pairs, "id_a", "id_b")
-    val losers = clusters.where(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as(id))
-    df.join(losers, Seq(id), "left_anti")
+    // The pair list feeds an ITERATIVE clustering stage whose every round
+    // re-references the edge frame, so an unpersisted pair plan would
+    // re-run the whole shingle -> signature -> band -> verify pipeline
+    // once per round (and evaluate the signature subtree twice within a
+    // single run, via the candidate self-join). Persist the signatures
+    // and the verified pairs once; the loser set — small by construction,
+    // one id per non-representative clustered doc — is materialized
+    // eagerly so both caches can be released before returning the lazy
+    // anti-join to the caller.
+    val sigs = minHashSignatures(df, id, text, shingleN, numHashes).persist()
+    val pairs = minHashLshPairsFromSignatures(df, sigs, id, text,
+      shingleN, numHashes, bands, threshold).persist()
+    try {
+      // near-dup graphs are forests of tiny cliques -> label propagation's
+      // O(diameter) is 2-3 rounds; starClustering swaps in the O(log n)
+      // large-star/small-star variant for corpora with long dup chains
+      val clusters =
+        if (starClustering) connectedComponentsStar(pairs, "id_a", "id_b")
+        else connectedComponents(pairs, "id_a", "id_b")
+      val losers = clusters.where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(id))
+        .localCheckpoint(eager = true)
+      df.join(losers, Seq(id), "left_anti")
+    } finally {
+      pairs.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+    }
   }
 
   /** Portable 60-bit token hash: the first 15 hex chars of md5 parsed to

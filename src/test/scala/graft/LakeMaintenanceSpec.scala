@@ -63,4 +63,39 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(out).count() === li.count()) // lossless
   }
+
+  test("clustered layout actually skips row groups under a point filter") {
+    import spark.implicits._
+    // Same rows, two layouts: range-clustered vs hash-shuffled. A point
+    // filter on the cluster column must read ~one file's rows from the
+    // clustered layout (row-group min/max excludes the rest via Parquet
+    // predicate pushdown) and ~all rows from the shuffled layout (every
+    // row group's [min,max] spans the whole key range) — measured at the
+    // SCAN's own numOutputRows metric, i.e. rows surviving pushdown
+    // before the residual Filter.
+    val n = 40000L
+    val data = spark.range(n)
+      .select((col("id") * 2654435761L % n).as("k"), col("id").as("payload"))
+    val clustered = Files.createTempDirectory("skip_clustered").toString
+    val shuffled = Files.createTempDirectory("skip_shuffled").toString
+    LakeMaintenance.clusterBy(data, clustered, "k", files = 8)
+    data.repartition(8).write.mode("overwrite").parquet(shuffled)
+    def scanRows(dir: String): Long = {
+      val q = spark.read.parquet(dir).where(col("k") === 123L)
+      assert(q.count() >= 1) // the probed key exists
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val clusteredRows = scanRows(clustered)
+    val shuffledRows = scanRows(shuffled)
+    assert(clusteredRows <= n / 8 + n / 16,
+      s"clustered scan read $clusteredRows rows; skipping is not happening")
+    assert(shuffledRows >= n * 9 / 10,
+      s"shuffled control scan read only $shuffledRows of $n rows?")
+    assert(clusteredRows * 4 < shuffledRows)
+  }
 }
