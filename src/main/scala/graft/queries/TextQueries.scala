@@ -155,6 +155,98 @@ object TextQueries {
           |   OR (lang = 'zh' AND md5(CAST(doc_id AS VARCHAR)) < '2')
           |ORDER BY doc_id""".stripMargin)),
 
+    // ---- inverted index build (term -> sorted posting list + df) -------
+    // The materialize-the-index half of keyword search: one distinct
+    // explode + one groupBy; postings ordered so the layout is
+    // deterministic and merge-joinable. At 100 TB the same plan holds —
+    // posting lists are per-term and build via map-side partial
+    // aggregation, nothing driver-side.
+    "t10_inverted_index" -> Q(
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+        .orderBy("term"),
+      Some(
+        """WITH tok AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          |  FROM documents)
+          |SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+          |FROM tok GROUP BY term ORDER BY term""".stripMargin)),
+
+    // ---- conjunctive keyword search ranked by hit count ----------------
+    // Docs containing ALL query terms, ranked by total occurrences with a
+    // deterministic doc_id tie-break — integer-exact relevance, the query
+    // half of t10's index.
+    "t11_keyword_search" -> Q(
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .where(col("term").isin("data", "scan", "hash"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("term")).as("nt"), count(lit(1)).as("hits"))
+        .where(col("nt") === 3)
+        .select(col("doc_id"), col("hits"))
+        .orderBy(desc("hits"), asc("doc_id"))
+        .limit(20),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id, count(DISTINCT term) AS nt, count(*) AS hits
+          |  FROM tok WHERE term IN ('data', 'scan', 'hash') GROUP BY doc_id)
+          |SELECT doc_id, hits FROM m WHERE nt = 3
+          |ORDER BY hits DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- TF-IDF: top-3 terms per document ------------------------------
+    // score = tf * ln(N/df) ranks the terms; the COMPARED output is the
+    // integer-exact (rank, term, tf, df) — the raw double is excluded
+    // because HotSpot's intrinsic Math.log and libm ln differ by 1 ulp on
+    // some inputs. Rank stability is safe by measure: the smallest
+    // relative gap between distinct scores within any document is ~1e-3
+    // across all three SFs (verified offline), thirteen orders of
+    // magnitude above ulp noise, and exact score ties break on term.
+    "t12_tfidf" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val n = d.agg(count(lit(1)).as("n_docs"))
+        val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+        tf.join(dfreq, "term").crossJoin(broadcast(n))
+          .where(col("doc_id") < 25)
+          .withColumn("score", col("tf").cast(DoubleType)
+            * log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          |  FROM documents),
+          |tfs AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+          |dfq AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT t.doc_id, t.term, t.tf, d.df,
+          |    CAST(t.tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score
+          |  FROM tfs t JOIN dfq d USING (term), n
+          |  WHERE t.doc_id < 25)
+          |SELECT doc_id, rank, term, tf, df FROM (
+          |  SELECT doc_id, term, tf, df, score,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+          |         ORDER BY score DESC, term) AS INTEGER) AS rank
+          |  FROM scored) r
+          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // ---- typed top-k aggregate: 3 best-quality docs per language -------
     // TopKAggregator keeps a k-bounded buffer per group map-side; the
     // oracle is the window formulation of the same answer.

@@ -67,6 +67,21 @@ object EventsStream {
       .select("purchase_id", "error_id", "p_user")
   }
 
+  /** Gap sessionization — streaming twin of the batch `q20_sessions`:
+    * the same `session_window(30 minutes)` aggregate over an unbounded
+    * feed. The watermark closes a session once event time moves 2 hours
+    * past it, which both finalizes its output (append mode) and reclaims
+    * its state — per-user session state never accumulates unboundedly. */
+  def sessionStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("t", "2 hours")
+      .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom stateful aggregation: running per-user totals via

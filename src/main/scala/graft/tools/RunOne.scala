@@ -3,13 +3,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import graft.{GraftSession, SparkEntry}
 
-/** Dev loop: dump ONE declared query (and its oracle SQL, if any) so
-  * scripts/check.py can compare it without a full Verify sweep.
-  * Usage: runMain graft.tools.RunOne <name> [sfDir] [outDir]
+/** Dev loop: dump selected declared queries (and their oracle SQL) so
+  * scripts/check.py can compare them without a full Verify sweep.
+  * Usage: runMain graft.tools.RunOne <name>[,name2,...] [sfDir] [outDir]
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 2) args(2) else "target/one"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -19,12 +19,15 @@ object RunOne {
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    printf("[runone] %s: %.2fs%n", name, (System.nanoTime() - t0) / 1e9)
-    val sql = SparkEntry.oracleSql.get(name)
-    val json = sql.map(s => "{\"" + name + "\": " + ujsonQuote(s) + "}").getOrElse("{}")
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      printf("[runone] %s: %.2fs%n", name, (System.nanoTime() - t0) / 1e9)
+    }
+    val json = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+      .map { case (n, s) => "\"" + n + "\": " + ujsonQuote(s) }
+      .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -39,6 +39,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming gap sessionization equals the batch session_window answer") {
+    val stream = EventsStream.sessionStats(
+      EventsStream.readEvents(spark, eventsDir))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "session_start", "n_events", "session_value")
+        .collect().map(_.toString).sorted.toSeq
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val want = Lake(spark, sf0001).events
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("session_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("session_value"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want)
+      assert(got.size < Lake(spark, sf0001).events.count(),
+        "sessions must group multiple events")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each event_id once") {
     val deduped = EventsStream.dedupByEventId(
       EventsStream.readEvents(spark, eventsDir))
