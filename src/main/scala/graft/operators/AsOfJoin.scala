@@ -28,10 +28,18 @@ object AsOfJoin {
 
   /** `left ASOF LEFT JOIN right ON keys AND right(rightTime) <= left(leftTime)`.
     * Right columns appear prefixed with `rightPrefix`, null when no prior
-    * right row exists. */
+    * right row exists.
+    *
+    * `tolerance` bounds the lookback: a carried-forward match older than
+    * `leftTime - tolerance` is nulled out (the match column stays present,
+    * the row is kept — LEFT semantics). Expressed as a post-filter on the
+    * carried struct, so the single-shuffle plan shape is unchanged; pass
+    * a literal in the time column's own units (e.g. micros for epoch
+    * longs, or an INTERVAL expression for timestamps). */
   def asOfBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTime: String, rightTime: String,
-                   rightPrefix: String = "asof_"): DataFrame = {
+                   rightPrefix: String = "asof_",
+                   tolerance: Option[Column] = None): DataFrame = {
     val l = left.select(
       keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
         struct(left.columns.map(col): _*).as("__l")): _*)
@@ -52,8 +60,14 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__side").asc, col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lAug.unionByName(rAug)
+    val carried = lAug.unionByName(rAug)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+    val gated = tolerance match {
+      case Some(tol) => carried.withColumn("__match",
+        when(col(s"__match.$rightTime") >= col("__t") - tol, col("__match")))
+      case None => carried
+    }
+    gated
       .where(col("__side") === 1)
       .select(
         left.columns.map(c => col(s"__l.$c").as(c)) ++

@@ -332,14 +332,49 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Driver-side union-find over a collected edge list — the clustering
+    * plan for BROADCAST-SCALE pair graphs. Near-dup pair lists are
+    * usually tiny relative to the corpus (only actual duplicates appear),
+    * and 2-3 distributed label-propagation rounds cost ~6 scheduled jobs
+    * plus checkpoints; for a bounded edge list the driver resolves the
+    * same min-label components in microseconds, exactly the way a
+    * broadcast join trades a shuffle for driver-held state. Same output
+    * contract as [[connectedComponents]]. */
+  private[graft] def connectedComponentsLocal(pairs: DataFrame,
+                                              aCol: String, bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col(aCol).cast(LongType), col(bCol).cast(LongType))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.map(v => (v, find(v)))
+      .toDF("doc_id", "cluster_id")
+  }
+
   /** End-to-end near-dedup: detect near-dup pairs (MinHash-LSH), cluster
     * them (connected components), keep the minimum-id representative of
     * each cluster — the full "dedup the corpus" pipeline as one call.
-    * Documents outside any cluster pass through untouched. */
+    * Documents outside any cluster pass through untouched.
+    *
+    * Clustering is size-gated the way broadcast joins are: a pair list at
+    * or under `driverClusterMaxEdges` (the count is free — the pairs are
+    * already materialized in the cache) clusters via driver union-find
+    * ([[connectedComponentsLocal]]); larger graphs run the distributed
+    * algorithms. Set 0 to force distributed clustering. */
   def dedupNear(df: DataFrame, id: String, text: String,
                 shingleN: Int = 3, numHashes: Int = 64, bands: Int = 8,
                 threshold: Double = 0.8,
-                starClustering: Boolean = false): DataFrame = {
+                starClustering: Boolean = false,
+                driverClusterMaxEdges: Long = 1L << 20): DataFrame = {
     // The pair list feeds an ITERATIVE clustering stage whose every round
     // re-references the edge frame, so an unpersisted pair plan would
     // re-run the whole shingle -> signature -> band -> verify pipeline
@@ -357,7 +392,9 @@ object Dedup {
       // O(diameter) is 2-3 rounds; starClustering swaps in the O(log n)
       // large-star/small-star variant for corpora with long dup chains
       val clusters =
-        if (starClustering) connectedComponentsStar(pairs, "id_a", "id_b")
+        if (pairs.count() <= driverClusterMaxEdges)
+          connectedComponentsLocal(pairs, "id_a", "id_b")
+        else if (starClustering) connectedComponentsStar(pairs, "id_a", "id_b")
         else connectedComponents(pairs, "id_a", "id_b")
       val losers = clusters.where(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as(id))

@@ -36,6 +36,34 @@ object JoinQueries {
           |ORDER BY e.event_id""".stripMargin),
       headline = true),
 
+    // ---- as-of join with a bounded lookback window ----------------------
+    // Same single-shuffle carry-forward plan; matches older than 30
+    // minutes are nulled by the tolerance gate (purchases "expire").
+    "a2_asof_tolerance" -> Q(
+      (s, dir) => {
+        val ev = Lake(s, dir).events
+          .withColumn("t", expr("ts DIV 1000")) // epoch-micros, matches oracle
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id", "t").agg(max("event_id").as("purchase_id"))
+        AsOfJoin.asOfBackward(
+            ev.select("event_id", "user_id", "t"), purchases,
+            keys = Seq("user_id"), leftTime = "t", rightTime = "t",
+            tolerance = Some(lit(30L * 60 * 1000000))) // 30 min in micros
+          .select(col("event_id"), col("user_id"),
+            col("asof_purchase_id").as("recent_purchase_id"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT user_id, ts, max(event_id) AS purchase_id
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+          |SELECT e.event_id, e.user_id,
+          |  CASE WHEN e.ts - p.ts <= INTERVAL '30 minutes'
+          |       THEN p.purchase_id END AS recent_purchase_id
+          |FROM events e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND e.ts >= p.ts
+          |ORDER BY e.event_id""".stripMargin)),
+
     // ---- banded range join: |c_acctbal - s_acctbal| <= 10 ---------------
     "r1_range_join" -> Q(
       (s, dir) => {

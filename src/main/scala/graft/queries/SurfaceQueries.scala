@@ -137,6 +137,48 @@ object SurfaceQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // ---- HLL sketch distinct counting with an in-plan accuracy gate ----
+    // approx_count_distinct (HyperLogLog++) is the sketch a 100 TB
+    // distinct-count actually runs (one pass, fixed memory, no expand);
+    // its estimate is engine-specific, so the COMPARED columns are the
+    // exact count plus a boolean asserting the sketch landed within 5x
+    // its configured 2% relative standard deviation — the s4 gate
+    // pattern for non-portable-but-bounded results.
+    "q22c_sketch_distinct" -> Q(
+      (s, dir) => Lake(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("apx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("apx") - col("exact_parts")).cast(DoubleType)
+            / col("exact_parts") <= 0.1).as("hll_ok"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |  COUNT(DISTINCT l_partkey) AS exact_parts, true AS hll_ok
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- approximate quantile sketch with an in-plan accuracy gate -----
+    // approx_percentile's rank error is n/accuracy; at accuracy=1000 the
+    // median estimate must sit within 5% of the exact integer-cents
+    // median for these distributions — asserted in-plan, like q22c.
+    "q25b_approx_quantiles" -> Q(
+      (s, dir) => Lake(s, dir).lineitem
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(cents, 0.5)").as("exact_med"),
+          expr("approx_percentile(cents, 0.5, 1000)").as("apx_med"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("apx_med") - col("exact_med")) / col("exact_med") <= 0.05)
+            .as("quantile_ok"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag, COUNT(*) AS n, true AS quantile_ok
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- SQL-text interface: the same string runs on both engines ------
     "q23_sql_text" -> Q(
       (s, dir) => { Lake(s, dir).registerViews(); s.sql(sharedSql) },

@@ -71,13 +71,19 @@ class DedupSpec extends AnyFunSuite {
     } finally sigs.unpersist()
   }
 
-  test("dedupNear yields identical survivors under both clustering algorithms") {
+  test("dedupNear yields identical survivors under all three clustering paths") {
     val docs = Lake(spark, sf0001).documents
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
-    val prop = ids(Dedup.dedupNear(docs, "doc_id", "text"))
-    val star = ids(Dedup.dedupNear(docs, "doc_id", "text", starClustering = true))
+    // driverClusterMaxEdges = 0 forces the distributed algorithms; the
+    // default routes broadcast-scale pair graphs through driver union-find
+    val prop = ids(Dedup.dedupNear(docs, "doc_id", "text",
+      driverClusterMaxEdges = 0))
+    val star = ids(Dedup.dedupNear(docs, "doc_id", "text",
+      starClustering = true, driverClusterMaxEdges = 0))
+    val local = ids(Dedup.dedupNear(docs, "doc_id", "text"))
     assert(prop === star)
+    assert(local === prop)
     assert(prop.size < docs.count(), "fixture has planted dups to remove")
   }
 

@@ -84,4 +84,26 @@ class JoinOpsSpec extends AnyFunSuite {
     val plain = lk.orders.join(custKeyed, "o_custkey")
     assert(canon(salted.drop("o_custkey")) === canon(plain.drop("o_custkey")))
   }
+
+  test("as-of tolerance nulls matches older than the lookback, boundary inclusive") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 200L), (2L, 500L)).toDF("k", "t")
+    val right = Seq((1L, 90L, "a"), (1L, 50L, "b"), (2L, 100L, "c"))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asOfBackward(left, right, Seq("k"), "t", "t",
+        tolerance = Some(lit(110L)))
+      .select("k", "t", "asof_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    // (1,100): latest right is t=90, age 10 <= 110 -> "a"
+    // (1,200): latest right is t=90, age 110 <= 110 -> "a" (boundary kept)
+    // (2,500): right t=100, age 400 > 110 -> null, row kept (LEFT)
+    assert(got === Set((1L, 100L, Some("a")), (1L, 200L, Some("a")),
+      (2L, 500L, None)))
+    // and tolerance=None remains the unbounded backward join
+    val unbounded = AsOfJoin.asOfBackward(left, right, Seq("k"), "t", "t")
+      .select("k", "t", "asof_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(unbounded === Set((1L, 100L, Some("a")), (1L, 200L, Some("a")),
+      (2L, 500L, Some("c"))))
+  }
 }

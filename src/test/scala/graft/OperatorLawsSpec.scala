@@ -115,6 +115,9 @@ class OperatorLawsSpec extends AnyFunSuite {
         val gotStar = Dedup.connectedComponentsStar(
             edges.toDF("id_a", "id_b"), "id_a", "id_b")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val gotLocal = Dedup.connectedComponentsLocal(
+            edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // reference: driver-side union-find
         val parent = scala.collection.mutable.Map[Long, Long]()
         def find(x: Long): Long = {
@@ -126,7 +129,7 @@ class OperatorLawsSpec extends AnyFunSuite {
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
         val want = parent.keys.map(v => v -> find(v)).toMap
-        got == want && gotStar == want
+        got == want && gotStar == want && gotLocal == want
       }
     }, trials = 8)
   }
