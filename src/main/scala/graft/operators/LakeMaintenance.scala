@@ -63,4 +63,52 @@ object LakeMaintenance {
       .sortWithinPartitions(clusterCol)
       .write.mode(SaveMode.Overwrite)
       .parquet(outDir)
+
+  /** Z-order clustering on MULTIPLE columns: each column is normalized to
+    * a fixed-width bucket rank (uniform buckets between its min and max —
+    * two driver scalars, no sort) and the bucket bits are interleaved
+    * into one z-value; range-partitioning + sorting on the z-value places
+    * rows that are close in ANY clustered dimension into the same files,
+    * so point/range filters on EVERY clustered column skip row groups —
+    * where [[clusterBy]] (linear order) only ever skips on its leading
+    * column. The multi-dimensional half of write-side data skipping
+    * (Delta/Iceberg OPTIMIZE ZORDER does the same thing).
+    *
+    * The z-value is computed as a pure column expression (shifts + ors
+    * over the bucket bits) — one narrow map, then the same
+    * repartitionByRange + write as the linear form. */
+  def zOrderBy(df: DataFrame, outDir: String, clusterCols: Seq[String],
+               files: Int): Unit = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    require(clusterCols.size >= 2, "use clusterBy for a single column")
+    val bits = math.min(12, 30 / clusterCols.size) // z-value stays < 2^31
+    val buckets = 1 << bits
+    // per-column min/max: one tiny aggregate, two driver scalars each
+    val aggs = clusterCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__min_$c"),
+      max(col(c).cast("double")).as(s"__max_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    def bucketOf(c: String, i: Int): Column = {
+      val lo = stats.getDouble(2 * i)
+      val hi = stats.getDouble(2 * i + 1)
+      if (hi <= lo) lit(0)
+      else least(lit(buckets - 1), greatest(lit(0),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * buckets)
+          .cast("int")))
+    }
+    val z = (0 until bits).foldLeft(lit(0)) { (acc, b) =>
+      clusterCols.zipWithIndex.foldLeft(acc) { case (a, (c, i)) =>
+        a.bitwiseOR(
+          shiftleft(shiftright(bucketOf(c, i), b).bitwiseAND(lit(1)),
+            b * clusterCols.size + i))
+      }
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(outDir)
+  }
 }

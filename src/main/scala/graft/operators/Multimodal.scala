@@ -102,6 +102,28 @@ object Multimodal {
       .withColumn("n_bytes", lit(targetBytes.toLong))
   }
 
+  /** Overlapping fixed-width patch tiling — the sliding-window prep step
+    * (ViT-style image patches / conv windows over audio bytes): one
+    * `patchBytes` window every `stepBytes`, FULL windows only (payloads
+    * shorter than a patch yield no rows). Unlike [[sampleFrames]]'
+    * disjoint chunks, patches overlap when stepBytes < patchBytes, and
+    * the whole tiling is pure expression composition (sequence +
+    * transform + posexplode over binary substr) — no lambda closure, no
+    * mapPartitions; the planner sees every stage. */
+  def tilePatches(media: DataFrame, patchBytes: Int, stepBytes: Int): DataFrame = {
+    require(patchBytes > 0 && stepBytes > 0)
+    val n = col("n_bytes")
+    val nPatches = when(n >= patchBytes,
+      floor((n - patchBytes) / stepBytes).cast(IntegerType) + 1).otherwise(0)
+    media.select(col("media_id"), col("n_bytes"),
+      posexplode(
+        when(nPatches >= 1,
+          transform(sequence(lit(0), nPatches - 1),
+            i => col("payload").substr(i * stepBytes + 1, lit(patchBytes))))
+          .otherwise(array().cast(ArrayType(BinaryType))))
+        .as(Seq("patch_idx", "patch")))
+  }
+
   /** Frame sampling: every `stride`-th fixed-size chunk, as its own row.
     * flatMap keeps it pipelined — no per-document materialization. */
   def sampleFrames(media: DataFrame, stride: Int = 2): Dataset[Frame] = {

@@ -93,6 +93,33 @@ object MultimodalQueries {
           |FROM m, unnest(generate_series(0, nf - 1)) AS u(i)
           |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // ---- overlapping patch tiling (sliding windows, expression-only) ---
+    // 48-byte patches every 32 bytes -> adjacent patches share 16 bytes.
+    // Content verified byte-exact via md5 over each patch's hex slice.
+    "m7_patch_tiling" -> Q(
+      (s, dir) => Multimodal.tilePatches(
+          Multimodal.packMedia(Lake(s, dir).documents, "doc_id", "text"),
+          patchBytes = 48, stepBytes = 32)
+        .select(col("media_id"), col("patch_idx"),
+          (col("patch_idx") * 32).cast("int").as("patch_start"),
+          md5(upper(hex(col("patch")))).as("patch_md5"))
+        .orderBy("media_id", "patch_idx"),
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id AS media_id, upper(hex(encode(text))) AS h,
+          |    octet_length(encode(text)) AS n_bytes
+          |  FROM documents),
+          |p AS (
+          |  SELECT media_id, h,
+          |    CASE WHEN n_bytes >= 48 THEN (n_bytes - 48) // 32 + 1
+          |         ELSE 0 END AS np
+          |  FROM m)
+          |SELECT media_id, CAST(i AS INTEGER) AS patch_idx,
+          |  CAST(i * 32 AS INTEGER) AS patch_start,
+          |  md5(substr(h, i * 64 + 1, 96)) AS patch_md5
+          |FROM p, unnest(generate_series(0, np - 1)) AS u(i)
+          |ORDER BY media_id, patch_idx""".stripMargin)),
+
     // ---- payload resize (crop-or-pad to fixed width) -------------------
     // Content verified byte-exact via md5 over the hex rendering (DuckDB
     // cannot slice blobs, but the hex-domain crop/pad is the same bytes).
