@@ -360,6 +360,15 @@ object Dedup {
       .toDF("doc_id", "cluster_id")
   }
 
+  /** Size-gated clustering dispatch shared by the end-to-end dedup
+    * pipelines (see [[dedupNear]] for the policy). */
+  private def clusterPairs(pairs: DataFrame, starClustering: Boolean,
+                           driverMaxEdges: Long): DataFrame =
+    if (pairs.count() <= driverMaxEdges)
+      connectedComponentsLocal(pairs, "id_a", "id_b")
+    else if (starClustering) connectedComponentsStar(pairs, "id_a", "id_b")
+    else connectedComponents(pairs, "id_a", "id_b")
+
   /** End-to-end near-dedup: detect near-dup pairs (MinHash-LSH), cluster
     * them (connected components), keep the minimum-id representative of
     * each cluster — the full "dedup the corpus" pipeline as one call.
@@ -391,15 +400,59 @@ object Dedup {
       // near-dup graphs are forests of tiny cliques -> label propagation's
       // O(diameter) is 2-3 rounds; starClustering swaps in the O(log n)
       // large-star/small-star variant for corpora with long dup chains
-      val clusters =
-        if (pairs.count() <= driverClusterMaxEdges)
-          connectedComponentsLocal(pairs, "id_a", "id_b")
-        else if (starClustering) connectedComponentsStar(pairs, "id_a", "id_b")
-        else connectedComponents(pairs, "id_a", "id_b")
+      val clusters = clusterPairs(pairs, starClustering, driverClusterMaxEdges)
       val losers = clusters.where(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as(id))
         .localCheckpoint(eager = true)
       df.join(losers, Seq(id), "left_anti")
+    } finally {
+      pairs.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+    }
+  }
+
+  /** Incremental near-dedup: drop from `incoming` every document that is
+    * a near-duplicate of the already-canonical `existing` corpus or of a
+    * surviving earlier (smaller-id) incoming document — the production
+    * shape for continuously growing training lakes, where yesterday's
+    * deduped corpus must never lose rows to today's batch.
+    *
+    * Semantics over the UNION pair graph: an incoming document survives
+    * iff its near-dup cluster contains NO existing document and it is
+    * the minimum incoming id of that cluster. (Existing documents are
+    * canonical regardless of id order: an incoming doc with a smaller id
+    * than its existing near-dup still drops — unlike [[dedupNear]] run
+    * on the union, which would crown the smaller id.)
+    *
+    * Cost shape: the LSH pipeline runs over existing ∪ incoming. When
+    * `existing` is large and stable, persist its signatures with
+    * [[minHashSignatures]] and reuse via
+    * [[minHashLshPairsFromSignatures]]; the pair volume itself is banded
+    * (never |old| x |new|). Ids must be distinct across the two inputs. */
+  def dedupNearIncremental(existing: DataFrame, incoming: DataFrame,
+                           id: String, text: String,
+                           shingleN: Int = 3, numHashes: Int = 64,
+                           bands: Int = 8, threshold: Double = 0.8,
+                           starClustering: Boolean = false,
+                           driverClusterMaxEdges: Long = 1L << 20): DataFrame = {
+    val all = existing.select(col(id), col(text)).withColumn("__origin", lit(0))
+      .unionByName(incoming.select(col(id), col(text)).withColumn("__origin", lit(1)))
+    val sigs = minHashSignatures(all, id, text, shingleN, numHashes).persist()
+    val pairs = minHashLshPairsFromSignatures(all, sigs, id, text,
+      shingleN, numHashes, bands, threshold).persist()
+    try {
+      val clusters = clusterPairs(pairs, starClustering, driverClusterMaxEdges)
+      val withOrigin = clusters
+        .join(all.select(col(id).as("doc_id"), col("__origin")), "doc_id")
+      val stats = withOrigin.groupBy("cluster_id").agg(
+        min(col("__origin")).as("__has_existing"), // 0 when any existing member
+        min(when(col("__origin") === 1, col("doc_id"))).as("__min_incoming"))
+      val losers = withOrigin.join(stats, "cluster_id")
+        .where(col("__origin") === 1 &&
+          (col("__has_existing") === 0 || col("doc_id") =!= col("__min_incoming")))
+        .select(col("doc_id").as(id))
+        .localCheckpoint(eager = true)
+      incoming.join(losers, Seq(id), "left_anti")
     } finally {
       pairs.unpersist(blocking = false)
       sigs.unpersist(blocking = false)

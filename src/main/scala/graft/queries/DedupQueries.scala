@@ -263,6 +263,58 @@ object DedupQueries {
           |SELECT doc_id, lang, source, n_chars FROM documents
           |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
           |ORDER BY doc_id""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- incremental near-dedup: new batch vs canonical corpus ---------
+    // Even ids play the already-deduped existing corpus, odd ids the
+    // incoming batch: an incoming doc drops when its cluster holds ANY
+    // existing doc (regardless of id order — existing is canonical) or a
+    // smaller incoming id. The even/odd split makes this observably
+    // different from plain min-id dedup over the union. Oracle: same
+    // recursive-CTE reachability as d6 with the asymmetric survivor rule.
+    "d8_dedup_incremental" -> Q(
+      (s, dir) => {
+        val docs = Lake(s, dir).documents
+        Dedup.dedupNearIncremental(
+            docs.where(col("doc_id") % 2 === 0),
+            docs.where(col("doc_id") % 2 === 1),
+            "doc_id", "text",
+            shingleN = 3, numHashes = 64, bands = 8, threshold = 0.8)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH RECURSIVE tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            for i in generate_series(1, len(w)-2)]) AS s
+          |  FROM tok
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |cand AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT id_a, id_b FROM cand
+          |  JOIN cnt ca ON ca.doc_id = id_a
+          |  JOIN cnt cb ON cb.doc_id = id_b
+          |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8),
+          |edges AS (
+          |  SELECT id_a AS a, id_b AS b FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |losers AS (
+          |  SELECT DISTINCT a AS doc_id FROM reach
+          |  WHERE a % 2 = 1 AND a != b AND (b % 2 = 0 OR b < a))
+          |SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE doc_id % 2 = 1
+          |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+          |ORDER BY doc_id""".stripMargin))
   )
 }

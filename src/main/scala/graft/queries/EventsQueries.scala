@@ -77,6 +77,30 @@ object EventsQueries {
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
       headline = true),
 
+    // ---- sliding windows: 1-hour span every 30 minutes ------------------
+    // Each event contributes to the 2 overlapping windows covering it;
+    // the oracle replicates each event into its covering window starts
+    // (the 30-min bucket and the one before it).
+    "q19b_sliding_windows" -> Q(
+      (s, dir) => events(s, dir)
+        .withColumn("t", tsMicrosExpr)
+        .groupBy(window(col("t"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+        .select(
+          col("window.start").cast(TimestampNTZType).as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("win_start", "event_type"),
+      """WITH covering AS (
+        |  SELECT event_type, value,
+        |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+        |      AS win_start
+        |  FROM events)
+        |SELECT win_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM covering GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin),
+
     // ---- lag/lead analytics: inter-event gaps per user ------------------
     "q21b_event_deltas" -> Q(
       (s, dir) => {

@@ -87,6 +87,25 @@ class DedupSpec extends AnyFunSuite {
     assert(prop.size < docs.count(), "fixture has planted dups to remove")
   }
 
+  test("incremental dedup keeps the existing corpus canonical") {
+    import spark.implicits._
+    val existing = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (3L, "alpha beta gamma delta"),  // dup of existing -> drops despite smaller id
+      (5L, "epsilon zeta eta theta"),  // new content -> survives
+      (7L, "epsilon zeta eta theta"),  // dup of surviving incoming 5 -> drops
+      (9L, "unique iota kappa lambda words")).toDF("doc_id", "text")
+    val got = Dedup.dedupNearIncremental(existing, incoming, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(5L, 9L))
+    // contrast: plain dedupNear over the union crowns the smaller id and
+    // would DROP existing doc 10 - the rule incremental mode exists to avoid
+    val union = existing.unionByName(incoming)
+    val plain = Dedup.dedupNear(union, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(10L) && plain.contains(3L))
+  }
+
   test("jaccardPairs df-cutoff drops boilerplate-only candidates, keeps real dups") {
     import spark.implicits._
     // 40 docs sharing one boilerplate shingle; docs 0/1 are identical
