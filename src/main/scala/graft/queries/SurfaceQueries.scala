@@ -252,6 +252,64 @@ object SurfaceQueries {
           |  CAST(levenshtein(p_brand, p_type) AS INTEGER) AS dist
           |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // ---- scalar date-function coverage ----------------------------------
+    // Integer/date-exact functions only (months_between's fractional
+    // semantics differ across engines and stay out of the compared set).
+    "q26b_date_funcs" -> Q(
+      (s, dir) => Lake(s, dir).orders
+        .select(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"),
+          date_add(to_date(col("o_orderdate")), 30).as("due"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(to_date(lit("2000-01-01")), to_date(col("o_orderdate")))
+            .as("days_to_y2k"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey,
+          |  CAST(o_orderdate AS DATE) AS d,
+          |  CAST(o_orderdate AS DATE) + 30 AS due,
+          |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+          |       AS INTEGER) AS days_to_y2k,
+          |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+          |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- null-safe equality (<=>) ---------------------------------------
+    // NULL never equi-joins; the null-safe operator treats NULL as a
+    // joinable value — a classic engine-parity trap. Nulls are planted
+    // via nullif; the oracle is IS NOT DISTINCT FROM. Catalyst still
+    // plans a hash join (EqualNullSafe is a valid equi-key).
+    "q30_null_safe_join" -> Q(
+      (s, dir) => {
+        val li = Lake(s, dir).lineitem
+          .select(nullif(col("l_returnflag"), lit("N")).as("flag"),
+            col("l_quantity"))
+        val dim = Lake(s, dir).lineitem
+          .select(nullif(col("l_returnflag"), lit("N")).as("flag"))
+          .distinct()
+          .withColumn("flag_label", coalesce(col("flag"), lit("unflagged")))
+        li.join(dim, li("flag") <=> dim("flag"))
+          .groupBy(col("flag_label"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("qty"))
+          .orderBy("flag_label")
+      },
+      Some(
+        """WITH li AS (
+          |  SELECT nullif(l_returnflag, 'N') AS flag, l_quantity FROM lineitem),
+          |dim AS (
+          |  SELECT flag, coalesce(flag, 'unflagged') AS flag_label
+          |  FROM (SELECT DISTINCT nullif(l_returnflag, 'N') AS flag FROM lineitem))
+          |SELECT flag_label, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM li JOIN dim ON li.flag IS NOT DISTINCT FROM dim.flag
+          |GROUP BY flag_label ORDER BY flag_label""".stripMargin)),
+
     // ---- native expression through the SQL surface ---------------------
     // cosine_similarity is the engine's fused codegen expression,
     // registered via SparkSessionExtensions.injectFunction. The oracle
