@@ -252,6 +252,30 @@ object SurfaceQueries {
           |  CAST(levenshtein(p_brand, p_type) AS INTEGER) AS dist
           |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // ---- schema evolution: mergeSchema over heterogeneous files --------
+    // Two writer generations land in one table directory (v2 adds a
+    // column); mergeSchema reconciles the footers and v1 rows read the
+    // new column as NULL — the lake-format reality the engine must
+    // survive. Oracle replays the same projection from the source table.
+    "q31_schema_evolution" -> Q(
+      (s, dir) => {
+        val stage = s"/root/repo/target/evo_stage/docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val docs = Lake(s, dir).documents
+        docs.where(col("doc_id") % 2 === 0)
+          .select("doc_id", "lang")
+          .write.mode("overwrite").parquet(s"$stage/gen=1")
+        docs.where(col("doc_id") % 2 === 1)
+          .select("doc_id", "lang", "n_chars") // v2 writer: extra column
+          .write.mode("overwrite").parquet(s"$stage/gen=2")
+        s.read.option("mergeSchema", "true").parquet(stage)
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, lang,
+          |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- scalar date-function coverage ----------------------------------
     // Integer/date-exact functions only (months_between's fractional
     // semantics differ across engines and stay out of the compared set).

@@ -67,6 +67,17 @@ object EventsStream {
       .select("purchase_id", "error_id", "p_user")
   }
 
+  /** Stream-static enrichment join: each micro-batch of the unbounded
+    * feed joins a bounded dimension snapshot (re-read per batch, so dim
+    * updates between batches are picked up). Catalyst broadcasts the
+    * small static side — the streaming analogue of a star-schema
+    * dimension join, with no stream-side state at all (unlike
+    * stream-stream joins). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey), "left")
+
   /** Gap sessionization — streaming twin of the batch `q20_sessions`:
     * the same `session_window(30 minutes)` aggregate over an unbounded
     * feed. The watermark closes a session once event time moves 2 hours

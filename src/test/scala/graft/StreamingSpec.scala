@@ -64,6 +64,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static dimension join enriches each micro-batch") {
+    val dim = Lake(spark, sf0001).customer
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = EventsStream.enrichWithDim(
+        EventsStream.readEvents(spark, eventsDir), dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("c_mktsegment"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect().map(_.toString).sorted.toSeq
+      val want = Lake(spark, sf0001).events
+        .join(dim, col("user_id") === col("c_custkey"), "left")
+        .select(col("event_id"), col("c_mktsegment"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want)
+      // fixture user ids all resolve in the dim -> fully enriched
+      assert(spark.table("enriched").where(col("c_mktsegment").isNull).count() === 0)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each event_id once") {
     val deduped = EventsStream.dedupByEventId(
       EventsStream.readEvents(spark, eventsDir))
