@@ -38,7 +38,38 @@ object SurfaceQueries {
       |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
       |ORDER BY o_orderkey""".stripMargin
 
+  // EXISTS decorrelates to a semi join, NOT EXISTS to an anti join; one
+  // string runs on both engines.
+  private val existsSql =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F' AND o.o_totalprice < 50000)
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
+
+    // ---- EXISTS / NOT EXISTS correlated predicates ---------------------
+    "q32_exists" -> Q(
+      (s, dir) => { Lake(s, dir).registerViews(); s.sql(existsSql) },
+      existsSql),
+
+    // ---- struct construction + field access (nested output column) -----
+    // The struct round-trips through the verify parquet dump and both
+    // engines' readers compare it as a nested value.
+    "q33_struct_funcs" -> Q(
+      (s, dir) => Lake(s, dir).documents
+        .select(col("doc_id"),
+          struct(col("lang"), col("n_chars")).as("meta"),
+          struct(col("lang"), col("n_chars")).getField("lang").as("meta_lang"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  struct_pack(lang := lang, n_chars := n_chars) AS meta,
+          |  lang AS meta_lang
+          |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- S1: JSON sink + source scan with explicit schema --------------
     // Writes the documents table as JSON and reads it back — exercising

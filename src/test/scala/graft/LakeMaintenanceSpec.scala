@@ -121,14 +121,19 @@ class LakeMaintenanceSpec extends AnyFunSuite {
       }.map(_.metrics("numOutputRows").value).sum
     }
     // z-order: a filter on EITHER column reads a bounded fraction — with
-    // 16 files over a 2-D z-layout each dimension splits into >= 4 value
-    // slabs, so <= ~1/4 of rows survive pushdown (allow 1/3 for raggedness)
-    assert(scanRows(zDir, "k1") <= n / 3, "z-order should skip on k1")
-    assert(scanRows(zDir, "k2") <= n / 3, "z-order should skip on k2")
+    // 16 files over a 2-D z-layout each dimension splits into ~4 value
+    // slabs (~1/4 of rows); allow up to 1/2 because repartitionByRange's
+    // sampled boundaries need not align with z-curve quadrant edges
+    val zk1 = scanRows(zDir, "k1")
+    val zk2 = scanRows(zDir, "k2")
+    assert(zk1 <= n / 2, s"z-order should skip on k1 (read $zk1 of $n)")
+    assert(zk2 <= n / 2, s"z-order should skip on k2 (read $zk2 of $n)")
     // linear: leading column skips hard, the other column reads ~everything
     assert(scanRows(linDir, "k1") <= n / 8)
-    assert(scanRows(linDir, "k2") >= n * 9 / 10,
+    val link2 = scanRows(linDir, "k2")
+    assert(link2 >= n * 9 / 10,
       "linear clustering cannot skip on the non-clustered column")
+    assert(zk2 * 2 < link2, "z-order must beat linear on the second column")
     // data lossless through the z-order write
     assert(spark.read.parquet(zDir).count() === n)
   }
