@@ -365,6 +365,24 @@ object SurfaceQueries {
           |FROM li JOIN dim ON li.flag IS NOT DISTINCT FROM dim.flag
           |GROUP BY flag_label ORDER BY flag_label""".stripMargin)),
 
+    // ---- map construction + element access (MAP-typed output column) ---
+    // Spark's parquet MAP and DuckDB's MAP render identically through
+    // the comparator (key/value arrays), so the nested value itself is
+    // hash-compared; element_at covers the access path.
+    "q34_map_funcs" -> Q(
+      (s, dir) => Lake(s, dir).documents
+        .select(col("doc_id"),
+          map(lit("lang"), col("lang"), lit("source"), col("source")).as("m"),
+          element_at(
+            map(lit("lang"), col("lang"), lit("source"), col("source")),
+            "lang").as("m_lang"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  map {'lang': lang, 'source': source} AS m,
+          |  lang AS m_lang
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- native expression through the SQL surface ---------------------
     // cosine_similarity is the engine's fused codegen expression,
     // registered via SparkSessionExtensions.injectFunction. The oracle

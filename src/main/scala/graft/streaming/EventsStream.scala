@@ -93,6 +93,25 @@ object EventsStream {
         col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Continuous lake loading: every micro-batch lands through DYNAMIC
+    * partition overwrite keyed on the event hour — replaying a batch
+    * (failure recovery, manual backfill) replaces exactly the partitions
+    * it owns instead of appending duplicates. This is the streaming half
+    * of [[graft.operators.LakeMaintenance.overwritePartitions]]: the
+    * sink stays idempotent as long as batch boundaries respect partition
+    * boundaries (here: the file source delivers whole files, and a
+    * replayed file recomputes the identical hour partitions). */
+  def writeHourlyPartitioned(events: DataFrame, path: String,
+                             checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withColumn("event_hour", date_trunc("hour", col("t")))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.LakeMaintenance.overwritePartitions(
+          batch, path, Seq("event_hour"))
+      }
+
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom stateful aggregation: running per-user totals via

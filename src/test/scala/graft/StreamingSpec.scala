@@ -222,6 +222,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch lands micro-batches as idempotent partition overwrites") {
+    import java.nio.file.Files
+    val sink = Files.createTempDirectory("lake_sink").toString
+    val ckpt = Files.createTempDirectory("lake_ckpt").toString
+    val q = EventsStream.writeHourlyPartitioned(
+      EventsStream.readEvents(spark, eventsDir), sink, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val want = Lake(spark, sf0001).events.count()
+    assert(spark.read.parquet(sink).count() === want)
+    // hive-style hour partitions on disk
+    val dirs = new java.io.File(sink).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_hour="))
+    assert(dirs.length > 1, s"expected hour partitions, got ${dirs.toSeq}")
+    // replaying the same content replaces its partitions - no duplication
+    val replay = Lake(spark, sf0001).events
+      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_hour", date_trunc("hour", col("t")))
+    graft.operators.LakeMaintenance.overwritePartitions(
+      replay, sink, Seq("event_hour"))
+    assert(spark.read.parquet(sink).count() === want,
+      "a replayed batch must replace, not append")
+  }
+
   test("stateful running totals accumulate per user") {
     val totals = EventsStream.runningUserTotals(spark,
       EventsStream.readEvents(spark, eventsDir))
