@@ -348,9 +348,15 @@ object Dedup {
       .select(col(aCol).cast(LongType), col(bCol).cast(LongType))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // iterative find + path compression: min-attachment (no union by
+    // rank) can build O(n) root chains under adversarial union order,
+    // and at the 2^20-edge gate a recursive find would overflow the stack
     def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val next = parent(c); parent(c) = r; c = next }
+      r
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

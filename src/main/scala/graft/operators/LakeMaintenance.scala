@@ -90,8 +90,9 @@ object LakeMaintenance {
       max(col(c).cast("double")).as(s"__max_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     def bucketOf(c: String, i: Int): Column = {
-      val lo = stats.getDouble(2 * i)
-      val hi = stats.getDouble(2 * i + 1)
+      // an all-NULL column has null min/max: degenerate to bucket 0
+      val lo = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
+      val hi = if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)
       if (hi <= lo) lit(0)
       else least(lit(buckets - 1), greatest(lit(0),
         floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * buckets)

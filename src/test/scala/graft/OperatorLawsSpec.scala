@@ -170,6 +170,20 @@ class OperatorLawsSpec extends AnyFunSuite {
       s"expected one UUID checkpoint subdir, got ${subdirs.map(_.getName).toSeq}")
   }
 
+  test("driver union-find survives adversarial O(n) root chains") {
+    // descending-order chain unions attach each new root UNDER the next
+    // (p[n-1]=n-2, ...), building an O(n) parent chain that no find
+    // traverses until the labeling pass — a recursive find would blow
+    // the stack near the 2^20-edge gate; the iterative one must not
+    val n = 100000
+    val edges = (n - 1 to 1 by -1).map(i => (i.toLong - 1, i.toLong))
+    val df = edges.toDF("id_a", "id_b").coalesce(1)
+    val got = Dedup.connectedComponentsLocal(df, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    assert(got.values.forall(_ == 0L))
+  }
+
   test("star clustering keeps one row per vertex when maxIter exhausts early") {
     // one alternating round cannot finish a 64-node path; the fallback
     // min-reduction must still emit exactly one (possibly non-minimal)
