@@ -76,6 +76,26 @@ object TextFunctions {
     lenSat * 0.5 + stopShare * 0.3 + (lit(1.0) - punctShare) * 0.2
   }
 
+  /** Overlapping token windows (RAG-style chunking): a `chunkSize`-token
+    * window starting every `stride` tokens, clamped at the end — every
+    * token lands in at least one chunk when stride <= chunkSize, and the
+    * final window may be short. Pure expression composition (sequence +
+    * slice + concat_ws), so chunking is a narrow per-row map. */
+  def tokenChunks(c: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0)
+    val toks = tokens(c)
+    transform(sequence(lit(1), size(toks), lit(stride)),
+      st => concat_ws(" ", slice(toks, st, lit(chunkSize))))
+  }
+
+  /** Deterministic PII-style redaction: emails then long digit runs are
+    * replaced with typed placeholder tags. Regex subset chosen to behave
+    * identically under Java regex and RE2 (the DuckDB oracle replays it). */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, """[\w.+-]+@[\w-]+\.[\w.]+""", "<email>"),
+      """\d{3,}""", "<num>")
+
   /** Whitespace-normalized text: the canonical form fingerprints hash. */
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), """\s+""", " ")

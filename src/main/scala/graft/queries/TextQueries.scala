@@ -247,6 +247,46 @@ object TextQueries {
           |  FROM scored) r
           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // ---- RAG-style token chunking (overlapping windows) ----------------
+    // 32-token chunks every 16 tokens: adjacent chunks share half their
+    // tokens, the tail chunk may be short. chunk_idx replays as
+    // (start-1)/stride in the oracle.
+    "t13_chunking" -> Q(
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(tokenChunks(col("text"), 32, 16)).as(Seq("chunk_idx", "chunk_text")))
+        .withColumn("n_tokens", size(tokens(col("chunk_text"))))
+        .orderBy("doc_id", "chunk_idx"),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |st AS (
+          |  SELECT doc_id, w, unnest(generate_series(1, len(w), 16)) AS s
+          |  FROM tok)
+          |SELECT doc_id, CAST((s - 1) / 16 AS INTEGER) AS chunk_idx,
+          |  array_to_string(w[s:s+31], ' ') AS chunk_text,
+          |  CAST(len(w[s:s+31]) AS INTEGER) AS n_tokens
+          |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- deterministic PII-style redaction -----------------------------
+    // A synthetic contact suffix is appended in BOTH engines so the
+    // redaction demonstrably fires on every row regardless of corpus
+    // content; patterns sit in the Java-regex/RE2 common subset.
+    "t14_redact" -> Q(
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          redact(concat(col("text"),
+            lit(" contact: a.b+c@mail.example or 1234567"))).as("clean"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  regexp_replace(
+          |    regexp_replace(text || ' contact: a.b+c@mail.example or 1234567',
+          |      '[\w.+-]+@[\w-]+\.[\w.]+', '<email>', 'g'),
+          |    '\d{3,}', '<num>', 'g') AS clean
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- typed top-k aggregate: 3 best-quality docs per language -------
     // TopKAggregator keeps a k-bounded buffer per group map-side; the
     // oracle is the window formulation of the same answer.
