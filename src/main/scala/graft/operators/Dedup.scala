@@ -199,6 +199,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("j_raw"), 5).as("jaccard"))
   }
 
+  /** Jaccard top-k text search: for each query document, the `k`
+    * most-similar corpus documents by exact n-gram Jaccard — the lookup
+    * twin of [[jaccardPairs]] (and the text-side counterpart of
+    * [[Similarity.bruteForceTopK]]). Asymmetric posting-list join keyed
+    * on shared shingles, so cost is bounded by shingle co-occurrence
+    * (with the same `maxShingleDf` boilerplate guard), never
+    * |queries| x |corpus|; per-query top-k runs as a WindowGroupLimit
+    * partial before the final exchange. Candidates sharing no shingle
+    * (Jaccard 0) never surface — standard search semantics. */
+  def jaccardTopK(corpus: DataFrame, queries: DataFrame, id: String, text: String,
+                  shingleN: Int = 3, k: Int = 5,
+                  maxShingleDf: Int = 1000): DataFrame = {
+    val cp0 = postings(corpus, id, text, shingleN)
+    val cp =
+      if (maxShingleDf == Int.MaxValue) cp0
+      else {
+        val hot = cp0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDf).select("shingle")
+        cp0.join(hot, Seq("shingle"), "left_anti")
+      }
+    val qp = postings(queries, id, text, shingleN)
+    val cCnt = cp.groupBy(col(id)).agg(count(lit(1)).as("n_c"))
+    val qCnt = qp.groupBy(col(id)).agg(count(lit(1)).as("n_q"))
+    val common = qp.select(col(id).as("query_id"), col("shingle"))
+      .join(cp.select(col(id).as("corpus_id"), col("shingle")), "shingle")
+      .groupBy("query_id", "corpus_id").agg(count(lit(1)).as("common"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("j_raw"), asc("corpus_id"))
+    common
+      .join(qCnt.select(col(id).as("query_id"), col("n_q")), "query_id")
+      .join(cCnt.select(col(id).as("corpus_id"), col("n_c")), "corpus_id")
+      .withColumn("j_raw", col("common").cast(DoubleType) /
+        (col("n_q") + col("n_c") - col("common")).cast(DoubleType))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("j_raw"), 5).as("jaccard"))
+  }
+
   /** Truncate lineage between iterations. `dir = None` keeps the
     * executor-local fast path (fine single-node); `Some(d)` uses a
     * reliable checkpoint under `d` — on a real cluster localCheckpoint

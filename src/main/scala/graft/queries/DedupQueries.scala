@@ -265,6 +265,44 @@ object DedupQueries {
           |ORDER BY doc_id""".stripMargin),
       headline = true),
 
+    // ---- Jaccard top-k text search (lookup twin of the pair scan) ------
+    // First 5 docs query the rest of the corpus; ties break on corpus_id.
+    "d9_jaccard_topk" -> Q(
+      (s, dir) => {
+        val docs = Lake(s, dir).documents
+        Dedup.jaccardTopK(
+            docs.where(col("doc_id") >= 5), docs.where(col("doc_id") < 5),
+            "doc_id", "text", shingleN = 3, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            for i in generate_series(1, len(w)-2)]) AS s
+          |  FROM tok
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |com AS (
+          |  SELECT q.doc_id AS query_id, c.doc_id AS corpus_id, count(*) AS common
+          |  FROM sh q JOIN sh c ON q.s = c.s
+          |  WHERE q.doc_id < 5 AND c.doc_id >= 5
+          |  GROUP BY 1, 2),
+          |scored AS (
+          |  SELECT query_id, corpus_id,
+          |    common * 1.0 / (cq.n + cc.n - common) AS j
+          |  FROM com
+          |  JOIN cnt cq ON cq.doc_id = query_id
+          |  JOIN cnt cc ON cc.doc_id = corpus_id)
+          |SELECT query_id, rank, corpus_id, round(j, 5) AS jaccard FROM (
+          |  SELECT query_id, corpus_id, j,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          |         ORDER BY j DESC, corpus_id) AS INTEGER) AS rank
+          |  FROM scored) r
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- incremental near-dedup: new batch vs canonical corpus ---------
     // Even ids play the already-deduped existing corpus, odd ids the
     // incoming batch: an incoming doc drops when its cluster holds ANY
