@@ -423,9 +423,15 @@ object Dedup {
     * or under `driverClusterMaxEdges` (the count is free — the pairs are
     * already materialized in the cache) clusters via driver union-find
     * ([[connectedComponentsLocal]]); larger graphs run the distributed
-    * algorithms. Set 0 to force distributed clustering. */
+    * algorithms. Set 0 to force distributed clustering.
+    *
+    * Default banding is 16 bands x 4 rows: a threshold-0.8 pair misses
+    * with probability (1-j^4)^16 <= 2e-4, so recall effectively holds at
+    * any corpus size (8x8 banding measurably lost borderline j~0.85
+    * pairs at the 10x test scale). The wider bands admit more j>=0.5
+    * candidates — all killed by the exact-Jaccard verify stage. */
   def dedupNear(df: DataFrame, id: String, text: String,
-                shingleN: Int = 3, numHashes: Int = 64, bands: Int = 8,
+                shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                 threshold: Double = 0.8,
                 starClustering: Boolean = false,
                 driverClusterMaxEdges: Long = 1L << 20): DataFrame = {
@@ -477,7 +483,7 @@ object Dedup {
   def dedupNearIncremental(existing: DataFrame, incoming: DataFrame,
                            id: String, text: String,
                            shingleN: Int = 3, numHashes: Int = 64,
-                           bands: Int = 8, threshold: Double = 0.8,
+                           bands: Int = 16, threshold: Double = 0.8,
                            starClustering: Boolean = false,
                            driverClusterMaxEdges: Long = 1L << 20): DataFrame = {
     val all = existing.select(col(id), col(text)).withColumn("__origin", lit(0))

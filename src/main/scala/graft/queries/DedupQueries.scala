@@ -223,12 +223,14 @@ object DedupQueries {
           |ORDER BY doc_id""".stripMargin)),
 
     // ---- end-to-end near-dedup: corpus minus non-representatives -------
-    // LSH recall is exactly 1.0 on this corpus (DedupSpec pins lsh ==
-    // exact at the same threshold), so the exact recursive-CTE oracle
-    // applies to the LSH-routed pipeline.
+    // 16 bands x 4 rows: the band fires at j^4, so a threshold-0.8 pair
+    // misses with probability (1-j^4)^16 <= 2e-4 — recall holds at every
+    // driver SF (8x8 banding lost borderline j~0.85 pairs at sf0.1 and
+    // diverged from this exact recursive-CTE oracle; DedupSpec pins
+    // lsh == exact at the gate SFs).
     "d6_dedup_corpus" -> Q(
       (s, dir) => Dedup.dedupNear(Lake(s, dir).documents, "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 8, threshold = 0.8)
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
       Some(
@@ -317,7 +319,7 @@ object DedupQueries {
             docs.where(col("doc_id") % 2 === 0),
             docs.where(col("doc_id") % 2 === 1),
             "doc_id", "text",
-            shingleN = 3, numHashes = 64, bands = 8, threshold = 0.8)
+            shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
           .select("doc_id", "lang", "source", "n_chars")
           .orderBy("doc_id")
       },
@@ -353,6 +355,7 @@ object DedupQueries {
           |SELECT doc_id, lang, source, n_chars FROM documents
           |WHERE doc_id % 2 = 1
           |  AND doc_id NOT IN (SELECT doc_id FROM losers)
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin),
+      headline = true)
   )
 }

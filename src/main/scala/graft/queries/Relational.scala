@@ -266,24 +266,27 @@ object Relational {
     "q10_window_running" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        // (l_suppkey, l_shipdate, l_orderkey, l_linenumber) is the minimal
-        // unique key in the driver data — (orderkey, linenumber) alone has
-        // duplicates, so both the frame order and the final order use all 4.
+        // (l_suppkey, l_shipdate, l_orderkey, l_linenumber) is unique at
+        // sf0.01 but NOT at sf0.1 (one duplicate 4-tuple) — a ROWS-frame
+        // running sum over a non-total order is engine-nondeterministic
+        // at the tie, so l_quantity joins the sort key: rows still tied
+        // after that are identical in every summed and compared column,
+        // making both the frame and the final order semantically total.
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Lake(s, dir).lineitem
           .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast(DoubleType))
           .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
-          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
       },
       """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, running_qty""".stripMargin,
       headline = true),
 
     // ---- RANGE window frame: trailing 30-day spend per customer --------
