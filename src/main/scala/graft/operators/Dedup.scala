@@ -238,6 +238,44 @@ object Dedup {
         round(col("j_raw"), 5).as("jaccard"))
   }
 
+  /** MinHash-LSH top-k text search — the banded (ANN) scale path of
+    * [[jaccardTopK]]: query signatures probe only corpus documents
+    * sharing a signature band (candidate volume ~ banding collision
+    * rate, never |queries| x |corpus| and never the full posting join),
+    * then exact Jaccard scores the candidates and a per-query window
+    * keeps k. Recall follows the banding s-curve (1-(1-j^rows)^bands) —
+    * near-identical docs are found with near-certainty, low-similarity
+    * neighbors may be missed: standard ANN semantics, the text twin of
+    * [[Similarity.lshTopK]]. */
+  def minHashTopK(corpus: DataFrame, queries: DataFrame, id: String, text: String,
+                  shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                  k: Int = 5, family: MinHashFamily = XxMinHash): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def banded(df: DataFrame, as: String): DataFrame =
+      minHashSignatures(df, id, text, shingleN, numHashes, family).select(
+        col(id).as(as),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("signature"), b * rows + 1, rows), lit(b))): _*))
+          .as(Seq("band", "band_hash")))
+    val candidates = banded(queries, "query_id")
+      .join(banded(corpus, "corpus_id"), Seq("band", "band_hash"))
+      .select("query_id", "corpus_id").distinct()
+    val qs = queries.select(col(id).as("query_id"), shingleSet(col(text), shingleN).as("sh_q"))
+    val cs = corpus.select(col(id).as("corpus_id"), shingleSet(col(text), shingleN).as("sh_c"))
+    val w = Window.partitionBy("query_id").orderBy(desc("j_raw"), asc("corpus_id"))
+    candidates
+      .join(qs, "query_id")
+      .join(cs, "corpus_id")
+      .withColumn("common", size(array_intersect(col("sh_q"), col("sh_c"))).cast(DoubleType))
+      .withColumn("j_raw",
+        col("common") / (size(col("sh_q")) + size(col("sh_c")) - col("common")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("j_raw"), 5).as("jaccard"))
+  }
+
   /** Truncate lineage between iterations. `dir = None` keeps the
     * executor-local fast path (fine single-node); `Some(d)` uses a
     * reliable checkpoint under `d` — on a real cluster localCheckpoint

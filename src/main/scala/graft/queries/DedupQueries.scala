@@ -305,6 +305,75 @@ object DedupQueries {
           |  FROM scored) r
           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- MinHash-LSH top-k search (the ANN scale path of d9) -----------
+    // Portable md5 family, so the oracle rebuilds signatures and replays
+    // the 16x4 banding as signature-slice equality (the d2 playbook),
+    // then scores candidates with exact Jaccard and ranks top-5.
+    "d10_minhash_topk" -> Q(
+      (s, dir) => {
+        // query docs with planted near-dups in the sf0.01 corpus (their
+        // partners sit in the corpus side), so the ANN probe has true
+        // neighbors to surface; random pairs in this corpus sit far
+        // below the banding s-curve and produce no candidates.
+        val docs = Lake(s, dir).documents
+        Dedup.minHashTopK(
+            docs.where(!col("doc_id").isin(8, 26, 31, 44, 45)),
+            docs.where(col("doc_id").isin(8, 26, 31, 44, 45)),
+            "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+            k = 5, family = Dedup.Md5MinHash)
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            for i in generate_series(1, len(w)-2)]) AS s
+          |  FROM tok
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |hv AS (
+          |  SELECT doc_id,
+          |    CAST(list_sum([(strpos('0123456789abcdef', substr(m, i, 1)) - 1)
+          |                   * CAST(pow(16, 15 - i) AS BIGINT)
+          |                   for i in generate_series(1, 15)]) AS BIGINT) AS h1,
+          |    CAST(list_sum([(strpos('0123456789abcdef', substr(m, i + 15, 1)) - 1)
+          |                   * CAST(pow(16, 14 - i) AS BIGINT)
+          |                   for i in generate_series(1, 14)]) AS BIGINT) AS h2
+          |  FROM (SELECT doc_id, md5(s) AS m FROM sh)
+          |), mh AS (
+          |  SELECT doc_id, j, min((h1 + j * h2) % 1152921504606846976) AS v
+          |  FROM hv, generate_series(0, 63) AS g(j)
+          |  GROUP BY doc_id, j
+          |), sigs AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+          |cand AS (
+          |  SELECT q.doc_id AS query_id, c.doc_id AS corpus_id
+          |  FROM sigs q JOIN sigs c
+          |    ON q.doc_id IN (8, 26, 31, 44, 45)
+          |   AND c.doc_id NOT IN (8, 26, 31, 44, 45)
+          |  WHERE list_sum([CASE WHEN q.sig[4*b+1:4*b+4] = c.sig[4*b+1:4*b+4]
+          |                       THEN 1 ELSE 0 END
+          |                  for b in generate_series(0, 15)]) > 0
+          |), com AS (
+          |  SELECT cd.query_id, cd.corpus_id, count(*) AS common
+          |  FROM cand cd
+          |  JOIN sh a ON a.doc_id = cd.query_id
+          |  JOIN sh b ON b.doc_id = cd.corpus_id AND a.s = b.s
+          |  GROUP BY 1, 2),
+          |scored AS (
+          |  SELECT query_id, corpus_id,
+          |    common * 1.0 / (cq.n + cc.n - common) AS j
+          |  FROM com
+          |  JOIN cnt cq ON cq.doc_id = query_id
+          |  JOIN cnt cc ON cc.doc_id = corpus_id)
+          |SELECT query_id, rank, corpus_id, round(j, 5) AS jaccard FROM (
+          |  SELECT query_id, corpus_id, j,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          |         ORDER BY j DESC, corpus_id) AS INTEGER) AS rank
+          |  FROM scored) r
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- incremental near-dedup: new batch vs canonical corpus ---------
     // Even ids play the already-deduped existing corpus, odd ids the
     // incoming batch: an incoming doc drops when its cluster holds ANY

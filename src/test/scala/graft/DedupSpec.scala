@@ -87,6 +87,20 @@ class DedupSpec extends AnyFunSuite {
     assert(prop.size < docs.count(), "fixture has planted dups to remove")
   }
 
+  test("minHashTopK surfaces every high-similarity neighbor the exact search finds") {
+    val docs = Lake(spark, sf0001).documents
+    val queries = docs.where(col("doc_id") < 100)
+    val corpus = docs.where(col("doc_id") >= 100)
+    def high(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.where(col("jaccard") >= 0.9).select("query_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = high(Dedup.jaccardTopK(corpus, queries, "doc_id", "text", 3, 5))
+    val ann = high(Dedup.minHashTopK(corpus, queries, "doc_id", "text", 3, 64, 16, 5))
+    // at 16x4 banding a j>=0.9 pair misses with (1-0.9^4)^16 ~ 4e-8
+    assert(exact.nonEmpty, "fixture should contain cross-split high-sim pairs")
+    assert(ann === exact)
+  }
+
   test("incremental dedup keeps the existing corpus canonical") {
     import spark.implicits._
     val existing = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
