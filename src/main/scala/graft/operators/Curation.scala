@@ -56,4 +56,19 @@ object Curation {
     val deduped = Dedup.dedupExact(filtered, Seq("fp"), idCol)
     Sampling.hashSample(deduped, "fp", cfg.sampleSixteenths)
   }
+
+  /** Language-balanced curation: the same annotate → filter → dedup
+    * chain, but the final sample is stratified per PREDICTED language —
+    * the "rebalance the training mix" knob (downsample the dominant
+    * language, keep more of the rare ones). `fractions` maps lang_pred →
+    * sixteenths kept; languages absent from the map are dropped.
+    * Membership stays keyed on the content fingerprint, so the kept fp
+    * set remains id- and arrival-invariant per stratum. */
+  def curateBalanced(df: DataFrame, idCol: String, textCol: String,
+                     fractions: Map[String, Int],
+                     cfg: Config = Config()): DataFrame = {
+    val filtered = annotateAndFilter(Parallelism.ensure(df), textCol, cfg)
+    val deduped = Dedup.dedupExact(filtered, Seq("fp"), idCol)
+    Sampling.stratified(deduped, "lang_pred", "fp", fractions)
+  }
 }

@@ -54,5 +54,51 @@ object CurationQueries {
           |WHERE md5(fp) < '8'
           |ORDER BY doc_id""".stripMargin),
       headline = true),
+
+    // ---- language-balanced curation (stratified final sample) ----------
+    // Downsample dominant en hard, keep most es, all de; the oracle
+    // composes the identical chain with the per-stratum thresholds.
+    "c2_curation_balanced" -> Q(
+      (s, dir) => Curation.curateBalanced(Lake(s, dir).documents,
+          "doc_id", "text", Map("en" -> 2, "es" -> 8, "de" -> 16),
+          Curation.Config(minQuality = 0.5, dropUnknownLang = true))
+        .select("doc_id", "lang_pred", "quality", "n_tokens", "fp")
+        .orderBy("doc_id"),
+      Some(
+        """WITH annotated AS (
+          |  SELECT doc_id,
+          |    CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unk'
+          |         WHEN en >= es AND en >= de THEN 'en'
+          |         WHEN es >= de THEN 'es'
+          |         ELSE 'de' END AS lang_pred,
+          |      least(CAST(ntok AS DOUBLE) / 100.0, 1.0) * 0.5
+          |    + (CASE WHEN ntok > 0 THEN CAST(stop_hits AS DOUBLE) / ntok ELSE 0.0 END) * 0.3
+          |    + (1.0 - CASE WHEN nchars > 0 THEN CAST(punct AS DOUBLE) / nchars ELSE 0.0 END) * 0.2
+          |      AS quality,
+          |    CAST(ntok AS BIGINT) AS n_tokens,
+          |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          |  FROM (
+          |    SELECT doc_id, text,
+          |      len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+          |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS en,
+          |      len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los)\b')) AS es,
+          |      len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|von)\b')) AS de,
+          |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+          |      len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS punct,
+          |      length(text) AS nchars
+          |    FROM documents) t
+          |), filtered AS (
+          |  SELECT * FROM annotated WHERE quality >= 0.5 AND lang_pred != 'unk'
+          |), deduped AS (
+          |  SELECT doc_id, lang_pred, quality, n_tokens, fp FROM (
+          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          |    FROM filtered) d
+          |  WHERE rn = 1
+          |)
+          |SELECT doc_id, lang_pred, quality, n_tokens, fp FROM deduped
+          |WHERE (lang_pred = 'en' AND md5(fp) < '2')
+          |   OR (lang_pred = 'es' AND md5(fp) < '8')
+          |   OR (lang_pred = 'de')
+          |ORDER BY doc_id""".stripMargin)),
   )
 }
