@@ -228,6 +228,11 @@ object SurfaceQueries {
     // bit-deterministic in both engines (general p is formula-order
     // sensitive). Stddev from exact decimal moments, not the streaming
     // variance aggregate, so partial-aggregation order can't shift bits.
+    // The final sqrt((sumsq - sum^2/n)/(n-1)) float combination is still
+    // ulp-sensitive across engines (observed 1-ulp divergence at
+    // sf0.001 — near-cancellation + FMA-style fusion), so stddev alone
+    // is rounded to 4 decimals on both sides: the fixture values sit
+    // >= 7e-7 from every rounding boundary while ulp noise is ~4e-12.
     "q25_stats" -> Q(
       (s, dir) => {
         val cents = round(col("l_extendedprice") * 100).cast(LongType)
@@ -245,13 +250,13 @@ object SurfaceQueries {
           .select(
             col("l_returnflag"), col("n"), col("min_price"), col("max_price"),
             col("median_price"),
-            sqrt((col("sumsq_p") - col("sum_p") * col("sum_p") / col("n"))
-              / (col("n") - 1)).as("stddev_price"))
+            round(sqrt((col("sumsq_p") - col("sum_p") * col("sum_p") / col("n"))
+              / (col("n") - 1)), 4).as("stddev_price"))
           .orderBy("l_returnflag")
       },
       Some(
         """SELECT l_returnflag, n, min_price, max_price, median_price,
-          |  sqrt((sumsq_p - sum_p * sum_p / n) / (n - 1)) AS stddev_price
+          |  round(sqrt((sumsq_p - sum_p * sum_p / n) / (n - 1)), 4) AS stddev_price
           |FROM (
           |  SELECT l_returnflag, COUNT(*) AS n,
           |    MIN(l_extendedprice) AS min_price,
