@@ -36,6 +36,31 @@ object VectorFunctions {
   /** Cosine similarity, fused codegen expression (production path). */
   def cosine(a: Column, b: Column): Column = CosineSimilarityExpr.cosine(a, b)
 
+  /** Scalar min-max quantization of a float vector to [0, 255] integer
+    * codes plus the (lo, hi) dequantization range — the 4x storage
+    * compression an embedding lake actually applies at rest. `floor` is
+    * used instead of `round`: floor is deterministic across engines
+    * while half-way rounding ties are not, and the codes stay exact
+    * (x = hi maps to exactly 255 — the ratio is computed from the same
+    * doubles, so no clamp is needed). A constant vector (hi == lo)
+    * quantizes to all-zero codes. */
+  def quantizeUint8(v: Column): Column = {
+    val lo = array_min(v).cast(DoubleType)
+    val hi = array_max(v).cast(DoubleType)
+    val codes = transform(v, x =>
+      when(hi > lo,
+        floor((x.cast(DoubleType) - lo) / (hi - lo) * 255).cast("int"))
+        .otherwise(lit(0)))
+    struct(lo.as("lo"), hi.as("hi"), codes.as("codes"))
+  }
+
+  /** Dequantize [[quantizeUint8]] output back to doubles (midpoint-free
+    * linear reconstruction: code/255 * (hi-lo) + lo). */
+  def dequantizeUint8(q: Column): Column =
+    transform(q.getField("codes"), c =>
+      q.getField("lo") + c.cast(DoubleType) / 255.0 *
+        (q.getField("hi") - q.getField("lo")))
+
   /** Sign bit of the projection of `v` onto a deterministic pseudo-random
     * hyperplane (plane index + dimension index seed xxhash64, mapped to
     * [-1, 1)). Used for LSH bucketing of embeddings — no stored plane

@@ -16,6 +16,29 @@ object SimilarityQueries {
 
   val defs: Map[String, Q] = Map(
 
+    // ---- int8 scalar quantization (embedding storage compression) ------
+    // floor-based codes are deterministic across engines (half-way
+    // rounding ties are not); float->double widening is exact on both
+    // sides, so the codes hash-compare byte-exact.
+    "s5_quantize" -> Q(
+      (s, dir) => Lake(s, dir).embeddings
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.quantizeUint8(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q.lo").as("lo"), col("q.hi").as("hi"),
+          col("q.codes").as("codes"))
+        .orderBy("vec_id"),
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id, embedding AS v,
+          |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS lo,
+          |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS hi
+          |  FROM embeddings)
+          |SELECT vec_id, lo, hi,
+          |  [CASE WHEN hi > lo
+          |        THEN CAST(floor((x::DOUBLE - lo) / (hi - lo) * 255) AS INTEGER)
+          |        ELSE 0 END for x in v] AS codes
+          |FROM e ORDER BY vec_id""".stripMargin)),
+
     // ---- exact cosine top-k: 10 query vectors vs the rest --------------
     "s1_cosine_topk" -> Q(
       (s, dir) => {

@@ -179,6 +179,28 @@ class VectorSpec extends AnyFunSuite {
       assert(!meansPlan.contains(bad), s"centroid-means plan has $bad:\n$meansPlan")
   }
 
+  test("uint8 quantization round-trips within one code step") {
+    import graft.functions.VectorFunctions
+    val emb = Lake(spark, sf0001).embeddings
+    val q = emb.select(col("vec_id"), col("embedding"),
+        VectorFunctions.quantizeUint8(col("embedding")).as("q"))
+      .withColumn("deq", VectorFunctions.dequantizeUint8(col("q")))
+      .withColumn("step", (col("q.hi") - col("q.lo")) / 255.0)
+      .withColumn("max_err", aggregate(
+        zip_with(col("embedding"), col("deq"),
+          (x, y) => abs(x.cast("double") - y)),
+        lit(0.0), (a, b) => greatest(a, b)))
+    assert(q.where(col("max_err") > col("step") + lit(1e-12)).count() === 0)
+    assert(q.count() > 0)
+    // constant vector degenerates to all-zero codes (hi == lo)
+    import spark.implicits._
+    val const = Seq((1L, Array(2.5f, 2.5f, 2.5f))).toDF("vec_id", "embedding")
+    val codes = const
+      .select(VectorFunctions.quantizeUint8(col("embedding")).getField("codes"))
+      .head.getSeq[Int](0)
+    assert(codes.forall(_ == 0))
+  }
+
   test("adaptivePlanes keeps expected bucket occupancy at or under target") {
     for (n <- Seq(50L, 256L, 1024L, 4096L, 1000000L, 10000000000L); t <- Seq(64L, 2048L)) {
       val p = Similarity.adaptivePlanes(n, t)
