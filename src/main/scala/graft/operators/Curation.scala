@@ -57,6 +57,40 @@ object Curation {
     Sampling.hashSample(deduped, "fp", cfg.sampleSixteenths)
   }
 
+  /** Source-level curation verdicts (the URL/domain-filtering stage a web
+    * corpus runs before any per-document work): aggregate per-document
+    * quality to its source and keep only sources with enough volume AND a
+    * high-enough mean quality.
+    *
+    * Exactness at scale: per-row quality doubles are mapped to the
+    * integer domain with `floor(q * 1e6)` BEFORE aggregation — floor of a
+    * bit-identical double is deterministic, and BIGINT sums are exact and
+    * order-independent, so the verdict never depends on partial-aggregate
+    * order (a raw double sum would). The mean-quality gate is the
+    * cross-multiplied integer comparison `sum >= ceil(minAvg·1e6)·n` —
+    * no division anywhere. One partial+final aggregation, no shuffle
+    * beyond the groupBy; verdicts broadcast back as a semi-join filter. */
+  def sourceStats(df: DataFrame, sourceCol: String, textCol: String,
+                  minDocs: Long = 1L, minAvgQuality: Double = 0.5): DataFrame = {
+    val micro = math.ceil(minAvgQuality * 1e6).toLong
+    Parallelism.ensure(df)
+      .select(col(sourceCol),
+        floor(qualityScore(col(textCol)) * 1e6).cast("long").as("q_micro"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q_micro")).as("sum_q_micro"))
+      .withColumn("kept",
+        col("n_docs") >= minDocs && col("sum_q_micro") >= col("n_docs") * micro)
+  }
+
+  /** Keep only documents from sources [[sourceStats]] accepts — the
+    * composed filter (broadcast semi-join on the tiny verdict table). */
+  def filterBySource(df: DataFrame, sourceCol: String, textCol: String,
+                     minDocs: Long = 1L, minAvgQuality: Double = 0.5): DataFrame =
+    df.join(
+      broadcast(sourceStats(df, sourceCol, textCol, minDocs, minAvgQuality)
+        .where(col("kept")).select(sourceCol)),
+      Seq(sourceCol), "left_semi")
+
   /** Language-balanced curation: the same annotate → filter → dedup
     * chain, but the final sample is stratified per PREDICTED language —
     * the "rebalance the training mix" knob (downsample the dominant

@@ -152,6 +152,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("j_raw"), 5).as("jaccard"))
   }
 
+  /** Benchmark decontamination: annotate every train document with the
+    * number of distinct word n-grams it shares with a benchmark corpus
+    * (the published n-gram-overlap filter used to scrub eval sets out of
+    * LLM training data — exact-substring-by-shingle, not similarity).
+    *
+    * Scale shape: the benchmark side (eval suites — thousands of docs,
+    * not billions) collapses to its DISTINCT shingle set and broadcasts;
+    * the train side is one shingle explode + broadcast-hash semi-count +
+    * one aggregation keyed by doc id — no train-side self-join anywhere,
+    * so cost is linear in train shingle volume at any corpus size. Train
+    * docs with zero overlap keep `contaminated_ngrams = 0` via the final
+    * left join (the output always has one row per train doc). */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+                    id: String, text: String, shingleN: Int = 5): DataFrame = {
+    val benchShingles = postings(benchmark, id, text, shingleN)
+      .select("shingle").distinct()
+    val hits = postings(train, id, text, shingleN)
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(col(id)).agg(count(lit(1)).as("contaminated_ngrams"))
+    Parallelism.ensure(train).select(col(id))
+      .join(hits, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("contaminated_ngrams"), lit(0L)).as("contaminated_ngrams"))
+      .withColumn("contaminated", col("contaminated_ngrams") > 0)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs, no LSH: posting-list self-join
     * on shared shingles. Fully SQL-expressible (the DuckDB oracle runs the
     * same algorithm). With a reasonable shingle size the posting lists are

@@ -252,6 +252,54 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Deterministic cluster id from the sign pattern of the first `dims`
+    * vector components — the SQL-portable stand-in for a trained cluster
+    * assignment (axis-aligned hyperplanes instead of seeded random ones). */
+  def signBucket(v: Column, dims: Int): Column = {
+    require(dims >= 1 && dims <= 30)
+    (0 until dims).map(i =>
+      when(element_at(v, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)): Column)
+      .reduce(_ + _)
+  }
+
+  /** SemDedup-style semantic deduplication (cluster-then-prune, after
+    * Abbas et al. 2023, arXiv:2303.09540): partition the embedding corpus
+    * into clusters, then WITHIN each cluster drop every vector that has a
+    * smaller-id neighbor at cosine >= `threshold`. Cross-cluster pairs
+    * are never compared — that locality is the semantics (and the scale
+    * lever): the pair join is keyed on the cluster id, so candidate
+    * volume is sum(cluster_size^2), never corpus^2.
+    *
+    * The drop rule ("any smaller-id neighbor, kept or not") is the
+    * transitive-chain-safe greedy variant — deterministic, order-free,
+    * one shot; no iterative connected components needed.
+    *
+    * `signDims` picks 2^dims [[signBucket]] clusters (SQL-portable, what
+    * the s6 oracle replays). Production corpora swap in trained cells
+    * ([[ivfCells]]) via `clusters`: any (id, cluster) frame works, and
+    * dims should grow with the corpus like [[adaptivePlanes]] so cluster
+    * occupancy — and with it the self-join fan-out — stays bounded. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, signDims: Int = 2,
+               clusters: Option[DataFrame] = None): DataFrame = {
+    val e0 = Parallelism.ensure(df)
+    val e = clusters match {
+      case Some(c) => e0.select(col(idCol), col(vecCol)).join(c, Seq(idCol))
+      case None => e0.select(col(idCol), col(vecCol),
+        signBucket(col(vecCol), signDims).as("cluster"))
+    }
+    val a = e.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = e.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val losers = a.join(b, "cluster")
+      .where(col("id_a") < col("id_b"))
+      .where(cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    e.select(col(idCol), col("cluster"))
+      .join(losers, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("__dropped").isNull.as("kept"))
+  }
+
   /** Plane count that keeps expected LSH bucket occupancy near
     * `targetBucketRows` for a corpus of `n` rows: ceil(log2(n / target)),
     * clamped to [1, 24]. This is what makes the near-dup self-join volume

@@ -100,5 +100,35 @@ object CurationQueries {
           |   OR (lang_pred = 'es' AND md5(fp) < '8')
           |   OR (lang_pred = 'de')
           |ORDER BY doc_id""".stripMargin)),
+
+    // ---- source-level filtering (domain-style curation verdicts) -------
+    // Per-source volume + mean-quality gate computed entirely in the
+    // integer domain (floor(quality*1e6) per row, BIGINT sums, the mean
+    // test cross-multiplied) so the verdict is exact and independent of
+    // partial-aggregation order — the property a double avg() would lose.
+    "c3_source_filter" -> Q(
+      (s, dir) => Curation.sourceStats(Lake(s, dir).documents,
+          "source", "text", minDocs = 5L, minAvgQuality = 0.49)
+        .orderBy("source"),
+      Some(
+        """WITH q AS (
+          |  SELECT source,
+          |    CAST(floor((
+          |        least(CAST(ntok AS DOUBLE) / 100.0, 1.0) * 0.5
+          |      + (CASE WHEN ntok > 0 THEN CAST(stop_hits AS DOUBLE) / ntok ELSE 0.0 END) * 0.3
+          |      + (1.0 - CASE WHEN nchars > 0 THEN CAST(punct AS DOUBLE) / nchars ELSE 0.0 END) * 0.2
+          |    ) * 1e6) AS BIGINT) AS q_micro
+          |  FROM (
+          |    SELECT source,
+          |      len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+          |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+          |      len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS punct,
+          |      length(text) AS nchars
+          |    FROM documents) t)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(q_micro) AS BIGINT) AS sum_q_micro,
+          |  (count(*) >= 5 AND CAST(sum(q_micro) AS BIGINT) >= count(*) * 490000)
+          |    AS kept
+          |FROM q GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

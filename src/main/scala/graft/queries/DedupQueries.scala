@@ -374,6 +374,43 @@ object DedupQueries {
           |  FROM scored) r
           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- benchmark decontamination (n-gram overlap scrub) --------------
+    // Even ids play the train split, odd ids the benchmark suite; a train
+    // doc is contaminated when it shares ANY distinct word 5-gram with
+    // the benchmark (the published eval-scrub rule, exact overlap — not
+    // similarity). The benchmark shingle set broadcasts; output is one
+    // row per train doc, zero-hit docs included.
+    "d11_decontam" -> Q(
+      (s, dir) => {
+        val docs = Lake(s, dir).documents
+        Dedup.decontaminate(
+            train = docs.where(col("doc_id") % 2 === 0),
+            benchmark = docs.where(col("doc_id") % 2 === 1),
+            id = "doc_id", text = "text", shingleN = 5)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+          |              || ' ' || w[i+4]
+          |            for i in generate_series(1, len(w)-4)]) AS s
+          |  FROM tok
+          |), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 1),
+          |hits AS (
+          |  SELECT a.doc_id, count(*) AS c
+          |  FROM sh a JOIN bench USING (s)
+          |  WHERE a.doc_id % 2 = 0 GROUP BY a.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(COALESCE(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+          |  COALESCE(h.c, 0) > 0 AS contaminated
+          |FROM documents d LEFT JOIN hits h USING (doc_id)
+          |WHERE d.doc_id % 2 = 0
+          |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- incremental near-dedup: new batch vs canonical corpus ---------
     // Even ids play the already-deduped existing corpus, odd ids the
     // incoming batch: an incoming doc drops when its cluster holds ANY

@@ -130,6 +130,36 @@ object SimilarityQueries {
           |  true AS recall_ok
           |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
+    // ---- SemDedup: cluster-local semantic dedup ------------------------
+    // Deterministic sign-pattern clusters (axis hyperplanes — the
+    // SQL-portable face of the operator; production swaps in trained IVF
+    // cells), then drop-any-smaller-id-neighbor within each cluster.
+    // Same portable cosine + 0.45 threshold the s3 oracle already pins.
+    "s6_semdedup" -> Q(
+      (s, dir) => graft.operators.Similarity.semDedup(Lake(s, dir).embeddings,
+          "vec_id", "embedding", threshold = 0.45, signDims = 2)
+        .orderBy("vec_id"),
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id, embedding AS v,
+          |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+          |    + 2 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS cluster
+          |  FROM embeddings),
+          |losers AS (
+          |  SELECT DISTINCT b.vec_id FROM e a JOIN e b
+          |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          |  WHERE
+          |    list_sum([a.v[i]::DOUBLE * b.v[i]::DOUBLE
+          |              for i in generate_series(1, len(a.v))]) /
+          |    (sqrt(list_sum([a.v[i]::DOUBLE * a.v[i]::DOUBLE
+          |                    for i in generate_series(1, len(a.v))])) *
+          |     sqrt(list_sum([b.v[i]::DOUBLE * b.v[i]::DOUBLE
+          |                    for i in generate_series(1, len(b.v))]))) >= 0.45)
+          |SELECT e.vec_id, CAST(e.cluster AS INTEGER) AS cluster,
+          |  l.vec_id IS NULL AS kept
+          |FROM e LEFT JOIN losers l ON l.vec_id = e.vec_id
+          |ORDER BY e.vec_id""".stripMargin)),
+
     // ---- embedding near-duplicate pairs --------------------------------
     // planes = 0 => exact all-pairs (SQL-oracle-able); the driver corpus
     // has no planted embedding near-dups (max pairwise cosine ~0.51), so

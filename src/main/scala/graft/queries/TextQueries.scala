@@ -287,6 +287,42 @@ object TextQueries {
           |    '\d{3,}', '<num>', 'g') AS clean
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- repetition signals (Gopher-style quality rules) ---------------
+    // Word-level repetition scoring as pure per-row HOF expressions: the
+    // top-unigram / top-bigram fraction and the duplicated-token fraction
+    // — zero shuffles, the oracle recomputes the same counts relationally.
+    "t15_repetition" -> Q(
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          topFreqFrac(tokens(col("text"))).as("top_unigram_frac"),
+          topFreqFrac(wordShingles(col("text"), 2)).as("top_bigram_frac"),
+          dupFrac(tokens(col("text"))).as("dup_token_frac"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |ucnt AS (
+          |  SELECT doc_id, t, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(w) AS t FROM tok) u GROUP BY doc_id, t),
+          |ustat AS (
+          |  SELECT doc_id, max(c) AS mx, sum(c) AS n,
+          |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+          |  FROM ucnt GROUP BY doc_id),
+          |bcnt AS (
+          |  SELECT doc_id, b, count(*) AS c
+          |  FROM (SELECT doc_id,
+          |          unnest([w[i] || ' ' || w[i+1]
+          |                  for i in generate_series(1, len(w)-1)]) AS b
+          |        FROM tok) bb GROUP BY doc_id, b),
+          |bstat AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM bcnt GROUP BY doc_id)
+          |SELECT u.doc_id,
+          |  CAST(u.mx AS DOUBLE) / u.n AS top_unigram_frac,
+          |  COALESCE(CAST(b.mx AS DOUBLE) / b.n, 0.0) AS top_bigram_frac,
+          |  CAST(u.dup AS DOUBLE) / u.n AS dup_token_frac
+          |FROM ustat u LEFT JOIN bstat b USING (doc_id)
+          |ORDER BY u.doc_id""".stripMargin)),
+
     // ---- typed top-k aggregate: 3 best-quality docs per language -------
     // TopKAggregator keeps a k-bounded buffer per group map-side; the
     // oracle is the window formulation of the same answer.

@@ -200,4 +200,21 @@ class DedupSpec extends AnyFunSuite {
     assert(nearHam.nonEmpty && nearHam.max <= 10,
       s"planted near-dups should have small simhash distance, got ${nearHam.max}")
   }
+
+  test("decontaminate flags exactly the train docs sharing a benchmark 5-gram") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // 1st 5-gram sits in benchmark
+      (2L, "one two three four five six seven"),   // disjoint vocabulary
+      (4L, "short doc")                            // < 5 tokens -> zero shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different benchmark text entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, bench, "doc_id", "text", shingleN = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((0L, 1L, true), (2L, 0L, false), (4L, 0L, false)))
+  }
 }

@@ -195,4 +195,40 @@ class OperatorLawsSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length === 64)
     assert(got.forall { case (v, c) => c <= v })
   }
+
+  test("repetition fractions match hand-computed values on pinned docs") {
+    import graft.functions.TextFunctions._
+    val df = Seq(
+      "a a a b",  // top uni 3/4; bigrams [a a, a a, a b] -> top 2/3; dup 3/4
+      "x",        // single token: top 1, no bigrams -> 0.0, dup 0
+      "p q r s"   // all distinct: top 1/4, dup 0
+    ).toDF("text")
+    val got = df.select(
+        topFreqFrac(tokens(col("text"))).as("tu"),
+        topFreqFrac(wordShingles(col("text"), 2)).as("tb"),
+        dupFrac(tokens(col("text"))).as("du"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(got(0) === ((0.75, 2.0 / 3.0, 0.75)))
+    assert(got(1) === ((1.0, 0.0, 0.0)))
+    assert(got(2) === ((0.25, 1.0 / 3.0, 0.0)))
+  }
+
+  test("source gate drops low-quality and low-volume sources exactly") {
+    import graft.operators.Curation
+    // ~100 stopword-rich tokens -> quality ~0.8; junk -> ~0.05
+    val goodText = Seq.fill(12)("the cat and the dog of the house is here").mkString(" ")
+    val docs = (
+      (1 to 6).map(i => (s"g$i", "good", goodText)) ++
+      (1 to 6).map(i => (s"j$i", "junk", "!!! ??? %%% ###")) ++
+      (1 to 2).map(i => (s"t$i", "tiny", goodText))
+    ).toDF("doc_id", "source", "text")
+    val stats = Curation.sourceStats(docs, "source", "text",
+        minDocs = 5L, minAvgQuality = 0.49)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(stats === Map("good" -> true, "junk" -> false, "tiny" -> false))
+    val kept = Curation.filterBySource(docs, "source", "text",
+        minDocs = 5L, minAvgQuality = 0.49)
+    assert(kept.select("source").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("good"))
+  }
 }

@@ -243,4 +243,35 @@ class VectorSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05,
       s"HLL estimate $approx vs exact $exact")
   }
+
+  test("semDedup drops smaller-id neighbors only within a cluster") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1f, 1f)),       // cluster 3
+      (1L, Array(0.9f, 1.1f)),   // cluster 3, cos vs 0 ~0.995 -> dropped
+      (2L, Array(0.001f, 1f)),   // cluster 3... sign(0.001)>=0 -> bit set
+      (3L, Array(-0.001f, 1f)),  // cluster 2: near-identical to 2 but cross-cluster
+      (4L, Array(-1f, -1f))      // cluster 0, alone
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(df, "vec_id", "embedding",
+        threshold = 0.9, signDims = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // 1 has a smaller-id same-cluster neighbor above threshold; 3's only
+    // near-identical partner (2) sits in another cluster -> kept
+    assert(got === Map(0L -> true, 1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
+
+  test("semDedup honors a caller-supplied cluster assignment") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1f, 1f)), (1L, Array(0.9f, 1.1f)),
+      (2L, Array(0.001f, 1f)), (3L, Array(-0.001f, 1f))
+    ).toDF("vec_id", "embedding")
+    val one = df.select(col("vec_id"), lit(0).as("cluster"))
+    val got = Similarity.semDedup(df, "vec_id", "embedding", threshold = 0.9,
+        clusters = Some(one))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // single global cluster: 1 drops under 0, 3 drops under 2
+    assert(got === Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
+  }
 }
