@@ -178,6 +178,40 @@ object Dedup {
       .withColumn("contaminated", col("contaminated_ngrams") > 0)
   }
 
+  /** Exact-substring boilerplate removal, span-granular (the "drop
+    * repeated substrings" stage of Lee et al. 2022, arXiv:2107.06499,
+    * at word-n-gram granularity): a span occurring in at least
+    * `minDocFreq` DISTINCT documents is boilerplate, and every token
+    * covered by an occurrence of a boilerplate span is removed from its
+    * document. Returns (id, clean_text, n_removed).
+    *
+    * Scale shape: one positioned shingle explode, one distinct+count to
+    * find hot spans (partial aggregation does the heavy lifting — span
+    * df concentrates on few keys), one equi-join back to collect each
+    * doc's covered start positions (bounded by doc length), and a narrow
+    * per-row rebuild that keeps tokens no hot span covers. No self-join,
+    * no pairwise work — linear in corpus token volume. */
+  def removeBoilerplateSpans(df: DataFrame, id: String, text: String,
+                             shingleN: Int = 5, minDocFreq: Int = 3): DataFrame = {
+    val toks = Parallelism.ensure(df).select(col(id), tokens(col(text)).as("__toks"))
+    val spans = df.select(col(id),
+      posexplode(wordShingles(col(text), shingleN)).as(Seq("st", "s")))
+    val hot = spans.select(col(id), col("s")).distinct()
+      .groupBy("s").agg(count(lit(1)).as("span_df"))
+      .where(col("span_df") >= minDocFreq)
+      .select("s")
+    val starts = spans.join(hot, "s")
+      .groupBy(col(id)).agg(collect_list(col("st")).as("sts"))
+    val noStarts = array().cast(ArrayType(IntegerType))
+    def kept = filter(col("__toks"), (_, i) =>
+      !exists(coalesce(col("sts"), noStarts),
+        x => x <= i && i < x + lit(shingleN)))
+    toks.join(starts, Seq(id), "left")
+      .select(col(id),
+        concat_ws(" ", kept).as("clean_text"),
+        (size(col("__toks")) - size(kept)).cast(LongType).as("n_removed"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs, no LSH: posting-list self-join
     * on shared shingles. Fully SQL-expressible (the DuckDB oracle runs the
     * same algorithm). With a reasonable shingle size the posting lists are

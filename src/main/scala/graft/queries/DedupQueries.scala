@@ -411,6 +411,46 @@ object DedupQueries {
           |WHERE d.doc_id % 2 = 0
           |ORDER BY d.doc_id""".stripMargin)),
 
+    // ---- exact-substring span removal (corpus boilerplate scrub) -------
+    // A word 5-gram occurring in >= 3 distinct docs is boilerplate; every
+    // token any such span covers is dropped and the document re-assembled
+    // from the survivors. The planted near-dup docs lose their shared
+    // spans; untouched docs round-trip verbatim (n_removed = 0).
+    "d12_span_removal" -> Q(
+      (s, dir) => Dedup.removeBoilerplateSpans(Lake(s, dir).documents,
+          "doc_id", "text", shingleN = 5, minDocFreq = 3)
+        .orderBy("doc_id"),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |sp AS (
+          |  SELECT doc_id,
+          |    unnest(generate_series(1, len(w)-4)) AS st,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+          |              || ' ' || w[i+4]
+          |            for i in generate_series(1, len(w)-4)]) AS s
+          |  FROM tok),
+          |hot AS (
+          |  SELECT s FROM (SELECT DISTINCT doc_id, s FROM sp) d
+          |  GROUP BY s HAVING count(*) >= 3),
+          |starts AS (
+          |  SELECT sp.doc_id, list(sp.st) AS sts
+          |  FROM sp JOIN hot USING (s) GROUP BY sp.doc_id)
+          |SELECT t.doc_id,
+          |  COALESCE(array_to_string(
+          |    [t.w[i] for i in generate_series(1, len(t.w))
+          |     if len(list_filter(COALESCE(st.sts, []),
+          |                        x -> x <= i AND i < x + 5)) = 0],
+          |    ' '), '') AS clean_text,
+          |  CAST(len(t.w) -
+          |    len([t.w[i] for i in generate_series(1, len(t.w))
+          |         if len(list_filter(COALESCE(st.sts, []),
+          |                            x -> x <= i AND i < x + 5)) = 0])
+          |    AS BIGINT) AS n_removed
+          |FROM tok t LEFT JOIN starts st USING (doc_id)
+          |ORDER BY t.doc_id""".stripMargin)),
+
     // ---- incremental near-dedup: new batch vs canonical corpus ---------
     // Even ids play the already-deduped existing corpus, odd ids the
     // incoming batch: an incoming doc drops when its cluster holds ANY

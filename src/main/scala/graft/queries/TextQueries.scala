@@ -323,6 +323,50 @@ object TextQueries {
           |FROM ustat u LEFT JOIN bstat b USING (doc_id)
           |ORDER BY u.doc_id""".stripMargin)),
 
+    // ---- corpus-relative rare-token scoring (vocabulary filtering) -----
+    // Two-stage: build the corpus vocabulary with occurrence counts, mark
+    // tokens under 0.5% of total volume as rare (the relative integer
+    // comparison c*200 < total is exact and scale-invariant), then score
+    // each doc by its rare-token occupancy. The rare set is tiny by
+    // construction (Zipf tail) and broadcasts back.
+    "t16_rare_tokens" -> Q(
+      (s, dir) => {
+        val occ = docs(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        val vocab = occ.groupBy("w").agg(count(lit(1)).as("c"))
+        val rare = vocab
+          .crossJoin(broadcast(vocab.agg(sum(col("c")).as("total"))))
+          .where(col("c") * 200 < col("total"))
+          .select("w")
+        val nRare = occ.join(broadcast(rare), Seq("w"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+        docs(s, dir)
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .join(nRare, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+          .withColumn("rare_frac",
+            col("n_rare").cast("double") / col("n_tokens").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |occ AS (SELECT doc_id, unnest(w) AS t FROM tok),
+          |vocab AS (SELECT t, count(*) AS c FROM occ GROUP BY t),
+          |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab),
+          |rare AS (SELECT t FROM vocab, tot WHERE c * 200 < total),
+          |nr AS (
+          |  SELECT doc_id, count(*) AS n_rare
+          |  FROM occ JOIN rare USING (t) GROUP BY doc_id)
+          |SELECT k.doc_id, CAST(len(k.w) AS BIGINT) AS n_tokens,
+          |  CAST(COALESCE(nr.n_rare, 0) AS BIGINT) AS n_rare,
+          |  CAST(COALESCE(nr.n_rare, 0) AS DOUBLE) / CAST(len(k.w) AS DOUBLE)
+          |    AS rare_frac
+          |FROM tok k LEFT JOIN nr USING (doc_id)
+          |ORDER BY k.doc_id""".stripMargin)),
+
     // ---- typed top-k aggregate: 3 best-quality docs per language -------
     // TopKAggregator keeps a k-bounded buffer per group map-side; the
     // oracle is the window formulation of the same answer.

@@ -217,4 +217,23 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(got === Seq((0L, 1L, true), (2L, 0L, false), (4L, 0L, false)))
   }
+
+  test("removeBoilerplateSpans drops exactly the tokens hot spans cover") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon unique0 tail0"), // hot span at 0
+      (1L, "pre1 alpha beta gamma delta epsilon tail1"),    // hot span at 1
+      (2L, "alpha beta gamma delta epsilon"),               // fully covered
+      (3L, "totally different words entirely here")         // df=1 spans only
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateSpans(docs, "doc_id", "text",
+        shingleN = 5, minDocFreq = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (0L, "unique0 tail0", 5L),
+      (1L, "pre1 tail1", 5L),
+      (2L, "", 5L),
+      (3L, "totally different words entirely here", 0L)))
+  }
 }
