@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -80,6 +81,28 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("q_micro")).as("sum_q_micro"))
       .withColumn("kept",
         col("n_docs") >= minDocs && col("sum_q_micro") >= col("n_docs") * micro)
+  }
+
+  /** Concat-and-chunk sequence packing (the pretraining batch-prep step):
+    * within each stratum, documents are laid head-to-tail in id order and
+    * cut into fixed `budgetTokens`-token packs; each document reports the
+    * pack its first token lands in and its offset inside that pack (docs
+    * straddle pack boundaries, exactly like a concatenated token stream
+    * chunked for training). Pure integer window arithmetic — one shuffle,
+    * parallel across strata: a 100 TB packing run shards by stratum the
+    * same way a sharded pretraining writer does (a single GLOBAL ordered
+    * cumsum would serialize; the stratum key is the scale lever). */
+  def packSequences(df: DataFrame, strataCol: String, idCol: String,
+                    textCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0)
+    val w = Window.partitionBy(strataCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Parallelism.ensure(df)
+      .select(col(strataCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"start_off DIV $budgetTokens"))
+      .withColumn("pack_off", pmod(col("start_off"), lit(budgetTokens)))
   }
 
   /** Keep only documents from sources [[sourceStats]] accepts — the

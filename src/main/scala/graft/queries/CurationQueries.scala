@@ -130,5 +130,29 @@ object CurationQueries {
           |  (count(*) >= 5 AND CAST(sum(q_micro) AS BIGINT) >= count(*) * 490000)
           |    AS kept
           |FROM q GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- sequence packing (concat-and-chunk, per-language strata) ------
+    // Each doc's first token lands in pack start_off DIV 512 of its
+    // language's concatenated token stream; exact integer window math.
+    "c4_seq_packing" -> Q(
+      (s, dir) => Curation.packSequences(Lake(s, dir).documents,
+          "lang", "doc_id", "text", budgetTokens = 512L)
+        .orderBy("doc_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+          |      AS n_tokens
+          |  FROM documents),
+          |o AS (
+          |  SELECT doc_id, lang, n_tokens,
+          |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          |      AS start_off
+          |  FROM t)
+          |SELECT doc_id, lang, n_tokens, start_off,
+          |  start_off // 512 AS pack_id,
+          |  start_off % 512 AS pack_off
+          |FROM o ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -45,4 +45,27 @@ object CurationStream {
       // pipelines crown different survivors)
       .where(graft.operators.Sampling.hashKeep(col("fp"), cfg.sampleSixteenths))
       .select("doc_id", "lang_pred", "quality", "n_tokens", "fp")
+
+  /** Streaming decontamination alerts — the continuous twin of
+    * [[graft.operators.Dedup.decontaminate]]: each arriving document is
+    * emitted AT MOST ONCE (within the watermark horizon) when any of its
+    * distinct word n-grams hits the static benchmark shingle set.
+    *
+    * Shape: the benchmark side is static and broadcast (a stream-static
+    * equi-join carries zero stream-side join state); the only stateful
+    * stage is the per-doc alert dedup, whose state the watermark
+    * reclaims. Same shingle normalization as the batch operator, so the
+    * alerted doc set equals the batch `contaminated = true` set. */
+  def decontamAlerts(docs: DataFrame, benchmark: DataFrame,
+                     shingleN: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.shingleSet
+    val benchShingles = benchmark
+      .select(explode(shingleSet(col("text"), shingleN)).as("s")).distinct()
+    docs.withWatermark("arrival", "1 hour")
+      .select(col("doc_id"), col("arrival"),
+        explode(shingleSet(col("text"), shingleN)).as("s"))
+      .join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select("doc_id", "arrival")
+  }
 }

@@ -262,4 +262,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(diff === 0)
     } finally q.stop()
   }
+
+  test("streaming decontamination alerts equal the batch contaminated set") {
+    import graft.streaming.CurationStream
+    import graft.operators.Dedup
+    val d = java.nio.file.Files.createTempDirectory("docs_decontam")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      d.resolve("documents.parquet"))
+    val batchDocs = Lake(spark, sf0001).documents
+    val bench = batchDocs.where(col("doc_id") % 2 === 1)
+    val stream = CurationStream.decontamAlerts(
+      CurationStream.readDocs(spark, d.toString).where(col("doc_id") % 2 === 0),
+      bench)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("decontam_alerts").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("decontam_alerts").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val want = Dedup.decontaminate(batchDocs.where(col("doc_id") % 2 === 0),
+          bench, "doc_id", "text", shingleN = 5)
+        .where(col("contaminated")).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+      assert(spark.table("decontam_alerts").count() === want.size) // once per doc
+    } finally q.stop()
+  }
 }
