@@ -61,6 +61,24 @@ object VectorFunctions {
       q.getField("lo") + c.cast(DoubleType) / 255.0 *
         (q.getField("hi") - q.getField("lo")))
 
+  /** Deterministic random projection to `outDims` dimensions with the
+    * Achlioptas ±1 coefficient family (the storage/JL dimension-reduction
+    * step of an embedding lake). The sign for (output dim j, input dim i)
+    * is md5("j:i")'s first hex digit >= '8' — no stored matrix, any
+    * worker (or engine: the s7 DuckDB oracle replays it) regenerates the
+    * coefficients on the fly. Accumulation is float→double left-to-right,
+    * the same portable fold the cosine helpers use. */
+  def randomProjectMd5(v: Column, outDims: Int): Column = {
+    require(outDims >= 1)
+    transform(sequence(lit(0), lit(outDims - 1)), j =>
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x.cast(DoubleType) *
+            when(substring(md5(concat(j.cast("string"), lit(":"),
+              i.cast("string"))), 1, 1) >= "8", lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, p) => acc + p))
+  }
+
   /** Sign bit of the projection of `v` onto a deterministic pseudo-random
     * hyperplane (plane index + dimension index seed xxhash64, mapped to
     * [-1, 1)). Used for LSH bucketing of embeddings — no stored plane

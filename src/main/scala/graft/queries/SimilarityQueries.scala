@@ -130,6 +130,28 @@ object SimilarityQueries {
           |  true AS recall_ok
           |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
+    // ---- deterministic random projection (JL dimension reduction) ------
+    // 64 -> 8 dims with the md5-derived ±1 matrix; both engines rebuild
+    // the identical coefficients and fold float->double left-to-right,
+    // so the projected doubles hash-compare bit-exact.
+    "s7_random_projection" -> Q(
+      (s, dir) => Lake(s, dir).embeddings
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.randomProjectMd5(col("embedding"), 8)
+            .as("proj"))
+        .orderBy("vec_id"),
+      Some(
+        """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+          |p AS (
+          |  SELECT vec_id, j,
+          |    list_sum([v[i]::DOUBLE *
+          |      (CASE WHEN substr(md5(j::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1) >= '8'
+          |            THEN 1.0 ELSE -1.0 END)
+          |      for i in generate_series(1, len(v))]) AS val
+          |  FROM e, generate_series(0, 7) AS g(j))
+          |SELECT vec_id, list(val ORDER BY j) AS proj
+          |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
     // ---- SemDedup: cluster-local semantic dedup ------------------------
     // Deterministic sign-pattern clusters (axis hyperplanes — the
     // SQL-portable face of the operator; production swaps in trained IVF

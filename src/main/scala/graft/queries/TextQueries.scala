@@ -367,6 +367,57 @@ object TextQueries {
           |FROM tok k LEFT JOIN nr USING (doc_id)
           |ORDER BY k.doc_id""".stripMargin)),
 
+    // ---- count-min sketch (heavy-hitter frequency estimation) ----------
+    // One fixed-size sketch aggregated over the whole token stream
+    // (map-side partial, one array per task on the shuffle), then point
+    // estimates for 5 probe words read from the broadcast sketch. Width
+    // 16 << vocab 31 forces real collisions; the md5 hash family is
+    // portable, so the oracle rebuilds every bucket's collision mass and
+    // the min estimate exactly — not just a bound check.
+    "t17_countmin" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val depth = 4; val width = 16
+        val occ = docs(s, dir).select(explode(tokens(col("text"))).as("w"))
+        val sketch = occ.agg(
+          graft.functions.CountMinAggregator.countMin(depth, width)(col("w"))
+            .as("sketch"))
+        val probes = Seq("dup", "key", "spark", "table", "the").toDF("w")
+        val exact = occ.groupBy("w").agg(count(lit(1)).as("exact"))
+        def bucketOf(d: Int) =
+          pmod(conv(substring(md5(concat(lit(s"$d:"), col("w"))), 1, 7), 16, 10)
+            .cast("long"), lit(width.toLong))
+        def estD(d: Int) =
+          element_at(col("sketch"), (lit(d * width + 1) + bucketOf(d)).cast("int"))
+        val est = least((0 until depth).map(estD): _*)
+        probes.join(exact, Seq("w"))
+          .crossJoin(broadcast(sketch))
+          .select(col("w"), col("exact"), est.as("est"),
+            (est >= col("exact")).as("sound"))
+          .orderBy("w")
+      },
+      Some(
+        """WITH occ AS (
+          |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+          |  FROM documents),
+          |vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY t),
+          |b AS (
+          |  SELECT t, c, d,
+          |    CAST(list_sum([(strpos('0123456789abcdef',
+          |         substr(md5(d::VARCHAR || ':' || t), i, 1)) - 1)
+          |         * CAST(pow(16, 7 - i) AS BIGINT)
+          |         for i in generate_series(1, 7)]) AS BIGINT) % 16 AS bkt
+          |  FROM vocab, generate_series(0, 3) AS g(d)),
+          |probes AS (SELECT unnest(['dup','key','spark','table','the']) AS w),
+          |pb AS (SELECT probes.w, b.d, b.bkt FROM probes JOIN b ON b.t = probes.w),
+          |coll AS (
+          |  SELECT pb.w, pb.d, CAST(sum(b2.c) AS BIGINT) AS est_d
+          |  FROM pb JOIN b b2 ON b2.d = pb.d AND b2.bkt = pb.bkt
+          |  GROUP BY pb.w, pb.d),
+          |f AS (SELECT w, CAST(min(est_d) AS BIGINT) AS est FROM coll GROUP BY w)
+          |SELECT f.w, v.c AS exact, f.est, f.est >= v.c AS sound
+          |FROM f JOIN vocab v ON v.t = f.w ORDER BY f.w""".stripMargin)),
+
     // ---- typed top-k aggregate: 3 best-quality docs per language -------
     // TopKAggregator keeps a k-bounded buffer per group map-side; the
     // oracle is the window formulation of the same answer.

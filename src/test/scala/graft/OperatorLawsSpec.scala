@@ -213,6 +213,26 @@ class OperatorLawsSpec extends AnyFunSuite {
     assert(got(2) === ((0.25, 1.0 / 3.0, 0.0)))
   }
 
+  test("count-min sketch: row sums equal stream length, estimates dominate") {
+    import graft.functions.CountMinAggregator
+    val depth = 4; val width = 8
+    val words = Seq("a", "b", "a", "c", "a", "b", "d", "e", "f", "a", "g", "b")
+    val sketch = words.toDF("w")
+      .agg(CountMinAggregator.countMin(depth, width)(col("w")))
+      .head().getSeq[Long](0).toArray
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every row of the sketch accounts for every item exactly once
+    (0 until depth).foreach { d =>
+      assert(sketch.slice(d * width, (d + 1) * width).sum === words.size.toLong)
+    }
+    // point estimates never underestimate; with no collision they are exact
+    exact.foreach { case (w, c) =>
+      val est = (0 until depth)
+        .map(d => sketch(d * width + CountMinAggregator.bucket(d, w, width))).min
+      assert(est >= c, s"$w: est $est < exact $c")
+    }
+  }
+
   test("source gate drops low-quality and low-volume sources exactly") {
     import graft.operators.Curation
     // ~100 stopword-rich tokens -> quality ~0.8; junk -> ~0.05
