@@ -33,6 +33,61 @@ object EventsQueries {
 
   val defs: Map[String, Q] = Map(
 
+    // ---- ordered funnel analysis (view -> click -> purchase) -----------
+    // Stage k's timestamp is the earliest qualifying event AT OR AFTER
+    // stage k-1's — three chained min-over-partition window expressions
+    // sharing ONE user_id exchange (no self-joins). Timestamps stay in
+    // exact integer micros end to end (micros, not nanos: DuckDB reads
+    // the TIMESTAMP(NANOS) parquet at microsecond precision).
+    "q35_funnel" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+        events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("ts DIV 1000").as("t_us"))
+          .withColumn("t_view",
+            min(when(col("event_type") === "view", col("t_us"))).over(w))
+          .withColumn("t_click",
+            min(when(col("event_type") === "click" && col("t_us") >= col("t_view"),
+              col("t_us"))).over(w))
+          .withColumn("t_purchase",
+            min(when(col("event_type") === "purchase" && col("t_us") >= col("t_click"),
+              col("t_us"))).over(w))
+          .groupBy("user_id")
+          .agg(max(col("t_view")).as("t_view"),
+            max(col("t_click")).as("t_click"),
+            max(col("t_purchase")).as("t_purchase"))
+          .withColumn("funnel_stage",
+            when(col("t_purchase").isNotNull, 3)
+              .when(col("t_click").isNotNull, 2)
+              .when(col("t_view").isNotNull, 1)
+              .otherwise(0))
+          .orderBy("user_id")
+      },
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+        |v AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM e GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts >= v.t_view
+        |             THEN e.ts END) AS t_click
+        |  FROM e JOIN v ON v.user_id = e.user_id GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t_click
+        |             THEN e.ts END) AS t_purchase
+        |  FROM e JOIN c ON c.user_id = e.user_id GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |            WHEN c.t_click IS NOT NULL THEN 2
+        |            WHEN v.t_view IS NOT NULL THEN 1
+        |            ELSE 0 END AS INTEGER) AS funnel_stage
+        |FROM v JOIN c ON c.user_id = v.user_id JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin),
+
     // ---- epoch -> timestamp with seconds truncation (etl.py:98-102) ----
     "q17_event_seconds" -> Q(
       (s, dir) => events(s, dir)
