@@ -88,6 +88,31 @@ object EventsQueries {
         |FROM v JOIN c ON c.user_id = v.user_id JOIN p ON p.user_id = v.user_id
         |ORDER BY v.user_id""".stripMargin),
 
+    // ---- cohort retention (first-activity cohort × day offset) ---------
+    // Day ids are exact integer micros-per-day divisions (floor(floor(ns/
+    // 1e3)/86400e6) == floor(ns/86400e9), so micros and nanos agree on
+    // day boundaries); one aggregation for cohorts, one distinct-count
+    // keyed on (cohort, offset).
+    "q36_retention" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("user_id"),
+            expr("(ts DIV 1000) DIV 86400000000").as("day"))
+        val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        ev.join(cohorts, Seq("user_id"))
+          .withColumn("offset_days", col("day") - col("cohort_day"))
+          .groupBy("cohort_day", "offset_days")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "offset_days")
+      },
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT f.cohort_day, e.day - f.cohort_day AS offset_days,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f ON f.user_id = e.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // ---- epoch -> timestamp with seconds truncation (etl.py:98-102) ----
     "q17_event_seconds" -> Q(
       (s, dir) => events(s, dir)

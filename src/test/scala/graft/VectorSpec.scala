@@ -261,6 +261,20 @@ class VectorSpec extends AnyFunSuite {
     assert(got === Map(0L -> true, 1L -> false, 2L -> true, 3L -> true, 4L -> true))
   }
 
+  test("single-cluster semDedup equals the exact near-dup pair formulation") {
+    val emb = Lake(spark, sf0001).embeddings
+    val one = emb.select(col("vec_id"), lit(0).as("cluster"))
+    val dropped = Similarity.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.45, clusters = Some(one))
+      .where(!col("kept")).collect().map(_.getLong(0)).toSet
+    // with one global cluster, the drop set is exactly the id_b side of
+    // the exact all-pairs near-dup scan at the same threshold
+    val pairsB = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.45, planes = 0)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(dropped === pairsB)
+  }
+
   test("semDedup honors a caller-supplied cluster assignment") {
     import spark.implicits._
     val df = Seq(
