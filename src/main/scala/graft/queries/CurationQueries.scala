@@ -154,5 +154,111 @@ object CurationQueries {
           |  start_off // 512 AS pack_id,
           |  start_off % 512 AS pack_off
           |FROM o ORDER BY doc_id""".stripMargin)),
+
+    // ---- the full training-data pipeline, composed ---------------------
+    // Source filter -> benchmark decontamination -> annotate/filter/dedup
+    // (c1 chain, sampling off) -> per-language sequence packing. Every
+    // stage is individually oracled (c3, d11, c1, c4); this query oracles
+    // the COMPOSITION, so stage order and survivor propagation are
+    // cell-exact end to end. Production would persist between stages
+    // (the one-shot plan re-evaluates the source-filter subtree in both
+    // decontamination inputs) — correctness is unaffected.
+    "c5_training_pipeline" -> Q(
+      (s, dir) => {
+        val docs = Lake(s, dir).documents
+        val train = docs.where(col("doc_id") % 2 === 0)
+        val bench = docs.where(col("doc_id") % 2 === 1)
+        val sourced = Curation.filterBySource(train, "source", "text",
+          minDocs = 5L, minAvgQuality = 0.49)
+        val clean = sourced.join(
+          graft.operators.Dedup.decontaminate(sourced, bench, "doc_id", "text",
+              shingleN = 5)
+            .where(!col("contaminated")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val curated = Curation.curate(clean, "doc_id", "text",
+          Curation.Config(minQuality = 0.5, dropUnknownLang = true,
+            sampleSixteenths = 16))
+        Curation.packSequences(curated, "lang_pred", "doc_id", "text",
+            budgetTokens = 256L)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT doc_id, source,
+          |    CAST(floor((
+          |        least(CAST(ntok AS DOUBLE) / 100.0, 1.0) * 0.5
+          |      + (CASE WHEN ntok > 0 THEN CAST(stop_hits AS DOUBLE) / ntok ELSE 0.0 END) * 0.3
+          |      + (1.0 - CASE WHEN nchars > 0 THEN CAST(punct AS DOUBLE) / nchars ELSE 0.0 END) * 0.2
+          |    ) * 1e6) AS BIGINT) AS q_micro
+          |  FROM (
+          |    SELECT doc_id, source,
+          |      len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+          |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+          |      len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS punct,
+          |      length(text) AS nchars
+          |    FROM documents WHERE doc_id % 2 = 0) t),
+          |keptsrc AS (
+          |  SELECT source FROM q GROUP BY source
+          |  HAVING count(*) >= 5
+          |     AND CAST(sum(q_micro) AS BIGINT) >= count(*) * 490000),
+          |sourced AS (
+          |  SELECT d.* FROM documents d JOIN keptsrc USING (source)
+          |  WHERE d.doc_id % 2 = 0),
+          |tokall AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |shall AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+          |              || ' ' || w[i+4]
+          |            for i in generate_series(1, len(w)-4)]) AS s
+          |  FROM tokall),
+          |benchsh AS (SELECT DISTINCT s FROM shall WHERE doc_id % 2 = 1),
+          |contaminated AS (
+          |  SELECT DISTINCT a.doc_id FROM shall a JOIN benchsh USING (s)
+          |  WHERE a.doc_id % 2 = 0),
+          |clean AS (
+          |  SELECT sourced.* FROM sourced
+          |  LEFT JOIN contaminated c ON c.doc_id = sourced.doc_id
+          |  WHERE c.doc_id IS NULL),
+          |annotated AS (
+          |  SELECT doc_id,
+          |    CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unk'
+          |         WHEN en >= es AND en >= de THEN 'en'
+          |         WHEN es >= de THEN 'es'
+          |         ELSE 'de' END AS lang_pred,
+          |      least(CAST(ntok AS DOUBLE) / 100.0, 1.0) * 0.5
+          |    + (CASE WHEN ntok > 0 THEN CAST(stop_hits AS DOUBLE) / ntok ELSE 0.0 END) * 0.3
+          |    + (1.0 - CASE WHEN nchars > 0 THEN CAST(punct AS DOUBLE) / nchars ELSE 0.0 END) * 0.2
+          |      AS quality,
+          |    CAST(ntok AS BIGINT) AS n_tokens,
+          |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          |  FROM (
+          |    SELECT doc_id, text,
+          |      len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+          |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS en,
+          |      len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los)\b')) AS es,
+          |      len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|von)\b')) AS de,
+          |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+          |      len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS punct,
+          |      length(text) AS nchars
+          |    FROM clean) t),
+          |deduped AS (
+          |  SELECT doc_id, lang_pred, n_tokens FROM (
+          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          |    FROM annotated
+          |    WHERE quality >= 0.5 AND lang_pred != 'unk') d
+          |  WHERE rn = 1),
+          |packed AS (
+          |  SELECT doc_id, lang_pred, n_tokens,
+          |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang_pred
+          |         ORDER BY doc_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          |      AS start_off
+          |  FROM deduped)
+          |SELECT doc_id, lang_pred, n_tokens, start_off,
+          |  start_off // 256 AS pack_id,
+          |  start_off % 256 AS pack_off
+          |FROM packed ORDER BY doc_id""".stripMargin)),
   )
 }
