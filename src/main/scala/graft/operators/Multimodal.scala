@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -58,6 +59,21 @@ object Multimodal {
       lit("utf8-stub").as("format"),
       octet_length(encode(col(payloadCol), "UTF-8")).cast(LongType).as("n_bytes"),
       encode(col(payloadCol), "UTF-8").as("payload"))
+
+  /** Exact media dedup at the BINARY layer: annotate every media row
+    * with its payload md5, the copy count of that checksum, and a
+    * deterministic min-id survivor verdict. This is the checksum dedup a
+    * media lake runs before any decode (byte-identical blobs, not
+    * perceptual similarity) — one window shuffle keyed on the digest,
+    * the media analogue of [[Dedup.dedupExact]] on text fingerprints. */
+  def dedupByChecksum(media: DataFrame): DataFrame = {
+    val w = Window.partitionBy("checksum")
+    Parallelism.ensure(media)
+      .withColumn("checksum", md5(col("payload")))
+      .select(col("media_id"), col("checksum"),
+        count(lit(1)).over(w).as("n_copies"),
+        (col("media_id") === min(col("media_id")).over(w)).as("kept"))
+  }
 
   /** Partition-batched feature extraction (the mapInPandas analogue):
     * one codec instantiation per partition, streamed over rows. */

@@ -29,6 +29,22 @@ object MultimodalQueries {
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
           |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // ---- exact media dedup by payload checksum -------------------------
+    // Byte-layer dedup (the pre-decode checksum pass of a media lake):
+    // Spark hashes the BINARY payload, DuckDB hashes the VARCHAR — both
+    // are the md5 of the same UTF-8 bytes, so digests match exactly.
+    "m8_media_dedup" -> Q(
+      (s, dir) => Multimodal.dedupByChecksum(
+          Multimodal.packMedia(Lake(s, dir).documents, "doc_id", "text"))
+        .orderBy("media_id"),
+      Some(
+        """WITH m AS (SELECT doc_id AS media_id, md5(text) AS checksum
+          |           FROM documents)
+          |SELECT media_id, checksum,
+          |  CAST(count(*) OVER (PARTITION BY checksum) AS BIGINT) AS n_copies,
+          |  media_id = min(media_id) OVER (PARTITION BY checksum) AS kept
+          |FROM m ORDER BY media_id""".stripMargin)),
+
     // ---- partition-batched feature extraction (stub codec) -------------
     "m2_media_features" -> Q(
       (s, dir) => Multimodal.extractFeatures(
