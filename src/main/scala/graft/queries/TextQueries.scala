@@ -418,6 +418,48 @@ object TextQueries {
           |SELECT f.w, v.c AS exact, f.est, f.est >= v.c AS sound
           |FROM f JOIN vocab v ON v.t = f.w ORDER BY f.w""".stripMargin)),
 
+    // ---- vocabulary token-id encoding (text -> id arrays) --------------
+    // The encode step before packing: vocab ids by frequency rank (ties
+    // by token), each doc mapped to its id sequence. The global ranking
+    // window runs over the VOCAB AGGREGATE (31 rows here; always
+    // vocab-sized, never corpus-sized), then broadcasts back; per-doc
+    // order is restored from explode positions, not collect order.
+    "t18_encode" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val occ = docs(s, dir)
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+        val vocab = occ.groupBy("w").agg(count(lit(1)).as("c"))
+        val rank = Window.orderBy(desc("c"), asc("w"))
+        val ids = vocab
+          .withColumn("tok_id", row_number().over(rank).cast("long") - 1)
+          .select("w", "tok_id")
+        occ.join(broadcast(ids), Seq("w"))
+          .groupBy("doc_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok_id")))),
+            x => x.getField("tok_id")).as("token_ids"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |occ AS (
+          |  SELECT doc_id, unnest(generate_series(1, len(w))) AS pos,
+          |    unnest(w) AS t
+          |  FROM tok),
+          |vocab AS (SELECT t, count(*) AS c FROM occ GROUP BY t),
+          |ids AS (
+          |  SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS BIGINT) - 1
+          |    AS tok_id
+          |  FROM vocab),
+          |enc AS (
+          |  SELECT occ.doc_id, occ.pos, ids.tok_id
+          |  FROM occ JOIN ids ON ids.t = occ.t)
+          |SELECT doc_id, list(tok_id ORDER BY pos) AS token_ids
+          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- typed top-k aggregate: 3 best-quality docs per language -------
     // TopKAggregator keeps a k-bounded buffer per group map-side; the
     // oracle is the window formulation of the same answer.

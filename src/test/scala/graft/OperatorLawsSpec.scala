@@ -233,6 +233,23 @@ class OperatorLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: offsets within budget, contiguous running sums") {
+    val docs = Lake(spark, sf0001).documents
+    val packed = graft.operators.Curation
+      .packSequences(docs, "lang", "doc_id", "text", budgetTokens = 128L)
+      .collect()
+    packed.foreach { r =>
+      assert(r.getLong(5) >= 0 && r.getLong(5) < 128)       // pack_off
+      assert(r.getLong(4) === r.getLong(3) / 128)           // pack_id
+    }
+    packed.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      rows.sortBy(_.getLong(1)).foldLeft(0L) { (acc, r) =>
+        assert(r.getLong(3) === acc, "start_off must be the running token sum")
+        acc + r.getLong(2)
+      }
+    }
+  }
+
   test("source gate drops low-quality and low-volume sources exactly") {
     import graft.operators.Curation
     // ~100 stopword-rich tokens -> quality ~0.8; junk -> ~0.05
