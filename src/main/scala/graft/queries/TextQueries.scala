@@ -460,6 +460,55 @@ object TextQueries {
           |SELECT doc_id, list(tok_id ORDER BY pos) AS token_ids
           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- n-gram novelty scoring (diversity-based selection signal) -----
+    // Per doc: the fraction of its distinct word 5-grams that occur in NO
+    // other document (corpus df == 1) — the inverse of the boilerplate
+    // signal d12 scrubs. One shingle explode + df count + doc rollup;
+    // docs too short for a 5-gram report 0 shingles and novelty 0.
+    "t19_novelty" -> Q(
+      (s, dir) => {
+        val sh = docs(s, dir)
+          .select(col("doc_id"), explode(shingleSet(col("text"), 5)).as("s"))
+        val df5 = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        val per = sh.join(df5, Seq("s"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        docs(s, dir).select(col("doc_id"))
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+          .withColumn("novelty",
+            when(col("n_shingles") > 0,
+              col("n_novel").cast("double") / col("n_shingles").cast("double"))
+              .otherwise(lit(0.0)))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+          |              || ' ' || w[i+4]
+          |            for i in generate_series(1, len(w)-4)]) AS s
+          |  FROM tok),
+          |df5 AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+          |per AS (
+          |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+          |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          |  FROM sh JOIN df5 USING (s) GROUP BY sh.doc_id)
+          |SELECT d.doc_id,
+          |  COALESCE(per.n_shingles, 0) AS n_shingles,
+          |  COALESCE(per.n_novel, 0) AS n_novel,
+          |  CASE WHEN COALESCE(per.n_shingles, 0) > 0
+          |       THEN CAST(per.n_novel AS DOUBLE) / CAST(per.n_shingles AS DOUBLE)
+          |       ELSE 0.0 END AS novelty
+          |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- typed top-k aggregate: 3 best-quality docs per language -------
     // TopKAggregator keeps a k-bounded buffer per group map-side; the
     // oracle is the window formulation of the same answer.
