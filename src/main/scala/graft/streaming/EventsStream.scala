@@ -112,6 +112,44 @@ object EventsStream {
           batch, path, Seq("event_hour"))
       }
 
+  case class FunnelSt(stage: Int, lastTs: Long)
+  case class FunnelAdvance(user_id: Long, stage: Int, t_us: Long)
+
+  /** Streaming funnel state machine via flatMapGroupsWithState — the
+    * continuous twin of the batch q35 funnel. Per user, the state is
+    * (current stage, timestamp of the event that reached it); a row is
+    * emitted ONLY when a user advances (flatMap: 0..n outputs per
+    * micro-batch, the shape mapGroupsWithState can't express). Events
+    * inside a micro-batch arrive unordered, so each invocation sorts its
+    * slice by (t_us, event_id) before folding — cross-batch order is the
+    * arrival order, as for any online funnel. Stage rules match the
+    * batch query: view from stage 0, then click / purchase each at or
+    * after the previous stage's timestamp. */
+  def funnelProgress(spark: SparkSession, events: DataFrame): Dataset[FunnelAdvance] = {
+    import spark.implicits._
+    val stageOf = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+    events
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("t_us"),
+        col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelSt, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelSt]) =>
+          var st = state.getOption.getOrElse(FunnelSt(0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelAdvance]
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, tpe, t, _) =>
+            val next = stageOf.getOrElse(tpe, -1)
+            if (next == st.stage + 1 && t >= st.lastTs) {
+              st = FunnelSt(next, t)
+              out += FunnelAdvance(uid, next, t)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom stateful aggregation: running per-user totals via

@@ -263,6 +263,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel advances reach exactly the batch funnel stages") {
+    val stream = EventsStream.funnelProgress(spark,
+      EventsStream.readEvents(spark, eventsDir))
+    val q = stream.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("funnel_adv").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("funnel_adv")
+        .groupBy("user_id").agg(max("stage").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = SparkEntry.queries("q35_funnel")(spark, sf0001)
+        .select("user_id", "funnel_stage")
+        .collect().map(r => r.getLong(0) -> r.getInt(1))
+        .filter(_._2 > 0).toMap // stage-0 users emit no advances
+      assert(got === want)
+      assert(got.nonEmpty)
+      // each advance is emitted exactly once per (user, stage)
+      assert(spark.table("funnel_adv").count() ===
+        spark.table("funnel_adv").select("user_id", "stage").distinct().count())
+    } finally q.stop()
+  }
+
   test("streaming decontamination alerts equal the batch contaminated set") {
     import graft.streaming.CurationStream
     import graft.operators.Dedup
