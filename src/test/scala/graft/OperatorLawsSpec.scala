@@ -196,6 +196,25 @@ class OperatorLawsSpec extends AnyFunSuite {
     assert(got.forall { case (v, c) => c <= v })
   }
 
+  test("new operators degrade cleanly on empty inputs") {
+    import graft.operators.{Curation, Dedup, Similarity}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // empty benchmark -> nothing is contaminated, every train row kept
+    val dec = Dedup.decontaminate(someDocs, noDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(dec.toSeq === Seq((0L, false)))
+    // empty corpora -> empty outputs, no exceptions
+    assert(Dedup.removeBoilerplateSpans(noDocs, "doc_id", "text").count() === 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(noVecs, "vec_id", "embedding", 0.5).count() === 0)
+    val noSrc = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(Curation.sourceStats(noSrc, "source", "text").count() === 0)
+    assert(Curation.packSequences(noDocs.withColumn("lang", lit("en")),
+      "lang", "doc_id", "text", 64L).count() === 0)
+  }
+
   test("repetition fractions match hand-computed values on pinned docs") {
     import graft.functions.TextFunctions._
     val df = Seq(
