@@ -126,6 +126,13 @@ object TextFunctions {
           (acc.getField("dup") + when(run > 1, run).otherwise(lit(0))).as("dup"))
       })
 
+  /** Both repetition counters from ONE sort+fold pass: struct(mx, dup).
+    * Use when deriving multiple fractions from the same array —
+    * [[topFreqFrac]] + [[dupFrac]] each fold separately (two sorts);
+    * materializing this struct in its own projection runs the fold once
+    * (Catalyst leaves non-cheap multi-use aliases un-collapsed). */
+  def repetitionCounts(arr: Column): Column = runStats(arr)
+
   /** Fraction of elements taken by the single most frequent element
     * (0.0 for an empty array). A high top fraction flags degenerate,
     * repetition-heavy text (Gopher-style "fraction of characters in the

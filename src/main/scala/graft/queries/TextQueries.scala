@@ -292,12 +292,23 @@ object TextQueries {
     // top-unigram / top-bigram fraction and the duplicated-token fraction
     // — zero shuffles, the oracle recomputes the same counts relationally.
     "t15_repetition" -> Q(
-      (s, dir) => docs(s, dir)
-        .select(col("doc_id"),
-          topFreqFrac(tokens(col("text"))).as("top_unigram_frac"),
-          topFreqFrac(wordShingles(col("text"), 2)).as("top_bigram_frac"),
-          dupFrac(tokens(col("text"))).as("dup_token_frac"))
-        .orderBy("doc_id"),
+      (s, dir) => {
+        // materialize each array's counters once (2 folds, not 3): the
+        // unigram struct feeds both the top and the duplicated fraction
+        def frac(cnt: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+          when(n > 0, cnt.cast(DoubleType) / n.cast(DoubleType)).otherwise(lit(0.0))
+        docs(s, dir)
+          .select(col("doc_id"),
+            size(tokens(col("text"))).as("n_uni"),
+            repetitionCounts(tokens(col("text"))).as("uni"),
+            size(wordShingles(col("text"), 2)).as("n_bi"),
+            repetitionCounts(wordShingles(col("text"), 2)).as("bi"))
+          .select(col("doc_id"),
+            frac(col("uni.mx"), col("n_uni")).as("top_unigram_frac"),
+            frac(col("bi.mx"), col("n_bi")).as("top_bigram_frac"),
+            frac(col("uni.dup"), col("n_uni")).as("dup_token_frac"))
+          .orderBy("doc_id")
+      },
       Some(
         """WITH tok AS (
           |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
