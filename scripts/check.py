@@ -54,7 +54,18 @@ def main(sf_dir, out_dir):
         else:
             g = got[sorted(got.columns)]
             e = exp[sorted(exp.columns)]
-            for c in g.columns:
+            # Mirror the driver's comparator, which row-sorts with pandas
+            # sort_values over every column: nested cells (dict/list/
+            # ndarray) are unhashable there and fail the whole query even
+            # when values match in dumped order (CORRECTNESS_r04).
+            try:
+                g = g.sort_values(by=list(g.columns), ignore_index=True)
+                e = e.sort_values(by=list(e.columns), ignore_index=True)
+            except TypeError as te:
+                ok = False
+                msgs.append(f"driver-style row sort failed (nested output "
+                            f"column?): {te}")
+            for c in (g.columns if ok else []):
                 gv = [canon(x) for x in g[c].tolist()]
                 ev = [canon(x) for x in e[c].tolist()]
                 if gv != ev:

@@ -20,12 +20,15 @@ object SimilarityQueries {
     // floor-based codes are deterministic across engines (half-way
     // rounding ties are not); float->double widening is exact on both
     // sides, so the codes hash-compare byte-exact.
+    // codes are dumped as a comma-joined string (the driver's comparator
+    // row-sorts with pandas; LIST cells are unhashable there) — integer
+    // text rendering is identical on both engines, so still cell-exact
     "s5_quantize" -> Q(
       (s, dir) => Lake(s, dir).embeddings
         .select(col("vec_id"),
           graft.functions.VectorFunctions.quantizeUint8(col("embedding")).as("q"))
         .select(col("vec_id"), col("q.lo").as("lo"), col("q.hi").as("hi"),
-          col("q.codes").as("codes"))
+          array_join(col("q.codes").cast("array<string>"), ",").as("codes"))
         .orderBy("vec_id"),
       Some(
         """WITH e AS (
@@ -34,9 +37,9 @@ object SimilarityQueries {
           |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS hi
           |  FROM embeddings)
           |SELECT vec_id, lo, hi,
-          |  [CASE WHEN hi > lo
+          |  array_to_string([CASE WHEN hi > lo
           |        THEN CAST(floor((x::DOUBLE - lo) / (hi - lo) * 255) AS INTEGER)
-          |        ELSE 0 END for x in v] AS codes
+          |        ELSE 0 END for x in v], ',') AS codes
           |FROM e ORDER BY vec_id""".stripMargin)),
 
     // ---- exact cosine top-k: 10 query vectors vs the rest --------------
@@ -134,23 +137,25 @@ object SimilarityQueries {
     // 64 -> 8 dims with the md5-derived ±1 matrix; both engines rebuild
     // the identical coefficients and fold float->double left-to-right,
     // so the projected doubles hash-compare bit-exact.
+    // compared one row per (vec_id, output dim): the projected doubles
+    // stay a scalar DOUBLE column (bit-exact compare preserved), and no
+    // LIST cell hits the driver's pandas row sort
     "s7_random_projection" -> Q(
       (s, dir) => Lake(s, dir).embeddings
         .select(col("vec_id"),
-          graft.functions.VectorFunctions.randomProjectMd5(col("embedding"), 8)
-            .as("proj"))
-        .orderBy("vec_id"),
+          posexplode(
+            graft.functions.VectorFunctions.randomProjectMd5(col("embedding"), 8))
+            .as(Seq("j", "val")))
+        .orderBy("vec_id", "j"),
       Some(
-        """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-          |p AS (
-          |  SELECT vec_id, j,
-          |    list_sum([v[i]::DOUBLE *
-          |      (CASE WHEN substr(md5(j::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1) >= '8'
-          |            THEN 1.0 ELSE -1.0 END)
-          |      for i in generate_series(1, len(v))]) AS val
-          |  FROM e, generate_series(0, 7) AS g(j))
-          |SELECT vec_id, list(val ORDER BY j) AS proj
-          |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+        """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+          |SELECT vec_id, CAST(j AS INTEGER) AS j,
+          |  list_sum([v[i]::DOUBLE *
+          |    (CASE WHEN substr(md5(j::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1) >= '8'
+          |          THEN 1.0 ELSE -1.0 END)
+          |    for i in generate_series(1, len(v))]) AS val
+          |FROM e, generate_series(0, 7) AS g(j)
+          |ORDER BY vec_id, j""".stripMargin)),
 
     // ---- SemDedup: cluster-local semantic dedup ------------------------
     // Deterministic sign-pattern clusters (axis hyperplanes — the

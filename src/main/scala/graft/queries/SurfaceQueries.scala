@@ -56,18 +56,21 @@ object SurfaceQueries {
       (s, dir) => { Lake(s, dir).registerViews(); s.sql(existsSql) },
       existsSql),
 
-    // ---- struct construction + field access (nested output column) -----
-    // The struct round-trips through the verify parquet dump and both
-    // engines' readers compare it as a nested value.
+    // ---- struct construction + field access + JSON serialization -------
+    // The struct itself must NOT cross the dump boundary (the driver's
+    // comparator row-sorts with pandas, and nested cells are unhashable
+    // there — CORRECTNESS_r04), so the compared columns are the struct
+    // serialized via to_json (field order = construction order, no
+    // nulls in this corpus) plus a field access — both scalar.
     "q33_struct_funcs" -> Q(
       (s, dir) => Lake(s, dir).documents
         .select(col("doc_id"),
-          struct(col("lang"), col("n_chars")).as("meta"),
+          to_json(struct(col("lang"), col("n_chars"))).as("meta_json"),
           struct(col("lang"), col("n_chars")).getField("lang").as("meta_lang"))
         .orderBy("doc_id"),
       Some(
         """SELECT doc_id,
-          |  struct_pack(lang := lang, n_chars := n_chars) AS meta,
+          |  '{"lang":"' || lang || '","n_chars":' || n_chars || '}' AS meta_json,
           |  lang AS meta_lang
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -370,21 +373,23 @@ object SurfaceQueries {
           |FROM li JOIN dim ON li.flag IS NOT DISTINCT FROM dim.flag
           |GROUP BY flag_label ORDER BY flag_label""".stripMargin)),
 
-    // ---- map construction + element access (MAP-typed output column) ---
-    // Spark's parquet MAP and DuckDB's MAP render identically through
-    // the comparator (key/value arrays), so the nested value itself is
-    // hash-compared; element_at covers the access path.
+    // ---- map construction + element access + JSON serialization --------
+    // Same comparator constraint as q33: MAP cells are unhashable in the
+    // driver's pandas row sort, so the map is compared as its to_json
+    // string (insertion-ordered keys, no nulls in this corpus) and
+    // element_at covers the access path with a scalar result.
     "q34_map_funcs" -> Q(
       (s, dir) => Lake(s, dir).documents
         .select(col("doc_id"),
-          map(lit("lang"), col("lang"), lit("source"), col("source")).as("m"),
+          to_json(map(lit("lang"), col("lang"),
+            lit("source"), col("source"))).as("m_json"),
           element_at(
             map(lit("lang"), col("lang"), lit("source"), col("source")),
             "lang").as("m_lang"))
         .orderBy("doc_id"),
       Some(
         """SELECT doc_id,
-          |  map {'lang': lang, 'source': source} AS m,
+          |  '{"lang":"' || lang || '","source":"' || source || '"}' AS m_json,
           |  lang AS m_lang
           |FROM documents ORDER BY doc_id""".stripMargin)),
 

@@ -161,19 +161,24 @@ object TextQueries {
     // deterministic and merge-joinable. At 100 TB the same plan holds —
     // posting lists are per-term and build via map-side partial
     // aggregation, nothing driver-side.
+    // postings dump as a comma-joined string: the sorted LIST itself is
+    // unhashable in the driver's pandas row sort (CORRECTNESS_r04), and
+    // BIGINT text rendering matches across engines, so still cell-exact
     "t10_inverted_index" -> Q(
       (s, dir) => docs(s, dir)
         .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
         .groupBy("term")
         .agg(count(lit(1)).as("df"),
-          sort_array(collect_list(col("doc_id"))).as("postings"))
+          array_join(sort_array(collect_list(col("doc_id"))).cast("array<string>"),
+            ",").as("postings"))
         .orderBy("term"),
       Some(
         """WITH tok AS (
           |  SELECT DISTINCT doc_id,
           |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
           |  FROM documents)
-          |SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+          |SELECT term, count(*) AS df,
+          |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
           |FROM tok GROUP BY term ORDER BY term""".stripMargin)),
 
     // ---- conjunctive keyword search ranked by hit count ----------------
@@ -445,11 +450,14 @@ object TextQueries {
         val ids = vocab
           .withColumn("tok_id", row_number().over(rank).cast("long") - 1)
           .select("w", "tok_id")
+        // id sequence dumps as a comma-joined string (LIST cells are
+        // unhashable in the driver's pandas row sort); order restored
+        // from explode positions, exactly as before
         occ.join(broadcast(ids), Seq("w"))
           .groupBy("doc_id")
-          .agg(transform(
+          .agg(array_join(transform(
             array_sort(collect_list(struct(col("pos"), col("tok_id")))),
-            x => x.getField("tok_id")).as("token_ids"))
+            x => x.getField("tok_id").cast("string")), ",").as("token_ids"))
           .orderBy("doc_id")
       },
       Some(
@@ -468,7 +476,8 @@ object TextQueries {
           |enc AS (
           |  SELECT occ.doc_id, occ.pos, ids.tok_id
           |  FROM occ JOIN ids ON ids.t = occ.t)
-          |SELECT doc_id, list(tok_id ORDER BY pos) AS token_ids
+          |SELECT doc_id, array_to_string(list(tok_id ORDER BY pos), ',')
+          |  AS token_ids
           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- n-gram novelty scoring (diversity-based selection signal) -----
