@@ -9,7 +9,14 @@ import org.apache.spark.sql.SparkSession
   * A second scale factor (SPARK_GRAFT_SF_DIR2, default sf0.01) runs after
   * the primary and lands in the same JSON line under `secondary`, so
   * scaling BEHAVIOR — not just absolute time at one SF — is a tracked
-  * round-over-round signal. */
+  * round-over-round signal: `ratios` holds each query's best-time ratio
+  * primary/secondary (sf0.1 is 10x the rows of sf0.01, so a ratio well
+  * above ~10 flags super-linear scaling — the 100x-scale early warning).
+  *
+  * Per-query `spread` records {min, med, max} across the timed reps:
+  * round-over-round deltas are only trustworthy when med/min is tight,
+  * and a wide max exposes scheduler/GC/page-cache jitter that best-of-N
+  * alone would silently absorb (the q19 lesson from round 5). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,26 +47,39 @@ object Bench {
     // GC jitter (SPARK_GRAFT_BENCH_REPS to override; floored at 1).
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
-    def benchAt(dir: String): (Seq[(String, Double)], Double, Int) = {
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def benchAt(dir: String): (Seq[(String, Seq[Double])], Double, Int) = {
       queries.foreach { case (n, f) => runOne(n, dir, f) }
       val results = queries.map { case (name, fn) =>
-        val ok = (0 until reps).flatMap(_ => runOne(name, dir, fn))
-        name -> (if (ok.isEmpty) -1.0 else ok.min) // -1 marks all-reps-failed
+        name -> (0 until reps).flatMap(_ => runOne(name, dir, fn))
       }
       // failed sentinels are EXCLUDED from the total (a -1 must not make
       // a failing round look faster); they are counted separately
-      val total = results.collect { case (_, v) if v >= 0 => v }.sum
-      (results, total, results.count(_._2 < 0))
+      val total = results.collect { case (_, v) if v.nonEmpty => v.min }.sum
+      (results, total, results.count(_._2.isEmpty))
     }
-    def fmt(results: Seq[(String, Double)]): String =
-      results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def best(v: Seq[Double]): Double = if (v.isEmpty) -1.0 else v.min
+    def fmt(results: Seq[(String, Seq[Double])]): String =
+      results.map { case (k, v) => "\"" + k + "\":" + best(v) }.mkString("{", ",", "}")
+    def fmtSpread(results: Seq[(String, Seq[Double])]): String =
+      results.collect { case (k, v) if v.nonEmpty =>
+        "\"" + k + "\":{\"min\":" + v.min + ",\"med\":" + med(v) + ",\"max\":" + v.max + "}"
+      }.mkString("{", ",", "}")
     val (res1, total1, failed1) = benchAt(sfDir)
     val secondary =
       if (sfDir2.nonEmpty && sfDir2 != sfDir && new java.io.File(sfDir2).isDirectory) {
         val (res2, total2, failed2) = benchAt(sfDir2)
-        s""","secondary":{"sf":"$sfDir2","total":$total2,"failed":$failed2,"queries":${fmt(res2)}}"""
+        val b2 = res2.toMap
+        val ratios = res1.collect {
+          case (k, v1) if v1.nonEmpty && b2.get(k).exists(_.nonEmpty) && b2(k).min > 0 =>
+            "\"" + k + "\":" + (math.rint(v1.min / b2(k).min * 100) / 100)
+        }.mkString("{", ",", "}")
+        s""","secondary":{"sf":"$sfDir2","total":$total2,"failed":$failed2,"queries":${fmt(res2)},"spread":${fmtSpread(res2)}},"ratios":$ratios"""
       } else ""
-    println(s"""{"metric":"total","value":$total1,"unit":"sec","queries":${fmt(res1)},"failed":$failed1,"sf":"$sfDir"$secondary}""")
+    println(s"""{"metric":"total","value":$total1,"unit":"sec","queries":${fmt(res1)},"spread":${fmtSpread(res1)},"failed":$failed1,"sf":"$sfDir"$secondary}""")
     spark.stop()
   }
 }

@@ -259,6 +259,7 @@ object CurationQueries {
           |SELECT doc_id, lang_pred, n_tokens, start_off,
           |  start_off // 256 AS pack_id,
           |  start_off % 256 AS pack_off
-          |FROM packed ORDER BY doc_id""".stripMargin)),
+          |FROM packed ORDER BY doc_id""".stripMargin),
+      headline = true),
   )
 }

@@ -60,17 +60,26 @@ object SurfaceQueries {
     // The struct itself must NOT cross the dump boundary (the driver's
     // comparator row-sorts with pandas, and nested cells are unhashable
     // there — CORRECTNESS_r04), so the compared columns are the struct
-    // serialized via to_json (field order = construction order, no
-    // nulls in this corpus) plus a field access — both scalar.
+    // serialized via to_json (field order = construction order) plus a
+    // field access — both scalar. ignoreNullFields is pinned OFF: the
+    // default silently DROPS null fields from the JSON, so a single null
+    // lang in a future fixture would flip the gate; with it off a null
+    // field renders as `"lang":null`, which the oracle's CASE mirrors
+    // (RegistrySpec pins the null rendering on a synthetic row).
     "q33_struct_funcs" -> Q(
       (s, dir) => Lake(s, dir).documents
         .select(col("doc_id"),
-          to_json(struct(col("lang"), col("n_chars"))).as("meta_json"),
+          to_json(struct(col("lang"), col("n_chars")),
+            Map("ignoreNullFields" -> "false")).as("meta_json"),
           struct(col("lang"), col("n_chars")).getField("lang").as("meta_lang"))
         .orderBy("doc_id"),
       Some(
         """SELECT doc_id,
-          |  '{"lang":"' || lang || '","n_chars":' || n_chars || '}' AS meta_json,
+          |  '{"lang":' ||
+          |    CASE WHEN lang IS NULL THEN 'null' ELSE '"' || lang || '"' END ||
+          |  ',"n_chars":' ||
+          |    CASE WHEN n_chars IS NULL THEN 'null' ELSE n_chars::VARCHAR END ||
+          |  '}' AS meta_json,
           |  lang AS meta_lang
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -376,20 +385,26 @@ object SurfaceQueries {
     // ---- map construction + element access + JSON serialization --------
     // Same comparator constraint as q33: MAP cells are unhashable in the
     // driver's pandas row sort, so the map is compared as its to_json
-    // string (insertion-ordered keys, no nulls in this corpus) and
-    // element_at covers the access path with a scalar result.
+    // string (insertion-ordered keys) and element_at covers the access
+    // path with a scalar result. ignoreNullFields off + CASE oracle =
+    // null values render identically on both engines (see q33).
     "q34_map_funcs" -> Q(
       (s, dir) => Lake(s, dir).documents
         .select(col("doc_id"),
           to_json(map(lit("lang"), col("lang"),
-            lit("source"), col("source"))).as("m_json"),
+              lit("source"), col("source")),
+            Map("ignoreNullFields" -> "false")).as("m_json"),
           element_at(
             map(lit("lang"), col("lang"), lit("source"), col("source")),
             "lang").as("m_lang"))
         .orderBy("doc_id"),
       Some(
         """SELECT doc_id,
-          |  '{"lang":"' || lang || '","source":"' || source || '"}' AS m_json,
+          |  '{"lang":' ||
+          |    CASE WHEN lang IS NULL THEN 'null' ELSE '"' || lang || '"' END ||
+          |  ',"source":' ||
+          |    CASE WHEN source IS NULL THEN 'null' ELSE '"' || source || '"' END ||
+          |  '}' AS m_json,
           |  lang AS m_lang
           |FROM documents ORDER BY doc_id""".stripMargin)),
 

@@ -337,7 +337,8 @@ object TextQueries {
           |  COALESCE(CAST(b.mx AS DOUBLE) / b.n, 0.0) AS top_bigram_frac,
           |  CAST(u.dup AS DOUBLE) / u.n AS dup_token_frac
           |FROM ustat u LEFT JOIN bstat b USING (doc_id)
-          |ORDER BY u.doc_id""".stripMargin)),
+          |ORDER BY u.doc_id""".stripMargin),
+      headline = true),
 
     // ---- corpus-relative rare-token scoring (vocabulary filtering) -----
     // Two-stage: build the corpus vocabulary with occurrence counts, mark
@@ -436,20 +437,38 @@ object TextQueries {
 
     // ---- vocabulary token-id encoding (text -> id arrays) --------------
     // The encode step before packing: vocab ids by frequency rank (ties
-    // by token), each doc mapped to its id sequence. The global ranking
-    // window runs over the VOCAB AGGREGATE (31 rows here; always
-    // vocab-sized, never corpus-sized), then broadcasts back; per-doc
-    // order is restored from explode positions, not collect order.
+    // by token), each doc mapped to its id sequence; per-doc order is
+    // restored from explode positions, not collect order.
+    //
+    // The global rank is TWO-PHASE so no unpartitioned window ever runs:
+    // a 100 TB corpus has a vocab in the hundreds of millions, and a
+    // single-partition WindowExec over it would be a serial point. Phase
+    // 1 range-partitions the vocab aggregate on the rank order and ranks
+    // WITHIN each partition; phase 2 adds per-partition row-count offsets
+    // (a driver-side prefix sum over <= numPartitions rows — bounded by
+    // construction, the same size class as a broadcast threshold). The
+    // offsets pass re-evaluates the vocab aggregate once more; both
+    // evaluations range-partition deterministically (RangePartitioner's
+    // sample seed is a pure function of partition index), so the pid of
+    // every row agrees across the two runs.
     "t18_encode" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val occ = docs(s, dir)
           .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
         val vocab = occ.groupBy("w").agg(count(lit(1)).as("c"))
-        val rank = Window.orderBy(desc("c"), asc("w"))
-        val ids = vocab
-          .withColumn("tok_id", row_number().over(rank).cast("long") - 1)
-          .select("w", "tok_id")
+        val byRank = vocab.repartitionByRange(desc("c"), asc("w"))
+          .withColumn("pid", spark_partition_id())
+        val pw = Window.partitionBy("pid").orderBy(desc("c"), asc("w"))
+        val ranked = byRank
+          .withColumn("r", row_number().over(pw).cast("long"))
+        var acc = 0L
+        val offsets = ranked.groupBy("pid").agg(count(lit(1)).as("n"))
+          .orderBy("pid").collect()
+          .map { row => val o = (row.getInt(0), acc); acc += row.getLong(1); o }
+        val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
+        val ids = ranked.join(broadcast(offDf), "pid")
+          .select(col("w"), (col("off") + col("r") - 1).as("tok_id"))
         // id sequence dumps as a comma-joined string (LIST cells are
         // unhashable in the driver's pandas row sort); order restored
         // from explode positions, exactly as before

@@ -1,17 +1,26 @@
 package graft.tools
 
 import graft.{GraftSession, SparkEntry}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Automated plan-hygiene gate: walks every declared query's physical
-  * plan and fails (exit 1) on an UNEXPECTED nested-loop or cartesian
-  * join — the two shapes that silently turn a pipeline quadratic at
-  * scale. A small allowlist names the queries whose nested-loop joins
-  * are the DESIGNED broadcast patterns:
+  * plan and fails (exit 1) on the shapes that silently stop scaling —
+  * an UNEXPECTED nested-loop/cartesian join (quadratic) or a WindowExec
+  * with an EMPTY partition spec (Spark moves the whole input to ONE
+  * partition: a serial point bounded only by input size). A small
+  * allowlist names the queries whose nested-loop joins are the DESIGNED
+  * broadcast patterns:
   *
   *  - s1/s4/q24: a small broadcast query set scored against the corpus
   *    scan (brute-force top-k — the right plan when |queries| is tiny);
   *  - t12/t16/t17: a 1-row scalar aggregate (corpus total / sketch)
   *    broadcast-crossed into a per-row computation.
+  *
+  * No query is allowlisted for a global window: rank-over-everything is
+  * always expressible as range-partition + per-partition rank + offset
+  * add (see t18_encode), so there is no designed use of the shape.
   *
   * Everything else must plan as hash/sort-merge joins. Run after adding
   * a query: `runMain graft.tools.PlanAudit [sfDir]`.
@@ -22,28 +31,49 @@ object PlanAudit {
     "s1_cosine_topk", "s4_ann_ivf", "q24_sql_cosine",
     "t12_tfidf", "t16_rare_tokens", "t17_countmin")
 
+  private val allowedGlobalWindow = Set.empty[String]
+
+  /** Collects WindowExec nodes with no partition expressions, descending
+    * through AQE wrappers and subquery plans (a plain .toString match
+    * can't tell an empty partition spec from a populated one). */
+  private def globalWindows(p: SparkPlan): Seq[WindowExec] = {
+    val here = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case _ => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => p.children
+    }
+    here ++ (kids ++ p.subqueries).flatMap(globalWindows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.local("graft-plan-audit")
     spark.sparkContext.setLogLevel("WARN")
     var bad = List.empty[String]
     SparkEntry.all.keys.toSeq.sorted.foreach { n =>
-      val plan = SparkEntry.all(n).fn(spark, sfDir)
-        .queryExecution.executedPlan.toString
+      val physical = SparkEntry.all(n).fn(spark, sfDir)
+        .queryExecution.executedPlan
+      val plan = physical.toString
       val nested = plan.contains("BroadcastNestedLoopJoin") ||
         plan.contains("CartesianProduct")
+      val global = globalWindows(physical).nonEmpty
       if (nested && !allowedNestedLoop(n)) bad ::= n
+      if (global && !allowedGlobalWindow(n)) bad ::= n
       val verdict =
-        if (!nested) "ok"
-        else if (allowedNestedLoop(n)) "ok (allowlisted broadcast pattern)"
-        else "UNEXPECTED nested-loop/cartesian join"
+        if (nested && !allowedNestedLoop(n)) "UNEXPECTED nested-loop/cartesian join"
+        else if (global && !allowedGlobalWindow(n)) "UNEXPECTED unpartitioned (single-partition) window"
+        else if (nested || global) "ok (allowlisted broadcast pattern)"
+        else "ok"
       println(f"[audit] $n%-28s $verdict")
     }
     spark.stop()
     if (bad.nonEmpty) {
-      System.err.println(s"[audit] FAILED: ${bad.sorted.mkString(", ")}")
+      System.err.println(s"[audit] FAILED: ${bad.distinct.sorted.mkString(", ")}")
       sys.exit(1)
     }
-    println(s"[audit] PASS: ${SparkEntry.all.size} plans, 0 unexpected joins")
+    println(s"[audit] PASS: ${SparkEntry.all.size} plans, 0 unexpected joins/windows")
   }
 }

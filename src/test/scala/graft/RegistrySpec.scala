@@ -44,4 +44,44 @@ class RegistrySpec extends AnyFunSuite {
         s"$name: duplicate output column names ${cols.mkString(",")}")
     }
   }
+
+  test("to_json serialization renders null fields instead of dropping them (q33/q34 null hardening)") {
+    // Spark's to_json DEFAULT is ignoreNullFields=true, which silently
+    // drops a null struct field — `{"n_chars":42}` — while the DuckDB
+    // oracle's CASE renders `{"lang":null,"n_chars":42}`. q33/q34 pin
+    // ignoreNullFields=false; this pins the rendering on a synthetic
+    // null row so the gate no longer depends on "no nulls in this
+    // corpus" staying true.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String], Some(42L), Option.empty[String]),
+      (2L, Some("en"), Option.empty[Long], Some("web")))
+      .toDF("doc_id", "lang", "n_chars", "source")
+    val out = df.select(
+      to_json(struct(col("lang"), col("n_chars")),
+        Map("ignoreNullFields" -> "false")).as("meta_json"),
+      to_json(map(lit("lang"), col("lang"), lit("source"), col("source")),
+        Map("ignoreNullFields" -> "false")).as("m_json"),
+      // the oracle side, replayed through Spark SQL (same CASE text the
+      // DuckDB oracle uses, modulo the :: cast syntax)
+      expr("""'{"lang":' ||
+        CASE WHEN lang IS NULL THEN 'null' ELSE '"' || lang || '"' END ||
+        ',"n_chars":' ||
+        CASE WHEN n_chars IS NULL THEN 'null' ELSE CAST(n_chars AS STRING) END ||
+        '}'""").as("oracle_meta"),
+      expr("""'{"lang":' ||
+        CASE WHEN lang IS NULL THEN 'null' ELSE '"' || lang || '"' END ||
+        ',"source":' ||
+        CASE WHEN source IS NULL THEN 'null' ELSE '"' || source || '"' END ||
+        '}'""").as("oracle_m"))
+      .orderBy("meta_json").collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(2),
+        s"struct json ${r.getString(0)} != oracle ${r.getString(2)}")
+      assert(r.getString(1) == r.getString(3),
+        s"map json ${r.getString(1)} != oracle ${r.getString(3)}")
+    }
+    assert(out.exists(_.getString(0).contains(""""lang":null""")),
+      "null struct field must render as literal null, not be dropped")
+  }
 }
