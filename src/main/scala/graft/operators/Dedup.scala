@@ -130,7 +130,13 @@ object Dedup {
     // achieving reuse, and bucket-local pair explosion through nested
     // array HOFs runs interpreted (~2x slower end-to-end). When the
     // corpus scan dominates, persist minHashSignatures(...) and call
-    // this entry point.
+    // this entry point: SigPersistBench measures the persisted path at
+    // 1.14s vs 1.30s one-shot (best-of-7, sf0.1 local[32], persist +
+    // materialize + unpersist all inside the timed region) — a 12-14%
+    // win that grows with scan cost. The declared d2 query keeps the
+    // one-shot form because Spark's cache manager keys persisted data
+    // by logical plan: a persist inside a repeatedly-invoked query fn
+    // would silently serve later bench reps from the first rep's cache.
     val a = banded.select(col(id).as("id_a"), col("band"), col("band_hash"))
     val b = banded.select(col(id).as("id_b"), col("band"), col("band_hash"))
     val candidates = a.join(b, Seq("band", "band_hash"))
