@@ -128,4 +128,81 @@ object Curation {
     val deduped = Dedup.dedupExact(filtered, Seq("fp"), idCol)
     Sampling.stratified(deduped, "lang_pred", "fp", fractions)
   }
+
+  /** Per-source document cap (the per-domain cap a web-crawl curation
+    * applies so no single domain dominates the mix): keep at most
+    * `maxDocs` documents per source, best-quality first. Ranking runs in
+    * the INTEGER micro-quality domain (`floor(q·1e6)`, ties by id) so
+    * the cut is deterministic and engine-portable — a raw-double order
+    * key would make the boundary row engine-dependent. One partitioned
+    * window (keyed by source — fully parallel across domains; no
+    * global ordering anywhere). */
+  def capPerSource(df: DataFrame, sourceCol: String, idCol: String,
+                   textCol: String, maxDocs: Int): DataFrame = {
+    require(maxDocs > 0)
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(desc("q_micro"), col(idCol))
+    Parallelism.ensure(df)
+      .withColumn("q_micro",
+        floor(qualityScore(col(textCol)) * 1e6).cast("long"))
+      .withColumn("rank_in_source", row_number().over(w))
+      .where(col("rank_in_source") <= maxDocs)
+  }
+
+  /** Equalize a stratified mix (the "rebalance the training mixture"
+    * step): compute each stratum's volume, take the smallest stratum as
+    * the target, and deterministically downsample every other stratum
+    * toward it with the hash-membership function — the kept fraction is
+    * `floor(16·min/n)` sixteenths, so membership stays a pure function
+    * of the key (reproducible, incremental-load-stable) while the mix
+    * approaches uniform. The per-stratum threshold table is one tiny
+    * aggregate broadcast back; no shuffle touches the corpus itself. */
+  def rebalanceEqual(df: DataFrame, stratumCol: String,
+                     keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val sx = counts
+      .crossJoin(broadcast(counts.agg(min(col("n")).as("m"))))
+      .select(col(stratumCol),
+        expr("CAST((m * 16) DIV n AS INT)").as("kept_sixteenths"))
+    df.join(broadcast(sx), Seq(stratumCol))
+      .where(Sampling.hashKeepDynamic(col(keyCol), col("kept_sixteenths")))
+  }
+
+  /** Deterministic epoch shuffle into shards (the training-order
+    * randomization a sharded pretraining writer performs): every row
+    * gets a portable 60-bit hash of (seed, key); the shard is the hash
+    * mod `numShards`, and rows are positioned within their shard by
+    * hash order. Re-running with the same seed reproduces the exact
+    * order on any cluster size; a new seed is a fresh permutation.
+    * Scale shape: one partitioned window keyed by shard — positions are
+    * assigned per shard in parallel, never through a global rank. */
+  def shardShuffle(df: DataFrame, keyCol: String, seed: Long,
+                   numShards: Int): DataFrame = {
+    require(numShards > 0)
+    val h = Dedup.md5Hash60(concat_ws(":", lit(seed), col(keyCol)))
+    val w = Window.partitionBy("shard").orderBy(col("shuffle_h"), col(keyCol))
+    df.withColumn("shuffle_h", h)
+      .withColumn("shard", pmod(col("shuffle_h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
+  /** Sequence-length bucketing for batch assembly (pad-efficient
+    * batching groups sequences of similar length): bucket = number of
+    * binary digits of the token count (i.e. pow-2 length classes, the
+    * standard bucketing rule), then contiguous `batchSize` batches by id
+    * order within each bucket. All integer arithmetic — `length(bin(n))`
+    * is exact where a floating log2 would misclassify exact powers of
+    * two — and the only shuffle is the bucket-partitioned window. */
+  def lengthBuckets(df: DataFrame, idCol: String, textCol: String,
+                    batchSize: Int): DataFrame = {
+    require(batchSize > 0)
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+    Parallelism.ensure(df)
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bucket", length(bin(col("n_tokens"))).cast("int"))
+      .withColumn("rn0", row_number().over(w).cast("long") - 1)
+      .withColumn("batch_id", expr(s"rn0 DIV $batchSize"))
+      .withColumn("batch_pos", pmod(col("rn0"), lit(batchSize.toLong)).cast("int"))
+      .drop("rn0")
+  }
 }

@@ -20,6 +20,30 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object LakeMaintenance {
 
+  /** MERGE-INTO (latest-wins upsert) as a pure DataFrame transform — the
+    * engine's analog of `MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED
+    * THEN INSERT` for snapshot maintenance on a plain-Parquet lake:
+    * every key keeps exactly one row; an update row replaces the base
+    * row for its key unconditionally, and within each side the latest by
+    * `versionCols` (descending, e.g. an event time then a unique id for
+    * totality) wins. One window shuffle partitioned by the merge key —
+    * fully parallel across keys, no global ordering; pair with
+    * [[overwritePartitions]] to land the merged snapshot incrementally.
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame,
+                  keyCols: Seq[String], versionCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty && versionCols.nonEmpty)
+    val tagged = base.withColumn("__origin", lit(0))
+      .unionByName(updates.withColumn("__origin", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(desc("__origin") +: versionCols.map(c => desc(c)): _*)
+    tagged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__origin", "__rn")
+  }
+
   /** Overwrite only the partitions present in `df` under `path`. */
   def overwritePartitions(df: DataFrame, path: String,
                           partitionCols: Seq[String]): Unit =

@@ -37,6 +37,17 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, sixteenths: Int): DataFrame =
     df.where(hashKeep(col(keyCol), sixteenths))
 
+  /** [[hashKeep]] with a COLUMN-valued sixteenths (per-row thresholds,
+    * e.g. a per-stratum keep fraction joined in): the first md5 hex
+    * digit's numeric value compared against the threshold. Same
+    * membership function as the Int overload (digit value < s == hex
+    * char < format "%x" for s in 1..15; 0 and 16 via the bounds). */
+  def hashKeepDynamic(key: Column, sixteenths: Column): Column =
+    sixteenths >= 16 ||
+      (sixteenths > 0 &&
+        conv(substring(md5(key.cast("string").cast("binary")), 1, 1), 16, 10)
+          .cast("int") < sixteenths)
+
   /** Per-stratum deterministic sampling: `fractions` maps stratum value ->
     * sixteenths kept; absent strata are dropped. */
   def stratified(df: DataFrame, stratumCol: String, keyCol: String,

@@ -261,5 +261,115 @@ object CurationQueries {
           |  start_off % 256 AS pack_off
           |FROM packed ORDER BY doc_id""".stripMargin),
       headline = true),
+
+    // ---- per-source document cap (domain balancing) --------------------
+    // The per-domain cap a web-crawl curation applies so no source
+    // dominates: top-10 per source by integer micro-quality (ties by
+    // id). One window partitioned by source — parallel across domains.
+    "c6_domain_cap" -> Q(
+      (s, dir) => Curation.capPerSource(Lake(s, dir).documents,
+          "source", "doc_id", "text", maxDocs = 10)
+        .select("doc_id", "source", "q_micro", "rank_in_source")
+        .orderBy("doc_id"),
+      Some(
+        """WITH q AS (
+          |  SELECT doc_id, source,
+          |    CAST(floor((
+          |        least(CAST(ntok AS DOUBLE) / 100.0, 1.0) * 0.5
+          |      + (CASE WHEN ntok > 0 THEN CAST(stop_hits AS DOUBLE) / ntok ELSE 0.0 END) * 0.3
+          |      + (1.0 - CASE WHEN nchars > 0 THEN CAST(punct AS DOUBLE) / nchars ELSE 0.0 END) * 0.2
+          |    ) * 1e6) AS BIGINT) AS q_micro
+          |  FROM (
+          |    SELECT doc_id, source,
+          |      len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+          |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+          |      len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS punct,
+          |      length(text) AS nchars
+          |    FROM documents) t),
+          |r AS (
+          |  SELECT doc_id, source, q_micro,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+          |         ORDER BY q_micro DESC, doc_id) AS INTEGER) AS rank_in_source
+          |  FROM q)
+          |SELECT doc_id, source, q_micro, rank_in_source
+          |FROM r WHERE rank_in_source <= 10 ORDER BY doc_id""".stripMargin)),
+
+    // ---- mixture rebalancing toward the smallest stratum ---------------
+    // Per-language counts -> smallest stratum is the target -> every
+    // stratum downsampled to floor(16*min/n) sixteenths with the
+    // deterministic md5 membership (pure function of doc_id, so the
+    // rebalanced mix is reproducible and incremental-load-stable). The
+    // threshold table is one tiny broadcast; the corpus never shuffles.
+    "c7_mixture_rebalance" -> Q(
+      (s, dir) => Curation.rebalanceEqual(
+          Lake(s, dir).documents.select("doc_id", "lang"), "lang", "doc_id")
+        .select("doc_id", "lang", "kept_sixteenths")
+        .orderBy("doc_id"),
+      Some(
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          |m AS (SELECT min(n) AS mn FROM c),
+          |sx AS (SELECT lang, CAST((m.mn * 16) // n AS INTEGER)
+          |         AS kept_sixteenths FROM c, m)
+          |SELECT d.doc_id, d.lang, sx.kept_sixteenths
+          |FROM documents d JOIN sx USING (lang)
+          |WHERE kept_sixteenths >= 16
+          |   OR (kept_sixteenths > 0 AND
+          |       (strpos('0123456789abcdef',
+          |          substr(md5(d.doc_id::VARCHAR), 1, 1)) - 1) < kept_sixteenths)
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- deterministic epoch shuffle into shards -----------------------
+    // Training-order randomization as a sharded writer performs it: a
+    // portable 60-bit hash of (seed, doc_id) orders the epoch; shard =
+    // hash mod 8, position assigned WITHIN each shard (partitioned
+    // window — no global rank anywhere). Same seed = same permutation on
+    // any cluster size; the oracle rebuilds the hash digit-for-digit.
+    "c8_shard_shuffle" -> Q(
+      (s, dir) => Curation.shardShuffle(
+          Lake(s, dir).documents.select("doc_id"), "doc_id",
+          seed = 7L, numShards = 8)
+        .select("doc_id", "shuffle_h", "shard", "shard_pos")
+        .orderBy("doc_id"),
+      Some(
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    CAST(list_sum([(strpos('0123456789abcdef', substr(m, i, 1)) - 1)
+          |                   * CAST(pow(16, 15 - i) AS BIGINT)
+          |                   for i in generate_series(1, 15)]) AS BIGINT)
+          |      AS shuffle_h
+          |  FROM (SELECT doc_id, md5('7:' || doc_id::VARCHAR) AS m FROM documents) t)
+          |SELECT doc_id, shuffle_h,
+          |  CAST(shuffle_h % 8 AS INTEGER) AS shard,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_h % 8
+          |       ORDER BY shuffle_h, doc_id) AS BIGINT) AS shard_pos
+          |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ---- sequence-length bucketing for batch assembly ------------------
+    // Pad-efficient batching: pow-2 length classes via the binary-digit
+    // count (integer-exact where a floating log2 would misclassify exact
+    // powers of two), then contiguous 16-doc batches by id within each
+    // bucket. Only shuffle is the bucket-partitioned window.
+    "c9_length_buckets" -> Q(
+      (s, dir) => Curation.lengthBuckets(Lake(s, dir).documents,
+          "doc_id", "text", batchSize = 16)
+        .orderBy("doc_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+          |      AS n_tokens
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, n_tokens,
+          |    CAST(length(bin(n_tokens)) AS INTEGER) AS bucket
+          |  FROM t),
+          |r AS (
+          |  SELECT doc_id, n_tokens, bucket,
+          |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rn0
+          |  FROM b)
+          |SELECT doc_id, n_tokens, bucket,
+          |  CAST(rn0 // 16 AS BIGINT) AS batch_id,
+          |  CAST(rn0 % 16 AS INTEGER) AS batch_pos
+          |FROM r ORDER BY doc_id""".stripMargin)),
   )
 }

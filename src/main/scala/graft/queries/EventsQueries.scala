@@ -269,6 +269,38 @@ object EventsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
-      headline = true)
+      headline = true),
+
+    // ---- MERGE-INTO latest-wins upsert (snapshot maintenance) ----------
+    // LakeMaintenance.mergeUpsert as a checkable query: the odd-event_id
+    // half of the stream upserts into the even half keyed by user — an
+    // update row replaces the base row for its user unconditionally, and
+    // within each side the latest (ts_us, event_id) wins. Version order
+    // runs on integer MICROS (ts DIV 1000), the precision the oracle
+    // sees — a nano-order could pick a different winner inside one
+    // microsecond. One user-partitioned window, parallel across keys.
+    "q37_merge_upsert" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("ts DIV 1000").as("ts_us"), col("event_type"), col("value"))
+        graft.operators.LakeMaintenance.mergeUpsert(
+            ev.where(col("event_id") % 2 === 0),
+            ev.where(col("event_id") % 2 === 1),
+            keyCols = Seq("user_id"), versionCols = Seq("ts_us", "event_id"))
+          .select("user_id", "event_id", "ts_us", "event_type", "value")
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH tagged AS (
+          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+          |    CAST(event_id % 2 AS INTEGER) AS origin
+          |  FROM events),
+          |r AS (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          |    ORDER BY origin DESC, ts_us DESC, event_id DESC) AS rn
+          |  FROM tagged)
+          |SELECT user_id, event_id, ts_us, event_type, value
+          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
   )
 }

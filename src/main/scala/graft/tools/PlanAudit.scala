@@ -15,8 +15,9 @@ import org.apache.spark.sql.execution.window.WindowExec
   *
   *  - s1/s4/q24: a small broadcast query set scored against the corpus
   *    scan (brute-force top-k — the right plan when |queries| is tiny);
-  *  - t12/t16/t17: a 1-row scalar aggregate (corpus total / sketch)
-  *    broadcast-crossed into a per-row computation.
+  *  - t12/t16/t17/c7: a 1-row scalar aggregate (corpus total / sketch /
+  *    min stratum volume) broadcast-crossed into a per-row computation
+  *    (for c7, into the per-stratum count aggregate, itself tiny).
   *
   * No query is allowlisted for a global window: rank-over-everything is
   * always expressible as range-partition + per-partition rank + offset
@@ -29,7 +30,8 @@ object PlanAudit {
 
   private val allowedNestedLoop = Set(
     "s1_cosine_topk", "s4_ann_ivf", "q24_sql_cosine",
-    "t12_tfidf", "t16_rare_tokens", "t17_countmin")
+    "t12_tfidf", "t16_rare_tokens", "t17_countmin",
+    "c7_mixture_rebalance")
 
   private val allowedGlobalWindow = Set.empty[String]
 

@@ -287,4 +287,92 @@ class OperatorLawsSpec extends AnyFunSuite {
     assert(kept.select("source").distinct().collect().map(_.getString(0)).toSeq
       === Seq("good"))
   }
+
+  test("per-source cap keeps at most N per source with contiguous best-first ranks") {
+    import graft.operators.Curation
+    val docs = Lake(spark, sf0001).documents
+    val capped = Curation.capPerSource(docs, "source", "doc_id", "text", maxDocs = 7)
+      .select("source", "q_micro", "rank_in_source").collect()
+    capped.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.length <= 7, s"$src over cap")
+      val ranks = rows.map(_.getInt(2)).sorted.toSeq
+      assert(ranks === (1 to rows.length), s"$src ranks not contiguous")
+      // best-first: ranks ascend as micro-quality descends
+      assert(rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+        .sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+        s"$src not ranked quality-descending")
+    }
+  }
+
+  test("mixture rebalance keeps the smallest stratum whole and is deterministic") {
+    import graft.operators.Curation
+    val docs = Lake(spark, sf0001).documents.select("doc_id", "lang")
+    val out = Curation.rebalanceEqual(docs, "lang", "doc_id")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = counts.minBy(t => (t._2, t._1))
+    val keptCounts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the floor(16*min/n) threshold gives the smallest stratum 16/16
+    assert(keptCounts(minLang._1) === counts(minLang._1),
+      "smallest stratum must be kept whole")
+    // every stratum's kept share is <= its sixteenths bound... and the
+    // same call twice is bit-identical (pure hash membership)
+    assert(out.collect().map(_.toString).sorted.toSeq ===
+      Curation.rebalanceEqual(docs, "lang", "doc_id")
+        .collect().map(_.toString).sorted.toSeq)
+    keptCounts.foreach { case (l, k) => assert(k <= counts(l)) }
+  }
+
+  test("shard shuffle: contiguous per-shard positions, seed-deterministic, seed-sensitive") {
+    import graft.operators.Curation
+    val docs = Lake(spark, sf0001).documents.select("doc_id")
+    val a = Curation.shardShuffle(docs, "doc_id", seed = 7L, numShards = 4)
+    val rows = a.collect()
+    assert(rows.map(_.getAs[Int]("shard")).forall(s => s >= 0 && s < 4))
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (sh, rs) =>
+      assert(rs.map(_.getAs[Long]("shard_pos")).sorted.toSeq ===
+        (1L to rs.length.toLong), s"shard $sh positions not contiguous")
+    }
+    val a2 = Curation.shardShuffle(docs, "doc_id", seed = 7L, numShards = 4)
+    assert(rows.map(_.toString).sorted.toSeq ===
+      a2.collect().map(_.toString).sorted.toSeq, "same seed must reproduce")
+    val b = Curation.shardShuffle(docs, "doc_id", seed = 8L, numShards = 4)
+    assert(rows.map(_.toString).sorted.toSeq !==
+      b.collect().map(_.toString).sorted.toSeq, "new seed must permute")
+  }
+
+  test("length buckets: pow-2 classes, batches bounded and contiguous") {
+    import graft.operators.Curation
+    val out = Curation.lengthBuckets(Lake(spark, sf0001).documents,
+      "doc_id", "text", batchSize = 8).collect()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val b = r.getAs[Int]("bucket")
+      assert(b === java.lang.Long.toBinaryString(math.max(n, 0L)).length,
+        s"bucket must be the binary digit count of $n")
+      assert(r.getAs[Int]("batch_pos") >= 0 && r.getAs[Int]("batch_pos") < 8)
+    }
+    out.groupBy(r => (r.getAs[Int]("bucket"), r.getAs[Long]("batch_id")))
+      .foreach { case ((bk, bid), rs) =>
+        assert(rs.length <= 8, s"bucket $bk batch $bid oversize")
+        // doc-id order within the bucket maps to (batch_id, batch_pos) order
+        assert(rs.map(_.getAs[Int]("batch_pos")).sorted.toSeq ===
+          (0 until rs.length), s"bucket $bk batch $bid positions not contiguous")
+      }
+  }
+
+  test("merge upsert: one row per key, update beats base, unmatched base survives") {
+    import graft.operators.LakeMaintenance.mergeUpsert
+    val base = Seq((1L, 10L, "b1"), (1L, 11L, "b2"), (2L, 10L, "b3"), (3L, 9L, "b4"))
+      .toDF("k", "v", "payload")
+    val updates = Seq((1L, 5L, "u1"), (1L, 4L, "u2"), (4L, 1L, "u3"))
+      .toDF("k", "v", "payload")
+    val got = mergeUpsert(base, updates, Seq("k"), Seq("v", "payload"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got === Map(
+      1L -> (5L, "u1"),  // update wins even though base has later version
+      2L -> (10L, "b3"), // unmatched base survives
+      3L -> (9L, "b4"),
+      4L -> (1L, "u3"))) // pure insert
+  }
 }
