@@ -168,6 +168,12 @@ object CurationQueries {
         val docs = Lake(s, dir).documents
         val train = docs.where(col("doc_id") % 2 === 0)
         val bench = docs.where(col("doc_id") % 2 === 1)
+        // `sourced` feeds three consumers (both decontamination inputs
+        // and the final semi join), so its subtree re-evaluates per
+        // consumer — measured CHEAPER than materializing: a
+        // localCheckpoint stage boundary here ran 3.9s vs 2.7s warm at
+        // sf0.1 (checkpointing the full text column costs more than the
+        // repeated pruned scan + broadcast semi-join it saves).
         val sourced = Curation.filterBySource(train, "source", "text",
           minDocs = 5L, minAvgQuality = 0.49)
         val clean = sourced.join(

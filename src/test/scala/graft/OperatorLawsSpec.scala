@@ -361,6 +361,22 @@ class OperatorLawsSpec extends AnyFunSuite {
       }
   }
 
+  test("mergeLatest is arrival-order-invariant (random batches, distinct versions)") {
+    import graft.operators.LakeMaintenance.mergeLatest
+    val rowsGen = Gen.listOfN(24, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 1000L)))
+      .map(_.distinct.map { case (k, v) => (k, v, s"p$k-$v") })
+    check("mergeLatest", Prop.forAll(rowsGen, Gen.choose(0, 23)) { (rows, cut) =>
+      val (b1, b2) = rows.splitAt(math.min(cut, rows.length))
+      val base = Seq.empty[(Long, Long, String)].toDF("k", "ver", "payload")
+      def df(b: Seq[(Long, Long, String)]) = b.toDF("k", "ver", "payload")
+      val fwd = mergeLatest(mergeLatest(base, df(b1), Seq("k"), Seq("ver")),
+        df(b2), Seq("k"), Seq("ver"))
+      val rev = mergeLatest(mergeLatest(base, df(b2), Seq("k"), Seq("ver")),
+        df(b1), Seq("k"), Seq("ver"))
+      canon(fwd) == canon(rev)
+    }, trials = 8)
+  }
+
   test("merge upsert: one row per key, update beats base, unmatched base survives") {
     import graft.operators.LakeMaintenance.mergeUpsert
     val base = Seq((1L, 10L, "b1"), (1L, 11L, "b2"), (2L, 10L, "b3"), (3L, 9L, "b4"))

@@ -245,6 +245,40 @@ class StreamingSpec extends AnyFunSuite {
       "a replayed batch must replace, not append")
   }
 
+  test("streaming upsert snapshot converges to latest-version rows under out-of-order batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.LakeMaintenance
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = Files.createTempDirectory("upsert_sink").toString + "/snap"
+    val ckpt = Files.createTempDirectory("upsert_ckpt").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.SnapshotStream.upsertSnapshot(
+      input.toDF.toDF("k", "ver", "payload"), sink, ckpt,
+      keyCols = Seq("k"), versionCols = Seq("ver"), numBuckets = 4).start()
+    try {
+      // batch 1: initial versions
+      input.addData((1L, 10L, "a1"), (2L, 10L, "b1"), (3L, 10L, "c1"))
+      q.processAllAvailable()
+      // batch 2 arrives OUT OF ORDER: a newer row for k=1, an OLDER
+      // (late) row for k=2 that must NOT replace b1, an insert for k=4
+      input.addData((1L, 20L, "a2"), (2L, 5L, "b0"), (4L, 1L, "d1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snap() = spark.read.parquet(sink)
+      .select("k", "ver", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val want = Map(1L -> (20L, "a2"), 2L -> (10L, "b1"),
+      3L -> (10L, "c1"), 4L -> (1L, "d1"))
+    assert(snap() === want)
+    // replaying an already-applied batch is a no-op (idempotent merge)
+    LakeMaintenance.upsertIntoSnapshot(
+      Seq((1L, 20L, "a2"), (2L, 5L, "b0")).toDF("k", "ver", "payload"),
+      sink, Seq("k"), Seq("ver"), numBuckets = 4)
+    assert(snap() === want, "replay must not change the snapshot")
+  }
+
   test("stateful running totals accumulate per user") {
     val totals = EventsStream.runningUserTotals(spark,
       EventsStream.readEvents(spark, eventsDir))
