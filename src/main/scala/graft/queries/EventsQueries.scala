@@ -302,5 +302,33 @@ object EventsQueries {
           |  FROM tagged)
           |SELECT user_id, event_id, ts_us, event_type, value
           |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- SCD Type-2 interval derivation (change history) ---------------
+    // Every event becomes a validity interval of its user's state:
+    // valid_from = its micros, valid_to = the next event's micros (open
+    // current row = NULL), is_current flags the latest. One lead()
+    // window partitioned by user — the standard dimension-history build,
+    // parallel across keys. Total order on (ts_us, event_id) keeps ties
+    // deterministic; the null valid_to never participates in the sort.
+    "q38_scd2_intervals" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+        events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts DIV 1000").as("valid_from_us"))
+          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+          .withColumn("is_current", col("valid_to_us").isNull)
+          .orderBy("user_id", "valid_from_us", "event_id")
+      },
+      Some(
+        """SELECT user_id, event_id, event_type,
+          |  epoch_us(ts) AS valid_from_us,
+          |  LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
+          |    ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+          |  LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
+          |    ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+          |FROM events
+          |ORDER BY user_id, valid_from_us, event_id""".stripMargin)),
   )
 }

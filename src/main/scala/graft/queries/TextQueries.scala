@@ -575,6 +575,35 @@ object TextQueries {
           |      + (1.0 - CAST(len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS DOUBLE)
           |        / length(text)) * 0.2 AS q
           |    FROM documents) t) r
-          |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin))
+          |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin)),
+
+    // ---- token-length distribution profiling ---------------------------
+    // Corpus profiling (the histogram a curation run inspects before
+    // choosing packing budgets): per-language fixed-width token-length
+    // buckets, top-capped. Bucketing is pure integer arithmetic
+    // (n DIV 20, capped at 9) — portable to any engine with no reliance
+    // on a width_bucket builtin — and the whole query is one partial+
+    // final aggregation over (lang, bucket): map-side combine does the
+    // heavy lifting, output is |langs|×10 rows regardless of corpus
+    // size.
+    "t20_length_histogram" -> Q(
+      (s, dir) => docs(s, dir)
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+        .select(col("lang"),
+          least(expr("n DIV 20"), lit(9L)).cast("int").as("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("bucket_lo", (col("bucket") * 20).cast("long"))
+        .select("lang", "bucket", "bucket_lo", "n_docs")
+        .orderBy("lang", "bucket"),
+      Some(
+        """SELECT lang,
+          |  CAST(least(len(string_split_regex(lower(trim(text)), '\s+')) // 20,
+          |             9) AS INTEGER) AS bucket,
+          |  CAST(least(len(string_split_regex(lower(trim(text)), '\s+')) // 20,
+          |             9) * 20 AS BIGINT) AS bucket_lo,
+          |  COUNT(*) AS n_docs
+          |FROM documents
+          |GROUP BY 1, 2, 3 ORDER BY lang, bucket""".stripMargin)),
   )
 }
