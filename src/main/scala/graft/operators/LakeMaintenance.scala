@@ -91,8 +91,13 @@ object LakeMaintenance {
     val bucketed = batch.withColumn("__bucket", bucketOf(keyCols, numBuckets))
     val touched = bucketed.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
+    // existence probe through the Hadoop FS API so the snapshot can live
+    // on any supported store (HDFS/S3/...), not only the local disk
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val exists = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(hPath)
     val existing =
-      if (new java.io.File(path).isDirectory)
+      if (exists)
         spark.read.parquet(path).where(col("__bucket").isin(touched: _*))
           .select(bucketed.columns.map(col): _*) // partition col position
       else bucketed.limit(0)
