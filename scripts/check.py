@@ -79,6 +79,14 @@ def main(sf_dir, out_dir):
         else:
             n_fail += 1
             print(f"  FAIL       {name}: {'; '.join(msgs)}")
+    # A query that CRASHED inside Verify leaves no dump dir (Verify
+    # catches per-query exceptions and continues) but its oracle entry
+    # remains — silently skipping it would let a broken query read as a
+    # clean sweep. Count every oracle key without a dump as a failure.
+    for name in sorted(set(oracle) - set(names)):
+        n_fail += 1
+        print(f"  MISSING    {name}: declared oracle but no result dump "
+              f"(query crashed in Verify?)")
     print(f"== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     return 1 if n_fail else 0
 

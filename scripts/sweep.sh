@@ -6,7 +6,7 @@
 # before claiming a round clean. Usage: scripts/sweep.sh [sf ...]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-sfs=("${@:-0.001 0.01 0.1}")
+sfs=("$@")
 [ $# -eq 0 ] && sfs=(0.001 0.01 0.1)
 for sf in "${sfs[@]}"; do
   out="target/sweep_sf$sf"

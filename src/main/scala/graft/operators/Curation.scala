@@ -153,8 +153,10 @@ object Curation {
     * step): compute each stratum's volume, take the smallest stratum as
     * the target, and deterministically downsample every other stratum
     * toward it with the hash-membership function — the kept fraction is
-    * `floor(16·min/n)` sixteenths, so membership stays a pure function
-    * of the key (reproducible, incremental-load-stable) while the mix
+    * `floor(256·min/n)` 256ths (FLOORED AT 1, so a stratum more than
+    * 256× the smallest is heavily downsampled but never silently
+    * ELIMINATED from the mix), so membership stays a pure function of
+    * the key (reproducible, incremental-load-stable) while the mix
     * approaches uniform. The per-stratum threshold table is one tiny
     * aggregate broadcast back; no shuffle touches the corpus itself. */
   def rebalanceEqual(df: DataFrame, stratumCol: String,
@@ -163,9 +165,10 @@ object Curation {
     val sx = counts
       .crossJoin(broadcast(counts.agg(min(col("n")).as("m"))))
       .select(col(stratumCol),
-        expr("CAST((m * 16) DIV n AS INT)").as("kept_sixteenths"))
+        greatest(expr("CAST((m * 256) DIV n AS INT)"), lit(1))
+          .as("kept_256ths"))
     df.join(broadcast(sx), Seq(stratumCol))
-      .where(Sampling.hashKeepDynamic(col(keyCol), col("kept_sixteenths")))
+      .where(Sampling.hashKeepDynamic(col(keyCol), col("kept_256ths"), 256))
   }
 
   /** Deterministic epoch shuffle into shards (the training-order

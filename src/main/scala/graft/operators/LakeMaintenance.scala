@@ -50,7 +50,12 @@ object LakeMaintenance {
     * (whose update side wins unconditionally — interactive MERGE
     * semantics), the outcome is ARRIVAL-ORDER-INVARIANT: applying update
     * batches in any interleaving converges to the same snapshot, which
-    * is what a continuous CDC ingest needs. Same one-window shape. */
+    * is what a continuous CDC ingest needs. The invariance REQUIRES
+    * `versionCols` to be a total order per key (end with a unique
+    * column, e.g. an event id): if two rows of one key tie on every
+    * version column, the origin tiebreak picks whichever arrived in the
+    * later batch — order-dependent by construction. Same one-window
+    * shape. */
   def mergeLatest(base: DataFrame, updates: DataFrame,
                   keyCols: Seq[String], versionCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -88,23 +93,31 @@ object LakeMaintenance {
                          numBuckets: Int = 16): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = batch.sparkSession
+    // persist: the batch feeds both the touched-bucket collect and the
+    // merge — without it any upstream transformation runs twice per
+    // micro-batch, and a non-replayable source could even hand the two
+    // evaluations different rows (touched inconsistent with the data)
     val bucketed = batch.withColumn("__bucket", bucketOf(keyCols, numBuckets))
-    val touched = bucketed.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    // existence probe through the Hadoop FS API so the snapshot can live
-    // on any supported store (HDFS/S3/...), not only the local disk
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val exists = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(hPath)
-    val existing =
-      if (exists)
-        spark.read.parquet(path).where(col("__bucket").isin(touched: _*))
-          .select(bucketed.columns.map(col): _*) // partition col position
-      else bucketed.limit(0)
-    val merged = LakeMaintenance
-      .mergeLatest(existing, bucketed, keyCols, versionCols)
-      .localCheckpoint(eager = true)
-    overwritePartitions(merged, path, Seq("__bucket"))
+      .persist()
+    try {
+      val touched = bucketed.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // existence probe through the Hadoop FS API (session conf, like
+      // compact(): runtime spark.conf fs settings apply) so the snapshot
+      // can live on any supported store, not only the local disk
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(hPath)
+      val existing =
+        if (exists)
+          spark.read.parquet(path).where(col("__bucket").isin(touched: _*))
+            .select(bucketed.columns.map(col): _*) // partition col position
+        else bucketed.limit(0)
+      val merged = LakeMaintenance
+        .mergeLatest(existing, bucketed, keyCols, versionCols)
+        .localCheckpoint(eager = true)
+      overwritePartitions(merged, path, Seq("__bucket"))
+    } finally bucketed.unpersist(blocking = false)
   }
 
   /** Overwrite only the partitions present in `df` under `path`. */

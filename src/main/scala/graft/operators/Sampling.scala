@@ -37,16 +37,24 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, sixteenths: Int): DataFrame =
     df.where(hashKeep(col(keyCol), sixteenths))
 
-  /** [[hashKeep]] with a COLUMN-valued sixteenths (per-row thresholds,
-    * e.g. a per-stratum keep fraction joined in): the first md5 hex
-    * digit's numeric value compared against the threshold. Same
-    * membership function as the Int overload (digit value < s == hex
-    * char < format "%x" for s in 1..15; 0 and 16 via the bounds). */
-  def hashKeepDynamic(key: Column, sixteenths: Column): Column =
-    sixteenths >= 16 ||
-      (sixteenths > 0 &&
-        conv(substring(md5(key.cast("string").cast("binary")), 1, 1), 16, 10)
-          .cast("int") < sixteenths)
+  /** [[hashKeep]] with a COLUMN-valued threshold (per-row keep
+    * fractions, e.g. a per-stratum fraction joined in): the numeric
+    * value of the first md5 hex digit(s) compared against the
+    * threshold. `granularity` must be a power of 16 (16, 256, 4096 —
+    * one, two or three hex digits); `kept` is in [0, granularity].
+    * Same membership family as the Int overload (for granularity 16,
+    * digit value < s == hex char < "%x"-formatted s). */
+  def hashKeepDynamic(key: Column, kept: Column, granularity: Int = 16): Column = {
+    val digits = granularity match {
+      case 16 => 1; case 256 => 2; case 4096 => 3
+      case g => throw new IllegalArgumentException(
+        s"granularity must be 16, 256 or 4096, got $g")
+    }
+    kept >= granularity ||
+      (kept > 0 &&
+        conv(substring(md5(key.cast("string").cast("binary")), 1, digits), 16, 10)
+          .cast("int") < kept)
+  }
 
   /** Per-stratum deterministic sampling: `fractions` maps stratum value ->
     * sixteenths kept; absent strata are dropped. */

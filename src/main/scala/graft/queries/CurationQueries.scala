@@ -302,26 +302,29 @@ object CurationQueries {
 
     // ---- mixture rebalancing toward the smallest stratum ---------------
     // Per-language counts -> smallest stratum is the target -> every
-    // stratum downsampled to floor(16*min/n) sixteenths with the
-    // deterministic md5 membership (pure function of doc_id, so the
-    // rebalanced mix is reproducible and incremental-load-stable). The
-    // threshold table is one tiny broadcast; the corpus never shuffles.
+    // stratum downsampled to floor(256*min/n) 256ths (floored at 1 so no
+    // stratum is ever eliminated outright) with the deterministic md5
+    // membership (pure function of doc_id, so the rebalanced mix is
+    // reproducible and incremental-load-stable). The threshold table is
+    // one tiny broadcast; the corpus never shuffles.
     "c7_mixture_rebalance" -> Q(
       (s, dir) => Curation.rebalanceEqual(
           Lake(s, dir).documents.select("doc_id", "lang"), "lang", "doc_id")
-        .select("doc_id", "lang", "kept_sixteenths")
+        .select("doc_id", "lang", "kept_256ths")
         .orderBy("doc_id"),
       Some(
         """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
           |m AS (SELECT min(n) AS mn FROM c),
-          |sx AS (SELECT lang, CAST((m.mn * 16) // n AS INTEGER)
-          |         AS kept_sixteenths FROM c, m)
-          |SELECT d.doc_id, d.lang, sx.kept_sixteenths
+          |sx AS (SELECT lang, greatest(CAST((m.mn * 256) // n AS INTEGER), 1)
+          |         AS kept_256ths FROM c, m)
+          |SELECT d.doc_id, d.lang, sx.kept_256ths
           |FROM documents d JOIN sx USING (lang)
-          |WHERE kept_sixteenths >= 16
-          |   OR (kept_sixteenths > 0 AND
+          |WHERE kept_256ths >= 256
+          |   OR (kept_256ths > 0 AND
           |       (strpos('0123456789abcdef',
-          |          substr(md5(d.doc_id::VARCHAR), 1, 1)) - 1) < kept_sixteenths)
+          |          substr(md5(d.doc_id::VARCHAR), 1, 1)) - 1) * 16
+          |     + (strpos('0123456789abcdef',
+          |          substr(md5(d.doc_id::VARCHAR), 2, 1)) - 1) < kept_256ths)
           |ORDER BY d.doc_id""".stripMargin)),
 
     // ---- deterministic epoch shuffle into shards -----------------------

@@ -447,10 +447,12 @@ object TextQueries {
     // WITHIN each partition; phase 2 adds per-partition row-count offsets
     // (a driver-side prefix sum over <= numPartitions rows — bounded by
     // construction, the same size class as a broadcast threshold). The
-    // offsets pass re-evaluates the vocab aggregate once more; both
-    // evaluations range-partition deterministically (RangePartitioner's
-    // sample seed is a pure function of partition index), so the pid of
-    // every row agrees across the two runs.
+    // ranked vocab is localCheckpoint-ed so the offsets collect and the
+    // final join read ONE materialized evaluation — pids cannot drift
+    // between two jobs, by construction rather than by a determinism
+    // claim about range-sampling (a cluster deployment would use a
+    // durable checkpoint dir, as Dedup.truncate documents). The
+    // materialization is narrow (token, count, pid, rank).
     "t18_encode" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -462,6 +464,7 @@ object TextQueries {
         val pw = Window.partitionBy("pid").orderBy(desc("c"), asc("w"))
         val ranked = byRank
           .withColumn("r", row_number().over(pw).cast("long"))
+          .localCheckpoint(eager = true)
         var acc = 0L
         val offsets = ranked.groupBy("pid").agg(count(lit(1)).as("n"))
           .orderBy("pid").collect()

@@ -313,15 +313,32 @@ class OperatorLawsSpec extends AnyFunSuite {
     val minLang = counts.minBy(t => (t._2, t._1))
     val keptCounts = out.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // the floor(16*min/n) threshold gives the smallest stratum 16/16
+    // the floor(256*min/n) threshold gives the smallest stratum 256/256
     assert(keptCounts(minLang._1) === counts(minLang._1),
       "smallest stratum must be kept whole")
-    // every stratum's kept share is <= its sixteenths bound... and the
-    // same call twice is bit-identical (pure hash membership)
+    // ...and the same call twice is bit-identical (pure hash membership)
     assert(out.collect().map(_.toString).sorted.toSeq ===
       Curation.rebalanceEqual(docs, "lang", "doc_id")
         .collect().map(_.toString).sorted.toSeq)
     keptCounts.foreach { case (l, k) => assert(k <= counts(l)) }
+  }
+
+  test("mixture rebalance never eliminates a stratum (threshold floors at 1/256)") {
+    import graft.operators.Curation
+    // 2000:2 skew — floor(256*2/2000) = 0 would drop the big stratum
+    // entirely; the floor-at-1 keeps its threshold positive
+    val skew = ((0L until 2000L).map(i => (i, "big")) ++
+      Seq((9000L, "tiny"), (9001L, "tiny"))).toDF("doc_id", "lang")
+    val out = Curation.rebalanceEqual(skew, "lang", "doc_id")
+    val thresholds = out.select("lang", "kept_256ths").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(thresholds.get("big").contains(1),
+      s"big stratum must keep a 1/256 floor, got $thresholds")
+    assert(out.where(col("lang") === "tiny").count() === 2)
+    // the 1/256 floor actually retains rows from the big stratum (the
+    // md5 membership over ids 0..1999 is deterministic - pinned here)
+    assert(out.where(col("lang") === "big").count() > 0,
+      "floor-at-1 must retain a nonzero sample of the big stratum")
   }
 
   test("shard shuffle: contiguous per-shard positions, seed-deterministic, seed-sensitive") {
