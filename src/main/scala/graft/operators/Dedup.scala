@@ -218,6 +218,44 @@ object Dedup {
         (size(col("__toks")) - size(kept)).cast(LongType).as("n_removed"))
   }
 
+  /** Chunk-level exact dedup with document reassembly (the fixed-window
+    * approximation of exact-substring dedup, Lee et al. 2022,
+    * arXiv:2107.06499 §4.1 — non-overlapping `chunkTokens`-token windows
+    * instead of suffix-array substrings): a chunk's FIRST occurrence in
+    * corpus order (smallest (id, chunk_idx)) survives, every later exact
+    * repetition anywhere in the corpus is dropped, and each document is
+    * rebuilt from its surviving chunks in position order. Returns
+    * (id, clean_text, n_chunks, n_kept); a document whose every chunk
+    * appeared earlier elsewhere keeps its row with an empty clean_text.
+    *
+    * Scale shape: one chunk explode, ONE shuffle keyed on the chunk text
+    * (first-occurrence window — partitioned by chunk, never global), one
+    * groupBy(id) to reassemble. Both shuffle keys are high-cardinality
+    * (chunks, then ids), no self-join, no pairwise stage — linear in
+    * corpus token volume, same budget as a groupBy-dedup of the chunks. */
+  def dedupChunks(df: DataFrame, id: String, text: String,
+                  chunkTokens: Int = 16): DataFrame = {
+    val ch = Parallelism.ensure(df).select(col(id),
+      posexplode(tokenChunks(col(text), chunkTokens, chunkTokens))
+        .as(Seq("__ci", "__ct")))
+    val w = Window.partitionBy("__ct").orderBy(col(id), col("__ci"))
+    val first = row_number().over(w) === 1
+    ch.withColumn("__keep", first)
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulled-out losers; array_sort orders the
+        // survivors by their struct's leading chunk_idx field
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("__ci"), col("__ct"))))),
+            _.getField("__ct")),
+          " ").as("clean_text"))
+      .select(col(id), col("clean_text"), col("n_chunks"), col("n_kept"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs, no LSH: posting-list self-join
     * on shared shingles. Fully SQL-expressible (the DuckDB oracle runs the
     * same algorithm). With a reasonable shingle size the posting lists are

@@ -150,6 +150,29 @@ object LakeMaintenance {
       .parquet(outDir)
   }
 
+  /** Compaction PLAN over a file manifest: assigns each file to an output
+    * bin by the running-sum rule (bin = exclusive-prefix-bytes DIV
+    * target), the streaming bin-packing every table-maintenance service
+    * uses — deterministic, order-preserving within a partition, every bin
+    * except a partition's last holds >= targetBytes. This is the
+    * metadata-side complement of [[compact]] (which rewrites data): it
+    * runs over the file MANIFEST — thousands of rows per table partition,
+    * not data — so the per-partition ordered window is bounded by
+    * manifest size, never corpus size. Returns the manifest with a `bin`
+    * column; aggregate by (partition, bin) for the rewrite task list. */
+  def compactionBins(manifest: DataFrame, partCol: String, orderCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(targetBytes > 0)
+    val w = Window.partitionBy(partCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    manifest
+      .withColumn("__cum", coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum DIV ${targetBytes}L"))
+      .drop("__cum")
+  }
+
   /** Range-cluster a table on `clusterCol`: repartitionByRange gives each
     * output file a DISJOINT value range, and the within-partition sort
     * tightens every row group's min/max stats inside it. Point/range

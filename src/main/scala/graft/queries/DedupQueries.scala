@@ -451,6 +451,37 @@ object DedupQueries {
           |FROM tok t LEFT JOIN starts st USING (doc_id)
           |ORDER BY t.doc_id""".stripMargin)),
 
+    // ---- chunk-level exact dedup with reassembly -----------------------
+    // Fixed-window approximation of exact-substring dedup: the corpus is
+    // cut into non-overlapping 16-token chunks, a chunk's first occurrence
+    // in (doc_id, chunk_idx) order survives, and every later exact repeat
+    // anywhere in the corpus is dropped before the doc is reassembled.
+    // One chunk-keyed window shuffle + one doc-keyed rollup; the oracle
+    // replays the same first-occurrence rule relationally.
+    "d13_chunk_dedup" -> Q(
+      (s, dir) => Dedup.dedupChunks(Lake(s, dir).documents,
+          "doc_id", "text", chunkTokens = 16)
+        .orderBy("doc_id"),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |ch AS (
+          |  SELECT doc_id, CAST((s - 1) / 16 AS INTEGER) AS ci,
+          |    array_to_string(w[s:s+15], ' ') AS ct
+          |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 16)) AS s
+          |        FROM tok)),
+          |fl AS (
+          |  SELECT doc_id, ci, ct,
+          |    ROW_NUMBER() OVER (PARTITION BY ct ORDER BY doc_id, ci) = 1 AS keep
+          |  FROM ch)
+          |SELECT doc_id,
+          |  COALESCE(string_agg(CASE WHEN keep THEN ct END, ' ' ORDER BY ci), '')
+          |    AS clean_text,
+          |  CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- incremental near-dedup: new batch vs canonical corpus ---------
     // Even ids play the already-deduped existing corpus, odd ids the
     // incoming batch: an incoming doc drops when its cluster holds ANY

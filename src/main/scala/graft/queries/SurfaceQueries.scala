@@ -435,6 +435,65 @@ object SurfaceQueries {
           |                    for i in generate_series(1, len(b.v))]))) AS sim
           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
           |SELECT id_a, id_b FROM p WHERE sim >= 0.4
-          |ORDER BY id_a, id_b""".stripMargin))
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- small-file compaction planning --------------------------------
+    // The metadata half of OPTIMIZE: the documents table plays the file
+    // manifest (doc_id = file, n_chars = bytes, source = table
+    // partition) and the planner assigns files to rewrite bins by the
+    // streaming running-sum rule (bin = exclusive-prefix-bytes DIV
+    // target). Output is the per-bin task list — bounded by the manifest,
+    // not the data; the per-partition window runs over file METADATA.
+    "q39_compaction_bins" -> Q(
+      (s, dir) => graft.operators.LakeMaintenance
+        .compactionBins(Lake(s, dir).documents,
+          partCol = "source", orderCol = "doc_id",
+          bytesCol = "n_chars", targetBytes = 4096L)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_chars")).as("bin_bytes"),
+          min(col("doc_id")).as("first_file"),
+          max(col("doc_id")).as("last_file"))
+        .orderBy("source", "bin"),
+      Some(
+        """WITH c AS (
+          |  SELECT source, doc_id, n_chars,
+          |    COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          |  FROM documents),
+          |b AS (SELECT source, doc_id, n_chars, cum // 4096 AS bin FROM c)
+          |SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_files,
+          |  CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+          |  min(doc_id) AS first_file, max(doc_id) AS last_file
+          |FROM b GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)),
+
+    // ---- zone-map statistics + predicate prunability -------------------
+    // The write-side stats a data-skipping reader consumes (the ANALYZE /
+    // zone-map half of LakeMaintenance.clusterBy): per-shard min/max on
+    // the filter columns, plus the prune verdict for a concrete range
+    // predicate (shipdate in calendar-1994) — a shard is skippable iff
+    // its [min,max] envelope misses the predicate range. One partial+
+    // final aggregate; output rows = shard count, independent of data
+    // volume.
+    "q40_zone_maps" -> Q(
+      (s, dir) => Lake(s, dir).lineitem
+        .withColumn("shard", expr("l_orderkey DIV 3000"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .withColumn("prunable",
+          col("max_ship") < lit("1994-01-01").cast(TimestampNTZType) ||
+            col("min_ship") >= lit("1995-01-01").cast(TimestampNTZType))
+        .orderBy("shard"),
+      Some(
+        """SELECT l_orderkey // 3000 AS shard, count(*) AS n_rows,
+          |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+          |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+          |  (max(l_shipdate) < TIMESTAMP '1994-01-01'
+          |   OR min(l_shipdate) >= TIMESTAMP '1995-01-01') AS prunable
+          |FROM lineitem GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 }

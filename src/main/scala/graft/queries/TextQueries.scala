@@ -20,6 +20,68 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.operators.Parallelism.ensure(graft.Lake(s, dir).documents)
 
+  /** Corpus-trained bigram LM score per document (shared by t21/t22):
+    * avg over the doc's bigrams of ln((c(bigram)+1) / (c(w1·)+V)) —
+    * add-one smoothing over vocabulary V, with c(w1·) the bigram-start
+    * count so the conditional normalizes exactly. Counts are corpus
+    * aggregates joined back to the occurrence stream on their n-gram key
+    * (hash equi-joins — the count tables are corpus-bounded, never
+    * collected); V is a 1-row scalar broadcast. The per-doc mean is
+    * rounded to 4 decimals: each ln term can differ by 1 ulp between
+    * libm implementations and double partial-aggregation order is
+    * engine-dependent, both ~1e-13 relative — nine orders below the
+    * rounding step. Returns (doc_id, lang, n_bigrams, avg_ll); a doc too
+    * short for a bigram scores 0.0 over 0 bigrams. */
+  private def lmScored(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = docs(s, dir)
+    val bg = d.select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("bg"))
+    val bgc = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val w1c = bg.select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = d.select(explode(tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bg
+      .join(bgc, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(w1c, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("c2") + 1).cast(DoubleType)
+          / (col("c1") + col("v")).cast(DoubleType))).as("ll"))
+    d.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("ll") / col("n_bigrams"), 4), lit(0.0)).as("avg_ll"))
+  }
+
+  /** Shared DuckDB replay of [[lmScored]] (CTE prefix ending in `sc2`). */
+  private val lmOracleCtes =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]) AS bg
+      |  FROM tok),
+      |bgc AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+      |w1c AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+      |        FROM bg GROUP BY 1),
+      |voc AS (SELECT count(DISTINCT tk) AS v
+      |        FROM (SELECT unnest(w) AS tk FROM tok)),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS nb,
+      |    sum(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))) AS ll
+      |  FROM (SELECT b.doc_id, bc.c2, wc.c1
+      |        FROM bg b JOIN bgc bc USING (bg)
+      |        JOIN w1c wc ON wc.w1 = split_part(b.bg, ' ', 1)) t, voc
+      |  GROUP BY doc_id),
+      |sc2 AS (
+      |  SELECT d.doc_id, d.lang, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+      |    COALESCE(round(sc.ll / sc.nb, 4), 0.0) AS avg_ll
+      |  FROM documents d LEFT JOIN sc USING (doc_id))""".stripMargin
+
   val defs: Map[String, Q] = Map(
 
     // ---- heuristic language ID ----------------------------------------
@@ -608,5 +670,64 @@ object TextQueries {
           |  COUNT(*) AS n_docs
           |FROM documents
           |GROUP BY 1, 2, 3 ORDER BY lang, bucket""".stripMargin)),
+
+    // ---- corpus-trained bigram-LM scoring ------------------------------
+    // The perplexity-proxy quality signal of a CCNet-style curation: the
+    // per-doc average bigram log-likelihood under the corpus's own
+    // add-one-smoothed bigram model. Three corpus aggregates (bigram
+    // counts, bigram-start counts, vocabulary size) joined back to the
+    // occurrence stream — all hash equi-joins on n-gram keys, nothing
+    // driver-side except the 1-row V scalar.
+    "t21_lm_score" -> Q(
+      (s, dir) => lmScored(s, dir)
+        .select("doc_id", "n_bigrams", "avg_ll")
+        .orderBy("doc_id"),
+      Some(lmOracleCtes +
+        """
+          |SELECT doc_id, n_bigrams, avg_ll FROM sc2
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- CCNet-style head/middle/tail quality terciles -----------------
+    // Per-language tercile assignment over the t21 LM score WITHOUT a
+    // per-language global sort (which would serialize on the dominant
+    // language at corpus scale): build the per-(lang, score) histogram,
+    // take the strictly-better cumulative count over that BOUNDED
+    // histogram (window input is |distinct scores|, not |docs|), join it
+    // back, and cut at n/3, 2n/3 in integer arithmetic. Ties share a
+    // tier by construction — the assignment is a pure function of the
+    // score value, so it is stable under any row order.
+    "t22_quality_buckets" -> Q(
+      (s, dir) => {
+        val sc = lmScored(s, dir)
+        val hist = sc.groupBy("lang", "avg_ll").agg(count(lit(1)).as("nb"))
+        val wcum = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(desc("avg_ll"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val cum = hist.withColumn("better",
+          coalesce(sum(col("nb")).over(wcum), lit(0L)))
+        val tot = sc.groupBy("lang").agg(count(lit(1)).as("n"))
+        sc.join(cum.select("lang", "avg_ll", "better"), Seq("lang", "avg_ll"))
+          .join(tot, Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("avg_ll"),
+            when(col("better") * 3 < col("n"), "head")
+              .when(col("better") * 3 < col("n") * 2, "middle")
+              .otherwise("tail").as("tier"))
+          .orderBy("doc_id")
+      },
+      Some(lmOracleCtes +
+        """,
+          |hist AS (SELECT lang, avg_ll, count(*) AS nb2 FROM sc2 GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT lang, avg_ll,
+          |    COALESCE(sum(nb2) OVER (PARTITION BY lang ORDER BY avg_ll DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS better
+          |  FROM hist),
+          |tot AS (SELECT lang, count(*) AS n FROM sc2 GROUP BY 1)
+          |SELECT s.doc_id, s.lang, s.avg_ll,
+          |  CASE WHEN c.better * 3 < t.n THEN 'head'
+          |       WHEN c.better * 3 < t.n * 2 THEN 'middle'
+          |       ELSE 'tail' END AS tier
+          |FROM sc2 s JOIN cum c USING (lang, avg_ll) JOIN tot t USING (lang)
+          |ORDER BY s.doc_id""".stripMargin)),
   )
 }

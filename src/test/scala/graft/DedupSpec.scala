@@ -218,6 +218,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Seq((0L, 1L, true), (2L, 0L, false), (4L, 0L, false)))
   }
 
+  test("dedupChunks keeps first occurrence corpus-wide and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h"), // both chunks are first occurrences
+      (1L, "a b c d x y z w"), // first chunk repeats doc 0's
+      (2L, "e f g h a b c d"), // every chunk seen earlier -> empty doc
+      (3L, "p q r s p q r s"), // within-doc repeat: second copy drops
+      (4L, "t u v")            // short tail chunk survives as-is
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (0L, "a b c d e f g h", 2L, 2L),
+      (1L, "x y z w", 2L, 1L),
+      (2L, "", 2L, 0L),
+      (3L, "p q r s", 2L, 1L),
+      (4L, "t u v", 1L, 1L)))
+  }
+
   test("removeBoilerplateSpans drops exactly the tokens hot spans cover") {
     import spark.implicits._
     val docs = Seq(

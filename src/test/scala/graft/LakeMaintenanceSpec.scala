@@ -137,4 +137,23 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     // data lossless through the z-order write
     assert(spark.read.parquet(zDir).count() === n)
   }
+
+  test("compactionBins packs files by the running-sum rule per partition") {
+    import spark.implicits._
+    val manifest = Seq(
+      ("p1", 1L, 4L), ("p1", 2L, 4L), ("p1", 3L, 4L), // cum 0,4,8  -> bin 0
+      ("p1", 4L, 9L),                                 // cum 12     -> bin 1
+      ("p1", 5L, 2L),                                 // cum 21     -> bin 2
+      ("p2", 1L, 25L),                                // oversized file alone
+      ("p2", 2L, 1L)                                  // cum 25     -> bin 2
+    ).toDF("part", "file_id", "bytes")
+    val got = LakeMaintenance
+      .compactionBins(manifest, "part", "file_id", "bytes", targetBytes = 10L)
+      .orderBy("part", "file_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("p1", 1L, 0L), ("p1", 2L, 0L), ("p1", 3L, 0L),
+      ("p1", 4L, 1L), ("p1", 5L, 2L),
+      ("p2", 1L, 0L), ("p2", 2L, 2L)))
+  }
 }
