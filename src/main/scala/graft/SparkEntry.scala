@@ -16,7 +16,8 @@ object SparkEntry {
   def all: Map[String, Q] =
     Relational.defs ++ EventsQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs ++
-      SurfaceQueries.defs ++ JoinQueries.defs ++ CurationQueries.defs
+      SurfaceQueries.defs ++ JoinQueries.defs ++ CurationQueries.defs ++
+      GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-schema revenue rollup: broadcast dims, exact-decimal aggregate. */

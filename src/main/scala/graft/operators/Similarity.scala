@@ -97,6 +97,58 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-cosine-similar corpus rows whose label DIFFERS from the query's
+    * — the "hard" negatives that sit closest to the decision boundary.
+    * Same broadcast-query shape as [[bruteForceTopK]] (one corpus pass,
+    * no corpus shuffle) with the label-mismatch predicate applied before
+    * ranking, so k survivors per query are guaranteed to be negatives. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"))
+    val c = Parallelism.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("n_label"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .where(col("n_label") =!= col("q_label"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "n_label", "sim")
+  }
+
+  /** Deterministic random-negative sampling (the uniform half of a
+    * contrastive pair generator): each corpus row draws `k` pseudo-random
+    * other rows via the portable 60-bit md5 hash of (seed, anchor, j) —
+    * the draw is a pure function of the key, so any engine (and any
+    * re-run) regenerates the identical pair set, and the `+1 ... mod N`
+    * offset construction provably never draws the anchor itself.
+    * REQUIRES dense ids 0..max (the id space is probed as one 1-row
+    * max() aggregate, broadcast — nothing driver-side). Collisions with
+    * the anchor's label are flagged, not dropped — the standard
+    * in-batch-negatives treatment, keeping exactly k draws per anchor. */
+  def randomNegatives(corpus: DataFrame, idCol: String, labelCol: String,
+                      k: Int, seed: Long): DataFrame = {
+    val nRow = corpus.agg((max(col(idCol)).cast("long") + 1L).as("__n"))
+    val h = Dedup.md5Hash60(
+      concat_ws(":", lit(seed), col("anchor_id"), col("j")))
+    val drawn = Parallelism.ensure(corpus)
+      .select(col(idCol).as("anchor_id"), col(labelCol).as("anchor_label"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("neg_id",
+        pmod(col("anchor_id") + 1L + pmod(h, col("__n") - 1L), col("__n")))
+    drawn
+      .join(corpus.select(col(idCol).as("neg_id"), col(labelCol).as("neg_label")),
+        "neg_id")
+      .select(col("anchor_id"), col("j"), col("neg_id"), col("neg_label"),
+        (col("neg_label") === col("anchor_label")).as("label_collision"))
+  }
+
   /** IVF-style ANN: inverted lists with a learned-free coarse quantizer.
     *
     * The corpus is split into inverted lists (here: LSH buckets — at

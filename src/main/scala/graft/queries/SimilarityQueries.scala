@@ -99,6 +99,77 @@ object SimilarityQueries {
           |FROM embeddings WHERE vec_id BETWEEN 10 AND 19
           |ORDER BY query_id""".stripMargin)),
 
+    // ---- hard-negative mining (contrastive training) -------------------
+    // Per query, the top-3 most-similar corpus rows with a DIFFERENT
+    // label — the negatives nearest the decision boundary. Same broadcast
+    // shape as s1; sim itself is excluded from the compared output for
+    // the same float-sum-order reason, ranks are stable with the id
+    // tie-break.
+    "s8_hard_negatives" -> Q(
+      (s, dir) => {
+        val emb = Lake(s, dir).embeddings
+        Similarity.hardNegatives(
+            corpus = emb.where(col("vec_id") >= 10),
+            queries = emb.where(col("vec_id") < 10),
+            idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 3)
+          .select("query_id", "rank", "neighbor_id", "n_label")
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+          |           FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+          |      FROM embeddings WHERE vec_id >= 10),
+          |scored AS (
+          |  SELECT query_id, neighbor_id, nl,
+          |    list_sum([qv[i]::DOUBLE * cv[i]::DOUBLE
+          |              for i in generate_series(1, len(qv))]) /
+          |    (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE
+          |                    for i in generate_series(1, len(qv))])) *
+          |     sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE
+          |                    for i in generate_series(1, len(cv))]))) AS sim
+          |  FROM q, c WHERE nl <> ql),
+          |r AS (SELECT query_id, neighbor_id, nl,
+          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          |             ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+          |      FROM scored)
+          |SELECT query_id, rank, neighbor_id, nl AS n_label
+          |FROM r WHERE rank <= 3
+          |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- deterministic random-negative sampling ------------------------
+    // The uniform half of a contrastive pair generator: 4 draws per
+    // anchor via the portable 60-bit md5 hash of (seed, anchor, j); the
+    // +1...mod-N construction provably never draws the anchor itself,
+    // and the oracle rebuilds the hash digit-for-digit (same playbook as
+    // c8). Anchor-label collisions are flagged, not dropped.
+    "s9_random_negatives" -> Q(
+      (s, dir) => Similarity.randomNegatives(Lake(s, dir).embeddings,
+          "vec_id", "label", k = 4, seed = 11L)
+        .orderBy("anchor_id", "j"),
+      Some(
+        """WITH n AS (SELECT max(vec_id) + 1 AS nn FROM embeddings),
+          |a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+          |        unnest(generate_series(0, 3)) AS j
+          |      FROM embeddings),
+          |h AS (
+          |  SELECT anchor_id, anchor_label, j,
+          |    CAST(list_sum([(strpos('0123456789abcdef', substr(m, i, 1)) - 1)
+          |                   * CAST(pow(16, 15 - i) AS BIGINT)
+          |                   for i in generate_series(1, 15)]) AS BIGINT) AS hv
+          |  FROM (SELECT anchor_id, anchor_label, j,
+          |          md5('11:' || anchor_id::VARCHAR || ':' || j::VARCHAR) AS m
+          |        FROM a) t),
+          |x AS (
+          |  SELECT anchor_id, anchor_label, CAST(j AS INTEGER) AS j,
+          |    (anchor_id + 1 + hv % (nn - 1)) % nn AS neg_id
+          |  FROM h, n)
+          |SELECT x.anchor_id, x.j, CAST(x.neg_id AS BIGINT) AS neg_id,
+          |  e.label AS neg_label,
+          |  e.label = x.anchor_label AS label_collision
+          |FROM x JOIN embeddings e ON e.vec_id = x.neg_id
+          |ORDER BY x.anchor_id, x.j""".stripMargin)),
+
     // ---- IVF-probed approximate top-k -----------------------------------
     // Gate: recall floor vs the exact top-k (s1), computed in-plan — the
     // IVF candidate set is probe-order-dependent (not SQL-expressible),

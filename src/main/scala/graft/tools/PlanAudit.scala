@@ -13,12 +13,13 @@ import org.apache.spark.sql.execution.window.WindowExec
   * allowlist names the queries whose nested-loop joins are the DESIGNED
   * broadcast patterns:
   *
-  *  - s1/s4/q24: a small broadcast query set scored against the corpus
-  *    scan (brute-force top-k — the right plan when |queries| is tiny);
-  *  - t12/t16/t17/t21/t22/c7: a 1-row scalar aggregate (corpus total /
-  *    sketch / vocabulary size / min stratum volume) broadcast-crossed
-  *    into a per-row computation (for c7, into the per-stratum count
-  *    aggregate, itself tiny).
+  *  - s1/s4/s8/q24: a small broadcast query set scored against the
+  *    corpus scan (brute-force top-k — the right plan when |queries| is
+  *    tiny);
+  *  - t12/t16/t17/t21/t22/c7/s9: a 1-row scalar aggregate (corpus total
+  *    / sketch / vocabulary size / id-space bound / min stratum volume)
+  *    broadcast-crossed into a per-row computation (for c7, into the
+  *    per-stratum count aggregate, itself tiny).
   *
   * No query is allowlisted for a global window: rank-over-everything is
   * always expressible as range-partition + per-partition rank + offset
@@ -31,6 +32,7 @@ object PlanAudit {
 
   private val allowedNestedLoop = Set(
     "s1_cosine_topk", "s4_ann_ivf", "q24_sql_cosine",
+    "s8_hard_negatives", "s9_random_negatives",
     "t12_tfidf", "t16_rare_tokens", "t17_countmin",
     "t21_lm_score", "t22_quality_buckets",
     "c7_mixture_rebalance")

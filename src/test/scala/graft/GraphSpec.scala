@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pageRank on a 2-cycle is uniform at every iteration count") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    for (iters <- Seq(0, 1, 7)) {
+      val got = Graph.pageRank(edges, "src", "dst", iterations = iters)
+        .orderBy("id").collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(got.map(_._1).toSeq === Seq("a", "b"))
+      got.foreach { case (_, r) => assert(math.abs(r - 0.5) < 1e-12) }
+    }
+  }
+
+  test("pageRank on a symmetric star converges toward the known fixpoint") {
+    import spark.implicits._
+    // hub a <-> leaves b, c: fixpoint a = 0.15/3 + 0.85(rb + rc),
+    // rb = rc = 0.15/3 + 0.85 * ra/2  =>  ra ~ 0.48649, rb = rc ~ 0.25676
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iterations = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // geometric convergence at rate ~0.85^k: 30 rounds land within ~1e-3
+    assert(math.abs(got("a") - 0.135 / 0.2775) < 5e-3)
+    assert(got("b") === got("c")) // symmetry is exact, not approximate
+    assert(math.abs(got("a") + got("b") + got("c") - 1.0) < 1e-9,
+      "no dangling vertices -> rank mass is conserved")
+  }
+
+  test("pageRank drops dangling mass but still ranks by in-links") {
+    import spark.implicits._
+    // directed chain a -> b -> c: c is dangling (outdeg 0)
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iterations = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a only gets teleport; b teleport + a's mass; c teleport + b's mass
+    assert(got("a") < got("b") && got("b") < got("c"))
+    assert(math.abs(got("a") - 0.15 / 3) < 1e-9)
+  }
+}
