@@ -55,4 +55,56 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-vertex triangle counts by DEGREE-ORIENTED wedge enumeration —
+    * the scale-grade algorithm, not the naive one: every undirected edge
+    * is oriented from its lower-(degree, id) endpoint to the higher, so
+    * wedges are enumerated only at each vertex's out-neighbors and the
+    * wedge volume is Σ outdeg² = O(|E|^1.5) even on skewed graphs (the
+    * naive u<v self-join pays Σ deg² — quadratic in the hub degree).
+    * Each triangle is found exactly once (its lowest-ordered vertex owns
+    * it). Input edges are treated as undirected; self-loops and
+    * duplicates are dropped. Returns (id, n_triangles) covering every
+    * vertex, zeros included.
+    *
+    * Scale shape: a degree aggregate, two hash joins to orient, one
+    * wedge self-join keyed on the wedge apex, one closing equi-join on
+    * the (dst, dst) pair, one explode+aggregate for per-vertex counts —
+    * all equi-keyed, no cartesian stage. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      // the edge set feeds the vertex/degree aggregates and all three
+      // sides of the wedge join: materialize the (possibly expensive)
+      // derivation once instead of once per consumer
+      .localCheckpoint(eager = true)
+    val verts = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient: src = lower (deg, id) endpoint; keep the dst's (deg, id)
+    // rank key so wedge enumeration can order the two out-neighbors
+    val ud = e.join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val o = ud.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+    val wedges = o.as("e1").join(o.as("e2"),
+      col("e1.src") === col("e2.src") &&
+        (col("e1.ddeg") < col("e2.ddeg") ||
+          (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("ta"), col("e1.dst").as("tb"), col("e2.dst").as("tc"))
+    val tri = wedges.join(o.as("e3"),
+      col("tb") === col("e3.src") && col("tc") === col("e3.dst"))
+      .select("ta", "tb", "tc")
+    val perVertex = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    verts.join(perVertex, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -330,5 +330,34 @@ object EventsQueries {
           |    ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
           |FROM events
           |ORDER BY user_id, valid_from_us, event_id""".stripMargin)),
+
+    // ---- incremental aggregate maintenance (materialized-view merge) ---
+    // The IVM primitive: a stored per-key aggregate state (count + exact
+    // decimal sum — both mergeable partials) is combined with a delta
+    // batch's partials by summing, and the merged snapshot must equal
+    // the direct aggregate over base ∪ delta — which is exactly what the
+    // oracle computes. Decimal sums make the merge independent of both
+    // partial-aggregation order and the base/delta split point.
+    "q41_incremental_agg" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        def partial(df: DataFrame) = df.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+        val base = partial(ev.where(col("event_id") % 2 === 0))
+        val delta = partial(ev.where(col("event_id") % 2 === 1))
+        base.unionByName(delta)
+          .groupBy("event_type")
+          .agg(sum(col("n_events")).as("n_events"),
+            sum(col("sv")).as("sv2"))
+          .select(col("event_type"), col("n_events"),
+            col("sv2").cast(DoubleType).as("total_value"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, count(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          |FROM events
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

@@ -76,6 +76,51 @@ object GraphQueries {
           |         SELECT e.dst AS id, sum(p.r / od.outdeg) AS sm
           |         FROM e JOIN r4 p ON p.id = e.src JOIN od ON od.src = e.src
           |         GROUP BY e.dst) x ON x.id = nodes.id)
-          |SELECT id, round(r, 8) AS rank FROM r5 ORDER BY id""".stripMargin))
+          |SELECT id, round(r, 8) AS rank FROM r5 ORDER BY id""".stripMargin)),
+
+    // ---- per-vertex triangle counts on the near-dup graph --------------
+    // Triangles measure the transitivity of the near-duplicate relation
+    // (the diagnostic for whether a pairwise threshold yields coherent
+    // clusters). Edges are the exact-Jaccard d3 rule (3-shingles,
+    // j >= 0.8); counting is degree-oriented (Σ outdeg² = O(E^1.5), not
+    // the hub-quadratic naive join). The oracle enumerates the same
+    // triangle set from the canonical u<v edge list — orientation
+    // changes the join cost, never the triangle set.
+    "g2_triangles" -> Q(
+      (s, dir) => {
+        val pairs = graft.operators.Dedup.jaccardPairs(
+          Lake(s, dir).documents, "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+        Graph.triangleCounts(pairs, "id_a", "id_b").orderBy("id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            for i in generate_series(1, len(w)-2)]) AS s
+          |  FROM tok
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |cand AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |e AS (
+          |  SELECT id_a AS u, id_b AS v FROM cand
+          |  JOIN cnt ca ON ca.doc_id = id_a
+          |  JOIN cnt cb ON cb.doc_id = id_b
+          |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8),
+          |verts AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+          |tri AS (
+          |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+          |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+          |pv AS (SELECT x AS id, count(*) AS n
+          |       FROM (SELECT unnest([a, b, c]) AS x FROM tri) GROUP BY 1)
+          |SELECT v.id, CAST(COALESCE(pv.n, 0) AS BIGINT) AS n_triangles
+          |FROM verts v LEFT JOIN pv USING (id)
+          |ORDER BY v.id""".stripMargin))
   )
 }

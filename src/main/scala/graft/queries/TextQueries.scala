@@ -729,5 +729,78 @@ object TextQueries {
           |       ELSE 'tail' END AS tier
           |FROM sc2 s JOIN cum c USING (lang, avg_ll) JOIN tot t USING (lang)
           |ORDER BY s.doc_id""".stripMargin)),
+
+    // ---- composite Gopher-style quality-filter verdict -----------------
+    // The actual FILTER pass a curation run executes: the published rule
+    // shapes (word-count window, mean word length, alphabetic-word
+    // ratio, top-bigram repetition) evaluated per row with the failed
+    // rules named in a deterministic reasons string. All measures are
+    // integer-ratio doubles (exact in both engines, no rounding needed);
+    // only the bigram stat shuffles — the oracle replays it relationally
+    // (t15's playbook), everything else is a pure per-row map.
+    "t23_gopher_rules" -> Q(
+      (s, dir) => {
+        val tk = tokens(col("text"))
+        val scored = docs(s, dir).select(col("doc_id"),
+          size(tk).cast("long").as("n_words"),
+          aggregate(tk, lit(0), (a, x) => a + length(x))
+            .cast("double").as("sum_wl"),
+          size(filter(tk, _.rlike("[a-z]"))).cast("double").as("n_alpha"),
+          topFreqFrac(wordShingles(col("text"), 2)).as("top_bi_frac"))
+          .select(col("doc_id"), col("n_words"),
+            (col("sum_wl") / col("n_words")).as("mean_wl"),
+            (col("n_alpha") / col("n_words")).as("alpha_frac"),
+            col("top_bi_frac"))
+        val rWc = col("n_words") >= 50 && col("n_words") <= 100000
+        val rMwl = col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0
+        val rAlpha = col("alpha_frac") >= 0.8
+        val rRep = col("top_bi_frac") <= 0.18
+        scored.select(col("doc_id"), col("n_words"), col("mean_wl"),
+          col("alpha_frac"), col("top_bi_frac"),
+          (rWc && rMwl && rAlpha && rRep).as("pass"),
+          concat_ws(",",
+            when(!rWc, lit("word_count")),
+            when(!rMwl, lit("mean_word_length")),
+            when(!rAlpha, lit("alpha_ratio")),
+            when(!rRep, lit("repetition"))).as("reasons"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |base AS (
+          |  SELECT doc_id, len(w) AS n,
+          |    list_sum([length(x) for x in w]) AS sl,
+          |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS na
+          |  FROM tok),
+          |bcnt AS (
+          |  SELECT doc_id, b, count(*) AS c
+          |  FROM (SELECT doc_id,
+          |          unnest([w[i] || ' ' || w[i+1]
+          |                  for i in generate_series(1, len(w)-1)]) AS b
+          |        FROM tok) bb GROUP BY doc_id, b),
+          |bstat AS (SELECT doc_id, max(c) AS mx, sum(c) AS nb
+          |          FROM bcnt GROUP BY doc_id),
+          |m AS (
+          |  SELECT b.doc_id,
+          |    CAST(b.n AS BIGINT) AS n_words,
+          |    CAST(b.sl AS DOUBLE) / b.n AS mean_wl,
+          |    CAST(b.na AS DOUBLE) / b.n AS alpha_frac,
+          |    COALESCE(CAST(s.mx AS DOUBLE) / s.nb, 0.0) AS top_bi_frac
+          |  FROM base b LEFT JOIN bstat s USING (doc_id))
+          |SELECT doc_id, n_words, mean_wl, alpha_frac, top_bi_frac,
+          |  (n_words >= 50 AND n_words <= 100000
+          |   AND mean_wl >= 3.0 AND mean_wl <= 10.0
+          |   AND alpha_frac >= 0.8 AND top_bi_frac <= 0.18) AS pass,
+          |  concat_ws(',',
+          |    CASE WHEN NOT (n_words >= 50 AND n_words <= 100000)
+          |         THEN 'word_count' END,
+          |    CASE WHEN NOT (mean_wl >= 3.0 AND mean_wl <= 10.0)
+          |         THEN 'mean_word_length' END,
+          |    CASE WHEN NOT (alpha_frac >= 0.8) THEN 'alpha_ratio' END,
+          |    CASE WHEN NOT (top_bi_frac <= 0.18) THEN 'repetition' END)
+          |    AS reasons
+          |FROM m ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -32,6 +32,23 @@ class GraphSpec extends AnyFunSuite {
       "no dangling vertices -> rank mass is conserved")
   }
 
+  test("triangleCounts: K4 clique, path zeros, dirty-input canonicalization") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} fed as a dirty edge list: reversed duplicates and a
+    // self-loop must not change the count. Every vertex sits in C(3,2)=3
+    // of the 4 triangles.
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 3L), (2L, 2L)).toDF("a", "b")
+    val gotK4 = Graph.triangleCounts(k4, "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotK4 === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // a path has no triangles but every vertex still reports a zero row
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val gotPath = Graph.triangleCounts(path, "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotPath === Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)))
+  }
+
   test("pageRank drops dangling mass but still ranks by in-links") {
     import spark.implicits._
     // directed chain a -> b -> c: c is dangling (outdeg 0)
