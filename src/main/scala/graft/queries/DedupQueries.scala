@@ -482,6 +482,66 @@ object DedupQueries {
           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- leakage-free train/eval split ---------------------------------
+    // A random doc-level split leaks near-duplicates across the
+    // train/eval boundary; the correct unit is the NEAR-DUP CLUSTER.
+    // Clusters come from the oracled d3 edge rule + min-label connected
+    // components (d5's machinery); the split is the deterministic md5
+    // membership of the CLUSTER id (13/16 train), so every member of a
+    // cluster lands on the same side by construction. Singletons (docs
+    // in no pair) are their own cluster.
+    "d14_leakage_split" -> Q(
+      (s, dir) => {
+        val d = Lake(s, dir).documents
+        val clusters = Dedup.connectedComponents(
+          Dedup.jaccardPairs(d, "doc_id", "text", shingleN = 3, threshold = 0.8),
+          "id_a", "id_b")
+        d.select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .withColumn("split",
+            when(graft.operators.Sampling.hashKeep(col("cluster_id"), 13),
+              "train").otherwise("eval"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH RECURSIVE tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            for i in generate_series(1, len(w)-2)]) AS s
+          |  FROM tok
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |cand AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT id_a, id_b FROM cand
+          |  JOIN cnt ca ON ca.doc_id = id_a
+          |  JOIN cnt cb ON cb.doc_id = id_b
+          |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8),
+          |edges AS (
+          |  SELECT id_a AS a, id_b AS b FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |labels AS (
+          |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          |  FROM reach GROUP BY a)
+          |SELECT d.doc_id,
+          |  COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+          |  CASE WHEN substr(md5(COALESCE(l.cluster_id, d.doc_id)::VARCHAR), 1, 1)
+          |            < 'd'
+          |       THEN 'train' ELSE 'eval' END AS split
+          |FROM documents d LEFT JOIN labels l USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- incremental near-dedup: new batch vs canonical corpus ---------
     // Even ids play the already-deduped existing corpus, odd ids the
     // incoming batch: an incoming doc drops when its cluster holds ANY

@@ -359,5 +359,56 @@ object EventsQueries {
           |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
           |FROM events
           |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- snapshot diff (CDC change feed between table versions) --------
+    // The reconciliation op a lake refresh emits: per key, what changed
+    // between the old snapshot (latest state from even event ids) and
+    // the new one (latest over all events, minus users ending in a
+    // simulated delete set) — added / removed / updated / unchanged.
+    // Two key-partitioned latest-row windows + one full outer join on
+    // the key; fully parallel across keys.
+    "q42_snapshot_diff" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"))
+        def latest(df: DataFrame) = {
+          val w = Window.partitionBy("user_id")
+            .orderBy(desc("ts_us"), desc("event_id"))
+          df.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__rn")
+        }
+        val oldSnap = latest(ev.where(col("event_id") % 2 === 0))
+          .select(col("user_id"), col("event_id").as("old_event_id"))
+        val newSnap = latest(ev.where(col("user_id") % 97 =!= 0))
+          .select(col("user_id"), col("event_id").as("new_event_id"))
+        oldSnap.join(newSnap, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            when(col("old_event_id").isNull, "added")
+              .when(col("new_event_id").isNull, "removed")
+              .when(col("old_event_id") === col("new_event_id"), "unchanged")
+              .otherwise("updated").as("change_type"),
+            col("old_event_id"), col("new_event_id"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH o AS (
+          |  SELECT user_id, event_id AS old_event_id FROM (
+          |    SELECT user_id, event_id, ROW_NUMBER() OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          |    FROM events WHERE event_id % 2 = 0) t WHERE rn = 1),
+          |n AS (
+          |  SELECT user_id, event_id AS new_event_id FROM (
+          |    SELECT user_id, event_id, ROW_NUMBER() OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          |    FROM events WHERE user_id % 97 <> 0) t WHERE rn = 1)
+          |SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+          |  CASE WHEN o.old_event_id IS NULL THEN 'added'
+          |       WHEN n.new_event_id IS NULL THEN 'removed'
+          |       WHEN o.old_event_id = n.new_event_id THEN 'unchanged'
+          |       ELSE 'updated' END AS change_type,
+          |  o.old_event_id, n.new_event_id
+          |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+          |ORDER BY user_id""".stripMargin)),
   )
 }

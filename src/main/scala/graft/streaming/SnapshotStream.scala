@@ -28,4 +28,53 @@ object SnapshotStream {
         LakeMaintenance.upsertIntoSnapshot(
           batch, path, keyCols, versionCols, numBuckets)
       }
+
+  /** Continuous INCREMENTAL AGGREGATE maintenance (streaming IVM) — the
+    * streaming twin of the q41 partial-merge: each micro-batch's per-key
+    * partials (row count + exact decimal sum) are merged into a stored
+    * Parquet aggregate snapshot by summation. ADDITIVE state is not
+    * naturally idempotent (re-applying a batch double-counts — unlike
+    * the keyed upsert whose merge is a fixpoint), so the snapshot
+    * carries the last applied batch id and [[applyAggBatch]] refuses
+    * batches it has already absorbed: replay after a crash-restart
+    * becomes a no-op, restoring exactly-once. Decimal sums keep the
+    * merge independent of partial-aggregation order and batch split
+    * points. */
+  def aggSnapshot(updates: DataFrame, path: String, checkpoint: String,
+                  keyCols: Seq[String], valueCol: String): DataStreamWriter[Row] =
+    updates.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAggBatch(batch, batchId, path, keyCols, valueCol)
+      }
+
+  /** One merge step of [[aggSnapshot]]; public so a replay is testable
+    * (and callable from a batch backfill with a synthetic batch id). */
+  def applyAggBatch(batch: DataFrame, batchId: Long, path: String,
+                    keyCols: Seq[String], valueCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(hPath)
+    val prev = if (exists) Some(spark.read.parquet(path)) else None
+    val applied = prev.map(_.agg(max(col("__last_batch"))).head.getLong(0))
+    if (applied.exists(batchId <= _)) return // already absorbed: replay no-op
+    val partial = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).as("sum_value"))
+    val unioned = prev match {
+      case Some(p) => p
+        .select(keyCols.map(col) :+ col("n_rows") :+ col("sum_value"): _*)
+        .unionByName(partial)
+      case None => partial
+    }
+    val merged = unioned.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_value")).as("sum_value"))
+      .withColumn("__last_batch", lit(batchId))
+      // a path cannot be overwritten while a plan still reads it
+      .localCheckpoint(eager = true)
+    merged.write.mode("overwrite").parquet(path)
+  }
 }

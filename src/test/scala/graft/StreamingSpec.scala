@@ -346,4 +346,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("decontam_alerts").count() === want.size) // once per doc
     } finally q.stop()
   }
+
+  test("streaming aggregate snapshot merges partials and refuses replayed batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SnapshotStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = Files.createTempDirectory("agg_sink").toString + "/snap"
+    val ckpt = Files.createTempDirectory("agg_ckpt").toString
+    val input = MemoryStream[(String, Double)]
+    val q = SnapshotStream.aggSnapshot(
+      input.toDF.toDF("k", "v"), sink, ckpt,
+      keyCols = Seq("k"), valueCol = "v").start()
+    try {
+      input.addData(("a", 1.0), ("b", 2.0), ("a", 0.5))
+      q.processAllAvailable()
+      input.addData(("a", 3.5), ("c", 1.25))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snap() = spark.read.parquet(sink)
+      .select(col("k"), col("n_rows"), col("sum_value").cast("double"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = Map("a" -> (3L, 5.0), "b" -> (1L, 2.0), "c" -> (1L, 1.25))
+    assert(snap() === want)
+    // crash-replay of an ALREADY-ABSORBED batch id: additive state would
+    // double-count without the guard — must be a strict no-op
+    SnapshotStream.applyAggBatch(
+      Seq(("a", 3.5), ("c", 1.25)).toDF("k", "v"), batchId = 1L,
+      sink, Seq("k"), "v")
+    assert(snap() === want, "replayed batch must not double-count")
+    // a genuinely NEW batch id still merges
+    SnapshotStream.applyAggBatch(
+      Seq(("b", 1.0)).toDF("k", "v"), batchId = 2L, sink, Seq("k"), "v")
+    assert(snap() === Map("a" -> (3L, 5.0), "b" -> (2L, 3.0), "c" -> (1L, 1.25)))
+  }
 }
