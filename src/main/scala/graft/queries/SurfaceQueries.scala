@@ -494,6 +494,51 @@ object SurfaceQueries {
           |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
           |  (max(l_shipdate) < TIMESTAMP '1994-01-01'
           |   OR min(l_shipdate) >= TIMESTAMP '1995-01-01') AS prunable
-          |FROM lineitem GROUP BY 1 ORDER BY shard""".stripMargin))
+          |FROM lineitem GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // ---- shuffle-skew diagnostics (the salt-factor advisor) ------------
+    // The pre-flight a big join/groupBy runs before picking a skew
+    // strategy: per-key frequency profile of the shuffle key — key
+    // count, max/mean load, the skew ratio that decides whether to salt
+    // (SkewJoin) or lean on AQE, and the top-5 heavy hitters. Two
+    // partial+final aggregates and a global top-5 limit; 1-row output at
+    // any scale. All ratios are integer-quotient doubles (exact both
+    // engines).
+    "q43_skew_stats" -> Q(
+      (s, dir) => {
+        val cnts = Lake(s, dir).orders
+          .groupBy("o_custkey").agg(count(lit(1)).as("c"))
+        val hitters = cnts.orderBy(desc("c"), asc("o_custkey")).limit(5)
+          // order inside the aggregate is pinned by array_sort on
+          // (-count, key), not by collect_list encounter order
+          .agg(array_join(transform(
+            array_sort(collect_list(struct((-col("c")).as("nc"),
+              col("o_custkey").as("k"),
+              concat_ws(":", col("o_custkey"), col("c")).as("h")))),
+            _.getField("h")), ",").as("top_hitters"))
+        cnts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_cnt"))
+          .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+            (col("max_cnt").cast(DoubleType) * col("n_keys")
+              / col("n_rows")).as("skew_ratio"))
+          .crossJoin(hitters)
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey),
+          |top5 AS (
+          |  SELECT o_custkey, c FROM c ORDER BY c DESC, o_custkey LIMIT 5),
+          |hit AS (
+          |  SELECT string_agg(o_custkey::VARCHAR || ':' || c::VARCHAR, ','
+          |                    ORDER BY c DESC, o_custkey) AS top_hitters
+          |  FROM top5)
+          |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |  CAST(sum(c.c) AS BIGINT) AS n_rows,
+          |  CAST(max(c.c) AS BIGINT) AS max_cnt,
+          |  CAST(max(c.c) AS DOUBLE) * count(*) / sum(c.c) AS skew_ratio,
+          |  (SELECT top_hitters FROM hit) AS top_hitters
+          |FROM c""".stripMargin))
   )
 }

@@ -802,5 +802,43 @@ object TextQueries {
           |    CASE WHEN NOT (top_bi_frac <= 0.18) THEN 'repetition' END)
           |    AS reasons
           |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact-size deterministic per-stratum sample -------------------
+    // t9's fraction sampler cannot hit an exact size; this draws EXACTLY
+    // k docs per language as the k smallest portable md5 hashes — a
+    // uniform draw that any engine reproduces, computed with the
+    // map-side k-bounded TopKAggregator (t6's machinery) instead of a
+    // per-language sort: each partition holds at most k candidates per
+    // language, so the dominant language never serializes a full-
+    // partition window sort. 13 hex digits = 52 bits keeps the hash
+    // exact in the aggregator's double score.
+    "t25_fixed_k_sample" -> Q(
+      (s, dir) => {
+        val h52 = conv(substring(md5(concat(lit("5:"),
+          col("doc_id").cast("string"))), 1, 13), 16, 10).cast(LongType)
+        val topk = TopKAggregator.topK(20)
+        docs(s, dir)
+          .select(col("lang"), (-h52).cast(DoubleType).as("nh"), col("doc_id"))
+          .groupBy("lang").agg(topk(col("nh"), col("doc_id")).as("top"))
+          .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
+          .select(col("lang"), (col("pos") + 1).cast("int").as("smp_rank"),
+            col("s.id").as("doc_id"))
+          .orderBy("lang", "smp_rank")
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT doc_id, lang,
+          |    CAST(list_sum([(strpos('0123456789abcdef',
+          |                    substr(md5('5:' || doc_id::VARCHAR), i, 1)) - 1)
+          |                   * CAST(pow(16, 13 - i) AS BIGINT)
+          |                   for i in generate_series(1, 13)]) AS BIGINT) AS hv
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, lang,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          |         ORDER BY hv, doc_id) AS INTEGER) AS smp_rank
+          |  FROM h)
+          |SELECT lang, smp_rank, doc_id FROM r WHERE smp_rank <= 20
+          |ORDER BY lang, smp_rank""".stripMargin)),
   )
 }

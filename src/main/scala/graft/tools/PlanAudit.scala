@@ -35,7 +35,7 @@ object PlanAudit {
     "s8_hard_negatives", "s9_random_negatives",
     "t12_tfidf", "t16_rare_tokens", "t17_countmin",
     "t21_lm_score", "t22_quality_buckets",
-    "c7_mixture_rebalance")
+    "c7_mixture_rebalance", "q43_skew_stats")
 
   private val allowedGlobalWindow = Set.empty[String]
 
