@@ -59,7 +59,11 @@ object SnapshotStream {
     val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf())
       .exists(hPath)
     val prev = if (exists) Some(spark.read.parquet(path)) else None
-    val applied = prev.map(_.agg(max(col("__last_batch"))).head.getLong(0))
+    // max over an EMPTY stored snapshot (an empty first micro-batch
+    // leaves one behind) is null — treat as "nothing absorbed yet"
+    val applied = prev.flatMap(p =>
+      Option(p.agg(max(col("__last_batch"))).head.get(0))
+        .map(_.asInstanceOf[Long]))
     if (applied.exists(batchId <= _)) return // already absorbed: replay no-op
     val partial = batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),

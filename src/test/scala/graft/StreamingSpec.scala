@@ -380,5 +380,17 @@ class StreamingSpec extends AnyFunSuite {
     SnapshotStream.applyAggBatch(
       Seq(("b", 1.0)).toDF("k", "v"), batchId = 2L, sink, Seq("k"), "v")
     assert(snap() === Map("a" -> (3L, 5.0), "b" -> (2L, 3.0), "c" -> (1L, 1.25)))
+    // an EMPTY first batch leaves a zero-row snapshot (null max batch
+    // id) — the next batch must still merge instead of NPE-ing
+    val sink2 = Files.createTempDirectory("agg_sink2").toString + "/snap"
+    SnapshotStream.applyAggBatch(
+      Seq.empty[(String, Double)].toDF("k", "v"), batchId = 0L,
+      sink2, Seq("k"), "v")
+    SnapshotStream.applyAggBatch(
+      Seq(("z", 1.5)).toDF("k", "v"), batchId = 1L, sink2, Seq("k"), "v")
+    val got2 = spark.read.parquet(sink2)
+      .select(col("k"), col("n_rows"), col("sum_value").cast("double"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got2 === Map("z" -> (1L, 1.5)))
   }
 }
