@@ -150,6 +150,46 @@ object LakeMaintenance {
       .parquet(outDir)
   }
 
+  /** Versions present under a versioned-snapshot root (see
+    * [[writeSnapshotVersion]]), ascending. One driver-side directory
+    * listing — metadata bounded by the version count, never data. */
+  def snapshotVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+      .sorted
+  }
+
+  /** TIME-TRAVEL writes: land `df` as the next immutable version under
+    * `root` (`root/v=<n>` subdirectories — the Delta/Iceberg snapshot
+    * idea with plain-Parquet machinery). Readers pin any historical
+    * version via [[readSnapshotVersion]]; old versions are never
+    * rewritten, so a long-running job keeps a consistent view while
+    * writers append new versions. Single-writer convention: version
+    * allocation lists the directory, so concurrent writers need an
+    * external lock (same caveat as any file-listing-based commit).
+    * Returns the version written. */
+  def writeSnapshotVersion(df: DataFrame, root: String): Long = {
+    val next = snapshotVersions(df.sparkSession, root).lastOption.getOrElse(0L) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$next")
+    next
+  }
+
+  /** Read a pinned snapshot version, or the latest when `version` is
+    * negative. Throws on an empty root or a missing version. */
+  def readSnapshotVersion(spark: SparkSession, root: String,
+                          version: Long = -1L): DataFrame = {
+    val versions = snapshotVersions(spark, root)
+    require(versions.nonEmpty, s"no snapshot versions under $root")
+    val v = if (version < 0) versions.last else version
+    require(versions.contains(v), s"version $v not in $versions")
+    spark.read.parquet(s"$root/v=$v")
+  }
+
   /** Compaction PLAN over a file manifest: assigns each file to an output
     * bin by the running-sum rule (bin = exclusive-prefix-bytes DIV
     * target), the streaming bin-packing every table-maintenance service

@@ -138,6 +138,28 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).count() === n)
   }
 
+  test("versioned snapshots: immutable history, pinned and latest reads") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("versioned").toString + "/tbl"
+    assert(LakeMaintenance.snapshotVersions(spark, root) === Seq.empty)
+    val v1 = LakeMaintenance.writeSnapshotVersion(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "x"), root)
+    val v2 = LakeMaintenance.writeSnapshotVersion(
+      Seq((1L, "a2"), (3L, "c")).toDF("k", "x"), root)
+    assert((v1, v2) === (1L, 2L))
+    assert(LakeMaintenance.snapshotVersions(spark, root) === Seq(1L, 2L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // latest = v2; time travel to v1 returns the ORIGINAL rows untouched
+    assert(rows(LakeMaintenance.readSnapshotVersion(spark, root)) ===
+      Set((1L, "a2"), (3L, "c")))
+    assert(rows(LakeMaintenance.readSnapshotVersion(spark, root, 1L)) ===
+      Set((1L, "a"), (2L, "b")))
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.readSnapshotVersion(spark, root, 99L)
+    }
+  }
+
   test("compactionBins packs files by the running-sum rule per partition") {
     import spark.implicits._
     val manifest = Seq(

@@ -408,4 +408,44 @@ class OperatorLawsSpec extends AnyFunSuite {
       3L -> (9L, "b4"),
       4L -> (1L, "u3"))) // pure insert
   }
+
+  test("triangle counts law: equals a local brute-force count on random graphs") {
+    import graft.operators.Graph
+    // random multigraphs over 10 vertices WITH reversed duplicates and
+    // self-loops — the canonicalization corners a fixture can miss
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+    check("triangles", Prop.forAll(edgeGen) { es =>
+      val got = Graph.triangleCounts(es.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // local reference: clean undirected edge set, O(n^3) enumeration
+      val und = es.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val verts = und.flatMap(e => Seq(e._1, e._2))
+      def adj(x: Long, y: Long) = und((math.min(x, y), math.max(x, y)))
+      val want = verts.map { v =>
+        val others = (verts - v).toSeq
+        v -> others.combinations(2)
+          .count { case Seq(x, y) => adj(v, x) && adj(v, y) && adj(x, y) }
+          .toLong
+      }.toMap
+      got == want
+    }, trials = 8)
+  }
+
+  test("pageRank law: symmetric graphs conserve rank mass") {
+    import graft.operators.Graph
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L))).map(_.take(15))
+    check("pagerank-mass", Prop.forAll(edgeGen) { es0 =>
+      val es = es0.filter { case (a, b) => a != b }
+      es.isEmpty || {
+        // symmetrize so no vertex dangles: mass must then sum to 1
+        val sym = es ++ es.map(_.swap)
+        val ranks = Graph.pageRank(sym.toDF("a", "b"), "a", "b",
+          iterations = 4).collect().map(_.getDouble(1))
+        math.abs(ranks.sum - 1.0) < 1e-9
+      }
+    }, trials = 8)
+  }
 }
