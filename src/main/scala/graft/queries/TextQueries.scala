@@ -803,6 +803,127 @@ object TextQueries {
           |    AS reasons
           |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // ---- held-out bigram-LM scoring (train/eval discipline) ------------
+    // Unlike t21 (corpus scored under its own model), the model here is
+    // fit on the TRAIN split only (even ids) and scores the UNSEEN eval
+    // split (odd ids) — the honest perplexity measurement, which is also
+    // what exercises the out-of-vocabulary path: an eval bigram absent
+    // from train takes the add-one floor 1/(c1+V) (and c1 itself falls
+    // to 0 for an unseen start token). n_unseen reports the OOV rate.
+    // Same plan shape as t21 with the count joins turned LEFT.
+    "t26_lm_heldout" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val train = d.where(col("doc_id") % 2 === 0)
+        val eval_ = d.where(col("doc_id") % 2 === 1)
+        val trainBg = train.select(explode(wordShingles(col("text"), 2)).as("bg"))
+        val bgc = trainBg.groupBy("bg").agg(count(lit(1)).as("c2"))
+        val w1c = trainBg.select(substring_index(col("bg"), " ", 1).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vocab = train.select(explode(tokens(col("text"))).as("w"))
+          .agg(countDistinct(col("w")).as("v"))
+        val scored = eval_
+          .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("bg"))
+          .join(bgc, Seq("bg"), "left")
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .join(w1c, Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            coalesce(col("c2"), lit(0L)).as("c2"),
+            coalesce(col("c1"), lit(0L)).as("c1"), col("v"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("c2") === 0, 1L).otherwise(0L)).as("n_unseen"),
+            sum(log((col("c2") + 1).cast(DoubleType)
+              / (col("c1") + col("v")).cast(DoubleType))).as("ll"))
+        eval_.select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+            coalesce(round(col("ll") / col("n_bigrams"), 4), lit(0.0)).as("avg_ll"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]) AS bg
+          |  FROM tok),
+          |bgc AS (SELECT bg, count(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY bg),
+          |w1c AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+          |        FROM bg WHERE doc_id % 2 = 0 GROUP BY 1),
+          |voc AS (SELECT count(DISTINCT tk) AS v
+          |        FROM (SELECT unnest(w) AS tk FROM tok WHERE doc_id % 2 = 0)),
+          |sc AS (
+          |  SELECT e.doc_id, count(*) AS nb,
+          |    sum(CASE WHEN COALESCE(bc.c2, 0) = 0 THEN 1 ELSE 0 END) AS nu,
+          |    sum(ln(CAST(COALESCE(bc.c2, 0) + 1 AS DOUBLE)
+          |           / CAST(COALESCE(wc.c1, 0) + v AS DOUBLE))) AS ll
+          |  FROM (SELECT doc_id, bg FROM bg WHERE doc_id % 2 = 1) e
+          |  LEFT JOIN bgc bc USING (bg)
+          |  LEFT JOIN w1c wc ON wc.w1 = split_part(e.bg, ' ', 1), voc
+          |  GROUP BY e.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+          |  CAST(COALESCE(sc.nu, 0) AS BIGINT) AS n_unseen,
+          |  COALESCE(round(sc.ll / sc.nb, 4), 0.0) AS avg_ll
+          |FROM documents d LEFT JOIN sc USING (doc_id)
+          |WHERE d.doc_id % 2 = 1
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- BM25 ranking (the production tf-idf) --------------------------
+    // Okapi BM25 over a 3-term query: idf(t)·tf·(k1+1)/(tf + k1·(1-b+
+    // b·len/avglen)), k1=1.2, b=0.75. Cross-engine rank stability is BY
+    // CONSTRUCTION, not by measure: the output order sorts on the
+    // 4-decimal ROUNDED score (identical doubles in both engines — raw
+    // ln/avg noise is ~1e-13, nine orders below the step) with doc_id
+    // breaking exact rounded ties. Corpus stats (N, avg length) are one
+    // 1-row broadcast; term stats are bounded by the query vocabulary.
+    "t27_bm25" -> Q(
+      (s, dir) => {
+        val qTerms = Seq("data", "scan", "hash")
+        val d = docs(s, dir)
+        val lens = d.select(col("doc_id"),
+          size(tokens(col("text"))).cast(DoubleType).as("dl"))
+        val stats = lens.agg(avg(col("dl")).as("avgdl"),
+          count(lit(1)).cast(DoubleType).as("n"))
+        val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .where(col("term").isin(qTerms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).cast(DoubleType).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).cast(DoubleType).as("df"))
+        val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+        val norm = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))
+        val scored = tf.join(dfreq, "term").join(lens, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("s", idf * col("tf") * lit(2.2) / norm)
+          .groupBy("doc_id").agg(round(sum(col("s")), 4).as("bm25"))
+        scored.orderBy(desc("bm25"), asc("doc_id")).limit(20)
+          .select(col("doc_id"), col("bm25"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |lens AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM tok),
+          |st AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM lens),
+          |tf AS (
+          |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+          |  FROM (SELECT doc_id, unnest(w) AS term FROM tok) t
+          |  WHERE term IN ('data', 'scan', 'hash')
+          |  GROUP BY doc_id, term),
+          |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+          |sc AS (
+          |  SELECT tf.doc_id,
+          |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf.tf * 2.2
+          |              / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / avgdl))), 4) AS bm25
+          |  FROM tf JOIN dfq USING (term) JOIN lens l USING (doc_id), st
+          |  GROUP BY tf.doc_id)
+          |SELECT doc_id, bm25 FROM sc
+          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
     // ---- exact-size deterministic per-stratum sample -------------------
     // t9's fraction sampler cannot hit an exact size; this draws EXACTLY
     // k docs per language as the k smallest portable md5 hashes — a

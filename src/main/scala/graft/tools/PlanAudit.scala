@@ -34,7 +34,7 @@ object PlanAudit {
     "s1_cosine_topk", "s4_ann_ivf", "q24_sql_cosine",
     "s8_hard_negatives", "s9_random_negatives",
     "t12_tfidf", "t16_rare_tokens", "t17_countmin",
-    "t21_lm_score", "t22_quality_buckets",
+    "t21_lm_score", "t22_quality_buckets", "t26_lm_heldout", "t27_bm25",
     "c7_mixture_rebalance", "q43_skew_stats")
 
   private val allowedGlobalWindow = Set.empty[String]
