@@ -235,6 +235,7 @@ object Dedup {
     * corpus token volume, same budget as a groupBy-dedup of the chunks. */
   def dedupChunks(df: DataFrame, id: String, text: String,
                   chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     val ch = Parallelism.ensure(df).select(col(id),
       posexplode(tokenChunks(col(text), chunkTokens, chunkTokens))
         .as(Seq("__ci", "__ct")))

@@ -133,6 +133,8 @@ object Similarity {
     * in-batch-negatives treatment, keeping exactly k draws per anchor. */
   def randomNegatives(corpus: DataFrame, idCol: String, labelCol: String,
                       k: Int, seed: Long): DataFrame = {
+    // k < 1 would make sequence(0, k-1) run DESCENDING, not empty
+    require(k > 0, s"k must be positive: $k")
     val nRow = corpus.agg((max(col(idCol)).cast("long") + 1L).as("__n"))
     val h = Dedup.md5Hash60(
       concat_ws(":", lit(seed), col("anchor_id"), col("j")))

@@ -539,6 +539,56 @@ object SurfaceQueries {
           |  CAST(max(c.c) AS BIGINT) AS max_cnt,
           |  CAST(max(c.c) AS DOUBLE) * count(*) / sum(c.c) AS skew_ratio,
           |  (SELECT top_hitters FROM hit) AS top_hitters
-          |FROM c""".stripMargin))
+          |FROM c""".stripMargin)),
+
+    // ---- data-contract audit (constraint validation pass) --------------
+    // The pre-ingest gate every lake pipeline runs: referential
+    // integrity (orphan fact rows), null keys, domain ranges, and
+    // primary-key uniqueness, each as one anti-join or aggregate over
+    // the full table — violation COUNTS, bounded output (one row per
+    // rule), whatever the data contains. Rules are independent jobs a
+    // scheduler can fan out; none collects rows to the driver.
+    "q44_data_quality_audit" -> Q(
+      (s, dir) => {
+        val lake = Lake(s, dir)
+        def one(name: String, d: org.apache.spark.sql.DataFrame) =
+          d.select(lit(name).as("rule"), col("violations"))
+        val orphan = lake.lineitem
+          .join(lake.orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+        val nullKey = lake.orders.agg(
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("violations"))
+        val negPrice = lake.lineitem.agg(
+          sum(when(col("l_extendedprice") < 0.0, 1L).otherwise(0L)).as("violations"))
+        val badDisc = lake.lineitem.agg(
+          sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+            .otherwise(0L)).as("violations"))
+        val dupPk = lake.orders.groupBy("o_orderkey")
+          .agg(count(lit(1)).as("c")).where(col("c") > 1)
+          .agg(count(lit(1)).as("violations"))
+        one("fk_lineitem_orders", orphan)
+          .unionByName(one("null_o_custkey", nullKey))
+          .unionByName(one("neg_l_extendedprice", negPrice))
+          .unionByName(one("range_l_discount", badDisc))
+          .unionByName(one("pk_orders_unique", dupPk))
+          .orderBy("rule")
+      },
+      Some(
+        """SELECT 'fk_lineitem_orders' AS rule, CAST(count(*) AS BIGINT) AS violations
+          |FROM lineitem l WHERE NOT EXISTS (
+          |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          |UNION ALL
+          |SELECT 'null_o_custkey', CAST(sum(CASE WHEN o_custkey IS NULL
+          |  THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+          |UNION ALL
+          |SELECT 'neg_l_extendedprice', CAST(sum(CASE WHEN l_extendedprice < 0.0
+          |  THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+          |UNION ALL
+          |SELECT 'range_l_discount', CAST(sum(CASE WHEN l_discount < 0.0
+          |  OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+          |UNION ALL
+          |SELECT 'pk_orders_unique', CAST(count(*) AS BIGINT) FROM (
+          |  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+          |ORDER BY rule""".stripMargin))
   )
 }
