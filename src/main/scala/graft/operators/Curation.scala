@@ -208,4 +208,66 @@ object Curation {
       .withColumn("batch_pos", pmod(col("rn0"), lit(batchSize.toLong)).cast("int"))
       .drop("rn0")
   }
+
+  /** DSIR-style importance weights (hashed n-gram importance resampling,
+    * the published data-selection technique): score every document by
+    * how much more likely its hashed token features are under the TARGET
+    * distribution than under the RAW corpus distribution —
+    * `w(d) = mean over token occurrences of ln p_t(bucket) - ln p_r(bucket)`
+    * with add-one smoothing over `buckets` hashed feature buckets.
+    * `isTarget` is a row-level predicate over `df` selecting the target
+    * exemplar subset (e.g. `col("lang") === "en"`).
+    *
+    * Scale shape: one token explode over the corpus; BOTH distributions
+    * come from a single aggregate over the bounded bucket space
+    * (`buckets` rows — raw count + conditional target count in one pass)
+    * broadcast back to the occurrence stream, and the grand totals ride
+    * a 1-row broadcast (t12's idf-scalar pattern). Nothing in the plan
+    * is sized by anything but token volume. Portable md5 bucket hash so
+    * an external engine reproduces the weights digit-for-digit. */
+  def dsirWeights(df: DataFrame, isTarget: Column, idCol: String,
+                  textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val occ = Parallelism.ensure(df)
+      .select(col(idCol), isTarget.as("is_t"),
+        explode(tokens(col(textCol))).as("t"))
+      .select(col(idCol), col("is_t"),
+        pmod(Dedup.md5Hash60(col("t")), lit(buckets.toLong)).as("b"))
+    val dist = occ.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("ct"))
+    val totals = dist.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    occ.join(broadcast(dist), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        // + 0.0 canonicalizes IEEE -0.0 (a zero-crossing round can land
+        // on either sign depending on the engine's rounding machinery)
+        (round(avg(
+          log((col("ct") + lit(1.0)) / (col("tt") + lit(buckets.toDouble))) -
+          log((col("cr") + lit(1.0)) / (col("tr") + lit(buckets.toDouble)))), 4)
+          + lit(0.0)).as("dsir_w"))
+  }
+
+  /** Token-budget mixture sampling — the "give me N tokens from this
+    * mixture" curation step: every stratum is allotted an equal share of
+    * the budget (integer division, so the sample lands at or below the
+    * budget); its keep fraction is the allotment over its actual token
+    * count clamped to [0, 256] 256ths; membership is the deterministic
+    * md5 test, so the same call on the same corpus always emits the same
+    * byte-identical sample and incremental reruns never flip a row's
+    * fate. Scale shape: the threshold table is one tiny aggregate
+    * broadcast back to the corpus — no corpus shuffle at all. */
+  def budgetSample(df: DataFrame, stratumCol: String, keyCol: String,
+                   tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val per = df.groupBy(col(stratumCol)).agg(sum(col(tokensCol)).as("tok"))
+    val share = per.crossJoin(broadcast(per.agg(count(lit(1)).as("ns"))))
+      .select(col(stratumCol),
+        least(lit(256),
+          expr(s"CAST((($budgetTokens DIV ns) * 256) DIV tok AS INT)"))
+          .as("kept_256ths"))
+    df.join(broadcast(share), Seq(stratumCol))
+      .where(Sampling.hashKeepDynamic(col(keyCol), col("kept_256ths"), 256))
+  }
 }

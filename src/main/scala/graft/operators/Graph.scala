@@ -107,4 +107,48 @@ object Graph {
     verts.join(perVertex, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** SYNCHRONOUS label propagation (community detection): every vertex
+    * starts labeled with its own id; each round it adopts the most
+    * frequent label among its in-neighbors, ties to the smallest label.
+    * The classic asynchronous variant is visit-order-dependent — useless
+    * in a reproducible pipeline — so this is the Jacobi-style sweep: a
+    * fixed iteration count over a fixed edge set is deterministic
+    * arithmetic in any engine. Vertices with no in-edges keep their
+    * label (feed symmetric edges for the undirected semantics).
+    *
+    * Scale shape per round: edges ⋈ labels (hash join on vertex id), a
+    * (vertex, label) count aggregate, then the argmax as ONE struct-min
+    * aggregate keyed on the vertex — no window, no global order, the
+    * per-round state is exactly one row per vertex. Lineage truncated
+    * with localCheckpoint every `checkpointEvery` rounds (g1's caveat:
+    * durable deployments should checkpoint to reliable storage).
+    * Returns (id, label). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 4, checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 0 && checkpointEvery > 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    var labels = nodes.withColumn("label", col("id"))
+    for (i <- 1 to iterations) {
+      val counts = e
+        .join(labels.select(col("id").as("src"), col("label").as("lbl")), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) as a struct-min: one aggregate,
+      // deterministic under any partial-aggregation order
+      val next = counts
+        .groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("next_label"))
+      labels = labels.join(next, Seq("id"), "left")
+        .select(col("id"), coalesce(col("next_label"), col("label")).as("label"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        labels = labels.localCheckpoint(eager = true)
+    }
+    labels
+  }
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Runtime Bloom-filter join pruning — the explicit form of Spark's own
+  * injected runtime filters (`bloom_filter_agg` + `might_contain`, which
+  * Catalyst only applies under its own selectivity heuristics): build an
+  * m-bit / k-hash Bloom filter over the build side's join keys, then
+  * pre-filter the probe side BEFORE its join so rows that cannot match
+  * never leave the scan stage.
+  *
+  * Scale shape: the bit array is built distributed — explode each key to
+  * its k positions, distinct, OR into 64-bit words — and only the
+  * FIXED-SIZE word table (mBits/64 rows; 1024 for a 64 Kbit filter) ever
+  * reaches the driver, independent of build-side row count. The probe
+  * test is a pure per-row expression over the literal word array: no
+  * join, no shuffle, fully codegen'd. False positives pass the filter
+  * and are removed by the exact join that follows, so the filter can
+  * only shrink the probe-side shuffle, never change the answer — which
+  * is exactly what the q45 oracle (the plain exact join) checks: a false
+  * NEGATIVE anywhere would drop a result row and fail the gate.
+  *
+  * At 100 TB this is the difference between shuffling the full fact
+  * table and shuffling only the ~matching fraction; the filter build
+  * costs one scan of the (already small) build side.
+  */
+object RuntimeFilter {
+
+  /** k xxhash64-derived bit positions in [0, mBits). Cross-engine
+    * portability is NOT required here (no oracle replicates the filter —
+    * only the final exact join is compared), so the cheap codegen'd hash
+    * family is used instead of the md5 one. */
+  private def positions(key: Column, mBits: Int, k: Int): Seq[Column] =
+    (0 until k).map(i => pmod(xxhash64(lit(i), key), lit(mBits.toLong)))
+
+  /** Build the filter over the distinct values of `keys(keyCol)` as a
+    * driver-side word array (one Long = 64 bits). */
+  def bloomBuild(keys: DataFrame, keyCol: String,
+                 mBits: Int = 1 << 16, k: Int = 3): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val words = keys
+      .select(explode(array(positions(col(keyCol), mBits, k): _*)).as("pos"))
+      .distinct()
+      .select((col("pos") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("w").agg(bit_or(col("bit")).as("bits"))
+      .collect() // bounded by mBits/64 rows — a constant, never data-sized
+    val arr = new Array[Long](mBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership test against a built filter: true iff all k bits are
+    * set. Never false for a key the filter was built over. */
+  def mightContain(key: Column, bloom: Array[Long], k: Int = 3): Column = {
+    require(bloom.nonEmpty, "empty bloom filter")
+    val mBits = bloom.length * 64
+    val words = typedLit(bloom.toSeq)
+    positions(key, mBits, k)
+      .map { p =>
+        val word = element_at(words, (p / 64).cast("int") + 1)
+        val mask = call_function("shiftleft",
+          lit(1L), (p % 64).cast("int"))
+        word.bitwiseAND(mask) =!= lit(0L)
+      }
+      .reduce(_ && _)
+  }
+
+  /** Bloom-pruned inner equi-join: probe side is pre-filtered by the
+    * build side's key filter, then joined exactly. `broadcastBuild`
+    * should stay true whenever the build side fits the broadcast
+    * threshold (the usual case — a filter only pays off when the build
+    * side is much smaller than the probe side). */
+  def bloomJoin(probe: DataFrame, probeKey: String,
+                build: DataFrame, buildKey: String,
+                mBits: Int = 1 << 16, k: Int = 3,
+                broadcastBuild: Boolean = true): DataFrame = {
+    val bloom = bloomBuild(build, buildKey, mBits, k)
+    val b = if (broadcastBuild) broadcast(build) else build
+    probe.where(mightContain(col(probeKey), bloom, k))
+      .join(b, col(probeKey) === col(buildKey))
+  }
+}

@@ -380,5 +380,69 @@ object CurationQueries {
           |  CAST(rn0 // 16 AS BIGINT) AS batch_id,
           |  CAST(rn0 % 16 AS INTEGER) AS batch_pos
           |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- token-budget mixture sampling ---------------------------------
+    // "Give me 40k chars with an equal source mix": each source's keep
+    // fraction is its equal budget share over its actual volume, clamped
+    // to [0,256] 256ths; membership is the deterministic md5 test (c7's
+    // machinery), so the sample composes with incremental loads. The
+    // threshold table is one tiny broadcast; the corpus never shuffles.
+    "c10_token_budget" -> Q(
+      (s, dir) => Curation.budgetSample(
+          Lake(s, dir).documents.select("doc_id", "source", "n_chars"),
+          "source", "doc_id", "n_chars", budgetTokens = 40000L)
+        .select("doc_id", "source", "n_chars", "kept_256ths")
+        .orderBy("doc_id"),
+      Some(
+        """WITH per AS (SELECT source, sum(n_chars) AS tok
+          |            FROM documents GROUP BY source),
+          |ns AS (SELECT count(*) AS ns FROM per),
+          |sx AS (SELECT source,
+          |         least(256, CAST(((40000 // ns.ns) * 256) // tok AS INTEGER))
+          |           AS kept_256ths
+          |       FROM per, ns)
+          |SELECT d.doc_id, d.source, d.n_chars, sx.kept_256ths
+          |FROM documents d JOIN sx USING (source)
+          |WHERE kept_256ths >= 256
+          |   OR (kept_256ths > 0 AND
+          |       (strpos('0123456789abcdef',
+          |          substr(md5(d.doc_id::VARCHAR), 1, 1)) - 1) * 16
+          |     + (strpos('0123456789abcdef',
+          |          substr(md5(d.doc_id::VARCHAR), 2, 1)) - 1) < kept_256ths)
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- DSIR importance weights (hashed importance resampling) --------
+    // The published data-selection scorer: per-doc mean log-ratio of
+    // target vs raw likelihood over 1024 hashed token buckets, add-one
+    // smoothed, target = the English subset. Both distributions come
+    // from ONE bounded-width aggregate broadcast back to the occurrence
+    // stream; the oracle rebuilds the 60-bit md5 bucket hash
+    // digit-for-digit (c8's playbook) and the same smoothing arithmetic,
+    // rounded at 4 decimals (libm-ulp noise is ~1e-13, far below the
+    // step — t21's argument).
+    "c11_dsir_weights" -> Q(
+      (s, dir) => Curation.dsirWeights(
+          Lake(s, dir).documents.select("doc_id", "lang", "text"),
+          isTarget = col("lang") === "en", "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(
+        """WITH occ AS (
+          |  SELECT doc_id, is_t,
+          |    CAST(list_sum([(strpos('0123456789abcdef', substr(m, i, 1)) - 1)
+          |                   * CAST(pow(16, 15 - i) AS BIGINT)
+          |                   for i in generate_series(1, 15)]) AS BIGINT) % 1024
+          |      AS b
+          |  FROM (SELECT doc_id, (lang = 'en') AS is_t,
+          |          md5(unnest(string_split_regex(lower(trim(text)), '\s+'))) AS m
+          |        FROM documents) t),
+          |dist AS (SELECT b, count(*) AS cr,
+          |           sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+          |         FROM occ GROUP BY b),
+          |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM dist)
+          |SELECT occ.doc_id, count(*) AS n_feats,
+          |  round(avg(ln((ct + 1.0) / (tt + 1024.0))
+          |          - ln((cr + 1.0) / (tr + 1024.0))), 4) + 0.0 AS dsir_w
+          |FROM occ JOIN dist USING (b) CROSS JOIN tot
+          |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin)),
   )
 }

@@ -121,6 +121,49 @@ object GraphQueries {
           |       FROM (SELECT unnest([a, b, c]) AS x FROM tri) GROUP BY 1)
           |SELECT v.id, CAST(COALESCE(pv.n, 0) AS BIGINT) AS n_triangles
           |FROM verts v LEFT JOIN pv USING (id)
-          |ORDER BY v.id""".stripMargin))
+          |ORDER BY v.id""".stripMargin)),
+
+    // ---- synchronous label propagation (community detection) -----------
+    // Four Jacobi-style sweeps over the same supplier↔customer ship
+    // graph as g1: adopt the modal in-neighbor label, ties to the
+    // smallest. Fixed rounds + deterministic tie-break = identical
+    // labels in any engine; the oracle unrolls the four rounds with a
+    // per-vertex (count DESC, label ASC) row_number argmax, which equals
+    // the engine's struct-min aggregate by construction.
+    "g3_label_propagation" -> Q(
+      (s, dir) => {
+        val lake = Lake(s, dir)
+        val base = lake.lineitem
+          .join(lake.orders, col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("s"), col("l_suppkey")).as("sup"),
+            concat(lit("c"), col("o_custkey")).as("cust"))
+        val edges = base.select(col("sup").as("src"), col("cust").as("dst"))
+          .unionByName(base.select(col("cust").as("src"), col("sup").as("dst")))
+        Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+          .orderBy("id")
+      },
+      Some {
+        val head =
+          """WITH base AS (
+            |  SELECT 's' || l_suppkey::VARCHAR AS sup, 'c' || o_custkey::VARCHAR AS cust
+            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            |e AS (SELECT sup AS src, cust AS dst FROM base
+            |      UNION SELECT cust, sup FROM base),
+            |nodes AS (SELECT DISTINCT src AS id FROM e),
+            |l0 AS (SELECT id, id AS label FROM nodes)""".stripMargin
+        val rounds = (1 to 4).map { i =>
+          s"""c$i AS (SELECT e.dst AS id, l.label AS lbl, count(*) AS c
+             |      FROM e JOIN l${i - 1} l ON l.id = e.src GROUP BY 1, 2),
+             |l$i AS (SELECT n.id, COALESCE(x.lbl, p.label) AS label
+             |      FROM nodes n
+             |      LEFT JOIN (SELECT id, lbl FROM (
+             |          SELECT id, lbl,
+             |            ROW_NUMBER() OVER (PARTITION BY id
+             |              ORDER BY c DESC, lbl) AS rn
+             |          FROM c$i) WHERE rn = 1) x ON x.id = n.id
+             |      JOIN l${i - 1} p ON p.id = n.id)""".stripMargin
+        }.mkString(",\n", ",\n", "")
+        head + rounds + "\nSELECT id, label FROM l4 ORDER BY id"
+      })
   )
 }

@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Lake
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, RangeJoin, RuntimeFilter}
 
 /** Specialized join inventory: as-of and range joins — operators Spark
   * lacks natively, built as shuffle-bounded compositions (SURVEY.md §2b,
@@ -76,6 +77,34 @@ object JoinQueries {
       Some(
         """SELECT c_custkey, s_suppkey
           |FROM customer JOIN supplier ON abs(c_acctbal - s_acctbal) <= 10
-          |ORDER BY c_custkey, s_suppkey""".stripMargin))
+          |ORDER BY c_custkey, s_suppkey""".stripMargin)),
+
+    // ---- runtime Bloom-filter join pruning ------------------------------
+    // The explicit runtime-filter shape: a 64 Kbit / 3-hash Bloom filter
+    // over the selective dim subset's keys pre-filters the fact scan
+    // before the join. The oracle is the PLAIN exact join — identical
+    // output is the operator's contract (a false negative would drop a
+    // row and fail the hash gate; false positives die in the exact join).
+    "q45_bloom_join" -> Q(
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        val dim = lk.part.where(col("p_size") >= 48)
+          .select("p_partkey", "p_brand")
+        RuntimeFilter.bloomJoin(lk.lineitem, "l_partkey", dim, "p_partkey")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+                (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+              .cast(DoubleType).as("revenue"))
+          .orderBy("p_brand")
+      },
+      Some(
+        """SELECT p_brand, count(*) AS n_items,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_size >= 48
+          |GROUP BY p_brand
+          |ORDER BY p_brand""".stripMargin))
   )
 }

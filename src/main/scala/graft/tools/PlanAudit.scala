@@ -16,10 +16,11 @@ import org.apache.spark.sql.execution.window.WindowExec
   *  - s1/s4/s8/q24: a small broadcast query set scored against the
   *    corpus scan (brute-force top-k — the right plan when |queries| is
   *    tiny);
-  *  - t12/t16/t17/t21/t22/c7/s9: a 1-row scalar aggregate (corpus total
-  *    / sketch / vocabulary size / id-space bound / min stratum volume)
-  *    broadcast-crossed into a per-row computation (for c7, into the
-  *    per-stratum count aggregate, itself tiny).
+  *  - t12/t16/t17/t21/t22/c7/c10/c11/s9: a 1-row scalar aggregate
+  *    (corpus total / sketch / vocabulary size / id-space bound / min
+  *    stratum volume / stratum count / feature-distribution totals)
+  *    broadcast-crossed into a per-row computation (for c7 and c10,
+  *    into the per-stratum count aggregate, itself tiny).
   *
   * No query is allowlisted for a global window: rank-over-everything is
   * always expressible as range-partition + per-partition rank + offset
@@ -35,7 +36,8 @@ object PlanAudit {
     "s8_hard_negatives", "s9_random_negatives",
     "t12_tfidf", "t16_rare_tokens", "t17_countmin",
     "t21_lm_score", "t22_quality_buckets", "t26_lm_heldout", "t27_bm25",
-    "c7_mixture_rebalance", "q43_skew_stats")
+    "c7_mixture_rebalance", "c10_token_budget", "c11_dsir_weights",
+    "q43_skew_stats")
 
   private val allowedGlobalWindow = Set.empty[String]
 

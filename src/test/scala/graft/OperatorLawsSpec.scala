@@ -448,4 +448,55 @@ class OperatorLawsSpec extends AnyFunSuite {
       }
     }, trials = 8)
   }
+
+  test("label propagation: disjoint cliques converge to per-clique min, one row per vertex") {
+    import graft.operators.Graph
+    // two disjoint triangles + a 4-clique, symmetric edges (odd
+    // structures converge; the labels must be each clique's min id)
+    def clique(ids: Seq[Long]) =
+      ids.combinations(2).flatMap { case Seq(a, b) => Seq((a, b), (b, a)) }.toSeq
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) ++
+      clique(Seq(20L, 21L, 22L, 23L))).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 10)
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L, 22L, 23L).forall(got(_) == 20L))
+    // zero iterations = identity labeling
+    val id0 = Graph.labelPropagation(edges, "src", "dst", iterations = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(id0.forall { case (v, l) => v == l })
+  }
+
+  test("budget sample: monotone in budget, clamps at full keep, zero budget keeps nothing") {
+    import graft.operators.Curation
+    val docs = Lake(spark, sf0001).documents.select("doc_id", "source", "n_chars")
+    def sample(b: Long): Set[Long] =
+      Curation.budgetSample(docs, "source", "doc_id", "n_chars", b)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val total = docs.agg(sum("n_chars")).head().getLong(0)
+    assert(sample(0L).isEmpty)
+    val small = sample(total / 8)
+    val big = sample(total / 2)
+    val all = sample(total * 2)
+    // threshold membership (hash < kept) is monotone in kept, and kept
+    // is monotone in budget -> smaller samples nest inside larger ones
+    assert(small.subsetOf(big) && big.subsetOf(all))
+    assert(all.size === docs.count(), "over-budget keeps every row (clamp at 256/256)")
+    assert(small.nonEmpty && small.size < all.size)
+  }
+
+  test("dsir weights: one row per doc, target corpus scores above the rest") {
+    import graft.operators.Curation
+    val docs = Lake(spark, sf0001).documents.select("doc_id", "lang", "text")
+    val w = Curation.dsirWeights(docs, col("lang") === "en", "doc_id", "text")
+    assert(w.count() === docs.count())
+    val byTarget = w.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("dsir_w").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the scorer's whole point: docs from the target distribution rank
+    // above the rest on their own importance weight
+    assert(byTarget(true) > byTarget(false))
+  }
 }
