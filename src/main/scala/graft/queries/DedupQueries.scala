@@ -593,6 +593,28 @@ object DedupQueries {
           |WHERE doc_id % 2 = 1
           |  AND doc_id NOT IN (SELECT doc_id FROM losers)
           |ORDER BY doc_id""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- fuzzy name matching via deletion-neighborhood blocking --------
+    // Entity resolution's workhorse join: supplier-name pairs within
+    // Levenshtein distance 1 inside each nation, found by the SymSpell
+    // deletion-variant equi-join (Σ|s| variants, hash-partitioned) + the
+    // exact distance filter — never a cross join. The oracle runs the
+    // naive per-nation quadratic comparison: same pair set, different
+    // machinery, which is exactly what makes it a real completeness
+    // check on the blocking scheme.
+    "d15_fuzzy_join" -> Q(
+      (s, dir) => graft.operators.FuzzyJoin.fuzzyPairs(
+          Lake(s, dir).supplier.select("s_suppkey", "s_nationkey", "s_name"),
+          "s_suppkey", "s_name", blockCols = Seq("s_nationkey"))
+        .select(col("s_nationkey"), col("id_a"), col("id_b"), col("lev"))
+        .orderBy("id_a", "id_b"),
+      Some(
+        """SELECT a.s_nationkey, a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+          |  CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS lev
+          |FROM supplier a JOIN supplier b
+          |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+          |WHERE levenshtein(a.s_name, b.s_name) <= 1
+          |ORDER BY id_a, id_b""".stripMargin))
   )
 }

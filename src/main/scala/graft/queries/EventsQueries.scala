@@ -410,5 +410,40 @@ object EventsQueries {
           |  o.old_event_id, n.new_event_id
           |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
           |ORDER BY user_id""".stripMargin)),
+
+    // ---- gap-filled hourly series (LOCF resampling) ---------------------
+    // Regularize each event type's hourly revenue to a dense grid: the
+    // grid derives from per-type min/max hour (size = types × calendar
+    // span, independent of event volume), missing hours carry the last
+    // observed value forward. Hour index stays in integer arithmetic
+    // (epoch-nanos DIV 3.6e12 — the nanos gotcha). The oracle builds the
+    // same grid with generate_series and resolves LOCF with a native
+    // ASOF join — independent machinery for the same semantics.
+    "q46_gap_fill" -> Q(
+      (s, dir) => {
+        val hourly = events(s, dir)
+          .groupBy(col("event_type"), expr("ts DIV 3600000000000").as("h"))
+          .agg(sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("v"))
+        graft.operators.TimeSeries.gapFillLocf(hourly, "event_type", "h", "v")
+          .select("event_type", "h", "v", "is_gap")
+          .orderBy("event_type", "h")
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          |  FROM events GROUP BY 1, 2),
+          |bounds AS (SELECT event_type, min(h) AS mn, max(h) AS mx
+          |           FROM hourly GROUP BY 1),
+          |grid AS (SELECT event_type, unnest(generate_series(mn, mx)) AS h
+          |         FROM bounds)
+          |SELECT g.event_type, g.h, a.v AS v, (e.h IS NULL) AS is_gap
+          |FROM grid g
+          |ASOF LEFT JOIN hourly a
+          |  ON g.event_type = a.event_type AND g.h >= a.h
+          |LEFT JOIN hourly e
+          |  ON e.event_type = g.event_type AND e.h = g.h
+          |ORDER BY g.event_type, g.h""".stripMargin)),
   )
 }

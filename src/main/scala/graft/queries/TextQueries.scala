@@ -961,5 +961,36 @@ object TextQueries {
           |  FROM h)
           |SELECT lang, smp_rank, doc_id FROM r WHERE smp_rank <= 20
           |ORDER BY lang, smp_rank""".stripMargin)),
+
+    // ---- per-document token Shannon entropy ----------------------------
+    // The information-density quality signal (low entropy = repetitive /
+    // template text): H = ln(n) - Σ c·ln(c) / n over per-doc token
+    // counts — one explode + two hash aggregates keyed by doc, linear in
+    // token volume. Identical formula in the oracle; rounded at 4
+    // decimals (t21's ulp argument), +0.0 canonicalizes the -0.0 a
+    // single-token doc's exact zero can land on.
+    "t28_token_entropy" -> Q(
+      (s, dir) => {
+        val tc = docs(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        tc.groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"),
+            (round(log(sum(col("c")).cast(DoubleType)) -
+              sum(col("c") * log(col("c"))) / sum(col("c")), 4) + lit(0.0))
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tc AS (
+          |  SELECT doc_id, w, count(*) AS c
+          |  FROM (SELECT doc_id,
+          |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          |        FROM documents)
+          |  GROUP BY 1, 2)
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 4) + 0.0
+          |    AS entropy
+          |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

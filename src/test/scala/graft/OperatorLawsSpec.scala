@@ -487,6 +487,58 @@ class OperatorLawsSpec extends AnyFunSuite {
     assert(small.nonEmpty && small.size < all.size)
   }
 
+  test("fuzzy join law: deletion-neighborhood blocking equals naive levenshtein<=1") {
+    import graft.operators.FuzzyJoin
+    // short strings over a 2-letter alphabet force distance-1 collisions,
+    // duplicates, and the empty-string edge the blocking must not lose
+    val strGen = Gen.listOfN(18,
+      Gen.choose(0, 4).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b'))))
+    check("fuzzy-join", Prop.forAll(strGen) { ss =>
+      val rows = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = FuzzyJoin.fuzzyPairs(rows.toDF("id", "s"), "id", "s")
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && lev(sa, sb) <= 1
+      } yield (ia, ib)).toSet
+      got == want
+    }, trials = 8)
+  }
+
+  test("gap fill law: dense grid, LOCF values, is_gap marks absences") {
+    import graft.operators.TimeSeries
+    val obsGen = Gen.listOfN(20, Gen.zip(
+      Gen.oneOf("x", "y"), Gen.choose(0L, 12L), Gen.choose(1.0, 9.0)))
+    check("gap-fill", Prop.forAll(obsGen) { obs0 =>
+      // one observation per (key, step): last write wins in the fixture
+      val obs = obs0.groupBy(o => (o._1, o._2)).values.map(_.head).toSeq
+      obs.isEmpty || {
+        val got = TimeSeries.gapFillLocf(obs.toDF("k", "h", "v"), "k", "h", "v")
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            (r.getDouble(2), r.getBoolean(3))).toMap
+        val byKey = obs.groupBy(_._1)
+        byKey.forall { case (k, rows) =>
+          val steps = rows.map(_._2)
+          val lookup = rows.map(r => r._2 -> r._3).toMap
+          (steps.min to steps.max).forall { h =>
+            val expectVal = lookup(rows.filter(_._2 <= h).map(_._2).max)
+            got.get((k, h)).contains((expectVal, !lookup.contains(h)))
+          }
+        } && got.size == byKey.map { case (_, rows) =>
+          rows.map(_._2).max - rows.map(_._2).min + 1 }.sum
+      }
+    }, trials = 8)
+  }
+
   test("dsir weights: one row per doc, target corpus scores above the rest") {
     import graft.operators.Curation
     val docs = Lake(spark, sf0001).documents.select("doc_id", "lang", "text")
