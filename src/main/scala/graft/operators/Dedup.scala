@@ -257,6 +257,36 @@ object Dedup {
       .select(col(id), col("clean_text"), col("n_chunks"), col("n_kept"))
   }
 
+  /** Content-defined chunking (the FastCDC idea in token space): a cut
+    * falls AFTER any token whose portable 28-bit md5 hash ≡ 0 mod
+    * `divisor` (expected chunk length ≈ divisor tokens). Boundaries
+    * depend only on LOCAL content, so an insertion re-chunks the edited
+    * chunk and leaves every other chunk byte-identical — the resilience
+    * fixed windows ([[dedupChunks]]) lack, and the reason dedup/storage
+    * systems pay for a rolling boundary rule. Returns one row per chunk:
+    * (id, chunk_id, n_tokens, start_pos, chunk_fp).
+    *
+    * Scale shape: one token posexplode, one doc-partitioned running-sum
+    * window for chunk ids, one (id, chunk) aggregate — linear in token
+    * volume, no self-join anywhere. */
+  def cdcChunks(df: DataFrame, id: String, text: String,
+                divisor: Int = 64): DataFrame = {
+    require(divisor > 0, s"divisor must be positive: $divisor")
+    val h28 = conv(substring(md5(col("__t")), 1, 7), 16, 10).cast(LongType)
+    val tok = Parallelism.ensure(df)
+      .select(col(id), posexplode(tokens(col(text))).as(Seq("__pos", "__t")))
+    val w = Window.partitionBy(id).orderBy("__pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok.withColumn("__cut", (h28 % divisor === 0).cast("long"))
+      .withColumn("chunk_id", coalesce(sum(col("__cut")).over(w), lit(0L)))
+      .groupBy(col(id), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min("__pos").as("start_pos"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__t")))),
+            _.getField("__t")))).as("chunk_fp"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs, no LSH: posting-list self-join
     * on shared shingles. Fully SQL-expressible (the DuckDB oracle runs the
     * same algorithm). With a reasonable shingle size the posting lists are

@@ -962,6 +962,90 @@ object TextQueries {
           |SELECT lang, smp_rank, doc_id FROM r WHERE smp_rank <= 20
           |ORDER BY lang, smp_rank""".stripMargin)),
 
+    // ---- content-defined chunking (CDC) --------------------------------
+    // Variable-boundary chunking for insert-resilient dedup (the FastCDC
+    // idea in token space): a cut falls AFTER any token whose portable
+    // 28-bit hash ≡ 0 mod 8 (avg chunk ~8 tokens; the divisor is sized
+    // to the fixture's 31-word synthetic vocabulary — real corpora use
+    // 2^11..2^13 for KB-scale chunks) — boundaries depend only on
+    // content, so an insertion re-chunks one chunk, not the
+    // whole document (d13's fixed windows shift everywhere). One
+    // doc-partitioned running-sum window assigns chunk ids; chunk
+    // fingerprints come from the position-sorted token join. Linear in
+    // token volume.
+    "t29_cdc_chunks" -> Q(
+      (s, dir) => graft.operators.Dedup.cdcChunks(
+          docs(s, dir), "doc_id", "text", divisor = 8)
+        .orderBy("doc_id", "chunk_id"),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+          |  FROM documents),
+          |t2 AS (
+          |  SELECT doc_id,
+          |    unnest(generate_series(1, len(ws))) - 1 AS pos,
+          |    unnest(ws) AS t
+          |  FROM tok),
+          |f AS (
+          |  SELECT doc_id, pos, t,
+          |    CASE WHEN CAST(list_sum([(strpos('0123456789abcdef',
+          |                     substr(md5(t), i, 1)) - 1)
+          |                   * CAST(pow(16, 7 - i) AS BIGINT)
+          |                   for i in generate_series(1, 7)]) AS BIGINT) % 8 = 0
+          |         THEN 1 ELSE 0 END AS cut
+          |  FROM t2),
+          |c AS (
+          |  SELECT doc_id, pos, t,
+          |    COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+          |  FROM f)
+          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+          |  count(*) AS n_tokens, min(pos) AS start_pos,
+          |  md5(string_agg(t, ' ' ORDER BY pos)) AS chunk_fp
+          |FROM c GROUP BY doc_id, chunk_id
+          |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- weighted sample via priority sampling -------------------------
+    // Deterministic weight-proportional sampling (Duffield et al.
+    // priority sampling): priority = uniform 52-bit hash / weight; the k
+    // SMALLEST priorities per language win, so heavier docs (weight =
+    // n_chars) win proportionally more often, reproducibly. The 52-bit
+    // hash is double-exact and one IEEE division is correctly rounded,
+    // so both engines rank on BIT-IDENTICAL doubles — no rounding step
+    // needed. Same map-side k-bounded aggregator as t25 (no per-language
+    // window sort).
+    "t30_weighted_sample" -> Q(
+      (s, dir) => {
+        val h52 = conv(substring(md5(concat(lit("w:"),
+          col("doc_id").cast("string"))), 1, 13), 16, 10).cast(LongType)
+        val topk = TopKAggregator.topK(10)
+        docs(s, dir)
+          .select(col("lang"), col("doc_id"),
+            (h52.cast(DoubleType) / col("n_chars").cast(DoubleType)).as("pri"))
+          .groupBy("lang").agg(topk(-col("pri"), col("doc_id")).as("top"))
+          .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
+          .select(col("lang"), (col("pos") + 1).cast("int").as("smp_rank"),
+            col("s.id").as("doc_id"), (-col("s.score")).as("priority"))
+          .orderBy("lang", "smp_rank")
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT doc_id, lang, n_chars,
+          |    CAST(list_sum([(strpos('0123456789abcdef',
+          |                    substr(md5('w:' || doc_id::VARCHAR), i, 1)) - 1)
+          |                   * CAST(pow(16, 13 - i) AS BIGINT)
+          |                   for i in generate_series(1, 13)]) AS BIGINT) AS hv
+          |  FROM documents),
+          |p AS (SELECT doc_id, lang,
+          |        CAST(hv AS DOUBLE) / n_chars AS priority FROM h),
+          |r AS (
+          |  SELECT doc_id, lang, priority,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          |         ORDER BY priority, doc_id) AS INTEGER) AS smp_rank
+          |  FROM p)
+          |SELECT lang, smp_rank, doc_id, priority FROM r WHERE smp_rank <= 10
+          |ORDER BY lang, smp_rank""".stripMargin)),
+
     // ---- per-document token Shannon entropy ----------------------------
     // The information-density quality signal (low entropy = repetitive /
     // template text): H = ln(n) - Σ c·ln(c) / n over per-doc token

@@ -539,6 +539,31 @@ class OperatorLawsSpec extends AnyFunSuite {
     }, trials = 8)
   }
 
+  test("cdc chunking law: one insertion perturbs at most the edited chunk") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = for {
+      toks <- Gen.listOfN(40, Gen.oneOf(words))
+      at <- Gen.choose(0, 40)
+      ins <- Gen.oneOf(words)
+    } yield (toks, at, ins)
+    check("cdc-insert", Prop.forAll(docGen) { case (toks, at, ins) =>
+      val edited = toks.take(at) ++ Seq(ins) ++ toks.drop(at)
+      val df = Seq((1L, toks.mkString(" ")), (2L, edited.mkString(" ")))
+        .toDF("id", "text")
+      val chunks = Dedup.cdcChunks(df, "id", "text", divisor = 4)
+        .collect().map(r => (r.getLong(0), r.getString(4)))
+      def fps(id: Long) = chunks.filter(_._1 == id).map(_._2)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val (a, b) = (fps(1L), fps(2L))
+      // the edit can rewrite one chunk (and split it in two if the
+      // inserted token is itself a boundary) — never more. A fixed
+      // window would shift every chunk after the insertion point.
+      val symDiff = (a.keySet ++ b.keySet).toSeq.map { k =>
+        math.abs(a.getOrElse(k, 0) - b.getOrElse(k, 0)) }.sum
+      symDiff <= 3
+    }, trials = 10)
+  }
+
   test("dsir weights: one row per doc, target corpus scores above the rest") {
     import graft.operators.Curation
     val docs = Lake(spark, sf0001).documents.select("doc_id", "lang", "text")
