@@ -404,4 +404,61 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Maximal Marginal Relevance re-ranking (diversity-aware retrieval):
+    * greedily pick k results maximizing
+    * `lambda * sim(q, d) - (1 - lambda) * max over selected s of sim(d, s)`
+    * (empty-selection penalty = 0), ties to the smaller id — relevance
+    * traded against redundancy, the standard rerank between ANN
+    * retrieval and a training-batch / RAG consumer.
+    *
+    * Scale shape: the DISTRIBUTED stage is the corpus-wide top-`fetch`
+    * scan (bruteForceTopK / swap in lshTopK at scale); the greedy then
+    * runs on the driver over a PARAMETER-bounded working set — `fetch`
+    * candidates + their `fetch`² pairwise sims (20 + 400 rows at the
+    * defaults), the same gated-fetch budget as the IVF centroid table,
+    * never a function of corpus size. All similarity arithmetic happens
+    * in Spark expressions (one codegen'd pass), the driver only compares
+    * the resulting doubles. */
+  def mmrRerank(corpus: DataFrame, query: DataFrame, idCol: String,
+                vecCol: String, k: Int = 5, fetch: Int = 20,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(fetch >= k, s"fetch ($fetch) must be >= k ($k)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(corpus, query, idCol, vecCol, fetch)
+      .select(col("neighbor_id").as("id"), col("sim").as("simq"))
+    val cv = cand
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+    val pairs = cv.select(col("id").as("ia"), col("v").as("va"))
+      .join(broadcast(cv.select(col("id").as("ib"), col("v").as("vb"))),
+        col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), cosine(col("va"), col("vb")).as("s"))
+    // parameter-bounded fetches: `fetch` rows + `fetch`*(fetch-1) pairs
+    val simq = cand.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pairSim = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val selected = collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    while (selected.size < k) {
+      val chosen = selected.map(_._1).toSet
+      val best = simq.keysIterator.filterNot(chosen)
+        .map { id =>
+          val penalty =
+            if (chosen.isEmpty) 0.0
+            else chosen.iterator.map(s => pairSim((id, s))).max
+          id -> (lambda * simq(id) - (1 - lambda) * penalty)
+        }
+        .minBy { case (id, score) => (-score, id) }
+      selected += best
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, score), i) =>
+        val rounded = BigDecimal(score)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        (i + 1, id, rounded)
+      }
+      .toDF("rank", "id", "score")
+  }
 }

@@ -280,6 +280,63 @@ object SimilarityQueries {
           |                    for i in generate_series(1, len(b.v))]))) AS sim
           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
           |SELECT id_a, id_b FROM p WHERE sim >= 0.45
-          |ORDER BY id_a, id_b""".stripMargin))
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- MMR diversity re-ranking --------------------------------------
+    // The rerank between ANN retrieval and a RAG / training-batch
+    // consumer: greedy argmax of 0.7·sim(q,d) − 0.3·max-sim-to-selected
+    // over the top-20 candidate pool, 5 picks, ties to the smaller id.
+    // The distributed stage is the corpus top-k scan; the greedy runs
+    // over a parameter-bounded (20 + 20²-row) working set. The oracle
+    // unrolls the same 5 greedy rounds as chained CTEs over the
+    // identical double-precision cosine (s1's formula), scores rounded
+    // at 4 decimals (ulp-vs-step argument, t21).
+    "s10_mmr_rerank" -> Q(
+      (s, dir) => {
+        val emb = Lake(s, dir).embeddings
+        Similarity.mmrRerank(
+            corpus = emb.where(col("vec_id") >= 10),
+            query = emb.where(col("vec_id") === 0),
+            idCol = "vec_id", vecCol = "embedding",
+            k = 5, fetch = 20, lambda = 0.7)
+          .orderBy("rank")
+      },
+      Some {
+        val cos = (a: String, b: String) =>
+          s"""list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+             |              for i in generate_series(1, len($a))]) /
+             |    (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+             |                    for i in generate_series(1, len($a))])) *
+             |     sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+             |                    for i in generate_series(1, len($b))])))""".stripMargin
+        val head =
+          s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings
+             |      WHERE vec_id >= 10),
+             |scored AS (
+             |  SELECT id, ${cos("qv", "cv")} AS simq
+             |  FROM c, q),
+             |cand AS (SELECT id, simq FROM (
+             |    SELECT id, simq, ROW_NUMBER() OVER (ORDER BY simq DESC, id) AS rn
+             |    FROM scored) WHERE rn <= 20),
+             |cv2 AS (SELECT c.id, c.cv, cand.simq FROM c JOIN cand USING (id)),
+             |p AS (
+             |  SELECT a.id AS ia, b.id AS ib, ${cos("a.cv", "b.cv")} AS s
+             |  FROM cv2 a JOIN cv2 b ON a.id <> b.id),
+             |s1 AS (SELECT id, 0.7 * simq AS score FROM cand
+             |       ORDER BY score DESC, id LIMIT 1)""".stripMargin
+        val rounds = (2 to 5).map { i =>
+          val sel = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+          s"""s$i AS (SELECT id, 0.7 * simq - 0.3 * (
+             |         SELECT max(s) FROM p
+             |         WHERE p.ia = cand.id AND p.ib IN ($sel)) AS score
+             |       FROM cand WHERE id NOT IN ($sel)
+             |       ORDER BY score DESC, id LIMIT 1)""".stripMargin
+        }.mkString(",\n", ",\n", "")
+        val tail = (1 to 5).map(i =>
+          s"SELECT $i AS rank, id, round(score, 4) + 0.0 AS score FROM s$i")
+          .mkString("\n", "\nUNION ALL ", "\nORDER BY rank")
+        head + rounds + tail
+      })
   )
 }

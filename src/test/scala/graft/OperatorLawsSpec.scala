@@ -539,6 +539,28 @@ class OperatorLawsSpec extends AnyFunSuite {
     }, trials = 8)
   }
 
+  test("mmr rerank: lambda=1 equals plain top-k; lambda<1 skips the redundant twin") {
+    import graft.operators.Similarity
+    val query = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.10f)),  // most relevant
+      (2L, Array(0.99f, 0.10f)),  // exact duplicate of 1
+      (3L, Array(0.70f, 0.70f)),  // relevant but diverse
+      (4L, Array(0.00f, 1.00f))   // orthogonal
+    ).toDF("vec_id", "embedding")
+    def pick(lambda: Double) = Similarity.mmrRerank(
+      corpus, query, "vec_id", "embedding", k = 3, fetch = 4, lambda = lambda)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // pure relevance: the duplicate rides along at rank 2
+    assert(pick(1.0) === Seq(1L, 2L, 3L))
+    // diversity-heavy: the duplicate (max-sim 1.0 to the first pick) is
+    // pushed out entirely; the orthogonal candidate jumps to rank 2
+    assert(pick(0.3) === Seq(1L, 4L, 3L))
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(corpus, query, "vec_id", "embedding", k = 5, fetch = 4)
+    }
+  }
+
   test("cdc chunking law: one insertion perturbs at most the edited chunk") {
     val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
     val docGen = for {
