@@ -308,17 +308,54 @@ object Dedup {
     * guarded metric equals the exact one on natural corpora; callers who
     * want the unconditionally exact metric opt in with
     * `maxShingleDf = Int.MaxValue` — explicitly buying the skew risk. */
+  /** Asymmetric shingle CONTAINMENT pairs: ordered (id_a, id_b) where
+    * `|A ∩ B| / |A| >= threshold` over distinct word n-gram sets — the
+    * near-SUPERSET relation Jaccard misses (a snippet quoted inside a
+    * much larger page has high containment but low Jaccard, the shape
+    * benchmark-contamination and quote-detection care about). Same
+    * posting-list join and the same `maxShingleDf` skew guard as
+    * [[jaccardPairs]]; both directions are evaluated from one symmetric
+    * common-count pass, so the cost is identical to the Jaccard join.
+    * Self-pairs are excluded; returns (id_a, id_b, containment) with
+    * containment rounded to 5 decimals for engine-portable output. */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+                       shingleN: Int = 3, threshold: Double = 0.9,
+                       maxShingleDf: Int = 1000): DataFrame = {
+    val p = guardedPostings(df, id, text, shingleN, maxShingleDf)
+    val counts = p.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val a = p.select(col(id).as("id_a"), col("shingle"))
+    val b = p.select(col(id).as("id_b"), col("shingle"))
+    // one symmetric pass (id_a < id_b), then emit both directions before
+    // the per-direction threshold — half the join volume of the naive
+    // ordered join
+    val common = a.join(b, "shingle").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    val both = common.unionByName(common.select(
+      col("id_b").as("id_a"), col("id_a").as("id_b"), col("common")))
+    both
+      .join(counts.select(col(id).as("id_a"), col("n").as("n_a")), "id_a")
+      .withColumn("c_raw", col("common").cast(DoubleType) / col("n_a"))
+      .where(col("c_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("c_raw"), 5).as("containment"))
+  }
+
+  /** Postings with the hot-shingle df guard applied (shared by the
+    * pairwise set-similarity operators). */
+  private def guardedPostings(df: DataFrame, id: String, text: String,
+                              shingleN: Int, maxShingleDf: Int): DataFrame = {
+    val p0 = postings(df, id, text, shingleN)
+    if (maxShingleDf == Int.MaxValue) p0
+    else {
+      val hot = p0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxShingleDf).select("shingle")
+      p0.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
   def jaccardPairs(df: DataFrame, id: String, text: String,
                    shingleN: Int = 3, threshold: Double = 0.8,
                    maxShingleDf: Int = 1000): DataFrame = {
-    val p0 = postings(df, id, text, shingleN)
-    val p =
-      if (maxShingleDf == Int.MaxValue) p0
-      else {
-        val hot = p0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .where(col("df") > maxShingleDf).select("shingle")
-        p0.join(hot, Seq("shingle"), "left_anti")
-      }
+    val p = guardedPostings(df, id, text, shingleN, maxShingleDf)
     val counts = p.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val a = p.select(col(id).as("id_a"), col("shingle"))
     val b = p.select(col(id).as("id_b"), col("shingle"))

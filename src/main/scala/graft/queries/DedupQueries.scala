@@ -615,6 +615,38 @@ object DedupQueries {
           |FROM supplier a JOIN supplier b
           |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
           |WHERE levenshtein(a.s_name, b.s_name) <= 1
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- asymmetric shingle containment (near-superset detection) ------
+    // |A∩B| / |A| over distinct 3-shingle sets: the relation Jaccard
+    // misses — a snippet quoted inside a much larger page scores high
+    // containment but low Jaccard, the shape contamination and
+    // quote-detection care about. One symmetric common-count join
+    // (id_a < id_b), both directions emitted before the per-direction
+    // threshold — the join volume of d3, two output directions.
+    "d16_containment_pairs" -> Q(
+      (s, dir) => Dedup.containmentPairs(Lake(s, dir).documents,
+          "doc_id", "text", shingleN = 3, threshold = 0.9)
+        .orderBy("id_a", "id_b"),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            for i in generate_series(1, len(w)-2)]) AS s
+          |  FROM tok
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |cand AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |bd AS (SELECT id_a, id_b, common FROM cand
+          |       UNION ALL SELECT id_b, id_a, common FROM cand)
+          |SELECT id_a, id_b, round(common * 1.0 / ca.n, 5) AS containment
+          |FROM bd JOIN cnt ca ON ca.doc_id = id_a
+          |WHERE common * 1.0 / ca.n >= 0.9
           |ORDER BY id_a, id_b""".stripMargin))
   )
 }
