@@ -143,6 +143,32 @@ object SurfaceQueries {
         |  CAST(SUM(length(text)) AS BIGINT) AS text_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // ---- Hive-partitioned write + partition-pruned read -----------------
+    // The lake's layout contract end to end: stage orders partitioned by
+    // priority (5 dirs), read back through a partition filter — Spark
+    // prunes at the DIRECTORY level (PartitionFilters in the scan, no
+    // row-level read of the other partitions; PruningSpec pins the plan
+    // shape incl. the dynamic join-driven variant). The oracle replays
+    // the same filter on the original table: a roundtrip that dropped or
+    // duplicated a partition's rows fails the hash gate.
+    "q47_partitioned_roundtrip" -> Q(
+      (s, dir) => {
+        val stage = s"/root/repo/target/part_stage/orders_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        Lake(s, dir).orders
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(stage)
+        s.read.parquet(stage)
+          .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))
+          .orderBy("o_orderpriority", "o_orderstatus")
+      },
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // ---- array scalar functions over tokenized text ---------------------
     "q28_array_funcs" -> Q(
       (s, dir) => {

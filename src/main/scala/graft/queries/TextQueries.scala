@@ -1046,6 +1046,46 @@ object TextQueries {
           |SELECT lang, smp_rank, doc_id, priority FROM r WHERE smp_rank <= 10
           |ORDER BY lang, smp_rank""".stripMargin)),
 
+    // ---- per-language Zipf rank-frequency slope ------------------------
+    // The corpus-health diagnostic (natural text tracks slope ≈ -1;
+    // template/generated text deviates hard): least-squares slope of
+    // ln(count) on ln(rank) over each language's vocabulary, via the
+    // engines' native regr_slope aggregate. Rank is a LANG-partitioned
+    // window over the vocab aggregate (bounded by |vocab|, parallel
+    // across languages — no global window). Rounded at 4 decimals: the
+    // two engines merge covariance partials in different orders
+    // (~1e-12 noise, eight orders below the step).
+    "t31_zipf_slope" -> Q(
+      (s, dir) => {
+        val vocab = docs(s, dir)
+          .select(col("lang"), explode(tokens(col("text"))).as("t"))
+          .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(desc("c"), asc("t"))
+        vocab.withColumn("r", row_number().over(w))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("vocab_size"),
+            sum("c").as("n_tokens"),
+            (round(regr_slope(log(col("c")), log(col("r"))), 4) + lit(0.0))
+              .as("zipf_slope"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH vocab AS (
+          |  SELECT lang, w, count(*) AS c
+          |  FROM (SELECT lang,
+          |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          |        FROM documents)
+          |  GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT lang, c,
+          |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS r
+          |  FROM vocab)
+          |SELECT lang, count(*) AS vocab_size,
+          |  CAST(sum(c) AS BIGINT) AS n_tokens,
+          |  round(regr_slope(ln(c), ln(r)), 4) + 0.0 AS zipf_slope
+          |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- per-document token Shannon entropy ----------------------------
     // The information-density quality signal (low entropy = repetitive /
     // template text): H = ln(n) - Σ c·ln(c) / n over per-doc token
