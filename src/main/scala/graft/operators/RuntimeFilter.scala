@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   * At 100 TB this is the difference between shuffling the full fact
   * table and shuffling only the ~matching fraction; the filter build
   * costs one scan of the (already small) build side.
+  *
+  * Measured (tools.BloomBench, sf0.1 probe amplified to 9.6M rows,
+  * broadcast disabled, best-of-3): plain sort-merge join 2.47 s vs
+  * Bloom-prefiltered 0.95 s (2.6×); the broadcast join itself runs
+  * 0.30 s — i.e. broadcast stays the fast path whenever the build side
+  * fits the threshold, and the filter is for the regime where it
+  * doesn't. At the raw sf0.1 row count (600 k) the whole exchange is a
+  * few MB and the per-row probe cost cancels the saving — the filter
+  * is a large-shuffle tool, not a default.
   */
 object RuntimeFilter {
 
