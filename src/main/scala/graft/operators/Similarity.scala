@@ -461,4 +461,55 @@ object Similarity {
       }
       .toDF("rank", "id", "score")
   }
+
+  /** Product quantization (PQ): split each D-dim vector into `m`
+    * contiguous subvectors, k-means each subspace independently
+    * (2^planes centroids via the deterministic hash-seeded
+    * [[trainCells]] machinery), and represent a vector as its m small
+    * codes — m·planes bits instead of 32·D (64 float dims at the
+    * defaults compress 128× into one 16-bit code word). Returns per
+    * vector: (id, codes, recon_cos) where `codes` is the m-element code
+    * array and `recon_cos` the cosine between the original and its
+    * decoded (centroid-concatenation) reconstruction — the measurable
+    * quality the codebook trades for the compression.
+    *
+    * Scale shape: m bounded driver iterations, each a [[trainCells]]
+    * run (hash-seeded centroid fetch bounded by 2^planes, Lloyd rounds
+    * as broadcast-argmax assignments), then m id-keyed hash joins to
+    * stitch codes and reconstructions — everything per-row or
+    * centroid-bounded, nothing pairwise. */
+  def pqReconstruction(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 4, planes: Int = 4,
+                       kmeansIters: Int = 2): DataFrame = {
+    require(m >= 1, s"m must be >= 1: $m")
+    require(planes >= 0, s"planes must be >= 0: $planes")
+    val dim = corpus.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim == 0 || dim % m == 0,
+      s"dim $dim does not split into $m equal subspaces")
+    val sub = if (m == 0) 0 else dim / m
+    val parts = (0 until m).map { j =>
+      val s = corpus.select(col(idCol).as("id"),
+        slice(col(vecCol), j * sub + 1, sub).as("sv"))
+      val (cells, cents) = trainCells(s, "id", "sv", planes, kmeansIters)
+      // decode through a literal bucket->centroid map instead of a join
+      // back onto the (same-lineage) cells plan: the codebook is ≤
+      // 2^planes rows — the same bounded driver fetch trainCells itself
+      // already makes — and the literal keeps each subspace branch a
+      // pure per-row map over its own scan
+      val codebook = cents.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cells.select(col("neighbor_id").as("id"),
+        col("bucket").cast("int").as(s"code_$j"),
+        element_at(typedLit(codebook), col("bucket").cast("int")).as(s"dec_$j"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, "id"))
+    val decoded = concat((0 until m).map(j => col(s"dec_$j")): _*)
+    joined
+      .join(corpus.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("orig")), "id")
+      .select(col("id"),
+        array((0 until m).map(j => col(s"code_$j")): _*).as("codes"),
+        cosine(col("orig"), decoded).as("recon_cos"))
+  }
 }

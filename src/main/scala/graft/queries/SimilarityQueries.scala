@@ -282,6 +282,30 @@ object SimilarityQueries {
           |SELECT id_a, id_b FROM p WHERE sim >= 0.45
           |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- product quantization (vector compression) ---------------------
+    // 64 float dims → four 4-bit codes (128× at rest): per-subspace
+    // k-means codebooks (deterministic hash-seeded init, 2 Lloyd
+    // rounds), decode = centroid concatenation. Codebook training is not
+    // SQL-expressible, so the gate is s4's style: in-plan assertions the
+    // data must EARN — mean reconstruction cosine ≥ 0.4 (measured
+    // 0.47–0.51 across SFs; a broken codebook or mis-stitched decode
+    // lands far below), a per-vector floor, and the code-range contract.
+    // The m-vs-quality ordering (m=4 beats m=1 VQ) is spec-pinned.
+    "s11_pq_quantize" -> Q(
+      (s, dir) => {
+        val pq = Similarity.pqReconstruction(Lake(s, dir).embeddings,
+          "vec_id", "embedding", m = 4, planes = 4, kmeansIters = 2)
+        pq.agg(count(lit(1)).as("n_vectors"),
+          (avg("recon_cos") >= 0.4).as("recon_ok"),
+          (min("recon_cos") >= 0.1).as("floor_ok"),
+          (min(array_min(col("codes"))) >= 0 &&
+            max(array_max(col("codes"))) <= 15).as("codes_ok"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+          |  true AS recon_ok, true AS floor_ok, true AS codes_ok
+          |FROM embeddings""".stripMargin)),
+
     // ---- MMR diversity re-ranking --------------------------------------
     // The rerank between ANN retrieval and a RAG / training-batch
     // consumer: greedy argmax of 0.7·sim(q,d) − 0.3·max-sim-to-selected

@@ -561,6 +561,22 @@ class OperatorLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq quantization: finer subspace split strictly improves reconstruction") {
+    import graft.operators.Similarity
+    val emb = Lake(spark, sf0001).embeddings
+    def avgRecon(m: Int): Double = Similarity.pqReconstruction(
+      emb, "vec_id", "embedding", m = m, planes = 4, kmeansIters = 2)
+      .agg(avg("recon_cos")).head().getDouble(0)
+    val m1 = avgRecon(1) // plain VQ: 16 cells over all 64 dims
+    val m4 = avgRecon(4) // PQ: 16^4 effective cells from 4 codebooks
+    assert(m4 > m1, s"PQ m=4 ($m4) must beat VQ m=1 ($m1)")
+    // same call twice = same codebooks = identical reconstruction
+    assert(avgRecon(4) === m4)
+    intercept[IllegalArgumentException] {
+      Similarity.pqReconstruction(emb, "vec_id", "embedding", m = 5)
+    }
+  }
+
   test("cdc chunking law: one insertion perturbs at most the edited chunk") {
     val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
     val docGen = for {
