@@ -36,6 +36,22 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** [[dedupExact]] with a caller-chosen SURVIVOR POLICY: within each
+    * duplicate group the first row under `survivorOrder` wins (e.g.
+    * `Seq(desc("n_chars"), asc("doc_id"))` keeps the longest copy —
+    * the usual policy when duplicates differ by truncation). The order
+    * must end in a tiebreak unique within the group or the survivor is
+    * partition-order-dependent. Same single key-partitioned window as
+    * the min-id form. */
+  def dedupExactBy(df: DataFrame, keys: Seq[String],
+                   survivorOrder: Seq[Column]): DataFrame = {
+    require(survivorOrder.nonEmpty, "survivorOrder must not be empty")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(survivorOrder: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** (id, shingle) posting list, distinct per document. */
   private def postings(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     Parallelism.ensure(df)

@@ -617,6 +617,28 @@ object DedupQueries {
           |WHERE levenshtein(a.s_name, b.s_name) <= 1
           |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- exact dedup with a keep-longest survivor policy ---------------
+    // d1 keeps the min id; real curation usually keeps the LONGEST copy
+    // of a duplicate group (duplicates differ by truncation). Same
+    // single fp-partitioned window, caller-chosen survivor order
+    // (n_chars desc, doc_id as the required unique tiebreak), groups
+    // keyed on the whitespace-normalized md5 fingerprint (t4's).
+    "d17_dedup_keep_longest" -> Q(
+      (s, dir) => Dedup.dedupExactBy(
+          Lake(s, dir).documents.withColumn("fp",
+            graft.functions.TextFunctions.fingerprintMd5(col("text"))),
+          Seq("fp"), Seq(desc("n_chars"), asc("doc_id")))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, lang, source, n_chars FROM (
+          |  SELECT doc_id, lang, source, n_chars,
+          |    ROW_NUMBER() OVER (
+          |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+          |      ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM documents) t
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // ---- asymmetric shingle containment (near-superset detection) ------
     // |A∩B| / |A| over distinct 3-shingle sets: the relation Jaccard
     // misses — a snippet quoted inside a much larger page scores high

@@ -41,6 +41,35 @@ class PruningSpec extends AnyFunSuite {
     assert(pf.contains("1-URGENT"), pf)
   }
 
+  test("parquet footer aggregate pushdown: MIN/MAX/COUNT served from metadata") {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.parquet.aggregatePushDown",
+      "spark.sql.sources.useV1SourceList")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      // aggregate pushdown lives in the V2 parquet scan; parquet rides
+      // the V1 list by default, so both knobs move together
+      conf.set("spark.sql.parquet.aggregatePushDown", "true")
+      conf.set("spark.sql.sources.useV1SourceList", "")
+      val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .agg(count(lit(1)).as("n"), min("l_partkey").as("lo"), max("l_partkey").as("hi"))
+      val plan = finalPlan(df)
+      assert(plan.contains("PushedAggregation"), plan.take(800))
+      val pushed = df.head()
+      // and the metadata-served numbers must equal the row-scan truth
+      conf.set("spark.sql.parquet.aggregatePushDown", "false")
+      val noPush = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .agg(count(lit(1)).as("n"), min("l_partkey").as("lo"), max("l_partkey").as("hi"))
+        .head()
+      assert(pushed === noPush)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+  }
+
   test("dynamic partition pruning: dim filter injects a runtime subquery on the fact scan") {
     val conf = spark.conf
     val saved = conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
