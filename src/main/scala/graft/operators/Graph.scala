@@ -151,4 +151,44 @@ object Graph {
     }
     labels
   }
+
+  /** Multi-source BFS: hop distance from the nearest seed, bounded at
+    * `maxHops` rounds (vertices not reached within the bound keep a null
+    * distance — the caller chose the horizon, the operator reports it
+    * honestly). The influence-radius / contamination-blast-radius
+    * primitive. Deterministic: distance is a pure min, no tie-breaks
+    * needed.
+    *
+    * Scale shape per round: frontier ⋈ edges (hash join on vertex id),
+    * a min aggregate keyed on the destination, one left join back — the
+    * same bounded per-round budget as [[pageRank]]; lineage truncated
+    * every `checkpointEvery` rounds. Returns (id, hops: int|null). */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String, maxHops: Int = 4,
+                   checkpointEvery: Int = 5): DataFrame = {
+    require(maxHops >= 0 && checkpointEvery > 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    val s = seeds.select(col(seedCol).as("id")).distinct()
+    var dist = nodes.join(s.withColumn("__seed", lit(true)), Seq("id"), "left")
+      .select(col("id"), when(col("__seed"), lit(0)).as("hops"))
+    for (i <- 1 to maxHops) {
+      val relaxed = e
+        .join(dist.select(col("id").as("src"), col("hops").as("sh")), "src")
+        .where(col("sh").isNotNull)
+        .groupBy(col("dst").as("id"))
+        .agg((min(col("sh")) + 1).as("nd"))
+      dist = dist.join(relaxed, Seq("id"), "left")
+        .select(col("id"),
+          when(col("hops").isNull, col("nd"))
+            .when(col("nd").isNull, col("hops"))
+            .otherwise(least(col("hops"), col("nd"))).as("hops"))
+      if (i % checkpointEvery == 0 && i < maxHops)
+        dist = dist.localCheckpoint(eager = true)
+    }
+    dist.select(col("id"), col("hops").cast("int").as("hops"))
+  }
 }

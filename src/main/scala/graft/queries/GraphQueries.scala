@@ -164,6 +164,52 @@ object GraphQueries {
              |      JOIN l${i - 1} p ON p.id = n.id)""".stripMargin
         }.mkString(",\n", ",\n", "")
         head + rounds + "\nSELECT id, label FROM l4 ORDER BY id"
+      }),
+
+    // ---- multi-source BFS hop distance ---------------------------------
+    // Blast-radius analysis on the ship graph: hop distance from the
+    // nation-0 supplier fleet, bounded at 4 hops (unreached = null —
+    // the horizon is the caller's, the report is honest). Distance is a
+    // pure min — deterministic with no tie-break machinery; the oracle
+    // unrolls the same four relaxation rounds.
+    "g4_shortest_hops" -> Q(
+      (s, dir) => {
+        val lake = Lake(s, dir)
+        val base = lake.lineitem
+          .join(lake.orders, col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("s"), col("l_suppkey")).as("sup"),
+            concat(lit("c"), col("o_custkey")).as("cust"))
+        val edges = base.select(col("sup").as("src"), col("cust").as("dst"))
+          .unionByName(base.select(col("cust").as("src"), col("sup").as("dst")))
+        val seeds = lake.supplier.where(col("s_nationkey") === 0)
+          .select(concat(lit("s"), col("s_suppkey")).as("seed"))
+        Graph.shortestHops(edges, "src", "dst", seeds, "seed", maxHops = 4)
+          .orderBy("id")
+      },
+      Some {
+        val head =
+          """WITH base AS (
+            |  SELECT 's' || l_suppkey::VARCHAR AS sup, 'c' || o_custkey::VARCHAR AS cust
+            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            |e AS (SELECT sup AS src, cust AS dst FROM base
+            |      UNION SELECT cust, sup FROM base),
+            |nodes AS (SELECT DISTINCT src AS id FROM e),
+            |d0 AS (SELECT id, CASE WHEN id IN (
+            |         SELECT 's' || s_suppkey::VARCHAR FROM supplier
+            |         WHERE s_nationkey = 0) THEN 0 END AS hops
+            |       FROM nodes)""".stripMargin
+        val rounds = (1 to 4).map { i =>
+          s"""d$i AS (SELECT n.id,
+             |        CASE WHEN n.hops IS NULL THEN x.nd
+             |             WHEN x.nd IS NULL THEN n.hops
+             |             ELSE least(n.hops, x.nd) END AS hops
+             |      FROM d${i - 1} n LEFT JOIN (
+             |        SELECT e.dst AS id, min(p.hops) + 1 AS nd
+             |        FROM e JOIN d${i - 1} p ON p.id = e.src
+             |        WHERE p.hops IS NOT NULL
+             |        GROUP BY e.dst) x ON x.id = n.id)""".stripMargin
+        }.mkString(",\n", ",\n", "")
+        head + rounds + "\nSELECT id, CAST(hops AS INTEGER) AS hops FROM d4 ORDER BY id"
       })
   )
 }

@@ -59,4 +59,24 @@ class GraphSpec extends AnyFunSuite {
     assert(got("a") < got("b") && got("b") < got("c"))
     assert(math.abs(got("a") - 0.15 / 3) < 1e-9)
   }
+
+  test("shortestHops: path distances, horizon nulls, disconnected nulls, multi-seed min") {
+    import spark.implicits._
+    // symmetric path 0-1-2-3-4-5 plus a disconnected pair 10-11
+    val path = (0L to 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val edges = (path ++ Seq((10L, 11L), (11L, 10L))).toDF("src", "dst")
+    def hops(seeds: Seq[Long], maxHops: Int): Map[Long, Option[Int]] =
+      Graph.shortestHops(edges, "src", "dst", seeds.toDF("seed"), "seed", maxHops)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    val fromZero = hops(Seq(0L), 3)
+    assert((0L to 3L).forall(i => fromZero(i).contains(i.toInt)))
+    // beyond the horizon and off-component: honestly null
+    assert(fromZero(4L).isEmpty && fromZero(5L).isEmpty)
+    assert(fromZero(10L).isEmpty && fromZero(11L).isEmpty)
+    // two seeds: nearest wins
+    val both = hops(Seq(0L, 5L), 3)
+    assert(both(2L).contains(2) && both(3L).contains(2) && both(4L).contains(1))
+    assert(both(10L).isEmpty)
+  }
 }
