@@ -1046,6 +1046,81 @@ object TextQueries {
           |SELECT lang, smp_rank, doc_id, priority FROM r WHERE smp_rank <= 10
           |ORDER BY lang, smp_rank""".stripMargin)),
 
+    // ---- classifier evaluation: per-class precision/recall/F1 ----------
+    // The eval primitive every pipeline signal needs: langid predictions
+    // scored against the tagged lang column — per-class true/predicted/
+    // true-positive counts and the derived metrics, over the union of
+    // truth and predicted classes (so a class that is only ever
+    // predicted, like 'unk', still gets its zero-recall row). All
+    // integer-count divisions (engine-exact); F1 derives from the
+    // UNROUNDED p/r in both engines, rounded only at output.
+    "t32_eval_metrics" -> Q(
+      (s, dir) => {
+        val preds = docs(s, dir)
+          .select(col("lang").as("truth"), langId(col("text")).as("pred"))
+        val classes = preds.select(col("truth").as("cls"))
+          .union(preds.select(col("pred").as("cls"))).distinct()
+        val bt = preds.groupBy(col("truth").as("cls")).agg(count(lit(1)).as("n_true"))
+        val bp = preds.groupBy(col("pred").as("cls")).agg(count(lit(1)).as("n_pred"))
+        val tpx = preds.where(col("truth") === col("pred"))
+          .groupBy(col("truth").as("cls")).agg(count(lit(1)).as("tp"))
+        val j = classes
+          .join(bt, Seq("cls"), "left").join(bp, Seq("cls"), "left")
+          .join(tpx, Seq("cls"), "left")
+          .select(col("cls"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+        val p = when(col("n_pred") > 0,
+          col("tp").cast(DoubleType) / col("n_pred")).otherwise(lit(0.0))
+        val r = when(col("n_true") > 0,
+          col("tp").cast(DoubleType) / col("n_true")).otherwise(lit(0.0))
+        j.withColumn("__p", p).withColumn("__r", r)
+          .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+            (round(col("__p"), 4) + lit(0.0)).as("prec"),
+            (round(col("__r"), 4) + lit(0.0)).as("rec"),
+            (round(when(col("__p") + col("__r") > 0,
+              lit(2) * col("__p") * col("__r") / (col("__p") + col("__r")))
+              .otherwise(lit(0.0)), 4) + lit(0.0)).as("f1"))
+          .orderBy("cls")
+      },
+      Some(
+        """WITH preds AS (
+          |  SELECT lang AS truth,
+          |    CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unk'
+          |         WHEN en >= es AND en >= de THEN 'en'
+          |         WHEN es >= de THEN 'es'
+          |         ELSE 'de' END AS pred
+          |  FROM (
+          |    SELECT lang,
+          |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS en,
+          |      len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los)\b')) AS es,
+          |      len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|von)\b')) AS de
+          |    FROM documents) t),
+          |classes AS (SELECT truth AS cls FROM preds
+          |            UNION SELECT pred FROM preds),
+          |bt AS (SELECT truth AS cls, count(*) AS n_true FROM preds GROUP BY 1),
+          |bp AS (SELECT pred AS cls, count(*) AS n_pred FROM preds GROUP BY 1),
+          |tpx AS (SELECT truth AS cls, count(*) AS tp FROM preds
+          |        WHERE truth = pred GROUP BY 1),
+          |j AS (SELECT c.cls,
+          |        CAST(COALESCE(bt.n_true, 0) AS BIGINT) AS n_true,
+          |        CAST(COALESCE(bp.n_pred, 0) AS BIGINT) AS n_pred,
+          |        CAST(COALESCE(tpx.tp, 0) AS BIGINT) AS tp
+          |      FROM classes c LEFT JOIN bt USING (cls)
+          |      LEFT JOIN bp USING (cls) LEFT JOIN tpx USING (cls)),
+          |m AS (SELECT cls, n_true, n_pred, tp,
+          |        CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred
+          |             ELSE 0.0 END AS p,
+          |        CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true
+          |             ELSE 0.0 END AS r
+          |      FROM j)
+          |SELECT cls, n_true, n_pred, tp,
+          |  round(p, 4) + 0.0 AS prec, round(r, 4) + 0.0 AS rec,
+          |  round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+          |        ELSE 0.0 END, 4) + 0.0 AS f1
+          |FROM m ORDER BY cls""".stripMargin)),
+
     // ---- per-language Zipf rank-frequency slope ------------------------
     // The corpus-health diagnostic (natural text tracks slope ≈ -1;
     // template/generated text deviates hard): least-squares slope of
