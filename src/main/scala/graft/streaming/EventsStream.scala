@@ -67,6 +67,30 @@ object EventsStream {
       .select("purchase_id", "error_id", "p_user")
   }
 
+  /** LEFT-OUTER stream-stream interval join: every purchase emits —
+    * matched rows as they pair up, UNMATCHED purchases (null error
+    * columns) once the watermark passes the interval's upper bound and
+    * Spark can prove no error can still arrive. This is the capability
+    * the inner form cannot express: abandoned-flow / no-error-followed
+    * detection, driven entirely by watermark progress (state for both
+    * sides is reclaimed on the same bound as the inner join). */
+  def purchaseToErrorOuter(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("t").as("p_t"))
+      .withWatermark("p_t", "2 hours")
+    val errors = events.where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        col("user_id").as("e_user"), col("t").as("e_t"))
+      .withWatermark("e_t", "2 hours")
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_t") >= col("p_t") &&
+        col("e_t") <= col("p_t") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select("purchase_id", "error_id", "p_user")
+  }
+
   /** Stream-static enrichment join: each micro-batch of the unbounded
     * feed joins a bounded dimension snapshot (re-read per batch, so dim
     * updates between batches are picked up). Catalyst broadcasts the

@@ -127,6 +127,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched purchases after the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val events = input.toDF.toDF("event_id", "t", "user_id", "event_type")
+    val joined = EventsStream.purchaseToErrorOuter(events)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("p2e_outer").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      def ts(mins: Int) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+      // user 1: purchase then error within 30m (matched)
+      // user 2: purchase, no error ever (must STILL emit, with null error)
+      input.addData(
+        (100L, ts(0), 1L, "purchase"),
+        (101L, ts(10), 1L, "error"),
+        (200L, ts(0), 2L, "purchase"))
+      q.processAllAvailable()
+      // push BOTH sides' watermarks far past purchase-time + 30m + 2h so
+      // the join can prove user 2's error will never arrive
+      input.addData(
+        (900L, ts(10 * 60), 9L, "purchase"),
+        (901L, ts(10 * 60), 9L, "error"))
+      q.processAllAvailable()
+      val got = spark.table("p2e_outer")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got(100L) === Some(101L), "in-window pair matches")
+      assert(got.contains(200L) && got(200L).isEmpty,
+        "unmatched purchase emits with null error after watermark")
+    } finally q.stop()
+  }
+
   test("parquet file sink resumes exactly-once across restart") {
     import java.nio.file.{Files, Paths}
     val in = Files.createTempDirectory("sink_in")
