@@ -215,6 +215,27 @@ class OperatorLawsSpec extends AnyFunSuite {
       "lang", "doc_id", "text", 64L).count() === 0)
   }
 
+  test("continuation-session operators degrade cleanly on empty inputs") {
+    import graft.operators.{Curation, Dedup, FuzzyJoin, Graph, TimeSeries}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Dedup.cdcChunks(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.containmentPairs(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.dedupExactBy(noDocs, Seq("text"), Seq(asc("doc_id"))).count() === 0)
+    assert(FuzzyJoin.fuzzyPairs(noDocs, "doc_id", "text").count() === 0)
+    assert(TimeSeries.gapFillLocf(
+      Seq.empty[(String, Long, Double)].toDF("k", "h", "v"), "k", "h", "v")
+      .count() === 0)
+    assert(Graph.labelPropagation(noEdges, "src", "dst").count() === 0)
+    assert(Graph.shortestHops(noEdges, "src", "dst",
+      Seq(1L).toDF("seed"), "seed").count() === 0)
+    val noChars = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
+    assert(Curation.budgetSample(noChars, "source", "doc_id", "n_chars", 100L)
+      .count() === 0)
+    assert(Curation.dsirWeights(noDocs.withColumn("lang", lit("en")),
+      col("lang") === "en", "doc_id", "text").count() === 0)
+  }
+
   test("repetition fractions match hand-computed values on pinned docs") {
     import graft.functions.TextFunctions._
     val df = Seq(
