@@ -249,6 +249,40 @@ object Curation {
           + lit(0.0)).as("dsir_w"))
   }
 
+  /** Deterministic round-robin source interleaving — the mixture
+    * SCHEDULE: each source's docs are epoch-shuffled (seeded portable
+    * hash, [[shardShuffle]]'s machinery) and the streams are interleaved
+    * by `sched_pos = (per-source position - 1) · n_sources + source
+    * index`, so reading in sched_pos order cycles sources round-robin
+    * while each lasts (positions of exhausted sources leave gaps — the
+    * ORDER is what matters, and it is a pure function of (seed, key)).
+    * Prevents the source-clumping a naive concat-then-shuffle epoch
+    * suffers at shard boundaries.
+    *
+    * Scale shape: the source-index table is derived from the DISTINCT
+    * source set (strictly-smaller-count rank — no global window) and
+    * broadcast back with the 1-row source count; the corpus itself sees
+    * one source-partitioned window. The source-set self-join is an
+    * inequality join bounded by |sources|², never data-sized. */
+  def interleaveSources(df: DataFrame, sourceCol: String, keyCol: String,
+                        seed: Long): DataFrame = {
+    val srcs = df.select(col(sourceCol)).distinct()
+    val idx = srcs.as("a")
+      .join(broadcast(srcs.as("b")),
+        col(s"b.$sourceCol") < col(s"a.$sourceCol"), "left")
+      .groupBy(col(s"a.$sourceCol").as(sourceCol))
+      .agg(count(col(s"b.$sourceCol")).as("si"))
+    val ns = srcs.agg(count(lit(1)).as("ns"))
+    val h = Dedup.md5Hash60(concat_ws(":", lit(seed), col(keyCol)))
+    val w = Window.partitionBy(sourceCol).orderBy(col("__hv"), col(keyCol))
+    df.withColumn("__hv", h)
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .join(broadcast(idx), Seq(sourceCol))
+      .crossJoin(broadcast(ns))
+      .select(col(keyCol), col(sourceCol),
+        ((col("__pos") - 1) * col("ns") + col("si")).as("sched_pos"))
+  }
+
   /** Token-budget mixture sampling — the "give me N tokens from this
     * mixture" curation step: every stratum is allotted an equal share of
     * the budget (integer division, so the sample lands at or below the

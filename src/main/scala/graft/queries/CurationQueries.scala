@@ -411,6 +411,39 @@ object CurationQueries {
           |          substr(md5(d.doc_id::VARCHAR), 2, 1)) - 1) < kept_256ths)
           |ORDER BY d.doc_id""".stripMargin)),
 
+    // ---- deterministic round-robin source interleave -------------------
+    // The mixture schedule: per-source epoch shuffle (seeded portable
+    // hash), streams interleaved so reading by sched_pos cycles sources
+    // round-robin — no source clumping at shard boundaries. The oracle
+    // rebuilds the hash digit-for-digit (c8) and the source index via
+    // the strictly-smaller count (no global window on either side).
+    "c12_interleave" -> Q(
+      (s, dir) => Curation.interleaveSources(
+          Lake(s, dir).documents.select("doc_id", "source"),
+          "source", "doc_id", seed = 9L)
+        .orderBy("doc_id"),
+      Some(
+        """WITH srcs AS (SELECT DISTINCT source FROM documents),
+          |idx AS (SELECT a.source, count(b.source) AS si
+          |        FROM srcs a LEFT JOIN srcs b ON b.source < a.source
+          |        GROUP BY a.source),
+          |ns AS (SELECT count(*) AS n FROM srcs),
+          |h AS (
+          |  SELECT doc_id, source,
+          |    CAST(list_sum([(strpos('0123456789abcdef', substr(m, i, 1)) - 1)
+          |                   * CAST(pow(16, 15 - i) AS BIGINT)
+          |                   for i in generate_series(1, 15)]) AS BIGINT) AS hv
+          |  FROM (SELECT doc_id, source, md5('9:' || doc_id::VARCHAR) AS m
+          |        FROM documents) t),
+          |p AS (SELECT doc_id, source, hv,
+          |        ROW_NUMBER() OVER (PARTITION BY source
+          |          ORDER BY hv, doc_id) AS pos
+          |      FROM h)
+          |SELECT p.doc_id, p.source,
+          |  CAST((p.pos - 1) * ns.n + idx.si AS BIGINT) AS sched_pos
+          |FROM p JOIN idx USING (source) CROSS JOIN ns
+          |ORDER BY p.doc_id""".stripMargin)),
+
     // ---- DSIR importance weights (hashed importance resampling) --------
     // The published data-selection scorer: per-doc mean log-ratio of
     // target vs raw likelihood over 1024 hashed token buckets, add-one

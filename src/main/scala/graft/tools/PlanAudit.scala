@@ -37,6 +37,10 @@ object PlanAudit {
     "t12_tfidf", "t16_rare_tokens", "t17_countmin",
     "t21_lm_score", "t22_quality_buckets", "t26_lm_heldout", "t27_bm25",
     "c7_mixture_rebalance", "c10_token_budget", "c11_dsir_weights",
+    // c12: the source-index rank is a strictly-smaller-count inequality
+    // self-join over the DISTINCT source set — bounded by |sources|²,
+    // broadcast, never data-sized (plus the 1-row source-count cross)
+    "c12_interleave",
     "q43_skew_stats")
 
   private val allowedGlobalWindow = Set.empty[String]

@@ -623,6 +623,27 @@ class OperatorLawsSpec extends AnyFunSuite {
     }, trials = 10)
   }
 
+  test("interleave schedule: full blocks cycle every source exactly once") {
+    import graft.operators.Curation
+    val docs = Lake(spark, sf0001).documents.select("doc_id", "source")
+    val sched = Curation.interleaveSources(docs, "source", "doc_id", seed = 9L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = sched.groupBy(_._2)
+    val nSrc = bySource.size
+    val minSz = bySource.values.map(_.size).min
+    // while every source still has docs, each n-source block of the
+    // schedule holds each source exactly once (the round-robin law)
+    val full = sched.filter(_._3 < minSz.toLong * nSrc)
+    full.groupBy(_._3 / nSrc).foreach { case (_, block) =>
+      assert(block.map(_._2).distinct.length === nSrc)
+    }
+    // schedule positions are unique, and a different seed reorders
+    assert(sched.map(_._3).distinct.length === sched.length)
+    val sched2 = Curation.interleaveSources(docs, "source", "doc_id", seed = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(sched2.toMap != sched.map(r => (r._1, r._3)).toMap)
+  }
+
   test("dsir weights: one row per doc, target corpus scores above the rest") {
     import graft.operators.Curation
     val docs = Lake(spark, sf0001).documents.select("doc_id", "lang", "text")
