@@ -1046,6 +1046,35 @@ object TextQueries {
           |SELECT lang, smp_rank, doc_id, priority FROM r WHERE smp_rank <= 10
           |ORDER BY lang, smp_rank""".stripMargin)),
 
+    // ---- per-source language-mixture entropy ---------------------------
+    // Corpus composition diagnostic (t28's doc-level entropy lifted to
+    // the source level): H = ln n − Σ c·ln c / n over each source's
+    // language counts — 0 for monolingual sources, ln(k) for a uniform
+    // k-language mix. Two bounded aggregates (sources × langs, then
+    // sources); identical formula in the oracle, 4-decimal round,
+    // -0.0 canonicalized (monolingual sources land exactly on zero).
+    "t33_source_mix" -> Q(
+      (s, dir) => {
+        val lc = Lake(s, dir).documents
+          .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        lc.groupBy("source")
+          .agg(sum("c").as("n_docs"),
+            count(lit(1)).as("n_langs"),
+            (round(log(sum(col("c")).cast(DoubleType)) -
+              sum(col("c") * log(col("c"))) / sum(col("c")), 4) + lit(0.0))
+              .as("lang_entropy"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH lc AS (
+          |  SELECT source, lang, count(*) AS c
+          |  FROM documents GROUP BY 1, 2)
+          |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+          |  count(*) AS n_langs,
+          |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 4) + 0.0
+          |    AS lang_entropy
+          |FROM lc GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- classifier evaluation: per-class precision/recall/F1 ----------
     // The eval primitive every pipeline signal needs: langid predictions
     // scored against the tagged lang column — per-class true/predicted/
