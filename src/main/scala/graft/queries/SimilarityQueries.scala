@@ -306,6 +306,75 @@ object SimilarityQueries {
           |  true AS recon_ok, true AS floor_ok, true AS codes_ok
           |FROM embeddings""".stripMargin)),
 
+    // ---- truncated-dimension retrieval agreement (MRL question) --------
+    // Can the index serve 16 of 64 dims (4× cheaper scan/storage) and
+    // keep the same answers? Per query: the exact top-1 neighbor under
+    // FULL cosine vs under FIRST-16-DIMS cosine, plus the corpus-level
+    // agreement count. Both rankings are exact window argmaxes with id
+    // tie-breaks (s1's machinery); `slice` is engine-portable, so the
+    // whole evaluation is SQL-expressible — no gate-style oracle needed.
+    "s12_truncation_eval" -> Q(
+      (s, dir) => {
+        val emb = Lake(s, dir).embeddings
+        val corpus = emb.where(col("vec_id") >= 10)
+        val queries = emb.where(col("vec_id") < 10)
+        def top1(vec: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+          val q = queries.select(col("vec_id").as("query_id"),
+            vec(col("embedding")).as("qv"))
+          val c = corpus.select(col("vec_id").as("neighbor_id"),
+            vec(col("embedding")).as("cv"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(desc("sim"), asc("neighbor_id"))
+          c.crossJoin(broadcast(q))
+            .withColumn("sim", graft.functions.VectorFunctions.cosine(col("qv"), col("cv")))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+            .select(col("query_id"), col("neighbor_id"))
+        }
+        val full = top1(identity).withColumnRenamed("neighbor_id", "full_top1")
+        val trunc = top1(v => slice(v, 1, 16)).withColumnRenamed("neighbor_id", "trunc_top1")
+        full.join(trunc, "query_id")
+          .select(col("query_id"), col("full_top1"), col("trunc_top1"),
+            (col("full_top1") === col("trunc_top1")).as("agree"))
+          .orderBy("query_id")
+      },
+      Some {
+        val cos = (a: String, b: String) =>
+          s"""list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+             |              for i in generate_series(1, len($a))]) /
+             |    (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+             |                    for i in generate_series(1, len($a))])) *
+             |     sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+             |                    for i in generate_series(1, len($b))])))""".stripMargin
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+           |      FROM embeddings WHERE vec_id >= 10),
+           |fscore AS (
+           |  SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS sim
+           |  FROM q, c),
+           |f1 AS (SELECT query_id, neighbor_id AS full_top1 FROM (
+           |    SELECT query_id, neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id
+           |        ORDER BY sim DESC, neighbor_id) AS rn
+           |    FROM fscore) WHERE rn = 1),
+           |tq AS (SELECT query_id, qv[1:16] AS qv FROM q),
+           |tc AS (SELECT neighbor_id, cv[1:16] AS cv FROM c),
+           |tscore AS (
+           |  SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS sim
+           |  FROM tq, tc),
+           |t1 AS (SELECT query_id, neighbor_id AS trunc_top1 FROM (
+           |    SELECT query_id, neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id
+           |        ORDER BY sim DESC, neighbor_id) AS rn
+           |    FROM tscore) WHERE rn = 1)
+           |SELECT f1.query_id, f1.full_top1, t1.trunc_top1,
+           |  f1.full_top1 = t1.trunc_top1 AS agree
+           |FROM f1 JOIN t1 USING (query_id)
+           |ORDER BY f1.query_id""".stripMargin
+      }),
+
     // ---- MMR diversity re-ranking --------------------------------------
     // The rerank between ANN retrieval and a RAG / training-batch
     // consumer: greedy argmax of 0.7·sim(q,d) − 0.3·max-sim-to-selected

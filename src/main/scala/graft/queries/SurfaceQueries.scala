@@ -169,6 +169,48 @@ object SurfaceQueries {
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // ---- versioned snapshots: pinned vs latest reads through the gate --
+    // Time travel end to end: rebuild a two-version snapshot history
+    // (v1 = pre-backfill subset, v2 = full backfill), read v1 PINNED and
+    // the LATEST, and aggregate both in one conditional pass. The root
+    // is wiped first so the query is idempotent under bench reps and
+    // repeated sweeps (writeSnapshotVersion never rewrites history by
+    // design — the wipe is the test fixture's job, not the operator's).
+    // The oracle recomputes both sides from the original table: a read
+    // that served the wrong version fails the hash gate.
+    "q48_time_travel" -> Q(
+      (s, dir) => {
+        import graft.operators.LakeMaintenance
+        val root = s"/root/repo/target/snap_stage/orders_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val orders = Lake(s, dir).orders.select("o_orderkey", "o_totalprice")
+        LakeMaintenance.writeSnapshotVersion(
+          orders.where(col("o_orderkey") % 4 =!= 0), root) // v1: pre-backfill
+        LakeMaintenance.writeSnapshotVersion(orders, root) // v2: backfilled
+        val v1 = LakeMaintenance.readSnapshotVersion(s, root, 1L)
+          .withColumn("v", lit("v1"))
+        val latest = LakeMaintenance.readSnapshotVersion(s, root)
+          .withColumn("v", lit("latest"))
+        v1.unionByName(latest).agg(
+          sum(when(col("v") === "v1", 1L).otherwise(0L)).as("v1_n"),
+          sum(when(col("v") === "v1",
+            col("o_totalprice").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("v1_total"),
+          sum(when(col("v") === "latest", 1L).otherwise(0L)).as("latest_n"),
+          sum(when(col("v") === "latest",
+            col("o_totalprice").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("latest_total"))
+      },
+      """SELECT
+        |  CAST(SUM(CASE WHEN o_orderkey % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1_n,
+        |  CAST(SUM(CASE WHEN o_orderkey % 4 <> 0
+        |       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS v1_total,
+        |  CAST(COUNT(*) AS BIGINT) AS latest_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS latest_total
+        |FROM orders""".stripMargin),
+
     // ---- array scalar functions over tokenized text ---------------------
     "q28_array_funcs" -> Q(
       (s, dir) => {

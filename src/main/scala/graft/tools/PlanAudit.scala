@@ -34,6 +34,8 @@ object PlanAudit {
   private val allowedNestedLoop = Set(
     "s1_cosine_topk", "s4_ann_ivf", "q24_sql_cosine",
     "s8_hard_negatives", "s9_random_negatives",
+    // s12: two s1-shaped broadcast-query scans (full + truncated dims)
+    "s12_truncation_eval",
     "t12_tfidf", "t16_rare_tokens", "t17_countmin",
     "t21_lm_score", "t22_quality_buckets", "t26_lm_heldout", "t27_bm25",
     "c7_mixture_rebalance", "c10_token_budget", "c11_dsir_weights",
