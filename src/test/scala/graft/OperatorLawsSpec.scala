@@ -508,6 +508,28 @@ class OperatorLawsSpec extends AnyFunSuite {
     assert(small.nonEmpty && small.size < all.size)
   }
 
+  test("containment law: equals naive shingle-set computation on random docs") {
+    // tiny vocab forces shared shingles; docs of 3-6 words over 4 tokens
+    val docGen = Gen.listOfN(10, Gen.choose(3, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))))
+    check("containment", Prop.forAll(docGen) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.containmentPairs(rows.toDF("id", "t"), "id", "t",
+          shingleN = 2, threshold = 0.5, maxShingleDf = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      def shingles(t: String): Set[String] =
+        t.split("\\s+").sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+      val sets = rows.map { case (i, t) => i -> shingles(t) }.toMap
+      val want = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty
+        c = (sa & sb).size.toDouble / sa.size
+        if c >= 0.5
+      } yield (a, b) -> (math.rint(c * 1e5) / 1e5)).toMap
+      got == want
+    }, trials = 8)
+  }
+
   test("fuzzy join law: deletion-neighborhood blocking equals naive levenshtein<=1") {
     import graft.operators.FuzzyJoin
     // short strings over a 2-letter alphabet force distance-1 collisions,
