@@ -16,7 +16,20 @@ import org.apache.spark.sql.SparkSession
   * Per-query `spread` records {min, med, max} across the timed reps:
   * round-over-round deltas are only trustworthy when med/min is tight,
   * and a wide max exposes scheduler/GC/page-cache jitter that best-of-N
-  * alone would silently absorb (the q19 lesson from round 5). */
+  * alone would silently absorb (the q19 lesson from round 5).
+  *
+  * Artifact contract (round 7): the enriched record grew past the
+  * driver's tail-capture window in round 6, truncating the leading
+  * `"total"` field (BENCH_r06 `parsed: null`). Three channels now make
+  * the result machine-readable regardless of capture width:
+  *   1. the full record is still printed (human + wide-capture path);
+  *   2. the full record is also written whole to `target/bench.json`;
+  *   3. a SHORT trailer line `{"metric":"bench_summary",...}` is printed
+  *      LAST, so a tail capture of any reasonable width keeps it intact.
+  * The previous `target/bench.json` (when present) is read before being
+  * overwritten and per-query best-time deltas land in `delta_vs_prev`,
+  * so a regression is a diff in the artifact itself, not a judge-side
+  * reconstruction across rounds. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,6 +81,28 @@ object Bench {
       results.collect { case (k, v) if v.nonEmpty =>
         "\"" + k + "\":{\"min\":" + v.min + ",\"med\":" + med(v) + ",\"max\":" + v.max + "}"
       }.mkString("{", ",", "}")
+    // Previous run's artifact (if any) — read BEFORE overwriting so this
+    // round's record can carry per-query deltas against it. Parsed with
+    // json4s (already on Spark's classpath); any parse/read failure just
+    // drops the delta field rather than failing the bench.
+    val benchFile = new java.io.File("target/bench.json")
+    val prevBest: Map[String, Double] =
+      try {
+        if (benchFile.isFile) {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          val prev = JsonMethods.parse(
+            new String(java.nio.file.Files.readAllBytes(benchFile.toPath), "UTF-8"))
+          (prev \ "queries") match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) if v >= 0 => k -> v
+              case (k, JInt(v)) if v >= 0    => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty
+          }
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
+
     val (res1, total1, failed1) = benchAt(sfDir)
     val secondary =
       if (sfDir2.nonEmpty && sfDir2 != sfDir && new java.io.File(sfDir2).isDirectory) {
@@ -79,7 +114,27 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","secondary":{"sf":"$sfDir2","total":$total2,"failed":$failed2,"queries":${fmt(res2)},"spread":${fmtSpread(res2)}},"ratios":$ratios"""
       } else ""
-    println(s"""{"metric":"total","value":$total1,"unit":"sec","queries":${fmt(res1)},"spread":${fmtSpread(res1)},"failed":$failed1,"sf":"$sfDir"$secondary}""")
+    // Per-query best-time delta vs the previous artifact (seconds; negative
+    // = faster this round). Only queries present in both runs appear.
+    val deltas = res1.collect {
+      case (k, v) if v.nonEmpty && prevBest.contains(k) =>
+        "\"" + k + "\":" + (math.rint((v.min - prevBest(k)) * 1000) / 1000)
+    }.mkString("{", ",", "}")
+    val deltaField = if (prevBest.nonEmpty) s""","delta_vs_prev":$deltas""" else ""
+    val record =
+      s"""{"metric":"total","value":$total1,"unit":"sec","queries":${fmt(res1)},"spread":${fmtSpread(res1)},"failed":$failed1,"sf":"$sfDir"$deltaField$secondary}"""
+    println(record)
+    // Durable whole-record copy: immune to any stdout capture window.
+    try {
+      benchFile.getParentFile.mkdirs()
+      java.nio.file.Files.write(benchFile.toPath, (record + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write ${benchFile.getPath}: ${e.getMessage}")
+    }
+    // Short trailer printed LAST: a tail capture of any width keeps this
+    // line whole, so the total stays machine-readable even if the full
+    // record above is truncated (the BENCH_r06 failure mode).
+    println(s"""{"metric":"bench_summary","total":${math.rint(total1 * 1000) / 1000},"failed":$failed1,"n":${queries.size},"sf":"$sfDir","full":"target/bench.json"}""")
     spark.stop()
   }
 }
