@@ -150,12 +150,21 @@ object LakeMaintenance {
       .parquet(outDir)
   }
 
-  /** Versions present under a versioned-snapshot root (see
-    * [[writeSnapshotVersion]]), ascending. One driver-side directory
-    * listing — metadata bounded by the version count, never data. */
-  def snapshotVersions(spark: SparkSession, root: String): Seq[Long] = {
+  /** Manifest file whose PRESENCE is a version's commit marker (see
+    * [[writeSnapshotVersion]]). The leading underscore keeps Spark's
+    * parquet reader from treating it as data. */
+  private val ManifestName = "_graft_manifest.json"
+
+  private def fsOf(spark: SparkSession, path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Every `v=<n>` directory under `root`, committed or not, ascending.
+    * Version ALLOCATION must look at all of them — a crashed writer's
+    * partial directory still occupies its number and must never be
+    * written over. */
+  private def allVersionDirs(spark: SparkSession, root: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsOf(spark, p)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(_.isDirectory)
@@ -164,30 +173,145 @@ object LakeMaintenance {
       .sorted
   }
 
-  /** TIME-TRAVEL writes: land `df` as the next immutable version under
-    * `root` (`root/v=<n>` subdirectories — the Delta/Iceberg snapshot
-    * idea with plain-Parquet machinery). Readers pin any historical
-    * version via [[readSnapshotVersion]]; old versions are never
-    * rewritten, so a long-running job keeps a consistent view while
-    * writers append new versions. Single-writer convention: version
-    * allocation lists the directory, so concurrent writers need an
-    * external lock (same caveat as any file-listing-based commit).
-    * Returns the version written. */
+  /** COMMITTED versions under a versioned-snapshot root, ascending: a
+    * `v=<n>` directory counts only once its manifest exists — a data
+    * directory mid-write (or abandoned by a crashed writer) is invisible
+    * here and to every reader. Metadata-only: one directory listing plus
+    * one existence probe per version. */
+  def snapshotVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, p)
+    allVersionDirs(spark, root).filter { v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/v=$v/$ManifestName"))
+    }
+  }
+
+  /** TIME-TRAVEL writes with an ATOMIC COMMIT: land `df` as the next
+    * immutable version under `root` (`root/v=<n>` — the Delta/Iceberg
+    * snapshot idea with plain-Parquet machinery).
+    *
+    * Commit protocol (the round-6 torn-directory hole, closed):
+    *  1. allocate n = max over ALL `v=` directories + 1 — committed or
+    *     torn — so a partial directory is never written over;
+    *  2. write the data files into `v=<n>`; the directory is INVISIBLE
+    *     to [[snapshotVersions]]/[[readSnapshotVersion]] because it has
+    *     no manifest yet — a crash here leaves garbage, never a
+    *     readable-but-torn version;
+    *  3. list the files actually written and stage a manifest (name →
+    *     byte length) as a hidden temp file inside the directory;
+    *  4. PUBLISH with a single rename of the temp to `_graft_manifest
+    *     .json` — the one atomic step (rename atomicity is the same
+    *     primitive every file-listing-based table format leans on;
+    *     object stores without atomic rename need their usual
+    *     metastore/log shim).
+    * Readers validate the manifest against the files on disk
+    * ([[readSnapshotVersion]]) and scan exactly the manifested files, so
+    * a reader can never serve a half-written version. Old versions are
+    * never rewritten; [[vacuumVersions]] retires superseded ones.
+    * Concurrent writers remain best-effort (two simultaneous allocations
+    * can race to the same n; `ErrorIfExists` + the rename failing turn
+    * the loser into an error, not a corruption). Returns the version
+    * written. */
   def writeSnapshotVersion(df: DataFrame, root: String): Long = {
-    val next = snapshotVersions(df.sparkSession, root).lastOption.getOrElse(0L) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$next")
+    val spark = df.sparkSession
+    val next = allVersionDirs(spark, root).lastOption.getOrElse(0L) + 1
+    val dir = s"$root/v=$next"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, dirPath)
+    val files = fs.listStatus(dirPath).toSeq
+      .filter(f => f.isFile && isDataFile(f.getPath.getName))
+      .sortBy(_.getPath.getName)
+    val manifest = files
+      .map(f => "\"" + f.getPath.getName + "\":" + f.getLen)
+      .mkString(s"""{"version":$next,"files":{""", ",", "}}")
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, s".$ManifestName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    val target = new org.apache.hadoop.fs.Path(dirPath, ManifestName)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"snapshot commit of v=$next lost the publish rename (concurrent writer?): $target")
     next
   }
 
+  /** Spark data files only — success markers, CRCs and staged manifests
+    * are not part of a version's content. */
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** Parse a version's manifest into (file name → byte length). */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Map[String, Long] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, ManifestName))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(text) \ "files" match {
+      case JObject(fields) => fields.collect {
+        case (k, JInt(v))    => k -> v.toLong
+        case (k, JDouble(v)) => k -> v.toLong
+      }.toMap
+      case other => throw new java.io.IOException(
+        s"malformed snapshot manifest under $dir: $other")
+    }
+  }
+
   /** Read a pinned snapshot version, or the latest when `version` is
-    * negative. Throws on an empty root or a missing version. */
+    * negative. Only COMMITTED versions are servable; the manifest is
+    * validated against the directory first (every manifested file
+    * present with its recorded length) and the scan reads EXACTLY the
+    * manifested files — stray files from a failed concurrent writer are
+    * ignored rather than served. Throws on an empty root, a missing
+    * version, or a manifest/files mismatch. */
   def readSnapshotVersion(spark: SparkSession, root: String,
                           version: Long = -1L): DataFrame = {
     val versions = snapshotVersions(spark, root)
-    require(versions.nonEmpty, s"no snapshot versions under $root")
+    require(versions.nonEmpty, s"no committed snapshot versions under $root")
     val v = if (version < 0) versions.last else version
     require(versions.contains(v), s"version $v not in $versions")
-    spark.read.parquet(s"$root/v=$v")
+    val dir = new org.apache.hadoop.fs.Path(s"$root/v=$v")
+    val fs = fsOf(spark, dir)
+    val manifest = readManifest(fs, dir)
+    val onDisk = fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && isDataFile(f.getPath.getName))
+      .map(f => f.getPath.getName -> f.getLen).toMap
+    val broken = manifest.collect {
+      case (name, len) if !onDisk.get(name).contains(len) =>
+        s"$name (manifest $len bytes, on disk ${onDisk.get(name).fold("missing")(_.toString)})"
+    }
+    if (broken.nonEmpty)
+      throw new java.io.IOException(
+        s"snapshot v=$v under $root failed manifest validation: ${broken.mkString(", ")}")
+    spark.read.parquet(manifest.keys.toSeq.sorted.map(n => s"$root/v=$v/$n"): _*)
+  }
+
+  /** Retention for versioned snapshots: keep the newest `keepLast`
+    * COMMITTED versions, delete every older committed one, and (when
+    * `includeAborted`) clear torn directories — `v=` dirs without a
+    * manifest whose number is below the newest committed version, which
+    * can only be crashed-writer leftovers because allocation is monotone
+    * over all existing directories. A torn dir ABOVE the newest commit
+    * is left alone: it may be a writer mid-flight. Returns the versions
+    * deleted, ascending. */
+  def vacuumVersions(spark: SparkSession, root: String, keepLast: Int,
+                     includeAborted: Boolean = true): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val committed = snapshotVersions(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, p)
+    val expired = committed.dropRight(keepLast)
+    val aborted =
+      if (includeAborted && committed.nonEmpty)
+        allVersionDirs(spark, root)
+          .filter(v => v < committed.last && !committed.contains(v))
+      else Seq.empty
+    val doomed = (expired ++ aborted).distinct.sorted
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=$v"), true)
+    }
+    doomed
   }
 
   /** Compaction PLAN over a file manifest: assigns each file to an output

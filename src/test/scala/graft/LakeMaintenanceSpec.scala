@@ -160,6 +160,73 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("a writer crash mid-commit leaves no readable torn version") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("torn").toString + "/tbl"
+    LakeMaintenance.writeSnapshotVersion(Seq((1L, "a")).toDF("k", "x"), root)
+    // simulate a writer that died between the data write and the manifest
+    // publish: data files exist under v=2, no manifest
+    Seq((9L, "torn")).toDF("k", "x").write.parquet(s"$root/v=2")
+    // the torn directory is invisible: not listed, not served as latest,
+    // not readable even when pinned explicitly
+    assert(LakeMaintenance.snapshotVersions(spark, root) === Seq(1L))
+    assert(LakeMaintenance.readSnapshotVersion(spark, root)
+      .collect().map(_.getString(1)).toSet === Set("a"))
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.readSnapshotVersion(spark, root, 2L)
+    }
+    // the next commit allocates PAST the torn directory, never over it
+    val v3 = LakeMaintenance.writeSnapshotVersion(Seq((2L, "b")).toDF("k", "x"), root)
+    assert(v3 === 3L)
+    assert(LakeMaintenance.snapshotVersions(spark, root) === Seq(1L, 3L))
+    assert(LakeMaintenance.readSnapshotVersion(spark, root)
+      .collect().map(_.getString(1)).toSet === Set("b"))
+  }
+
+  test("reads validate the manifest against the files on disk") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("validated").toString + "/tbl"
+    LakeMaintenance.writeSnapshotVersion(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "x").repartition(2), root)
+    val dir = new java.io.File(s"$root/v=1")
+    val dataFile = dir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    // post-commit corruption (lost block, partial restore): a manifested
+    // file disappears -> the read REFUSES rather than serving a subset
+    assert(dataFile.delete())
+    val e = intercept[java.io.IOException] {
+      LakeMaintenance.readSnapshotVersion(spark, root, 1L).collect()
+    }
+    assert(e.getMessage.contains("manifest validation"))
+  }
+
+  test("vacuum keeps the newest k versions and clears dead torn dirs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("vacuum").toString + "/tbl"
+    (1 to 4).foreach { i =>
+      LakeMaintenance.writeSnapshotVersion(Seq((i.toLong, s"g$i")).toDF("k", "x"), root)
+    }
+    // dead torn dir below the newest commit (crashed writer leftovers)...
+    Seq((0L, "dead")).toDF("k", "x").write.parquet(s"$root/v=0")
+    // ...and an in-flight dir ABOVE it (a writer between steps 2 and 4)
+    Seq((0L, "flight")).toDF("k", "x").write.parquet(s"$root/v=9")
+    val deleted = LakeMaintenance.vacuumVersions(spark, root, keepLast = 2)
+    assert(deleted === Seq(0L, 1L, 2L))
+    assert(LakeMaintenance.snapshotVersions(spark, root) === Seq(3L, 4L))
+    // kept versions still read clean; expired ones are gone
+    assert(LakeMaintenance.readSnapshotVersion(spark, root, 4L)
+      .collect().map(_.getString(1)).toSet === Set("g4"))
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.readSnapshotVersion(spark, root, 1L)
+    }
+    // the possibly-in-flight dir above the newest commit survives vacuum
+    assert(new java.io.File(s"$root/v=9").isDirectory)
+    // keepLast below 1 would delete the live table - refused
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.vacuumVersions(spark, root, keepLast = 0)
+    }
+  }
+
   test("compactionBins packs files by the running-sum rule per partition") {
     import spark.implicits._
     val manifest = Seq(
