@@ -405,61 +405,90 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** A candidate-generation stage for [[mmrRerank]]: (corpus, queries,
+    * idCol, vecCol, fetch) → a frame with `(query_id, neighbor_id, sim)`
+    * columns — the shared output shape of [[bruteForceTopK]],
+    * [[bruteForceTopKPrenormed]] and [[lshTopK]]. Extra parameters bind
+    * by partial application, e.g.
+    * `Similarity.lshTopK(_, _, _, _, _, planes = 8, multiProbe = 2)`. */
+  type CandidateFetcher = (DataFrame, DataFrame, String, String, Int) => DataFrame
+
   /** Maximal Marginal Relevance re-ranking (diversity-aware retrieval):
-    * greedily pick k results maximizing
+    * per query, greedily pick k results maximizing
     * `lambda * sim(q, d) - (1 - lambda) * max over selected s of sim(d, s)`
     * (empty-selection penalty = 0), ties to the smaller id — relevance
     * traded against redundancy, the standard rerank between ANN
-    * retrieval and a training-batch / RAG consumer.
+    * retrieval and a training-batch / RAG consumer. Returns
+    * `(query_id, rank, id, score)`; when a query's candidate pool holds
+    * fewer than k rows the greedy stops at the pool, so a small corpus
+    * degrades to fewer rows rather than an error.
+    *
+    * `candidates` is the PLUGGABLE retrieval stage: exact
+    * [[bruteForceTopK]] by default, [[lshTopK]] (partially applied with
+    * its planes/probes) as the documented ANN path at scale — the rerank
+    * is agnostic to how the pool was fetched.
     *
     * Scale shape: the DISTRIBUTED stage is the corpus-wide top-`fetch`
-    * scan (bruteForceTopK / swap in lshTopK at scale); the greedy then
-    * runs on the driver over a PARAMETER-bounded working set — `fetch`
-    * candidates + their `fetch`² pairwise sims (20 + 400 rows at the
-    * defaults), the same gated-fetch budget as the IVF centroid table,
-    * never a function of corpus size. All similarity arithmetic happens
-    * in Spark expressions (one codegen'd pass), the driver only compares
-    * the resulting doubles. */
+    * retrieval; the greedy then runs on the driver over a
+    * PARAMETER-bounded working set — `fetch` candidates + their `fetch`²
+    * pairwise sims PER QUERY (20 + 400 rows at the defaults, times a
+    * query set the fetchers already broadcast), the same gated-fetch
+    * budget as the IVF centroid table, never a function of corpus size.
+    * All similarity arithmetic happens in Spark expressions (one
+    * codegen'd pass), the driver only compares the resulting doubles. */
   def mmrRerank(corpus: DataFrame, query: DataFrame, idCol: String,
                 vecCol: String, k: Int = 5, fetch: Int = 20,
-                lambda: Double = 0.7): DataFrame = {
+                lambda: Double = 0.7,
+                candidates: CandidateFetcher = bruteForceTopK): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(fetch >= k, s"fetch ($fetch) must be >= k ($k)")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cand = bruteForceTopK(corpus, query, idCol, vecCol, fetch)
-      .select(col("neighbor_id").as("id"), col("sim").as("simq"))
+    val cand = candidates(corpus, query, idCol, vecCol, fetch)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("sim").as("simq"))
     val cv = cand
       .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
-    val pairs = cv.select(col("id").as("ia"), col("v").as("va"))
-      .join(broadcast(cv.select(col("id").as("ib"), col("v").as("vb"))),
-        col("ia") =!= col("ib"))
-      .select(col("ia"), col("ib"), cosine(col("va"), col("vb")).as("s"))
-    // parameter-bounded fetches: `fetch` rows + `fetch`*(fetch-1) pairs
-    val simq = cand.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val pairSim = pairs.collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val selected = collection.mutable.ArrayBuffer.empty[(Long, Double)]
-    while (selected.size < k) {
-      val chosen = selected.map(_._1).toSet
-      val best = simq.keysIterator.filterNot(chosen)
-        .map { id =>
-          val penalty =
-            if (chosen.isEmpty) 0.0
-            else chosen.iterator.map(s => pairSim((id, s))).max
-          id -> (lambda * simq(id) - (1 - lambda) * penalty)
-        }
-        .minBy { case (id, score) => (-score, id) }
-      selected += best
-    }
-    selected.toSeq.zipWithIndex
-      .map { case ((id, score), i) =>
+    // pairwise sims WITHIN each query's candidate pool (pools of
+    // different queries never mix — the round-6 blended-ranking bug)
+    val pairs = cv.select(col("query_id"), col("id").as("ia"), col("v").as("va"))
+      .join(broadcast(cv.select(col("query_id"), col("id").as("ib"), col("v").as("vb"))),
+        Seq("query_id"))
+      .where(col("ia") =!= col("ib"))
+      .select(col("query_id"), col("ia"), col("ib"),
+        cosine(col("va"), col("vb")).as("s"))
+    // parameter-bounded fetches per query: `fetch` rows + fetch*(fetch-1)
+    // pairs, times the (broadcast-sized) query count
+    val simqByQ = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val pairSimByQ = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3) -> t._4).toMap).toMap
+    val out = simqByQ.toSeq.sortBy(_._1).flatMap { case (qid, simq) =>
+      val pairSim = pairSimByQ.getOrElse(qid, Map.empty[(Long, Long), Double])
+      val selected = collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (selected.size < math.min(k, simq.size)) {
+        val chosen = selected.map(_._1).toSet
+        val best = simq.keysIterator.filterNot(chosen)
+          .map { id =>
+            val penalty =
+              if (chosen.isEmpty) 0.0
+              else chosen.iterator.map(s => pairSim((id, s))).max
+            id -> (lambda * simq(id) - (1 - lambda) * penalty)
+          }
+          .minBy { case (id, score) => (-score, id) }
+        selected += best
+      }
+      selected.toSeq.zipWithIndex.map { case ((id, score), i) =>
         val rounded = BigDecimal(score)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
-        (i + 1, id, rounded)
+        (qid, i + 1, id, rounded)
       }
-      .toDF("rank", "id", "score")
+    }
+    out.toDF("query_id", "rank", "id", "score")
   }
 
   /** Product quantization (PQ): split each D-dim vector into `m`

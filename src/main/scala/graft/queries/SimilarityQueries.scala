@@ -380,8 +380,8 @@ object SimilarityQueries {
     // consumer: greedy argmax of 0.7·sim(q,d) − 0.3·max-sim-to-selected
     // over the top-20 candidate pool, 5 picks, ties to the smaller id.
     // The distributed stage is the corpus top-k scan; the greedy runs
-    // over a parameter-bounded (20 + 20²-row) working set. The oracle
-    // unrolls the same 5 greedy rounds as chained CTEs over the
+    // over a parameter-bounded (20 + 20²-row per query) working set. The
+    // oracle unrolls the same k greedy rounds as chained CTEs over the
     // identical double-precision cosine (s1's formula), scores rounded
     // at 4 decimals (ulp-vs-step argument, t21).
     "s10_mmr_rerank" -> Q(
@@ -394,42 +394,76 @@ object SimilarityQueries {
             k = 5, fetch = 20, lambda = 0.7)
           .orderBy("rank")
       },
-      Some {
-        val cos = (a: String, b: String) =>
-          s"""list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
-             |              for i in generate_series(1, len($a))]) /
-             |    (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
-             |                    for i in generate_series(1, len($a))])) *
-             |     sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
-             |                    for i in generate_series(1, len($b))])))""".stripMargin
-        val head =
-          s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-             |c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings
-             |      WHERE vec_id >= 10),
-             |scored AS (
-             |  SELECT id, ${cos("qv", "cv")} AS simq
-             |  FROM c, q),
-             |cand AS (SELECT id, simq FROM (
-             |    SELECT id, simq, ROW_NUMBER() OVER (ORDER BY simq DESC, id) AS rn
-             |    FROM scored) WHERE rn <= 20),
-             |cv2 AS (SELECT c.id, c.cv, cand.simq FROM c JOIN cand USING (id)),
-             |p AS (
-             |  SELECT a.id AS ia, b.id AS ib, ${cos("a.cv", "b.cv")} AS s
-             |  FROM cv2 a JOIN cv2 b ON a.id <> b.id),
-             |s1 AS (SELECT id, 0.7 * simq AS score FROM cand
-             |       ORDER BY score DESC, id LIMIT 1)""".stripMargin
-        val rounds = (2 to 5).map { i =>
-          val sel = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
-          s"""s$i AS (SELECT id, 0.7 * simq - 0.3 * (
-             |         SELECT max(s) FROM p
-             |         WHERE p.ia = cand.id AND p.ib IN ($sel)) AS score
-             |       FROM cand WHERE id NOT IN ($sel)
-             |       ORDER BY score DESC, id LIMIT 1)""".stripMargin
-        }.mkString(",\n", ",\n", "")
-        val tail = (1 to 5).map(i =>
-          s"SELECT $i AS rank, id, round(score, 4) + 0.0 AS score FROM s$i")
-          .mkString("\n", "\nUNION ALL ", "\nORDER BY rank")
-        head + rounds + tail
-      })
+      Some(mmrOracleSql(lambdaNum = "0.7", penaltyNum = "0.3",
+        fetch = 20, k = 5))),
+
+    // ---- MMR fed by the pluggable ANN candidate stage ------------------
+    // Exact-replay gate (the s2/s4 playbook): with 0 hyperplanes every
+    // vector lands in the single LSH bucket, so lshTopK's candidate set
+    // PROVABLY equals the exact top-`fetch` — the DuckDB oracle can then
+    // replay the greedy over the exact pool while the Spark side runs the
+    // REAL ANN plumbing (bucket column, bucket equi-join, probe
+    // explosion). Recall behavior with real planes is hash-family-
+    // dependent (not SQL-expressible) and is pinned by VectorSpec's
+    // lambda=1 equivalence and recall tests. Different k/fetch/lambda
+    // than s10 so the two gates cannot mask each other.
+    "s13_mmr_ann" -> Q(
+      (s, dir) => {
+        val emb = Lake(s, dir).embeddings
+        Similarity.mmrRerank(
+            corpus = emb.where(col("vec_id") >= 10),
+            query = emb.where(col("vec_id") === 0),
+            idCol = "vec_id", vecCol = "embedding",
+            k = 4, fetch = 15, lambda = 0.5,
+            candidates = Similarity.lshTopK(_, _, _, _, _, planes = 0))
+          .orderBy("rank")
+      },
+      Some(mmrOracleSql(lambdaNum = "0.5", penaltyNum = "0.5",
+        fetch = 15, k = 4)))
   )
+
+  /** DuckDB oracle for [[Similarity.mmrRerank]] with query vec_id = 0 and
+    * corpus vec_id >= 10: the candidate pool is the exact top-`fetch` by
+    * cosine and each greedy round is one chained CTE (`LIMIT 1` argmax
+    * with the same score-desc, id-asc tie-break). The lambda weights
+    * arrive as decimal literals so both engines parse the same numbers. */
+  private def mmrOracleSql(lambdaNum: String, penaltyNum: String,
+                           fetch: Int, k: Int): String = {
+    val cos = (a: String, b: String) =>
+      s"""list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+         |              for i in generate_series(1, len($a))]) /
+         |    (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+         |                    for i in generate_series(1, len($a))])) *
+         |     sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+         |                    for i in generate_series(1, len($b))])))""".stripMargin
+    val head =
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings
+         |      WHERE vec_id >= 10),
+         |scored AS (
+         |  SELECT id, ${cos("qv", "cv")} AS simq
+         |  FROM c, q),
+         |cand AS (SELECT id, simq FROM (
+         |    SELECT id, simq, ROW_NUMBER() OVER (ORDER BY simq DESC, id) AS rn
+         |    FROM scored) WHERE rn <= $fetch),
+         |cv2 AS (SELECT c.id, c.cv, cand.simq FROM c JOIN cand USING (id)),
+         |p AS (
+         |  SELECT a.id AS ia, b.id AS ib, ${cos("a.cv", "b.cv")} AS s
+         |  FROM cv2 a JOIN cv2 b ON a.id <> b.id),
+         |s1 AS (SELECT id, $lambdaNum * simq AS score FROM cand
+         |       ORDER BY score DESC, id LIMIT 1)""".stripMargin
+    val rounds = (2 to k).map { i =>
+      val sel = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+      s"""s$i AS (SELECT id, $lambdaNum * simq - $penaltyNum * (
+         |         SELECT max(s) FROM p
+         |         WHERE p.ia = cand.id AND p.ib IN ($sel)) AS score
+         |       FROM cand WHERE id NOT IN ($sel)
+         |       ORDER BY score DESC, id LIMIT 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val tail = (1 to k).map(i =>
+      s"""SELECT CAST(0 AS BIGINT) AS query_id, $i AS rank, id,
+         |  round(score, 4) + 0.0 AS score FROM s$i""".stripMargin)
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY rank")
+    head + rounds + tail
+  }
 }

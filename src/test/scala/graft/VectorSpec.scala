@@ -288,4 +288,54 @@ class VectorSpec extends AnyFunSuite {
     // single global cluster: 1 drops under 0, 3 drops under 2
     assert(got === Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
   }
+
+  test("mmrRerank at lambda=1 is plain top-k of its candidate stage") {
+    // with no diversity penalty the greedy must reproduce the fetcher's
+    // own ranking — for the EXACT fetcher and for a REAL-planes ANN
+    // fetcher alike (the pluggable path exercised with actual buckets)
+    val emb = Lake(spark, sf0001).embeddings
+    val corpus = emb.where(col("vec_id") >= 10)
+    val query = emb.where(col("vec_id") === 3)
+    val fetchers: Seq[Similarity.CandidateFetcher] = Seq(
+      Similarity.bruteForceTopK,
+      Similarity.lshTopK(_, _, _, _, _, planes = 3, multiProbe = 2))
+    for (f <- fetchers) {
+      val mmr = Similarity.mmrRerank(corpus, query, "vec_id", "embedding",
+          k = 5, fetch = 12, lambda = 1.0, candidates = f)
+        .orderBy("rank").collect().map(r => r.getInt(1) -> r.getLong(2))
+      val topk = f(corpus, query, "vec_id", "embedding", 12)
+        .where(col("rank") <= 5).orderBy("rank")
+        .collect().map(r => r.getInt(1) -> r.getLong(2))
+      assert(mmr.toSeq === topk.toSeq)
+    }
+  }
+
+  test("mmrRerank reranks each query independently") {
+    // two queries in one call must equal two single-query calls — the
+    // pools may not blend (the round-6 multi-query bug)
+    val emb = Lake(spark, sf0001).embeddings
+    val corpus = emb.where(col("vec_id") >= 10)
+    def run(queryPred: org.apache.spark.sql.Column) =
+      Similarity.mmrRerank(corpus, emb.where(queryPred), "vec_id",
+          "embedding", k = 4, fetch = 10, lambda = 0.6)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val together = run(col("vec_id").isin(0, 7))
+    val apart = run(col("vec_id") === 0) ++ run(col("vec_id") === 7)
+    assert(together === apart)
+    assert(together.map(_._1) === Set(0L, 7L))
+  }
+
+  test("mmrRerank stops at the pool when candidates run short of k") {
+    import spark.implicits._
+    // 3-row corpus, k=5: must return 3 ranked rows, not throw on an
+    // exhausted pool (the empty-minBy hole)
+    val corpus = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)), (12L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val query = Seq((0L, Array(1f, 0.05f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(corpus, query, "vec_id", "embedding",
+      k = 5, fetch = 8, lambda = 0.7).orderBy("rank").collect()
+    assert(got.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+    assert(got.map(_.getLong(2)).toSet === Set(10L, 11L, 12L))
+  }
 }
