@@ -41,7 +41,13 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set — the isolation
+    // lever for chasing one query's scaling ratio without paying for the
+    // whole headline suite at every rep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.headline.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // None = the run failed; a failed (fast) rep must never win best-of-N
     def runOne(name: String, dir: String,
                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {

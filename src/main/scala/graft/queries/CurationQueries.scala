@@ -13,6 +13,13 @@ object CurationQueries {
 
   val defs: Map[String, Q] = Map(
 
+    // Scaling note (round 7): the round-6 bench recorded a 9.22 sf0.1/
+    // sf0.01 ratio for c1 — re-measured in isolation with reps=7
+    // (SPARK_GRAFT_BENCH_ONLY=c1_curation), the ratio is 2.25 (best 1.13s
+    // vs 0.50s). The outlier was the sf0.01-side in-suite best landing
+    // anomalously fast, not a super-linear stage: the chain is one
+    // regex-annotate map + one fp-keyed window + a hash filter, all
+    // linear in rows.
     "c1_curation" -> Q(
       (s, dir) => Curation.curate(Lake(s, dir).documents, "doc_id", "text",
           Curation.Config(minQuality = 0.5, dropUnknownLang = true,
