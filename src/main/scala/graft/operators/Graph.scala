@@ -12,26 +12,36 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Fixed-iteration PageRank (damped, the classic simplified variant:
-    * mass from dangling vertices — out-degree 0 — is dropped rather than
-    * redistributed, so feed symmetric edges if every vertex should keep
-    * out-links). Deterministic for a fixed edge set and iteration count;
-    * callers compare ranks only after rounding, because per-vertex
-    * contribution sums are floating-point and partial-aggregation order
-    * is engine- and run-dependent (~1e-13 relative over tens of
-    * iterations — round at 1e-8 and the noise is five orders below the
-    * step).
+  /** Fixed-iteration PageRank (damped). By default the classic
+    * simplified variant: mass from dangling vertices — out-degree 0 — is
+    * DROPPED rather than redistributed, so feed symmetric edges if every
+    * vertex should keep out-links. With `redistributeDangling` the
+    * textbook formulation: each round the danglers' aggregate rank is
+    * added back uniformly (`damping · danglingMass / n` to every
+    * vertex), so total mass stays exactly 1 on any graph. The default
+    * stays the dropped-mass mode for oracle stability (g1's DuckDB
+    * recursion replays it). Deterministic for a fixed edge set and
+    * iteration count; callers compare ranks only after rounding, because
+    * per-vertex contribution sums are floating-point and
+    * partial-aggregation order is engine- and run-dependent (~1e-13
+    * relative over tens of iterations — round at 1e-8 and the noise is
+    * five orders below the step).
     *
     * Scale shape per iteration: edges ⋈ ranks on src (hash join),
     * groupBy dst (partial+final aggregate), left join back to the vertex
     * set — no global ordering anywhere. Lineage is truncated with
     * localCheckpoint every `checkpointEvery` rounds (same caveat as
     * Dedup.truncate: a durable deployment points at a reliable
-    * checkpoint dir instead). The only driver value is the vertex count
-    * (one scalar). Returns (id, rank). */
+    * checkpoint dir instead). Driver values: the vertex count, plus —
+    * redistributing only — one dangling-mass scalar per round (a 1-row
+    * anti-join aggregate); that mode also checkpoints EVERY round, since
+    * the scalar materializes the round anyway and re-deriving an
+    * unmaterialized prefix once per round would turn the window
+    * quadratic. Returns (id, rank). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                damping: Double = 0.85, iterations: Int = 10,
-               checkpointEvery: Int = 5): DataFrame = {
+               checkpointEvery: Int = 5,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 0 && checkpointEvery > 0)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .localCheckpoint(eager = true) // edge derivation runs once, not per round
@@ -42,15 +52,25 @@ object Graph {
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iterations) {
+      val base =
+        if (!redistributeDangling) (1.0 - damping) / n
+        else {
+          ranks = ranks.localCheckpoint(eager = true)
+          val dangling = ranks
+            .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0.0)))
+            .head().getDouble(0)
+          (1.0 - damping) / n + damping * dangling / n
+        }
       val contribs = e.join(ranks, e("src") === ranks("id"))
         .join(outdeg, "src")
         .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
       ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (lit((1.0 - damping) / n)
+          (lit(base)
             + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
-      if (i % checkpointEvery == 0 && i < iterations)
+      if (!redistributeDangling && i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(eager = true)
     }
     ranks

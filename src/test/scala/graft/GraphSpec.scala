@@ -60,6 +60,42 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got("a") - 0.15 / 3) < 1e-9)
   }
 
+  test("redistributing pageRank conserves total mass = 1 on any graph") {
+    import spark.implicits._
+    def totalMass(edges: Seq[(String, String)], iters: Int): Double =
+      Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+          iterations = iters, redistributeDangling = true)
+        .agg(org.apache.spark.sql.functions.sum("rank"))
+        .head().getDouble(0)
+    // chain with a dangler, a pure sink pair, and a star whose leaves all
+    // dangle — the shapes where dropped-mass mode leaks the most
+    val chain = Seq(("a", "b"), ("b", "c"))
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"))
+    for (edges <- Seq(chain, star); iters <- Seq(1, 7, 20))
+      assert(math.abs(totalMass(edges, iters) - 1.0) < 1e-9,
+        s"mass not conserved for $edges at $iters iterations")
+    // dropped-mass mode on the same chain leaks below 1 — the difference
+    // the option exists to close
+    val dropped = Graph.pageRank(chain.toDF("src", "dst"), "src", "dst",
+        iterations = 20)
+      .agg(org.apache.spark.sql.functions.sum("rank")).head().getDouble(0)
+    assert(dropped < 0.999)
+  }
+
+  test("redistribution is a no-op on graphs without danglers") {
+    import spark.implicits._
+    // symmetric edges: every vertex has out-links, both modes identical
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    def ranks(redistribute: Boolean): Map[String, Double] =
+      Graph.pageRank(edges, "src", "dst", iterations = 12,
+          redistributeDangling = redistribute)
+        .collect().map(r => r.getString(0) ->
+          BigDecimal(r.getDouble(1)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble).toMap
+    assert(ranks(redistribute = true) === ranks(redistribute = false))
+  }
+
   test("shortestHops: path distances, horizon nulls, disconnected nulls, multi-seed min") {
     import spark.implicits._
     // symmetric path 0-1-2-3-4-5 plus a disconnected pair 10-11
