@@ -291,15 +291,22 @@ object Curation {
     * md5 test, so the same call on the same corpus always emits the same
     * byte-identical sample and incremental reruns never flip a row's
     * fate. Scale shape: the threshold table is one tiny aggregate
-    * broadcast back to the corpus — no corpus shuffle at all. */
+    * broadcast back to the corpus — no corpus shuffle at all.
+    *
+    * A DEGENERATE stratum — token sum zero or null — is dropped whole:
+    * without the explicit zero, the null the DIV produces would slip
+    * through least() (nulls are skipped, not propagated) and silently
+    * keep the entire stratum. */
   def budgetSample(df: DataFrame, stratumCol: String, keyCol: String,
                    tokensCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
     val per = df.groupBy(col(stratumCol)).agg(sum(col(tokensCol)).as("tok"))
     val share = per.crossJoin(broadcast(per.agg(count(lit(1)).as("ns"))))
       .select(col(stratumCol),
-        least(lit(256),
-          expr(s"CAST((($budgetTokens DIV ns) * 256) DIV tok AS INT)"))
+        when(col("tok") > 0,
+          least(lit(256),
+            expr(s"CAST((($budgetTokens DIV ns) * 256) DIV tok AS INT)")))
+          .otherwise(lit(0))
           .as("kept_256ths"))
     df.join(broadcast(share), Seq(stratumCol))
       .where(Sampling.hashKeepDynamic(col(keyCol), col("kept_256ths"), 256))

@@ -303,27 +303,6 @@ object Dedup {
             _.getField("__t")))).as("chunk_fp"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs, no LSH: posting-list self-join
-    * on shared shingles. Fully SQL-expressible (the DuckDB oracle runs the
-    * same algorithm). With a reasonable shingle size the posting lists are
-    * near-unique, keeping the join linear; for skewed corpora prefer
-    * [[minHashLshPairs]] whose candidate volume is bounded by banding.
-    *
-    * `maxShingleDf` guards the skew-quadratic failure mode: a boilerplate
-    * shingle appearing in d documents alone contributes d^2 join rows
-    * while carrying ~no similarity signal. The cutoff drops shingles with
-    * document frequency above it from BOTH the join and the per-document
-    * set sizes — the metric becomes exact Jaccard over the
-    * informative-shingle universe, and per-shingle join fan-out is
-    * bounded by maxShingleDf^2.
-    *
-    * The DEFAULT is a finite 1000: a naive call on boilerplate-heavy data
-    * must not detonate into a d^2 cross product (at df=1000 the worst
-    * single shingle already costs 10^6 join rows). A shingle shared by
-    * 1000+ documents is boilerplate by any reasonable measure, so the
-    * guarded metric equals the exact one on natural corpora; callers who
-    * want the unconditionally exact metric opt in with
-    * `maxShingleDf = Int.MaxValue` — explicitly buying the skew risk. */
   /** Asymmetric shingle CONTAINMENT pairs: ordered (id_a, id_b) where
     * `|A ∩ B| / |A| >= threshold` over distinct word n-gram sets — the
     * near-SUPERSET relation Jaccard misses (a snippet quoted inside a
@@ -368,6 +347,27 @@ object Dedup {
     }
   }
 
+  /** Exact n-gram Jaccard near-dup pairs, no LSH: posting-list self-join
+    * on shared shingles. Fully SQL-expressible (the DuckDB oracle runs the
+    * same algorithm). With a reasonable shingle size the posting lists are
+    * near-unique, keeping the join linear; for skewed corpora prefer
+    * [[minHashLshPairs]] whose candidate volume is bounded by banding.
+    *
+    * `maxShingleDf` guards the skew-quadratic failure mode: a boilerplate
+    * shingle appearing in d documents alone contributes d^2 join rows
+    * while carrying ~no similarity signal. The cutoff drops shingles with
+    * document frequency above it from BOTH the join and the per-document
+    * set sizes — the metric becomes exact Jaccard over the
+    * informative-shingle universe, and per-shingle join fan-out is
+    * bounded by maxShingleDf^2.
+    *
+    * The DEFAULT is a finite 1000: a naive call on boilerplate-heavy data
+    * must not detonate into a d^2 cross product (at df=1000 the worst
+    * single shingle already costs 10^6 join rows). A shingle shared by
+    * 1000+ documents is boilerplate by any reasonable measure, so the
+    * guarded metric equals the exact one on natural corpora; callers who
+    * want the unconditionally exact metric opt in with
+    * `maxShingleDf = Int.MaxValue` — explicitly buying the skew risk. */
   def jaccardPairs(df: DataFrame, id: String, text: String,
                    shingleN: Int = 3, threshold: Double = 0.8,
                    maxShingleDf: Int = 1000): DataFrame = {

@@ -405,8 +405,9 @@ object CurationQueries {
           |            FROM documents GROUP BY source),
           |ns AS (SELECT count(*) AS ns FROM per),
           |sx AS (SELECT source,
-          |         least(256, CAST(((40000 // ns.ns) * 256) // tok AS INTEGER))
-          |           AS kept_256ths
+          |         CASE WHEN tok > 0 THEN
+          |           least(256, CAST(((40000 // ns.ns) * 256) // tok AS INTEGER))
+          |         ELSE 0 END AS kept_256ths
           |       FROM per, ns)
           |SELECT d.doc_id, d.source, d.n_chars, sx.kept_256ths
           |FROM documents d JOIN sx USING (source)

@@ -419,9 +419,15 @@ object EventsQueries {
     // (epoch-nanos DIV 3.6e12 — the nanos gotcha). The oracle builds the
     // same grid with generate_series and resolves LOCF with a native
     // ASOF join — independent machinery for the same semantics.
+    // Null values are filtered BEFORE the hourly aggregate (both sides)
+    // so gapFillLocf's no-observed-nulls precondition holds by
+    // construction on any fixture: an all-null hour is a GAP, not a
+    // null observation (Spark would otherwise back-fill it as is_gap
+    // while the ASOF oracle reports a null v — a gate divergence).
     "q46_gap_fill" -> Q(
       (s, dir) => {
         val hourly = events(s, dir)
+          .where(col("value").isNotNull)
           .groupBy(col("event_type"), expr("ts DIV 3600000000000").as("h"))
           .agg(sum(col("value").cast(DecimalType(18, 2)))
             .cast(DoubleType).as("v"))
@@ -433,7 +439,7 @@ object EventsQueries {
         """WITH hourly AS (
           |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
-          |  FROM events GROUP BY 1, 2),
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
           |bounds AS (SELECT event_type, min(h) AS mn, max(h) AS mx
           |           FROM hourly GROUP BY 1),
           |grid AS (SELECT event_type, unnest(generate_series(mn, mx)) AS h

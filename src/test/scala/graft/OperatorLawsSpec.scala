@@ -508,6 +508,20 @@ class OperatorLawsSpec extends AnyFunSuite {
     assert(small.nonEmpty && small.size < all.size)
   }
 
+  test("budget sample drops a zero-token stratum instead of keeping it whole") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // the DIV-by-zero null used to slip through least() (nulls skipped)
+    // and keep the whole degenerate stratum at 256/256
+    val docs = Seq(
+      (1L, "live", 50L), (2L, "live", 50L),
+      (3L, "empty", 0L), (4L, "empty", 0L)
+    ).toDF("doc_id", "source", "n_chars")
+    val kept = Curation.budgetSample(docs, "source", "doc_id", "n_chars", 1000L)
+      .select("doc_id", "source").collect().map(r => r.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
+
   test("containment law: equals naive shingle-set computation on random docs") {
     // tiny vocab forces shared shingles; docs of 3-6 words over 4 tokens
     val docGen = Gen.listOfN(10, Gen.choose(3, 6).flatMap(n =>
@@ -593,7 +607,7 @@ class OperatorLawsSpec extends AnyFunSuite {
     ).toDF("vec_id", "embedding")
     def pick(lambda: Double) = Similarity.mmrRerank(
       corpus, query, "vec_id", "embedding", k = 3, fetch = 4, lambda = lambda)
-      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
     // pure relevance: the duplicate rides along at rank 2
     assert(pick(1.0) === Seq(1L, 2L, 3L))
     // diversity-heavy: the duplicate (max-sim 1.0 to the first pick) is
