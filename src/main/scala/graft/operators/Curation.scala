@@ -311,4 +311,44 @@ object Curation {
     df.join(broadcast(share), Seq(stratumCol))
       .where(Sampling.hashKeepDynamic(col(keyCol), col("kept_256ths"), 256))
   }
+
+  /** Temperature-based mixture resampling — the `p_i ∝ n_i^α` source
+    * mixing rule of multilingual/multi-source pretraining, realized as a
+    * pure DOWNSAMPLE: stratum i keeps the fraction `(n_min / n_i)^(1−α)`
+    * (the largest fraction any stratum needs is 1, at the smallest
+    * stratum, so no upsampling is ever required). α interpolates the
+    * whole family: α=1 is the original mix (keep everything), α=0 is the
+    * uniform mix ([[rebalanceEqual]]'s target), α=0.5 the common
+    * heated-mixture compromise. Thresholds are 4096ths floored at 1
+    * (a >4096× stratum is squeezed, never silently eliminated) and
+    * membership is the deterministic md5 test — reproducible and
+    * incremental-load-stable, like every sampler here. Scale shape: two
+    * tiny aggregates broadcast back; the corpus never shuffles.
+    *
+    * Engine-portability of the threshold: α=0.5 is computed with `sqrt`,
+    * which IEEE 754 requires to be CORRECTLY ROUNDED — division, sqrt
+    * and the ×4096 (exact power of two) reproduce bit-identically on any
+    * compliant engine, so `floor` lands on the same integer everywhere
+    * (the DuckDB oracle of c13 leans on this). General α goes through
+    * `pow`, whose 1-ulp license is fine within one engine but can flip a
+    * floor boundary across engines — prefer the sqrt-expressible point
+    * when a cross-engine gate matters. */
+  def temperatureMix(df: DataFrame, stratumCol: String, keyCol: String,
+                     alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val ratio = col("m").cast("double") / col("n").cast("double")
+    val frac =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 0.0) ratio
+      else pow(ratio, lit(1.0 - alpha))
+    val sx = counts
+      .crossJoin(broadcast(counts.agg(min(col("n")).as("m"))))
+      .select(col(stratumCol),
+        greatest(floor(frac * lit(4096)).cast("int"), lit(1))
+          .as("kept_4096ths"))
+    df.join(broadcast(sx), Seq(stratumCol))
+      .where(Sampling.hashKeepDynamic(col(keyCol), col("kept_4096ths"), 4096))
+  }
 }

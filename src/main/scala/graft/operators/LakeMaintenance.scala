@@ -104,10 +104,20 @@ object LakeMaintenance {
         .collect().map(_.getInt(0)).toSeq
       // existence probe through the Hadoop FS API (session conf, like
       // compact(): runtime spark.conf fs settings apply) so the snapshot
-      // can live on any supported store, not only the local disk
+      // can live on any supported store, not only the local disk. A dir
+      // that exists but holds no data entries (pre-created empty sink)
+      // counts as absent — reading it would fail schema inference. Data
+      // entries are partition dirs (`__bucket=N` — underscore-leading
+      // because the column is, so a bare hidden-prefix test would wrongly
+      // reject the whole snapshot) or non-hidden files; `_SUCCESS`,
+      // `_temporary`, `.crc` are not. One root listing, bounded by
+      // numBuckets.
       val hPath = new org.apache.hadoop.fs.Path(path)
-      val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-        .exists(hPath)
+      val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val exists = fs.exists(hPath) && fs.listStatus(hPath).exists { st =>
+        val n = st.getPath.getName
+        n.contains("=") || !(n.startsWith("_") || n.startsWith("."))
+      }
       val existing =
         if (exists)
           spark.read.parquet(path).where(col("__bucket").isin(touched: _*))
@@ -148,6 +158,33 @@ object LakeMaintenance {
         .write.mode(SaveMode.Overwrite)
     (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
       .parquet(outDir)
+  }
+
+  /** In-place small-file compaction for a partitioned snapshot (the
+    * [[upsertIntoSnapshot]] layout): every micro-batch's dynamic
+    * partition overwrite leaves one file per (touched bucket × write
+    * task), so a long-running stream accretes small files even though
+    * the DATA stays merged. This rewrites the whole snapshot hashed on
+    * its partition columns — each partition value lands in exactly one
+    * task, so each directory collapses to one file (a few, when the
+    * byte-size estimate asks for more tasks than partition values) —
+    * and republishes via the same dynamic overwrite. localCheckpoint
+    * materializes the read before the overwrite (a path cannot be
+    * rewritten while a plan still reads it). Semantically a no-op:
+    * byte layout changes, rows do not. */
+  def compactSnapshotInPlace(spark: SparkSession, path: String,
+                             partitionCols: Seq[String],
+                             targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(partitionCols.nonEmpty, "compactSnapshotInPlace needs partition columns")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, hPath)
+    if (!fs.exists(hPath)) return
+    val inputBytes = fs.getContentSummary(hPath).getLength
+    val files = math.max(1, math.ceil(inputBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val merged = df.repartition(files, partitionCols.map(df.col): _*)
+      .localCheckpoint(eager = true)
+    overwritePartitions(merged, path, partitionCols)
   }
 
   /** Manifest file whose PRESENCE is a version's commit marker (see

@@ -32,4 +32,48 @@ object SkewJoin {
         lSalted("__salt") === rSalted("__salt"))
       .drop(rSalted(key)).drop("__salt")
   }
+
+  /** Salt-count advisor: the q43_skew_stats pre-flight as a reusable
+    * decision. Profiles `key`'s load distribution with one tiny
+    * two-level aggregate (1-row driver fetch — constant at any scale)
+    * and returns the salt count that brings the hottest key's expected
+    * per-task load down to `targetRatio` × the mean key load:
+    *
+    *   - max/mean <= targetRatio → 1 (no skew worth paying replication
+    *     for; the caller should run the plain join)
+    *   - otherwise → ceil(max / (mean · targetRatio)), clamped to
+    *     [2, maxSalts] — replication cost stays bounded even against a
+    *     pathological single-key table.
+    *
+    * The profile side is a parameter: pass the LEFT (probe) side of the
+    * intended join, since that is the side saltedJoin spreads. */
+  def adviseSalts(probe: DataFrame, key: String, targetRatio: Double = 4.0,
+                  maxSalts: Int = 64): Int = {
+    require(targetRatio >= 1.0, s"targetRatio must be >= 1, got $targetRatio")
+    require(maxSalts > 1, s"maxSalts must be > 1, got $maxSalts")
+    val row = probe.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_cnt")).head()
+    if (row.isNullAt(2) || row.getLong(0) == 0L) 1 // empty probe: nothing to salt
+    else {
+      val mean = row.getLong(1).toDouble / row.getLong(0)
+      val need = math.ceil(row.getLong(2) / (mean * targetRatio)).toInt
+      if (need <= 1) 1 else math.min(need, maxSalts)
+    }
+  }
+
+  /** Skew-adaptive equi-join: runs [[adviseSalts]] on the probe side and
+    * either joins plain (advice = 1) or salts with the advised count.
+    * Output is multiset-identical to `left.join(right, key)` either way
+    * (column order: left columns then right-minus-key, the saltedJoin
+    * shape). The advisor aggregate is one extra job over the probe side
+    * only — cheap next to the join it protects, and the price of a plan
+    * that cannot straggle on a hot key. */
+  def autoSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+                     targetRatio: Double = 4.0, maxSalts: Int = 64): DataFrame = {
+    val salts = adviseSalts(left, key, targetRatio, maxSalts)
+    if (salts <= 1)
+      left.join(right, left(key) === right(key)).drop(right(key))
+    else saltedJoin(left, right, key, salts)
+  }
 }

@@ -485,5 +485,37 @@ object CurationQueries {
           |          - ln((cr + 1.0) / (tr + 1024.0))), 4) + 0.0 AS dsir_w
           |FROM occ JOIN dist USING (b) CROSS JOIN tot
           |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin)),
+
+    // ---- temperature mixture resampling --------------------------------
+    // The p_i ∝ n_i^α source-mixing rule at α = 0.5, as a deterministic
+    // downsample: stratum keep fraction (n_min/n)^(1−α), thresholds in
+    // 4096ths floored at 1, md5 membership. α = 0.5 is the
+    // sqrt-expressible point — division, sqrt and ×4096 are all
+    // correctly-rounded/exact under IEEE 754, so Spark and DuckDB floor
+    // to the SAME integer threshold (pow would not guarantee that).
+    "c13_temperature_mix" -> Q(
+      (s, dir) => Curation.temperatureMix(
+          Lake(s, dir).documents.select("doc_id", "lang"), "lang", "doc_id",
+          alpha = 0.5)
+        .select("doc_id", "lang", "kept_4096ths")
+        .orderBy("doc_id"),
+      Some(
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          |m AS (SELECT min(n) AS mn FROM c),
+          |sx AS (SELECT lang,
+          |         greatest(CAST(floor(sqrt(m.mn::DOUBLE / n) * 4096)
+          |                       AS INTEGER), 1) AS kept_4096ths
+          |       FROM c, m)
+          |SELECT d.doc_id, d.lang, sx.kept_4096ths
+          |FROM documents d JOIN sx USING (lang)
+          |WHERE kept_4096ths >= 4096
+          |   OR (kept_4096ths > 0 AND
+          |       (strpos('0123456789abcdef',
+          |          substr(md5(d.doc_id::VARCHAR), 1, 1)) - 1) * 256
+          |     + (strpos('0123456789abcdef',
+          |          substr(md5(d.doc_id::VARCHAR), 2, 1)) - 1) * 16
+          |     + (strpos('0123456789abcdef',
+          |          substr(md5(d.doc_id::VARCHAR), 3, 1)) - 1) < kept_4096ths)
+          |ORDER BY d.doc_id""".stripMargin)),
   )
 }

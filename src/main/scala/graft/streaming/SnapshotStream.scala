@@ -19,14 +19,26 @@ import graft.operators.LakeMaintenance
   */
 object SnapshotStream {
 
+  /** `compactEvery` > 0 folds periodic maintenance into the stream:
+    * after every Nth micro-batch the snapshot is rewritten in place by
+    * [[LakeMaintenance.compactSnapshotInPlace]], collapsing the small
+    * files dynamic partition overwrite accretes (one per touched bucket
+    * × write task per batch) back to ~one per bucket. Compaction is
+    * semantically a no-op, so it composes with exactly-once: a crash
+    * between merge and compaction merely defers the rewrite to the next
+    * trigger, and replaying the merge is already idempotent. */
   def upsertSnapshot(updates: DataFrame, path: String, checkpoint: String,
                      keyCols: Seq[String], versionCols: Seq[String],
-                     numBuckets: Int = 16): DataStreamWriter[Row] =
+                     numBuckets: Int = 16,
+                     compactEvery: Int = 0): DataStreamWriter[Row] =
     updates.writeStream.outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         LakeMaintenance.upsertIntoSnapshot(
           batch, path, keyCols, versionCols, numBuckets)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          LakeMaintenance.compactSnapshotInPlace(
+            batch.sparkSession, path, Seq("__bucket"))
       }
 
   /** Continuous INCREMENTAL AGGREGATE maintenance (streaming IVM) — the

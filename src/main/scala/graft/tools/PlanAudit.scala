@@ -43,6 +43,9 @@ object PlanAudit {
     // self-join over the DISTINCT source set — bounded by |sources|²,
     // broadcast, never data-sized (plus the 1-row source-count cross)
     "c12_interleave",
+    // c13: per-stratum counts × 1-row global-min cross, broadcast —
+    // bounded by |strata|, never data-sized (the c7 shape)
+    "c13_temperature_mix",
     "q43_skew_stats")
 
   private val allowedGlobalWindow = Set.empty[String]

@@ -85,6 +85,30 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(canon(salted.drop("o_custkey")) === canon(plain.drop("o_custkey")))
   }
 
+  test("auto-salted join: advisor picks >1 on skew, 1 on uniform, equal either way") {
+    import spark.implicits._
+    // 1000 rows on one hot key + 10 uniform keys: max/mean >> 4
+    val hot = ((1 to 1000).map(i => (0L, i)) ++
+      (1 to 10).flatMap(k => (1 to 5).map(i => (k.toLong, i))))
+      .toDF("k", "payload")
+    val dim = (0 to 10).map(k => (k.toLong, s"name$k")).toDF("k", "name")
+    assert(SkewJoin.adviseSalts(hot, "k") > 1)
+    // uniform load: advisor declines to salt
+    val uniform = (1 to 100).map(i => (i.toLong % 10, i)).toDF("k", "payload")
+    assert(SkewJoin.adviseSalts(uniform, "k") === 1)
+    assert(SkewJoin.adviseSalts(uniform.limit(0), "k") === 1)
+    // both advice branches are multiset-identical to the manual salting
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.sorted.map(col).toSeq: _*)
+        .collect().map(_.toString).sorted.toSeq
+    val manual = SkewJoin.saltedJoin(hot, dim, "k", 8)
+    assert(canon(SkewJoin.autoSaltedJoin(hot, dim, "k")) === canon(manual))
+    assert(canon(SkewJoin.autoSaltedJoin(uniform, dim, "k")) ===
+      canon(SkewJoin.saltedJoin(uniform, dim, "k", 4)))
+    // advised count respects the clamp
+    assert(SkewJoin.adviseSalts(hot, "k", maxSalts = 4) <= 4)
+  }
+
   test("as-of tolerance nulls matches older than the lookback, boundary inclusive") {
     import spark.implicits._
     val left = Seq((1L, 100L), (1L, 200L), (2L, 500L)).toDF("k", "t")

@@ -47,6 +47,44 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === li.count())
   }
 
+  test("in-place snapshot compaction bounds file counts over many batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap_compact").toString + "/snap"
+    def bucketFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    def snap() = spark.read.parquet(dir).select("k", "ver", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // 8 micro-batch-shaped upserts, compacting every 2nd — the
+    // SnapshotStream.upsertSnapshot(compactEvery = 2) maintenance loop
+    // run batch-side; 4 buckets, keys overlap so versions keep winning
+    val counts = (0 until 8).map { b =>
+      val batch = (0 until 6)
+        .map(i => ((b * 2 + i).toLong % 16, b.toLong, s"p$b-$i"))
+        .toDF("k", "ver", "payload")
+      LakeMaintenance.upsertIntoSnapshot(batch, dir, Seq("k"), Seq("ver"),
+        numBuckets = 4)
+      if ((b + 1) % 2 == 0)
+        LakeMaintenance.compactSnapshotInPlace(spark, dir, Seq("__bucket"))
+      bucketFiles()
+    }
+    // bounded: every post-compaction count is ~one file per bucket —
+    // NOT growing with the batch index
+    val afterCompaction = counts.zipWithIndex.collect {
+      case (c, i) if (i + 1) % 2 == 0 => c
+    }
+    assert(afterCompaction.forall(_ <= 4),
+      s"file count grew despite compaction: $counts")
+    // and compaction is a data no-op: latest version wins per key
+    val expected = (0 until 8).flatMap { b =>
+      (0 until 6).map(i => ((b * 2 + i).toLong % 16, (b.toLong, s"p$b-$i")))
+    }.groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._1) }
+    assert(snap() === expected)
+  }
+
   test("range clustering yields disjoint per-file value ranges") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("lake_cluster").toString

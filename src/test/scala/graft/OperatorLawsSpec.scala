@@ -362,6 +362,47 @@ class OperatorLawsSpec extends AnyFunSuite {
       "floor-at-1 must retain a nonzero sample of the big stratum")
   }
 
+  test("temperature mix: α=1 identity, α monotone, smallest stratum whole, α=0 ≈ uniform") {
+    import graft.operators.Curation
+    val docs = Lake(spark, sf0001).documents.select("doc_id", "lang")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    // α = 1 is the original mix: every row kept
+    assert(Curation.temperatureMix(docs, "lang", "doc_id", 1.0).count()
+      === docs.count())
+    // membership is monotone in α per stratum: threshold (m/n)^(1−α)
+    // is nondecreasing in α for m/n ≤ 1, and the md5 test is a prefix
+    // test — so kept(α) ⊆ kept(α') for α ≤ α'
+    def keptIds(alpha: Double) =
+      Curation.temperatureMix(docs, "lang", "doc_id", alpha)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k0 = keptIds(0.0); val k5 = keptIds(0.5); val k7 = keptIds(0.7)
+    assert(k0.subsetOf(k5) && k5.subsetOf(k7))
+    // the smallest stratum is kept whole at every α (its ratio is 1)
+    for (a <- Seq(0.0, 0.3, 0.5)) {
+      val kept = Curation.temperatureMix(docs, "lang", "doc_id", a)
+      counts.filter(_._2 == nMin).keys.foreach { l =>
+        assert(kept.where(col("lang") === l).count() === nMin,
+          s"smallest stratum $l not whole at alpha=$a")
+      }
+    }
+    // α = 0 targets the uniform mix: every stratum keeps ~n_min rows
+    // (md5 uniformity; generous tolerance on the small fixture)
+    val uni = Curation.temperatureMix(docs, "lang", "doc_id", 0.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    uni.foreach { case (l, k) =>
+      assert(k <= counts(l))
+      assert(math.abs(k - nMin.toDouble) <= math.max(4.0, 0.5 * nMin),
+        s"alpha=0 stratum $l kept $k, expected ~$nMin")
+    }
+    // deterministic: the same call twice is bit-identical (and the
+    // monotone chain above already exercises the general-α pow branch
+    // at 0.7 against the sqrt branch at 0.5)
+    assert(keptIds(0.5) === keptIds(0.5))
+  }
+
   test("shard shuffle: contiguous per-shard positions, seed-deterministic, seed-sensitive") {
     import graft.operators.Curation
     val docs = Lake(spark, sf0001).documents.select("doc_id")

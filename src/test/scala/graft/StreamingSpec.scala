@@ -288,9 +288,13 @@ class StreamingSpec extends AnyFunSuite {
     val sink = Files.createTempDirectory("upsert_sink").toString + "/snap"
     val ckpt = Files.createTempDirectory("upsert_ckpt").toString
     val input = MemoryStream[(Long, Long, String)]
+    // compactEvery = 1: the periodic in-place compaction runs after
+    // every micro-batch — proving the maintenance step never changes
+    // the data the merge produced
     val q = graft.streaming.SnapshotStream.upsertSnapshot(
       input.toDF.toDF("k", "ver", "payload"), sink, ckpt,
-      keyCols = Seq("k"), versionCols = Seq("ver"), numBuckets = 4).start()
+      keyCols = Seq("k"), versionCols = Seq("ver"), numBuckets = 4,
+      compactEvery = 1).start()
     try {
       // batch 1: initial versions
       input.addData((1L, 10L, "a1"), (2L, 10L, "b1"), (3L, 10L, "c1"))
