@@ -211,6 +211,55 @@ object SurfaceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS latest_total
         |FROM orders""".stripMargin),
 
+    // ---- mergeable HLL distinct sketches (incremental distinct IVM) -----
+    // COUNT(DISTINCT) is the one aggregate plain IVM cannot merge; the
+    // sketch path makes it algebraic (operators/Sketches). The gate runs
+    // the same per-day partials through TWO merge schedules inside one
+    // plan — one-shot union across all days vs staged union (halves,
+    // then the pair) — and asserts (a) the estimates agree EXACTLY
+    // (register max-merge is associative, so the incremental answer is
+    // independent of the merge schedule — the IVM property) and (b) the
+    // estimate is within ~3σ ≈ 5% of the exact count at lgK=12. DuckDB
+    // recomputes the exact count; the booleans pin the sketch claims,
+    // since no other engine reproduces DataSketches estimates
+    // bit-for-bit. (A never-unioned stream sketch is deliberately NOT
+    // compared exactly: it uses the HIP estimator, unions the composite
+    // one — they agree only within the error bound; SketchSpec covers
+    // that relation.)
+    "q49_hll_incremental" -> Q(
+      (s, dir) => {
+        import graft.operators.Sketches
+        // ts is epoch-nanos LONG; the day id only SLICES the incremental
+        // build (it never reaches the output), so integer div is all we
+        // need — no timestamp semantics, no oracle coupling
+        val ev = Lake(s, dir).events
+          .select(col("event_type"), col("user_id"),
+            expr("ts div 86400000000000").as("day"))
+        val daily = Sketches.sketchBy(ev, Seq("event_type", "day"), "user_id")
+        val oneShot = Sketches
+          .withEstimate(Sketches.rollup(daily, Seq("event_type")))
+          .select(col("event_type"), col("distinct_est"))
+        val halves = Sketches.rollup(
+          daily.withColumn("half", pmod(col("day"), lit(2))),
+          Seq("event_type", "half"))
+        val staged = Sketches
+          .withEstimate(Sketches.rollup(halves, Seq("event_type")))
+          .select(col("event_type"), col("distinct_est").as("staged_est"))
+        val exact = ev.groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("n_exact"))
+        oneShot.join(staged, Seq("event_type"))
+          .join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"),
+            (col("distinct_est") === col("staged_est"))
+              .as("incremental_matches_direct"),
+            (abs(col("distinct_est") - col("n_exact"))
+              <= col("n_exact") * 0.05).as("err_within_5pct"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       TRUE AS incremental_matches_direct, TRUE AS err_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ---- array scalar functions over tokenized text ---------------------
     "q28_array_funcs" -> Q(
       (s, dir) => {
