@@ -803,6 +803,65 @@ object TextQueries {
           |    AS reasons
           |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // ---- PMI collocation mining ----------------------------------------
+    // Pointwise mutual information over adjacent word pairs — the
+    // classic collocation detector ("how much more often do these two
+    // words co-occur than chance predicts"), the corpus-statistics
+    // sibling of t7's raw bigram counts. Convention: pair probability
+    // from the bigram table (cxy/N_b), marginals from the unigram table
+    // (cx/N_u) — stated explicitly because PMI variants differ on the
+    // margins. Scale shape: two distributed groupBys; the two 1-row
+    // totals broadcast (allowlisted, the t12 pattern); the unigram-count
+    // joins key on a vocabulary-sized table. minCount=5 keeps the
+    // low-support pairs whose PMI is noise out of the output.
+    "t24_pmi_collocations" -> Q(
+      (s, dir) => {
+        val tok = docs(s, dir).select(tokens(col("text")).as("w"))
+        val uni = tok.select(explode(col("w")).as("t"))
+        val uc = uni.groupBy("t").agg(count(lit(1)).as("cx"))
+        val nu = uni.agg(count(lit(1)).cast("double").as("nu"))
+        val bi = docs(s, dir)
+          .select(explode(wordShingles(col("text"), 2)).as("bg"))
+          .select(substring_index(col("bg"), " ", 1).as("w1"),
+            substring_index(col("bg"), " ", -1).as("w2"))
+        val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+        val nb = bc.agg(sum(col("cxy")).cast("double").as("nb"))
+        bc.where(col("cxy") >= 5)
+          .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+          .join(uc.withColumnRenamed("t", "w1")
+            .withColumnRenamed("cx", "c1"), Seq("w1"))
+          .join(uc.withColumnRenamed("t", "w2")
+            .withColumnRenamed("cx", "c2"), Seq("w2"))
+          .select(col("w1"), col("w2"), col("cxy").as("n_pair"),
+            (round(log(col("cxy") / col("nb"))
+              - log(col("c1") / col("nu"))
+              - log(col("c2") / col("nu")), 4) + 0.0).as("pmi"))
+          .orderBy("w1", "w2")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |uni AS (SELECT unnest(w) AS t FROM tok),
+          |uc AS (SELECT t, count(*) AS cx FROM uni GROUP BY t),
+          |un AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM uni),
+          |bg AS (
+          |  SELECT unnest([w[i] || ' ' || w[i+1]
+          |                 for i in generate_series(1, len(w)-1)]) AS b
+          |  FROM tok),
+          |bc AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+          |         count(*) AS cxy
+          |       FROM bg GROUP BY 1, 2),
+          |bn AS (SELECT CAST(sum(cxy) AS DOUBLE) AS nb FROM bc)
+          |SELECT bc.w1, bc.w2, CAST(bc.cxy AS BIGINT) AS n_pair,
+          |  round(ln(bc.cxy / bn.nb) - ln(u1.cx / un.nu)
+          |        - ln(u2.cx / un.nu), 4) + 0.0 AS pmi
+          |FROM bc, bn, un
+          |JOIN uc u1 ON u1.t = bc.w1
+          |JOIN uc u2 ON u2.t = bc.w2
+          |WHERE bc.cxy >= 5
+          |ORDER BY bc.w1, bc.w2""".stripMargin)),
+
     // ---- held-out bigram-LM scoring (train/eval discipline) ------------
     // Unlike t21 (corpus scored under its own model), the model here is
     // fit on the TRAIN split only (even ids) and scores the UNSEEN eval

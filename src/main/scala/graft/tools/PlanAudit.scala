@@ -38,6 +38,8 @@ object PlanAudit {
     "s12_truncation_eval",
     "t12_tfidf", "t16_rare_tokens", "t17_countmin",
     "t21_lm_score", "t22_quality_buckets", "t26_lm_heldout", "t27_bm25",
+    // t24: two 1-row corpus totals (unigram + bigram N) broadcast
+    "t24_pmi_collocations",
     "c7_mixture_rebalance", "c10_token_budget", "c11_dsir_weights",
     // c12: the source-index rank is a strictly-smaller-count inequality
     // self-join over the DISTINCT source set — bounded by |sources|²,
