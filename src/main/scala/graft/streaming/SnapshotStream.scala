@@ -93,4 +93,49 @@ object SnapshotStream {
       .localCheckpoint(eager = true)
     merged.write.mode("overwrite").parquet(path)
   }
+
+  /** Continuous DISTINCT-COUNT maintenance — the streaming twin of
+    * q49's sketch IVM: each micro-batch is sketched
+    * ([[graft.operators.Sketches.sketchBy]]) and unioned into a stored
+    * per-group HLL snapshot, so "unique users to date" never re-scans
+    * history. Stronger replay story than [[aggSnapshot]]: HLL union is
+    * IDEMPOTENT (registers combine by max), so re-applying a batch
+    * cannot corrupt the state even without the batch-id guard — the
+    * guard here only skips the redundant write. The snapshot is a
+    * normal parquet table (group cols + BINARY `hll` + `__last_batch`);
+    * read estimates via [[graft.operators.Sketches.withEstimate]]. */
+  def distinctSketchStream(updates: DataFrame, path: String,
+                           checkpoint: String, groupCols: Seq[String],
+                           valueCol: String): DataStreamWriter[Row] =
+    updates.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySketchBatch(batch, batchId, path, groupCols, valueCol)
+      }
+
+  /** One merge step of [[distinctSketchStream]]; public so replay and
+    * double-apply are testable (and for batch backfills). */
+  def applySketchBatch(batch: DataFrame, batchId: Long, path: String,
+                       groupCols: Seq[String], valueCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(hPath)
+    val prev = if (exists) Some(spark.read.parquet(path)) else None
+    val applied = prev.flatMap(p =>
+      Option(p.agg(max(col("__last_batch"))).head.get(0))
+        .map(_.asInstanceOf[Long]))
+    if (applied.exists(batchId <= _)) return // already absorbed
+    val delta = Sketches.sketchBy(batch, groupCols, valueCol)
+    val merged = (prev match {
+      case Some(p) => Sketches.mergeInto(
+        p.select((groupCols.map(col) :+ col("hll")): _*), delta, groupCols)
+      case None => delta
+    }).withColumn("__last_batch", lit(batchId))
+      // a path cannot be overwritten while a plan still reads it
+      .localCheckpoint(eager = true)
+    merged.write.mode("overwrite").parquet(path)
+  }
 }

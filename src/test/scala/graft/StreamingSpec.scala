@@ -431,4 +431,46 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got2 === Map("z" -> (1L, 1.5)))
   }
+
+  test("streaming distinct sketch tracks exact distincts and shrugs off replays") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SnapshotStream
+    import graft.operators.Sketches
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = Files.createTempDirectory("hll_sink").toString + "/snap"
+    val ckpt = Files.createTempDirectory("hll_ckpt").toString
+    val input = MemoryStream[(String, Long)]
+    val q = SnapshotStream.distinctSketchStream(
+      input.toDF.toDF("g", "v"), sink, ckpt,
+      groupCols = Seq("g"), valueCol = "v").start()
+    def est() = Sketches.withEstimate(spark.read.parquet(sink))
+      .select("g", "distinct_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      // batch 0: 3 distinct for a, 1 for b
+      input.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+      q.processAllAvailable()
+      assert(est() === Map("a" -> 3L, "b" -> 1L)) // coupon mode: exact
+      // batch 1 overlaps batch 0 — distinct, not additive, semantics
+      input.addData(("a", 2L), ("a", 4L), ("c", 7L))
+      q.processAllAvailable()
+      assert(est() === Map("a" -> 4L, "b" -> 1L, "c" -> 1L))
+    } finally q.stop()
+    // crash-replay of an absorbed batch id: guarded no-op
+    SnapshotStream.applySketchBatch(
+      Seq(("a", 2L), ("a", 4L), ("c", 7L)).toDF("g", "v"), batchId = 1L,
+      sink, Seq("g"), "v")
+    assert(est() === Map("a" -> 4L, "b" -> 1L, "c" -> 1L))
+    // the sketch-specific stronger property: DOUBLE-APPLYING the same
+    // data under a fresh batch id is still harmless — union idempotence
+    // protects the state even where the batch-id guard cannot (e.g. a
+    // backfill accidentally re-submitted)
+    SnapshotStream.applySketchBatch(
+      Seq(("a", 2L), ("a", 4L), ("c", 7L)).toDF("g", "v"), batchId = 2L,
+      sink, Seq("g"), "v")
+    assert(est() === Map("a" -> 4L, "b" -> 1L, "c" -> 1L),
+      "idempotent union must absorb a duplicate delta unchanged")
+  }
 }
