@@ -436,4 +436,32 @@ object LakeMaintenance {
       .write.mode(SaveMode.Overwrite)
       .parquet(outDir)
   }
+
+  /** Order-independent dataset content fingerprint — the reproducibility
+    * check two pipeline runs (or two replicas of a lake) compare without
+    * sorting or shipping data: each row hashes to a 48-bit value (md5
+    * over the canonical `|`-joined hash columns, so the fingerprint is
+    * engine-portable — cf. t5's per-doc rolling hash, which is
+    * order-SENSITIVE by design), and a group's fingerprint is the SUM of
+    * its row hashes mod 2^60. Addition is commutative/associative, so
+    * the result is independent of partitioning, read order and merge
+    * schedule — same reasoning as [[Sketches]], but exact. The sum runs
+    * in DECIMAL(38,0): overflow-proof to ~10^20 rows without wraparound
+    * semantics that ANSI mode would reject. Detects any content change
+    * except a pathological constructed collision (sum cancellation);
+    * pair with `n_rows` to also catch duplication-with-removal.
+    * One partial-aggregated groupBy; no shuffle beyond the group keys. */
+  def datasetFingerprint(df: DataFrame, groupCols: Seq[String],
+                         hashCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(hashCols.nonEmpty, "datasetFingerprint needs hash columns")
+    val rowHash = conv(
+      substring(md5(concat_ws("|", hashCols.map(col(_).cast("string")): _*)
+        .cast("binary")), 1, 12), 16, 10)
+      .cast("decimal(38,0)")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(rowHash), lit(1152921504606846976L).cast("decimal(38,0)"))
+          .cast("long").as("fingerprint"))
+  }
 }

@@ -260,6 +260,30 @@ object SurfaceQueries {
         |       TRUE AS incremental_matches_direct, TRUE AS err_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ---- order-independent dataset content fingerprint ------------------
+    // Run-to-run reproducibility check: same rows in any order, any
+    // partitioning → same fingerprint (sum of 48-bit md5 row hashes mod
+    // 2^60, decimal-exact). DuckDB rebuilds the identical hash from the
+    // same md5 hex digits, so the gate is exact — unlike a sketch, a
+    // single changed byte flips the value.
+    "q50_dataset_fingerprint" -> Q(
+      (s, dir) => {
+        import graft.operators.LakeMaintenance
+        LakeMaintenance.datasetFingerprint(
+            Lake(s, dir).documents, Seq("source"), Seq("doc_id", "text"))
+          .orderBy("source")
+      },
+      """WITH h AS (
+        |  SELECT source,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), i, 1)) - 1)
+        |        * pow(16, 12 - i) for i in generate_series(1, 12)]) AS HUGEINT)
+        |      AS rh
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(rh) % 1152921504606846976 AS BIGINT) AS fingerprint
+        |FROM h GROUP BY source ORDER BY source""".stripMargin),
+
     // ---- array scalar functions over tokenized text ---------------------
     "q28_array_funcs" -> Q(
       (s, dir) => {

@@ -85,6 +85,37 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(snap() === expected)
   }
 
+  test("dataset fingerprint: order/partitioning-invariant, content-sensitive") {
+    import spark.implicits._
+    val docs = Lake(spark, sf0001).documents
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      LakeMaintenance.datasetFingerprint(df, Seq("source"), Seq("doc_id", "text"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = fp(docs)
+    // invariant under shuffling and radically different partitioning
+    assert(fp(docs.repartition(3)) === base)
+    assert(fp(docs.orderBy(desc("text")).coalesce(1)) === base)
+    // a single changed byte in one row flips that group's fingerprint
+    val oneRow = docs.orderBy("doc_id").limit(1).collect()(0)
+    val src = oneRow.getAs[String]("source")
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === oneRow.getAs[Long]("doc_id"),
+        concat(col("text"), lit("!"))).otherwise(col("text")))
+    val mfp = fp(mutated)
+    assert(mfp(src)._2 !== base(src)._2, "mutation must change the fingerprint")
+    assert(mfp.filter(_._1 != src) === base.filter(_._1 != src),
+      "untouched groups must keep their fingerprint")
+    // removing one row and duplicating another keeps n_rows but not fp
+    val ids = docs.where(col("source") === src).select("doc_id")
+      .orderBy("doc_id").limit(2).collect().map(_.getLong(0))
+    val swapped = docs.where(col("doc_id") =!= ids(0))
+      .unionByName(docs.where(col("doc_id") === ids(1)))
+    val sfp = fp(swapped)
+    assert(sfp(src)._1 === base(src)._1, "row count unchanged by design")
+    assert(sfp(src)._2 !== base(src)._2,
+      "duplication-with-removal must still flip the fingerprint")
+  }
+
   test("range clustering yields disjoint per-file value ranges") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("lake_cluster").toString
