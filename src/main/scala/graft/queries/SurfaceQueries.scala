@@ -284,6 +284,51 @@ object SurfaceQueries {
         |  CAST(sum(rh) % 1152921504606846976 AS BIGINT) AS fingerprint
         |FROM h GROUP BY source ORDER BY source""".stripMargin),
 
+    // ---- theta-sketch segment algebra -----------------------------------
+    // "How many users did BOTH A and B" from sketch state alone — the
+    // set-algebra question HLL union cannot answer (plans/
+    // ThetaSketchExprs: native TypedImperativeAggregate + scalar set
+    // ops). All four outputs are estimates READ OFF SKETCHES, never
+    // from rows; the DuckDB oracle recomputes the true counts, and the
+    // gate is exact because every per-type user set here is below the
+    // 2^12 nominal-entries threshold where a theta sketch retains every
+    // distinct hash (the scaladoc's exactness contract — ThetaSpec
+    // covers estimation mode). The pair join is |event_types|² over a
+    // broadcast 1-row-per-type aggregate — bounded, never data-sized.
+    "q51_theta_segments" -> Q(
+      (s, dir) => {
+        import graft.plans.ThetaSketchExprs._
+        val sk = Lake(s, dir).events
+          .groupBy("event_type")
+          .agg(thetaSketchAgg(col("user_id")).as("sk"))
+        val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+        val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+        a.join(broadcast(b), col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            thetaEstimate(col("ska")).as("n_a"),
+            thetaEstimate(col("skb")).as("n_b"),
+            thetaEstimate(thetaIntersect(col("ska"), col("skb")))
+              .as("n_both"),
+            thetaEstimate(thetaANotB(col("ska"), col("skb")))
+              .as("n_a_only"))
+          .orderBy("type_a", "type_b")
+      },
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |cnt AS (SELECT event_type, count(*) AS n FROM u GROUP BY event_type),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |                 a.n AS n_a, b.n AS n_b
+        |          FROM cnt a JOIN cnt b ON a.event_type < b.event_type),
+        |ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |              count(*) AS nb
+        |       FROM u x JOIN u y USING (user_id)
+        |       WHERE x.event_type < y.event_type GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, CAST(p.n_a AS BIGINT) AS n_a,
+        |  CAST(p.n_b AS BIGINT) AS n_b,
+        |  CAST(COALESCE(ov.nb, 0) AS BIGINT) AS n_both,
+        |  CAST(p.n_a - COALESCE(ov.nb, 0) AS BIGINT) AS n_a_only
+        |FROM pairs p LEFT JOIN ov USING (type_a, type_b)
+        |ORDER BY type_a, type_b""".stripMargin),
+
     // ---- array scalar functions over tokenized text ---------------------
     "q28_array_funcs" -> Q(
       (s, dir) => {

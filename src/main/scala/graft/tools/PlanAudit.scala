@@ -48,6 +48,9 @@ object PlanAudit {
     // c13: per-stratum counts × 1-row global-min cross, broadcast —
     // bounded by |strata|, never data-sized (the c7 shape)
     "c13_temperature_mix",
+    // q51: |event_types|² pair join over a broadcast per-type sketch
+    // aggregate — bounded by the type domain, never data-sized
+    "q51_theta_segments",
     "q43_skew_stats")
 
   private val allowedGlobalWindow = Set.empty[String]

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.ThetaSketchExprs._
+
+/** Laws for the theta sketch family (plans/ThetaSketchExprs): the
+  * exactness contract below the nominal-entries threshold, set-algebra
+  * identities, the rollup/merge face, estimation-mode error bounds, and
+  * type handling. */
+class ThetaSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def one(df: org.apache.spark.sql.DataFrame): Long =
+    df.collect()(0).getLong(0)
+
+  test("exact mode: estimate equals the true distinct count per group") {
+    val ev = Lake(spark, sf0001).events
+    val got = ev.groupBy("event_type")
+      .agg(thetaEstimate(thetaSketchAgg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("set algebra is exact on known overlapping sets") {
+    // A = {0..99}, B = {50..179}: |A|=100, |B|=130, |A∩B|=50, |A\B|=50
+    val df = ((0L until 100L).map(("a", _)) ++ (50L until 180L).map(("b", _)))
+      .toDF("g", "v")
+    val sk = df.groupBy("g").agg(thetaSketchAgg(col("v")).as("sk"))
+    val a = sk.where(col("g") === "a").select(col("sk").as("ska"))
+    val b = sk.where(col("g") === "b").select(col("sk").as("skb"))
+    val pair = a.crossJoin(b)
+    assert(one(pair.select(thetaEstimate(col("ska")).as("v"))) === 100L)
+    assert(one(pair.select(
+      thetaEstimate(thetaIntersect(col("ska"), col("skb"))).as("v"))) === 50L)
+    assert(one(pair.select(
+      thetaEstimate(thetaANotB(col("ska"), col("skb"))).as("v"))) === 50L)
+    assert(one(pair.select(
+      thetaEstimate(thetaANotB(col("skb"), col("ska"))).as("v"))) === 80L)
+    // disjoint intersection estimates 0
+    val c = ((10000L to 10009L).map(("c", _))).toDF("g", "v")
+      .groupBy("g").agg(thetaSketchAgg(col("v")).as("skc"))
+      .select(col("skc"))
+    assert(one(a.crossJoin(c).select(
+      thetaEstimate(thetaIntersect(col("ska"), col("skc"))).as("v"))) === 0L)
+  }
+
+  test("union rollup of partials equals a direct sketch (exact mode)") {
+    val df = (0 until 5000).map(i => ((i % 7).toString, (i % 3000).toLong, i % 4))
+      .toDF("g", "v", "slice")
+    val direct = df.groupBy("g")
+      .agg(thetaEstimate(thetaSketchAgg(col("v"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaPartials = df.groupBy("g", "slice")
+      .agg(thetaSketchAgg(col("v")).as("sk"))
+      .groupBy("g").agg(thetaEstimate(thetaUnionAgg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaPartials === direct)
+  }
+
+  test("estimation mode: 100k distincts within the 1/sqrt(2^12) budget") {
+    val big = (0 until 100000).map(i => ("big", i.toLong)).toDF("g", "v")
+    val est = one(big.groupBy("g")
+      .agg(thetaEstimate(thetaSketchAgg(col("v"))).as("est"))
+      .select(col("est")))
+    assert(math.abs(est - 100000.0) <= 100000.0 * 0.05,
+      s"estimation-mode estimate $est strayed >5% from 100000")
+    // intersection of two large half-overlapping sets stays in budget
+    // (wider budget: intersection error compounds both operands')
+    val ab = ((0L until 100000L).map(("a", _)) ++
+      (50000L until 150000L).map(("b", _))).toDF("g", "v")
+    val sk2 = ab.groupBy("g").agg(thetaSketchAgg(col("v")).as("sk"))
+    val both = one(sk2.where(col("g") === "a").select(col("sk").as("ska"))
+      .crossJoin(sk2.where(col("g") === "b").select(col("sk").as("skb")))
+      .select(thetaEstimate(thetaIntersect(col("ska"), col("skb"))).as("v")))
+    assert(math.abs(both - 50000.0) <= 50000.0 * 0.15,
+      s"intersection estimate $both strayed >15% from 50000")
+  }
+
+  test("nulls are ignored; string keys sketch like longs count them") {
+    val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L)), ("g", Some(1L)))
+      .toDF("g", "v")
+    assert(one(df.groupBy("g")
+      .agg(thetaEstimate(thetaSketchAgg(col("v"))).as("est"))
+      .select(col("est"))) === 2L)
+    val sdf = Seq(("g", "x"), ("g", "y"), ("g", "x"), ("g", "z"))
+      .toDF("g", "s")
+    assert(one(sdf.groupBy("g")
+      .agg(thetaEstimate(thetaSketchAgg(col("s"))).as("est"))
+      .select(col("est"))) === 3L)
+  }
+}
