@@ -81,6 +81,33 @@ class ThetaSpec extends AnyFunSuite {
       s"intersection estimate $both strayed >15% from 50000")
   }
 
+  test("SQL surface: the injected theta functions match the Column API") {
+    Lake(spark, sf0001).events.createOrReplaceTempView("theta_ev")
+    val got = spark.sql(
+      """SELECT s.event_type,
+        |  theta_estimate(s.sk) AS n,
+        |  theta_estimate(theta_intersect(s.sk, s.sk)) AS n_self,
+        |  theta_estimate(theta_a_not_b(s.sk, s.sk)) AS n_none
+        |FROM (SELECT event_type, theta_sketch_agg(user_id) AS sk
+        |      FROM theta_ev GROUP BY event_type) s
+        |ORDER BY s.event_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = Lake(spark, sf0001).events.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n")).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(g => (g._1, g._2)).toSeq === want.toSeq)
+    got.foreach { g =>
+      assert(g._3 === g._2, "A∩A must be A (exact mode)")
+      assert(g._4 === 0L, "A\\A must be empty")
+    }
+    // explicit lgK argument parses and still answers exactly here
+    assert(spark.sql(
+      """SELECT theta_estimate(theta_sketch_agg(user_id, 10)) AS n
+        |FROM theta_ev""".stripMargin).collect()(0).getLong(0) ===
+      Lake(spark, sf0001).events.select(count_distinct(col("user_id")))
+        .collect()(0).getLong(0))
+  }
+
   test("nulls are ignored; string keys sketch like longs count them") {
     val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L)), ("g", Some(1L)))
       .toDF("g", "v")
