@@ -69,6 +69,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"theta_a_not_b takes exactly 2 arguments, got ${exprs.length}")
         ThetaANotB(exprs(0), exprs(1))
       }))
+    // KLL quantile family (KllSketchExprs); optional second argument on
+    // the aggregates = k, a foldable int literal
+    e.injectFunction((
+      FunctionIdentifier("kll_agg"),
+      new ExpressionInfo(classOf[KllDoublesAgg].getName, "kll_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"kll_agg takes 1-2 arguments, got ${exprs.length}")
+        KllDoublesAgg(exprs.head,
+          if (exprs.length < 2) 200
+          else { require(exprs(1).foldable, "kll_agg k must be a literal")
+            exprs(1).eval().asInstanceOf[Number].intValue() })
+      }))
+    e.injectFunction((
+      FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"kll_merge_agg takes 1-2 arguments, got ${exprs.length}")
+        KllMergeAgg(exprs.head,
+          if (exprs.length < 2) 200
+          else { require(exprs(1).foldable, "kll_merge_agg k must be a literal")
+            exprs(1).eval().asInstanceOf[Number].intValue() })
+      }))
+    e.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"kll_quantile takes exactly 2 arguments, got ${exprs.length}")
+        KllQuantile(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("kll_rank"),
+      new ExpressionInfo(classOf[KllRank].getName, "kll_rank"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"kll_rank takes exactly 2 arguments, got ${exprs.length}")
+        KllRank(exprs(0), exprs(1))
+      }))
     // opt-in via spark.graft.rewriteOrJoin (see OrEquiJoinRule scaladoc)
     e.injectOptimizerRule(_ => OrEquiJoinRule)
   }

@@ -329,6 +329,41 @@ object SurfaceQueries {
         |FROM pairs p LEFT JOIN ov USING (type_a, type_b)
         |ORDER BY type_a, type_b""".stripMargin),
 
+    // ---- KLL quantile sketch distributions ------------------------------
+    // Mergeable percentiles (plans/KllSketchExprs): per-type value
+    // distributions as sketch state. KLL compaction is RANDOMIZED, so
+    // the gate checks what the sketch guarantees — the rank error of its
+    // p50/p95 answers, recomputed exactly from the rows (inclusive
+    // rank within 0.035, ~2× the k=200 a-priori bound) — rather than a
+    // byte-stable value no randomized sketch can promise. DuckDB
+    // recounts n_vals exactly and pins the booleans true.
+    "q52_kll_latency" -> Q(
+      (s, dir) => {
+        import graft.plans.KllSketchExprs._
+        val ev = Lake(s, dir).events.where(col("value").isNotNull)
+          .select(col("event_type"), col("value"))
+        val sk = ev.groupBy("event_type").agg(
+            kllAgg(col("value")).as("sk"), count(lit(1)).as("n_vals"))
+          .select(col("event_type"), col("n_vals"),
+            kllQuantile(col("sk"), lit(0.5)).as("p50"),
+            kllQuantile(col("sk"), lit(0.95)).as("p95"))
+        ev.join(sk, Seq("event_type"))
+          .groupBy("event_type")
+          .agg(max(col("n_vals")).as("n_vals"),
+            (sum(when(col("value") <= col("p50"), 1L)).cast("double")
+              / max(col("n_vals"))).as("r50"),
+            (sum(when(col("value") <= col("p95"), 1L)).cast("double")
+              / max(col("n_vals"))).as("r95"))
+          .select(col("event_type"), col("n_vals"),
+            (abs(col("r50") - 0.5) <= 0.035).as("p50_rank_ok"),
+            (abs(col("r95") - 0.95) <= 0.035).as("p95_rank_ok"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_vals,
+        |  TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ---- array scalar functions over tokenized text ---------------------
     "q28_array_funcs" -> Q(
       (s, dir) => {

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.KllSketchExprs._
+
+/** Laws for the KLL quantile sketches (plans/KllSketchExprs): exact
+  * order statistics below k, the rank-error budget past it (including
+  * through the merge face — the property that makes per-shard sketch
+  * tables roll up correctly), the rank/quantile inverse relation, and
+  * type/null/empty handling. Budgets are 2× the a-priori k=200 bound
+  * because compaction is randomized — see the module scaladoc. */
+class KllSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def one(df: org.apache.spark.sql.DataFrame): Double =
+    df.collect()(0).getDouble(0)
+
+  test("below k nothing compacts: quantiles are exact order statistics") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val sk = df.groupBy("g").agg(kllAgg(col("v")).as("sk"))
+    assert(one(sk.select(kllQuantile(col("sk"), lit(0.5)).as("q"))) === 50.0)
+    assert(one(sk.select(kllQuantile(col("sk"), lit(0.95)).as("q"))) === 95.0)
+    assert(one(sk.select(kllQuantile(col("sk"), lit(1.0)).as("q"))) === 100.0)
+    assert(one(sk.select(kllRank(col("sk"), lit(50.0)).as("r"))) === 0.5)
+  }
+
+  test("estimation mode: direct and merged builds both hold the rank budget") {
+    // 50k values, uniform 0..9999 with duplicates, 8 slices
+    val df = (0 until 50000).map(i => ("g", (i % 10000).toDouble, i % 8))
+      .toDF("g", "v", "slice")
+    def checkRank(sk: org.apache.spark.sql.DataFrame): Unit =
+      for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+        val qv = one(sk.select(kllQuantile(col("sk"), lit(q)).as("x")))
+        // exact inclusive rank of the sketch's answer, from the rows
+        val exact = df.where(col("v") <= qv).count().toDouble / 50000
+        assert(math.abs(exact - q) <= 0.035,
+          s"quantile $q answered $qv with true rank $exact")
+      }
+    checkRank(df.groupBy("g").agg(kllAgg(col("v")).as("sk")))
+    checkRank(df.groupBy("g", "slice").agg(kllAgg(col("v")).as("sk"))
+      .groupBy("g").agg(kllMergeAgg(col("sk")).as("sk")))
+  }
+
+  test("rank and quantile are inverse up to the error bound") {
+    val df = (0 until 30000).map(i => ("g", (i * 7 % 30011).toDouble))
+      .toDF("g", "v")
+    val sk = df.groupBy("g").agg(kllAgg(col("v")).as("sk"))
+    for (q <- Seq(0.25, 0.75)) {
+      val qv = one(sk.select(kllQuantile(col("sk"), lit(q)).as("x")))
+      val r = one(sk.select(kllRank(col("sk"), lit(qv)).as("r")))
+      assert(math.abs(r - q) <= 0.035, s"rank(quantile($q)) = $r")
+    }
+  }
+
+  test("nulls ignored, integer inputs accepted, empty sketch reads null") {
+    val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(3L)))
+      .toDF("g", "v")
+    val sk = df.groupBy("g").agg(kllAgg(col("v")).as("sk"))
+    assert(one(sk.select(kllQuantile(col("sk"), lit(1.0)).as("q"))) === 3.0)
+    val empty = df.where(col("v").isNull && col("v").isNotNull)
+      .groupBy("g").agg(kllAgg(col("v")).as("sk"))
+    assert(empty.count() === 0) // no groups at all — nothing to read
+    val allNull = df.where(col("v").isNull)
+      .groupBy("g").agg(kllAgg(col("v")).as("sk"))
+      .select(kllQuantile(col("sk"), lit(0.5)).as("q"))
+    assert(allNull.collect()(0).isNullAt(0),
+      "quantile of an empty sketch must be null")
+  }
+
+  test("SQL surface: injected kll functions match the Column API") {
+    (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("kll_t")
+    val got = spark.sql(
+      """SELECT kll_quantile(kll_agg(v), 0.5d) AS p50,
+        |       kll_rank(kll_agg(v, 400), 250.0d) AS r
+        |FROM kll_t""".stripMargin).collect()(0)
+    // n=1000 > k: compacted, so budget-checked (values are uniform, so
+    // value error ≈ rank error × n)
+    assert(math.abs(got.getDouble(0) - 500.0) <= 35.0)
+    assert(math.abs(got.getDouble(1) - 0.25) <= 0.035)
+  }
+}
