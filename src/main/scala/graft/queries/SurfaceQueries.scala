@@ -258,7 +258,8 @@ object SurfaceQueries {
       },
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |       TRUE AS incremental_matches_direct, TRUE AS err_within_5pct
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      headline = true),
 
     // ---- order-independent dataset content fingerprint ------------------
     // Run-to-run reproducibility check: same rows in any order, any
@@ -361,6 +362,51 @@ object SurfaceQueries {
       },
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_vals,
         |  TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      headline = true),
+
+    // ---- KLL distribution drift detection -------------------------------
+    // The data-drift monitor of a production pipeline, from sketch state
+    // alone: split each type's values into two cohorts (even/odd
+    // event_id — a deterministic A/A split of this stationary fixture),
+    // sketch both, and take the max rank discrepancy of cohort B at
+    // cohort A's deciles — a sketch-space Kolmogorov–Smirnov statistic.
+    // Two same-source cohorts must sit within sketch error + the
+    // KS-scaled sampling noise, 0.035 + 1.95·sqrt(1/n_a + 1/n_b) (the
+    // n-dependence matters: an A/A split of 100-row cohorts legitimately
+    // wanders ~0.2); a drifted cohort would not. Counts are exact and
+    // oracled; the drift verdict is the boolean the sketch semantics
+    // guarantee. Composition this enables at 100 TB: cohort sketches are
+    // the PERSISTED per-day tables — drift checks replay over history
+    // without touching rows.
+    "q53_drift_detection" -> Q(
+      (s, dir) => {
+        import graft.plans.KllSketchExprs._
+        val ev = Lake(s, dir).events.where(col("value").isNotNull)
+          .select(col("event_type"), col("value"),
+            (pmod(col("event_id"), lit(2)) === 0).as("cohort_a"))
+        val sk = ev.groupBy("event_type").agg(
+          kllAgg(when(col("cohort_a"), col("value"))).as("ska"),
+          kllAgg(when(!col("cohort_a"), col("value"))).as("skb"),
+          sum(when(col("cohort_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("cohort_a"), 1L).otherwise(0L)).as("n_b"))
+        val drift = (1 to 9).map { d =>
+          val q = d / 10.0
+          abs(kllRank(col("skb"), kllQuantile(col("ska"), lit(q))) - lit(q))
+        }.reduce((a, b) => greatest(a, b))
+        val tol = lit(0.035) + lit(1.95) *
+          sqrt(lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+        sk.select(col("event_type"), col("n_a"), col("n_b"),
+            (drift <= tol).as("no_drift"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_a,
+        |  CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_b,
+        |  TRUE AS no_drift
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
 

@@ -69,6 +69,30 @@ class KllSpec extends AnyFunSuite {
       "quantile of an empty sketch must be null")
   }
 
+  test("drift statistic fires on a shifted cohort and not on an A/A split") {
+    // q53's statistic, sensitivity side: the registry gate can only
+    // prove the no-drift verdict on same-source cohorts; here a truly
+    // shifted cohort must cross the same threshold
+    def maxGap(a: Seq[Double], b: Seq[Double]): Double = {
+      val df = (a.map(("x", _, true)) ++ b.map(("x", _, false)))
+        .toDF("g", "v", "ca")
+      val sk = df.groupBy("g").agg(
+        kllAgg(when(col("ca"), col("v"))).as("ska"),
+        kllAgg(when(!col("ca"), col("v"))).as("skb"))
+      val gap = (1 to 9).map { d =>
+        val q = d / 10.0
+        abs(kllRank(col("skb"), kllQuantile(col("ska"), lit(q))) - lit(q))
+      }.reduce(greatest(_, _))
+      one(sk.select(gap.as("gap")))
+    }
+    val base = (0 until 4000).map(i => (i % 1000) * 10.0)
+    val tol = 0.035 + 1.95 * math.sqrt(2.0 / 4000)
+    assert(maxGap(base, base.map(_ + 0.5)) <= tol,
+      "near-identical cohorts must read as no-drift")
+    assert(maxGap(base, base.map(_ + 3000.0)) > tol,
+      "a 30%-shifted cohort must be flagged as drift")
+  }
+
   test("SQL surface: injected kll functions match the Column API") {
     (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
       .createOrReplaceTempView("kll_t")
