@@ -113,6 +113,50 @@ object SnapshotStream {
         applySketchBatch(batch, batchId, path, groupCols, valueCol)
       }
 
+  /** Continuous QUANTILE maintenance — the KLL sibling of
+    * [[distinctSketchStream]]: per-group value distributions (p50/p95
+    * latency to date) maintained as mergeable sketch state, no history
+    * re-scan. KLL merge is NOT idempotent (re-merging re-weights the
+    * same values), so this path leans on the batch-id guard the way
+    * [[aggSnapshot]] does — replay of an absorbed id is refused; read
+    * quantiles via [[graft.plans.KllSketchExprs.kllQuantile]]. */
+  def quantileSketchStream(updates: DataFrame, path: String,
+                           checkpoint: String, groupCols: Seq[String],
+                           valueCol: String): DataStreamWriter[Row] =
+    updates.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyQuantileBatch(batch, batchId, path, groupCols, valueCol)
+      }
+
+  /** One merge step of [[quantileSketchStream]]. */
+  def applyQuantileBatch(batch: DataFrame, batchId: Long, path: String,
+                         groupCols: Seq[String], valueCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.plans.KllSketchExprs
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(hPath)
+    val prev = if (exists) Some(spark.read.parquet(path)) else None
+    val applied = prev.flatMap(p =>
+      Option(p.agg(max(col("__last_batch"))).head.get(0))
+        .map(_.asInstanceOf[Long]))
+    if (applied.exists(batchId <= _)) return // already absorbed
+    val delta = batch.groupBy(groupCols.map(col): _*)
+      .agg(KllSketchExprs.kllAgg(col(valueCol)).as("kll"))
+    val merged = (prev match {
+      case Some(p) =>
+        p.select((groupCols.map(col) :+ col("kll")): _*)
+          .unionByName(delta)
+          .groupBy(groupCols.map(col): _*)
+          .agg(KllSketchExprs.kllMergeAgg(col("kll")).as("kll"))
+      case None => delta
+    }).withColumn("__last_batch", lit(batchId))
+      .localCheckpoint(eager = true)
+    merged.write.mode("overwrite").parquet(path)
+  }
+
   /** One merge step of [[distinctSketchStream]]; public so replay and
     * double-apply are testable (and for batch backfills). */
   def applySketchBatch(batch: DataFrame, batchId: Long, path: String,

@@ -473,4 +473,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(est() === Map("a" -> 4L, "b" -> 1L, "c" -> 1L),
       "idempotent union must absorb a duplicate delta unchanged")
   }
+
+  test("streaming quantile sketch tracks exact quantiles and refuses replays") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SnapshotStream
+    import graft.plans.KllSketchExprs._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = Files.createTempDirectory("kll_sink").toString + "/snap"
+    val ckpt = Files.createTempDirectory("kll_ckpt").toString
+    val input = MemoryStream[(String, Double)]
+    val q = SnapshotStream.quantileSketchStream(
+      input.toDF.toDF("g", "v"), sink, ckpt,
+      groupCols = Seq("g"), valueCol = "v").start()
+    def med() = spark.read.parquet(sink)
+      .select(col("g"), kllQuantile(col("kll"), lit(0.5)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    try {
+      // 1..50 across two batches: n < k, so quantiles are exact order
+      // statistics and the cross-batch merge is visible exactly
+      input.addData((1 to 25).map(i => ("g", i.toDouble)): _*)
+      q.processAllAvailable()
+      assert(med() === Map("g" -> 13.0))
+      input.addData((26 to 50).map(i => ("g", i.toDouble)): _*)
+      q.processAllAvailable()
+      assert(med() === Map("g" -> 25.0))
+    } finally q.stop()
+    // replay of an absorbed batch id must be refused (KLL merge is NOT
+    // idempotent — a re-merge would re-weight and shift the median)
+    SnapshotStream.applyQuantileBatch(
+      (26 to 50).map(i => ("g", i.toDouble)).toDF("g", "v"), batchId = 1L,
+      sink, Seq("g"), "v")
+    assert(med() === Map("g" -> 25.0), "replayed batch must not re-weight")
+    // a genuinely new batch still merges
+    SnapshotStream.applyQuantileBatch(
+      (51 to 100).map(i => ("g", i.toDouble)).toDF("g", "v"), batchId = 2L,
+      sink, Seq("g"), "v")
+    assert(med() === Map("g" -> 50.0))
+  }
 }
