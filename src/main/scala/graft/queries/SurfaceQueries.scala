@@ -410,6 +410,54 @@ object SurfaceQueries {
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ---- theta-sketch retention matrix ----------------------------------
+    // The product-analytics retention triangle ("of day-D actives, how
+    // many returned on day D+k") served ENTIRELY from per-day sketch
+    // state: one sketch per day, every (day, offset) cell a sketch
+    // intersection — no row ever re-read. This is q36_retention's
+    // question re-answered the way a 100 TB deployment would: the 30
+    // per-day sketches are what you'd persist (q49's playbook), and the
+    // whole matrix is |days|·maxOffset scalar set-ops on a broadcast
+    // 1-row-per-day aggregate — day count, not data size. The gate is
+    // exact by the ThetaSketchExprs exactness contract: max per-day
+    // distinct users is 1,356 at sf0.1, below the 2^12 nominal-entries
+    // threshold, so sketches and their intersections are exact integers.
+    "q54_theta_retention" -> Q(
+      (s, dir) => {
+        import graft.plans.ThetaSketchExprs._
+        val daily = Lake(s, dir).events
+          .select(expr("(ts DIV 1000) DIV 86400000000").as("day"),
+            col("user_id"))
+          .groupBy("day")
+          .agg(thetaSketchAgg(col("user_id")).as("sk"))
+        val a = daily.select(col("day").as("day_0"), col("sk").as("ska"))
+        val b = daily.select(col("day").as("day_k"), col("sk").as("skb"))
+        a.join(broadcast(b),
+            col("day_k") - col("day_0") >= 1 &&
+              col("day_k") - col("day_0") <= 7)
+          .select(col("day_0"),
+            (col("day_k") - col("day_0")).cast("int").as("offset_days"),
+            thetaEstimate(col("ska")).as("n_day0"),
+            thetaEstimate(thetaIntersect(col("ska"), col("skb")))
+              .as("n_retained"))
+          .orderBy("day_0", "offset_days")
+      },
+      """WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |                           user_id FROM events),
+        |cnt AS (SELECT day, count(*) AS n FROM e GROUP BY day),
+        |pairs AS (SELECT a.day AS day_0, b.day AS day_k, a.n AS n_day0
+        |          FROM cnt a JOIN cnt b
+        |            ON b.day - a.day BETWEEN 1 AND 7),
+        |ov AS (SELECT x.day AS day_0, y.day AS day_k, count(*) AS nr
+        |       FROM e x JOIN e y USING (user_id)
+        |       WHERE y.day - x.day BETWEEN 1 AND 7 GROUP BY 1, 2)
+        |SELECT p.day_0, CAST(p.day_k - p.day_0 AS INTEGER) AS offset_days,
+        |  CAST(p.n_day0 AS BIGINT) AS n_day0,
+        |  CAST(COALESCE(ov.nr, 0) AS BIGINT) AS n_retained
+        |FROM pairs p LEFT JOIN ov
+        |  ON ov.day_0 = p.day_0 AND ov.day_k = p.day_k
+        |ORDER BY p.day_0, offset_days""".stripMargin),
+
     // ---- array scalar functions over tokenized text ---------------------
     "q28_array_funcs" -> Q(
       (s, dir) => {

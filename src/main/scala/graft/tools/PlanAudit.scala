@@ -51,6 +51,9 @@ object PlanAudit {
     // q51: |event_types|² pair join over a broadcast per-type sketch
     // aggregate — bounded by the type domain, never data-sized
     "q51_theta_segments",
+    // q54: |days|·maxOffset pair join over a broadcast per-day sketch
+    // aggregate — bounded by the calendar, never data-sized
+    "q54_theta_retention",
     "q43_skew_stats")
 
   private val allowedGlobalWindow = Set.empty[String]

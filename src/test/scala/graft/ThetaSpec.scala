@@ -108,6 +108,32 @@ class ThetaSpec extends AnyFunSuite {
         .collect()(0).getLong(0))
   }
 
+  test("retention matrix from sketches equals the exact intersect (q54 law)") {
+    // Known activity grid: user u is active on day d iff d % (u+1) == 0.
+    // Small enough to recompute exactly in-test, irregular enough that
+    // every (day, offset) cell differs.
+    val activity = for {
+      u <- 0L until 40L
+      d <- 0L until 10L
+      if d % (u + 1) == 0
+    } yield (d, u)
+    val df = activity.toDF("day", "user_id")
+    import org.apache.spark.sql.functions.broadcast
+    val daily = df.groupBy("day").agg(thetaSketchAgg(col("user_id")).as("sk"))
+    val a = daily.select(col("day").as("day_0"), col("sk").as("ska"))
+    val b = daily.select(col("day").as("day_k"), col("sk").as("skb"))
+    val got = a.join(broadcast(b),
+        col("day_k") - col("day_0") >= 1 && col("day_k") - col("day_0") <= 3)
+      .select(col("day_0"), (col("day_k") - col("day_0")).as("off"),
+        thetaEstimate(thetaIntersect(col("ska"), col("skb"))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byDay = activity.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      d0 <- 0L until 10L; k <- 1L to 3L; if d0 + k < 10L
+    } yield (d0, k) -> (byDay(d0) & byDay(d0 + k)).size.toLong).toMap
+    assert(got === want)
+  }
+
   test("nulls are ignored; string keys sketch like longs count them") {
     val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L)), ("g", Some(1L)))
       .toDF("g", "v")
