@@ -458,6 +458,46 @@ object SurfaceQueries {
         |  ON ov.day_0 = p.day_0 AND ov.day_k = p.day_k
         |ORDER BY p.day_0, offset_days""".stripMargin),
 
+    // ---- sketch-served rolling actives (DAU / trailing-7-day WAU) -------
+    // q54's sliding-window counterpart: the same persisted per-day user
+    // sketches, composed with UNION instead of intersect — each day's
+    // trailing-7-day active count is one theta_union_agg over ≤7 sketch
+    // rows, so the whole DAU/WAU series costs |days|·7 sketch merges and
+    // never re-reads a row. The window self-join is broadcast and
+    // calendar-bounded (same audit class as q54); windows at the start
+    // of history are clipped to the data on both sides identically.
+    // Exactness: the 7-day unions peak at the total user count (1,500 at
+    // sf0.1) < 2^12, so every estimate is an exact integer.
+    "q55_rolling_actives" -> Q(
+      (s, dir) => {
+        import graft.plans.ThetaSketchExprs._
+        val daily = Lake(s, dir).events
+          .select(expr("(ts DIV 1000) DIV 86400000000").as("day"),
+            col("user_id"))
+          .groupBy("day")
+          .agg(thetaSketchAgg(col("user_id")).as("sk"))
+        val w = daily.select(col("day").as("day_w"), col("sk").as("skw"))
+        daily.select(col("day"))
+          .join(broadcast(w),
+            col("day_w") >= col("day") - 6 && col("day_w") <= col("day"))
+          .groupBy("day")
+          .agg(
+            thetaEstimate(thetaUnionAgg(
+              when(col("day_w") === col("day"), col("skw")))).as("dau"),
+            thetaEstimate(thetaUnionAgg(col("skw"))).as("wau"))
+          .orderBy("day")
+      },
+      """WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |                           user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM e),
+        |dau AS (SELECT day, count(*) AS n FROM e GROUP BY day)
+        |SELECT d.day, CAST(dau.n AS BIGINT) AS dau,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+        |FROM days d
+        |JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        |JOIN dau ON dau.day = d.day
+        |GROUP BY d.day, dau.n ORDER BY d.day""".stripMargin),
+
     // ---- array scalar functions over tokenized text ---------------------
     "q28_array_funcs" -> Q(
       (s, dir) => {

@@ -54,6 +54,8 @@ object PlanAudit {
     // q54: |days|·maxOffset pair join over a broadcast per-day sketch
     // aggregate — bounded by the calendar, never data-sized
     "q54_theta_retention",
+    // q55: same calendar-bounded broadcast window self-join as q54
+    "q55_rolling_actives",
     "q43_skew_stats")
 
   private val allowedGlobalWindow = Set.empty[String]

@@ -134,6 +134,36 @@ class ThetaSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("rolling DAU/WAU from sketch unions equals the exact window (q55 law)") {
+    // Same activity grid as the q54 law; trailing-3-day windows, clipped
+    // at history start. Also pins that theta_union_agg skips the nulls a
+    // when() without otherwise produces (the q55 single-pass DAU trick).
+    val activity = for {
+      u <- 0L until 40L
+      d <- 0L until 10L
+      if d % (u + 1) == 0
+    } yield (d, u)
+    val df = activity.toDF("day", "user_id")
+    import org.apache.spark.sql.functions.broadcast
+    val daily = df.groupBy("day").agg(thetaSketchAgg(col("user_id")).as("sk"))
+    val w = daily.select(col("day").as("day_w"), col("sk").as("skw"))
+    val got = daily.select(col("day"))
+      .join(broadcast(w),
+        col("day_w") >= col("day") - 2 && col("day_w") <= col("day"))
+      .groupBy("day")
+      .agg(
+        thetaEstimate(thetaUnionAgg(
+          when(col("day_w") === col("day"), col("skw")))).as("dau"),
+        thetaEstimate(thetaUnionAgg(col("skw"))).as("wau"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byDay = activity.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (0L until 10L).map { d =>
+      val win = (math.max(0L, d - 2) to d).flatMap(byDay.getOrElse(_, Set.empty)).toSet
+      d -> (byDay(d).size.toLong, win.size.toLong)
+    }.toMap
+    assert(got === want)
+  }
+
   test("nulls are ignored; string keys sketch like longs count them") {
     val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L)), ("g", Some(1L)))
       .toDF("g", "v")
