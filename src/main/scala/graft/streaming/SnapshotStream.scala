@@ -157,6 +157,56 @@ object SnapshotStream {
     merged.write.mode("overwrite").parquet(path)
   }
 
+  /** Continuous SEGMENT-SKETCH maintenance — the theta member of the
+    * sketch-maintenance trio ([[distinctSketchStream]] = HLL counts,
+    * [[quantileSketchStream]] = KLL distributions). What the extra state
+    * size buys over HLL: the stored per-group sketches support set
+    * ALGEBRA at read time — retention (q54), segment overlap (q51) and
+    * rolling actives (q55) become pure reads over this table via
+    * [[graft.plans.ThetaSketchExprs.thetaIntersect]]/`thetaUnionAgg`,
+    * never re-scanning history. Theta union is idempotent (a distinct
+    * hash set: re-unioning absorbed data is a no-op), so like the HLL
+    * path this survives double-applied backfills beyond the batch-id
+    * guard. State schema: group cols + BINARY `theta` + `__last_batch`. */
+  def segmentSketchStream(updates: DataFrame, path: String,
+                          checkpoint: String, groupCols: Seq[String],
+                          valueCol: String): DataStreamWriter[Row] =
+    updates.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySegmentBatch(batch, batchId, path, groupCols, valueCol)
+      }
+
+  /** One merge step of [[segmentSketchStream]]; public so replay and
+    * double-apply are testable (and for batch backfills). */
+  def applySegmentBatch(batch: DataFrame, batchId: Long, path: String,
+                        groupCols: Seq[String], valueCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.plans.ThetaSketchExprs
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(hPath)
+    val prev = if (exists) Some(spark.read.parquet(path)) else None
+    val applied = prev.flatMap(p =>
+      Option(p.agg(max(col("__last_batch"))).head.get(0))
+        .map(_.asInstanceOf[Long]))
+    if (applied.exists(batchId <= _)) return // already absorbed
+    val delta = batch.groupBy(groupCols.map(col): _*)
+      .agg(ThetaSketchExprs.thetaSketchAgg(col(valueCol)).as("theta"))
+    val merged = (prev match {
+      case Some(p) =>
+        p.select((groupCols.map(col) :+ col("theta")): _*)
+          .unionByName(delta)
+          .groupBy(groupCols.map(col): _*)
+          .agg(ThetaSketchExprs.thetaUnionAgg(col("theta")).as("theta"))
+      case None => delta
+    }).withColumn("__last_batch", lit(batchId))
+      // a path cannot be overwritten while a plan still reads it
+      .localCheckpoint(eager = true)
+    merged.write.mode("overwrite").parquet(path)
+  }
+
   /** One merge step of [[distinctSketchStream]]; public so replay and
     * double-apply are testable (and for batch backfills). */
   def applySketchBatch(batch: DataFrame, batchId: Long, path: String,

@@ -474,6 +474,52 @@ class StreamingSpec extends AnyFunSuite {
       "idempotent union must absorb a duplicate delta unchanged")
   }
 
+  test("streaming segment sketch serves retention reads and shrugs off replays") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SnapshotStream
+    import graft.plans.ThetaSketchExprs._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = Files.createTempDirectory("theta_sink").toString + "/snap"
+    val ckpt = Files.createTempDirectory("theta_ckpt").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = SnapshotStream.segmentSketchStream(
+      input.toDF.toDF("day", "user_id"), sink, ckpt,
+      groupCols = Seq("day"), valueCol = "user_id").start()
+    // retention cell read straight off the stored sketch table: of day-0
+    // actives, how many were also active on day 1
+    def retained(): Long = {
+      val st = spark.read.parquet(sink)
+      st.where(col("day") === 0L).select(col("theta").as("ska"))
+        .crossJoin(st.where(col("day") === 1L).select(col("theta").as("skb")))
+        .select(thetaEstimate(thetaIntersect(col("ska"), col("skb"))).as("n"))
+        .collect()(0).getLong(0)
+    }
+    try {
+      // batch 0: day 0 = {1,2,3}, day 1 = {2}
+      input.addData((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L))
+      q.processAllAvailable()
+      assert(retained() === 1L)
+      // batch 1: day 1 gains {3, 9} — retained grows to {2, 3}
+      input.addData((1L, 3L), (1L, 9L))
+      q.processAllAvailable()
+      assert(retained() === 2L)
+    } finally q.stop()
+    // crash-replay of an absorbed batch id: guarded no-op
+    SnapshotStream.applySegmentBatch(
+      Seq((1L, 3L), (1L, 9L)).toDF("day", "user_id"), batchId = 1L,
+      sink, Seq("day"), "user_id")
+    assert(retained() === 2L)
+    // theta union is idempotent: a double-applied backfill under a fresh
+    // batch id cannot corrupt the distinct sets either
+    SnapshotStream.applySegmentBatch(
+      Seq((1L, 3L), (1L, 9L)).toDF("day", "user_id"), batchId = 2L,
+      sink, Seq("day"), "user_id")
+    assert(retained() === 2L,
+      "idempotent theta union must absorb a duplicate delta unchanged")
+  }
+
   test("streaming quantile sketch tracks exact quantiles and refuses replays") {
     import java.nio.file.Files
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
