@@ -1279,5 +1279,71 @@ object TextQueries {
           |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 4) + 0.0
           |    AS entropy
           |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- BPE tokenizer induction ----------------------------------------
+    // Learn the top-8 byte-pair merges from the corpus
+    // (operators/Tokenizer.bpeTrain) — the "train the tokenizer" step,
+    // hash-exact against an oracle that replays the SAME relational
+    // algebra per round as 8 generated CTE blocks (pair count -> argmax
+    // -> island-parity greedy application). The loop runs over the
+    // word-FREQUENCY table, never the corpus, and each round hands the
+    // driver exactly one argmax row; see the Tokenizer scaladoc for the
+    // 100 TB argument.
+    "t34_bpe_train" -> Q(
+      (s, dir) => graft.operators.Tokenizer
+        .bpeTrain(docs(s, dir), "text", nMerges = 8),
+      Some(bpeOracle(8))),
   )
+
+  /** Generates the chained-CTE DuckDB replay of `Tokenizer.bpeTrain`:
+    * one (pairs, best, matches, islands, kept, state') block per merge
+    * round, mirroring the Spark plan construct-for-construct so the
+    * whole iterative training run is hash-compared, not spot-checked. */
+  private def bpeOracle(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w AS (
+      |  SELECT w AS word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |    FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |s0 AS MATERIALIZED (
+      |  SELECT word, freq, pos, substr(word, CAST(pos AS INTEGER), 1) AS sym
+      |  FROM (SELECT word, freq,
+      |          unnest(generate_series(1, len(word))) AS pos FROM w))""".stripMargin
+    for (k <- 1 to nMerges) {
+      val pv = k - 1
+      sb ++= s""",
+        |p$k AS (SELECT s.sym AS l, n.sym AS r, sum(s.freq) AS cnt
+        |  FROM s$pv s JOIN s$pv n ON n.word = s.word AND n.pos = s.pos + 1
+        |  GROUP BY 1, 2),
+        |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+        |m$k AS (SELECT s.word, s.pos
+        |  FROM s$pv s JOIN s$pv n ON n.word = s.word AND n.pos = s.pos + 1
+        |  CROSS JOIN b$k WHERE s.sym = b$k.l AND n.sym = b$k.r),
+        |i$k AS (SELECT word, pos,
+        |  pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS g
+        |  FROM m$k),
+        |k$k AS MATERIALIZED (SELECT word, pos FROM (
+        |    SELECT word, pos, min(pos) OVER (PARTITION BY word, g) AS g0
+        |    FROM i$k)
+        |  WHERE (pos - g0) % 2 = 0),
+        |s$k AS MATERIALIZED (SELECT word, freq,
+        |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+        |  FROM (
+        |    SELECT s.word, s.freq, s.pos,
+        |      CASE WHEN kk.pos IS NOT NULL THEN s.sym || n.sym ELSE s.sym END
+        |        AS sym
+        |    FROM s$pv s
+        |    LEFT JOIN k$k kk ON kk.word = s.word AND kk.pos = s.pos
+        |    LEFT JOIN s$pv n ON n.word = s.word AND n.pos = s.pos + 1
+        |    LEFT JOIN k$k kp ON kp.word = s.word AND kp.pos = s.pos - 1
+        |    WHERE kp.pos IS NULL))""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to nMerges).map { k =>
+      s"SELECT CAST($k AS INTEGER) AS merge_rank, l AS lhs, r AS rhs," +
+        s" CAST(cnt AS BIGINT) AS pair_count FROM b$k"
+    }.mkString("", "\nUNION ALL ", "\nORDER BY merge_rank")
+    sb.toString
+  }
 }
