@@ -138,6 +138,10 @@ object Tokenizer {
           when(col("is_k"), concat(col("sym"), col("nsym")))
             .otherwise(col("sym")).as("sym"))
         .withColumn("pos", row_number().over(byWord))
+        // same lineage-truncation discipline as bpeTrain: without it the
+        // per-round window+join stack compounds into an
+        // exponentially-growing plan the optimizer chokes on
+        .localCheckpoint(true)
     }
     state.select(col("word"), col("pos"), col("sym"))
   }

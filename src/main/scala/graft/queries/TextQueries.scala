@@ -1293,13 +1293,67 @@ object TextQueries {
       (s, dir) => graft.operators.Tokenizer
         .bpeTrain(docs(s, dir), "text", nMerges = 8),
       Some(bpeOracle(8))),
+
+    // ---- BPE corpus tokenization ----------------------------------------
+    // The production "tokenize the corpus" step with the t34 model: the
+    // learned merges (a bounded 8-row driver parameter — the model) are
+    // replayed over the DISTINCT-WORD table only (Tokenizer.bpeSegment),
+    // and the corpus is tokenized by one hash join of the document word
+    // stream against that per-word symbol count — the corpus is never
+    // touched by the iterative part. Oracle: the same generated CTE
+    // replay, final state joined back to the unnested word stream.
+    "t35_bpe_encode" -> Q(
+      (s, dir) => {
+        import graft.operators.Tokenizer
+        val d = docs(s, dir)
+        val merges = Tokenizer.bpeTrain(d, "text", nMerges = 8)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        val docWords = d
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+          .where(length(col("word")) > 0)
+        val segCounts = Tokenizer
+          .bpeSegment(docWords.select("word"), "word", merges)
+          .groupBy("word").agg(count(lit(1)).as("n_syms"))
+        docWords.join(segCounts, Seq("word"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_syms")).as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(bpeEncodeOracle(8))),
   )
+
+  private def bpeEncodeOracle(nMerges: Int): String =
+    bpeCtes(nMerges) + s""",
+      |wc AS (SELECT word, count(*) AS n_syms FROM s$nMerges GROUP BY word),
+      |dw AS (SELECT doc_id, w AS word FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |    FROM documents)
+      |  WHERE len(w) > 0)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+      |FROM dw JOIN wc USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Generates the chained-CTE DuckDB replay of `Tokenizer.bpeTrain`:
     * one (pairs, best, matches, islands, kept, state') block per merge
     * round, mirroring the Spark plan construct-for-construct so the
-    * whole iterative training run is hash-compared, not spot-checked. */
-  private def bpeOracle(nMerges: Int): String = {
+    * whole iterative training run is hash-compared, not spot-checked.
+    * The re-referenced per-round CTEs are MATERIALIZED — default
+    * inlining would re-expand each round's state into its ~5 readers
+    * and blow up 5^rounds. */
+  private def bpeOracle(nMerges: Int): String =
+    bpeCtes(nMerges) + "\n" +
+      (1 to nMerges).map { k =>
+        s"SELECT CAST($k AS INTEGER) AS merge_rank, l AS lhs, r AS rhs," +
+          s" CAST(cnt AS BIGINT) AS pair_count FROM b$k"
+      }.mkString("", "\nUNION ALL ", "\nORDER BY merge_rank")
+
+  /** The shared WITH-chain: w, s0, then per round k the
+    * (p, b, m, i, k, s) block, ending at state s&lt;nMerges&gt;. */
+  private def bpeCtes(nMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w AS (
       |  SELECT w AS word, count(*) AS freq FROM (
@@ -1339,11 +1393,6 @@ object TextQueries {
         |    LEFT JOIN k$k kp ON kp.word = s.word AND kp.pos = s.pos - 1
         |    WHERE kp.pos IS NULL))""".stripMargin
     }
-    sb ++= "\n"
-    sb ++= (1 to nMerges).map { k =>
-      s"SELECT CAST($k AS INTEGER) AS merge_rank, l AS lhs, r AS rhs," +
-        s" CAST(cnt AS BIGINT) AS pair_count FROM b$k"
-    }.mkString("", "\nUNION ALL ", "\nORDER BY merge_rank")
     sb.toString
   }
 }
