@@ -1322,6 +1322,92 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some(bpeEncodeOracle(8))),
+
+    // ---- equi-depth length histogram ------------------------------------
+    // Per-source decile binning of document length — the equi-DEPTH
+    // counterpart of t20's fixed-width histogram, and the exact-answer
+    // anchor for q25b's approximate quantiles. ntile is engine-portable
+    // once the order is total: (length, doc_id) breaks ties
+    // deterministically in both engines. The window is partitioned by
+    // source — parallel across sources; at 100 TB you'd range-partition
+    // within source first (the t18 two-phase playbook) if a single
+    // source outgrew a partition.
+    "t36_equidepth_hist" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("len"), col("doc_id"))
+        Lake(s, dir).documents
+          .select(col("source"), col("doc_id"),
+            length(col("text")).as("len"))
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("source", "decile")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+          .orderBy("source", "decile")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT source, doc_id, len(text) AS len,
+          |    ntile(10) OVER (PARTITION BY source ORDER BY len(text), doc_id)
+          |      AS decile
+          |  FROM documents)
+          |SELECT source, decile, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(min(len) AS INTEGER) AS min_len,
+          |  CAST(max(len) AS INTEGER) AS max_len
+          |FROM d GROUP BY source, decile
+          |ORDER BY source, decile""".stripMargin)),
+
+    // ---- Spearman rank correlation --------------------------------------
+    // Per-source monotonic association between document volume (token
+    // count) and lexical diversity (type-token ratio): Spearman = Pearson
+    // over tie-AVERAGED ranks, the statistic that survives the heavy
+    // length ties a real corpus has. Average rank for a tie group =
+    // rank() + (|ties|-1)/2 — pure per-source window algebra; corr() is
+    // the engines' shared sample-Pearson aggregate. Rounded at 4
+    // decimals (double partial-agg order, the t21 ulp argument).
+    "t37_spearman" -> Q(
+      (s, dir) => {
+        val toks = split(lower(trim(col("text"))), "\\s+")
+        val base = Lake(s, dir).documents
+          .select(col("source"), col("doc_id"),
+            size(toks).cast(DoubleType).as("x"),
+            (size(array_distinct(toks)).cast(DoubleType) / size(toks))
+              .as("y"))
+        def avgRank(c: String) = {
+          val rk = org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy(col(c))
+          val ties = org.apache.spark.sql.expressions.Window
+            .partitionBy("source", c)
+          rank().over(rk) + (count(lit(1)).over(ties) - 1) / lit(2.0)
+        }
+        base
+          .withColumn("rx", avgRank("x"))
+          .withColumn("ry", avgRank("y"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            (round(corr(col("rx"), col("ry")), 4) + lit(0.0))
+              .as("spearman"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT source, doc_id,
+          |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+          |      AS x,
+          |    CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+          |        AS DOUBLE)
+          |      / len(string_split_regex(lower(trim(text)), '\s+')) AS y
+          |  FROM documents),
+          |r AS (
+          |  SELECT source,
+          |    rank() OVER (PARTITION BY source ORDER BY x)
+          |      + (count(*) OVER (PARTITION BY source, x) - 1) / 2.0 AS rx,
+          |    rank() OVER (PARTITION BY source ORDER BY y)
+          |      + (count(*) OVER (PARTITION BY source, y) - 1) / 2.0 AS ry
+          |  FROM b)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  round(corr(rx, ry), 4) + 0.0 AS spearman
+          |FROM r GROUP BY source ORDER BY source""".stripMargin)),
   )
 
   private def bpeEncodeOracle(nMerges: Int): String =
