@@ -109,6 +109,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"kll_rank takes exactly 2 arguments, got ${exprs.length}")
         KllRank(exprs(0), exprs(1))
       }))
+    // frequent-items family (FreqSketchExprs); optional second argument
+    // on the aggregates = maxMapSize, a foldable power-of-2 int literal
+    def mapSize(exprs: Seq[Expression], fn: String): Int =
+      if (exprs.length < 2) 256
+      else { require(exprs(1).foldable, s"$fn maxMapSize must be a literal")
+        exprs(1).eval().asInstanceOf[Number].intValue() }
+    e.injectFunction((
+      FunctionIdentifier("freq_sketch_agg"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"freq_sketch_agg takes 1-2 arguments, got ${exprs.length}")
+        FreqSketchAgg(exprs.head, mapSize(exprs, "freq_sketch_agg"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("freq_merge_agg"),
+      new ExpressionInfo(classOf[FreqMergeAgg].getName, "freq_merge_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"freq_merge_agg takes 1-2 arguments, got ${exprs.length}")
+        FreqMergeAgg(exprs.head, mapSize(exprs, "freq_merge_agg"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("freq_top_items"),
+      new ExpressionInfo(classOf[FreqTopItems].getName, "freq_top_items"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"freq_top_items takes exactly 2 arguments, got ${exprs.length}")
+        FreqTopItems(exprs(0), exprs(1))
+      }))
     // opt-in via spark.graft.rewriteOrJoin (see OrEquiJoinRule scaladoc)
     e.injectOptimizerRule(_ => OrEquiJoinRule)
   }

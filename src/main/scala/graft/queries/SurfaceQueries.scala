@@ -498,6 +498,43 @@ object SurfaceQueries {
         |JOIN dau ON dau.day = d.day
         |GROUP BY d.day, dau.n ORDER BY d.day""".stripMargin),
 
+    // ---- frequency-sketch heavy hitters ---------------------------------
+    // Per-source top-5 tokens read off Misra–Gries frequency-sketch
+    // state (plans/FreqSketchExprs) — the fourth mergeable summary
+    // (HLL count / theta algebra / KLL quantiles / here: WHICH items
+    // dominate). The gate is exact by the counter contract: each
+    // source's distinct-token count (31 repo-wide) sits far under the
+    // 0.75·256 counter budget, so no purge ever fires and every
+    // estimate is the exact count, deterministic under any partitioning;
+    // the (est DESC, item ASC) read order is total, so so is the output.
+    "q56_freq_topk" -> Q(
+      (s, dir) => {
+        import graft.plans.FreqSketchExprs._
+        Lake(s, dir).documents
+          .select(col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+          .groupBy("source")
+          .agg(freqSketchAgg(col("t")).as("sk"))
+          .select(col("source"),
+            posexplode(freqTopItems(col("sk"), lit(5))))
+          .select(col("source"), (col("pos") + 1).as("rnk"),
+            col("col.item").as("token"), col("col.est").as("cnt"))
+          .orderBy("source", "rnk")
+      },
+      """WITH tc AS (
+        |  SELECT source, w, count(*) AS cnt FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT source, w, cnt,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY cnt DESC, w) AS rnk
+        |      FROM tc)
+        |SELECT source, CAST(rnk AS INTEGER) AS rnk, w AS token,
+        |  CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin),
+
     // ---- array scalar functions over tokenized text ---------------------
     "q28_array_funcs" -> Q(
       (s, dir) => {
