@@ -157,6 +157,54 @@ object SnapshotStream {
     merged.write.mode("overwrite").parquet(path)
   }
 
+  /** Continuous HEAVY-HITTER maintenance — the frequent-items member of
+    * the sketch-maintenance family: per-group top-item state
+    * (plans/FreqSketchExprs) updated per micro-batch, read via
+    * `freq_top_items` with no history re-scan. Frequency-sketch merge
+    * ADDS counts, so like KLL it is NOT idempotent — replay of an
+    * absorbed batch id is refused by the guard; unlike the HLL/theta
+    * unions there is no safety net beyond it, which is exactly the
+    * asymmetry the specs pin. State: group cols + BINARY `freq` +
+    * `__last_batch`. */
+  def freqSketchStream(updates: DataFrame, path: String,
+                       checkpoint: String, groupCols: Seq[String],
+                       valueCol: String): DataStreamWriter[Row] =
+    updates.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyFreqBatch(batch, batchId, path, groupCols, valueCol)
+      }
+
+  /** One merge step of [[freqSketchStream]]; public so replay is
+    * testable (and for batch backfills). */
+  def applyFreqBatch(batch: DataFrame, batchId: Long, path: String,
+                     groupCols: Seq[String], valueCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.plans.FreqSketchExprs
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(hPath)
+    val prev = if (exists) Some(spark.read.parquet(path)) else None
+    val applied = prev.flatMap(p =>
+      Option(p.agg(max(col("__last_batch"))).head.get(0))
+        .map(_.asInstanceOf[Long]))
+    if (applied.exists(batchId <= _)) return // already absorbed
+    val delta = batch.groupBy(groupCols.map(col): _*)
+      .agg(FreqSketchExprs.freqSketchAgg(col(valueCol)).as("freq"))
+    val merged = (prev match {
+      case Some(p) =>
+        p.select((groupCols.map(col) :+ col("freq")): _*)
+          .unionByName(delta)
+          .groupBy(groupCols.map(col): _*)
+          .agg(FreqSketchExprs.freqMergeAgg(col("freq")).as("freq"))
+      case None => delta
+    }).withColumn("__last_batch", lit(batchId))
+      // a path cannot be overwritten while a plan still reads it
+      .localCheckpoint(eager = true)
+    merged.write.mode("overwrite").parquet(path)
+  }
+
   /** Continuous SEGMENT-SKETCH maintenance — the theta member of the
     * sketch-maintenance trio ([[distinctSketchStream]] = HLL counts,
     * [[quantileSketchStream]] = KLL distributions). What the extra state

@@ -474,6 +474,46 @@ class StreamingSpec extends AnyFunSuite {
       "idempotent union must absorb a duplicate delta unchanged")
   }
 
+  test("streaming frequency sketch tracks exact heavy hitters and refuses replays") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SnapshotStream
+    import graft.plans.FreqSketchExprs._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = Files.createTempDirectory("freq_sink").toString + "/snap"
+    val ckpt = Files.createTempDirectory("freq_ckpt").toString
+    val input = MemoryStream[(String, String)]
+    val q = SnapshotStream.freqSketchStream(
+      input.toDF.toDF("g", "t"), sink, ckpt,
+      groupCols = Seq("g"), valueCol = "t").start()
+    def top(): Seq[(String, Long)] = spark.read.parquet(sink)
+      .select(posexplode(freqTopItems(col("freq"), lit(3))))
+      .orderBy("pos").collect()
+      .map(r => (r.getStruct(1).getString(0), r.getStruct(1).getLong(1))).toSeq
+    try {
+      input.addData(("g", "a"), ("g", "a"), ("g", "b"))
+      q.processAllAvailable()
+      assert(top() === Seq(("a", 2L), ("b", 1L)))
+      // cross-batch accumulation: counts ADD (unlike the distinct sketches)
+      input.addData(("g", "b"), ("g", "b"), ("g", "c"))
+      q.processAllAvailable()
+      assert(top() === Seq(("b", 3L), ("a", 2L), ("c", 1L)))
+    } finally q.stop()
+    // replay of an absorbed batch id must be refused — frequency merge
+    // is additive, a re-merge would double-count
+    SnapshotStream.applyFreqBatch(
+      Seq(("g", "b"), ("g", "b"), ("g", "c")).toDF("g", "t"), batchId = 1L,
+      sink, Seq("g"), "t")
+    assert(top() === Seq(("b", 3L), ("a", 2L), ("c", 1L)),
+      "replayed batch must not double-count")
+    // a genuinely new batch still merges
+    SnapshotStream.applyFreqBatch(
+      Seq(("g", "c"), ("g", "c"), ("g", "c")).toDF("g", "t"), batchId = 2L,
+      sink, Seq("g"), "t")
+    assert(top() === Seq(("c", 4L), ("b", 3L), ("a", 2L)))
+  }
+
   test("streaming segment sketch serves retention reads and shrugs off replays") {
     import java.nio.file.Files
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
