@@ -236,6 +236,30 @@ class OperatorLawsSpec extends AnyFunSuite {
       col("lang") === "en", "doc_id", "text").count() === 0)
   }
 
+  test("round-7 operators degrade cleanly on empty inputs") {
+    import graft.operators.Tokenizer
+    import graft.plans.FreqSketchExprs._
+    import graft.plans.ThetaSketchExprs._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // no corpus -> no merges learned, and segmenting nothing is nothing
+    assert(Tokenizer.bpeTrain(noDocs, "text", 4).count() === 0)
+    assert(Tokenizer.bpeSegment(noDocs.select(col("text").as("word")),
+      "word", Seq(("a", "b"))).count() === 0)
+    // sketch aggregates over zero rows: empty group set, no exceptions
+    val noEv = Seq.empty[(Long, String)].toDF("user_id", "event_type")
+    assert(noEv.groupBy("event_type")
+      .agg(thetaEstimate(thetaSketchAgg(col("user_id"))).as("n"))
+      .count() === 0)
+    assert(noEv.groupBy("event_type")
+      .agg(freqTopItems(freqSketchAgg(col("event_type")), lit(3)).as("top"))
+      .count() === 0)
+    // a global (no-group) frequency sketch of nothing: empty top list
+    val top = Seq.empty[(String, String)].toDF("g", "t")
+      .agg(freqTopItems(freqSketchAgg(col("t")), lit(3)).as("top"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(top.isEmpty)
+  }
+
   test("repetition fractions match hand-computed values on pinned docs") {
     import graft.functions.TextFunctions._
     val df = Seq(
