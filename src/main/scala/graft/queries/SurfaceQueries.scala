@@ -498,6 +498,50 @@ object SurfaceQueries {
         |JOIN dau ON dau.day = d.day
         |GROUP BY d.day, dau.n ORDER BY d.day""".stripMargin),
 
+    // ---- sketch-served rolling quantiles --------------------------------
+    // q55's trick applied to DISTRIBUTIONS: per-day KLL sketches of
+    // event value, merged over a trailing-7-day calendar window
+    // (kll_merge_agg over the same broadcast day-pair join), read at
+    // p95. At 100 TB the per-day sketch table is what you persist; the
+    // whole rolling series costs |days|·7 sketch merges. KLL compaction
+    // is randomized, so the gate checks the q52 guarantee: the EXACT
+    // rank of the sketch's answer within the true window rows, within
+    // 0.035 (2× the k=200 a-priori bound) — recomputed by re-joining
+    // the rows to their windows (an events×7 map, linear). Window
+    // counts are exact and oracled; DuckDB pins the boolean true.
+    "q57_rolling_p95" -> Q(
+      (s, dir) => {
+        import graft.plans.KllSketchExprs._
+        val ev = Lake(s, dir).events.where(col("value").isNotNull)
+          .select(expr("(ts DIV 1000) DIV 86400000000").as("day"),
+            col("value"))
+        val daily = ev.groupBy("day").agg(kllAgg(col("value")).as("sk"))
+        val w = daily.select(col("day").as("day_w"), col("sk").as("skw"))
+        val rolled = daily.select(col("day"))
+          .join(broadcast(w),
+            col("day_w") >= col("day") - 6 && col("day_w") <= col("day"))
+          .groupBy("day")
+          .agg(kllQuantile(kllMergeAgg(col("skw")), lit(0.95)).as("p95"))
+        // exact-rank audit of the sketch answer over the true window
+        val wd = rolled.select(col("day").as("day_c"), col("p95"))
+        ev.join(broadcast(wd),
+            col("day") >= col("day_c") - 6 && col("day") <= col("day_c"))
+          .groupBy(col("day_c").as("day"))
+          .agg(count(lit(1)).as("n_7d"),
+            (sum(when(col("value") <= col("p95"), 1L)).cast("double")
+              / count(lit(1))).as("r95"))
+          .select(col("day"), col("n_7d"),
+            (abs(col("r95") - 0.95) <= 0.035).as("p95_rank_ok"))
+          .orderBy("day")
+      },
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, value
+        |           FROM events WHERE value IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM e)
+        |SELECT d.day, CAST(count(*) AS BIGINT) AS n_7d,
+        |  TRUE AS p95_rank_ok
+        |FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin),
+
     // ---- frequency-sketch heavy hitters ---------------------------------
     // Per-source top-5 tokens read off Misra–Gries frequency-sketch
     // state (plans/FreqSketchExprs) — the fourth mergeable summary

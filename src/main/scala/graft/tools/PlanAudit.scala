@@ -56,6 +56,9 @@ object PlanAudit {
     "q54_theta_retention",
     // q55: same calendar-bounded broadcast window self-join as q54
     "q55_rolling_actives",
+    // q57: two calendar-bounded broadcast window joins (sketch merge +
+    // rank audit) — bounded by the calendar, never data-sized
+    "q57_rolling_p95",
     "q43_skew_stats")
 
   private val allowedGlobalWindow = Set.empty[String]

@@ -26,6 +26,30 @@ class KllSpec extends AnyFunSuite {
     assert(one(sk.select(kllRank(col("sk"), lit(50.0)).as("r"))) === 0.5)
   }
 
+  test("trailing-window merge of per-day sketches is exact below k (q57 law)") {
+    // day d holds values d*100 + (1..20); trailing-3-day windows stay
+    // under k=200, so the merged quantile must be the exact order
+    // statistic of the window rows — pinning the q57 composition shape
+    // (calendar-bounded broadcast join + kll_merge_agg)
+    val rows = for (d <- 0 to 9; i <- 1 to 20) yield (d.toLong, d * 100.0 + i)
+    val df = rows.toDF("day", "v")
+    val daily = df.groupBy("day").agg(kllAgg(col("v")).as("sk"))
+    val w = daily.select(col("day").as("day_w"), col("sk").as("skw"))
+    val got = daily.select(col("day"))
+      .join(broadcast(w),
+        col("day_w") >= col("day") - 2 && col("day_w") <= col("day"))
+      .groupBy("day")
+      .agg(kllQuantile(kllMergeAgg(col("skw")), lit(0.5)).as("p50"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L to 9L).foreach { d =>
+      val win = rows.filter { case (rd, _) => rd >= d - 2 && rd <= d }
+        .map(_._2).sorted
+      // inclusive-rank median: smallest value whose rank reaches 0.5
+      val want = win(math.ceil(win.size * 0.5).toInt - 1)
+      assert(got(d) === want, s"window ending day $d")
+    }
+  }
+
   test("estimation mode: direct and merged builds both hold the rank budget") {
     // 50k values, uniform 0..9999 with duplicates, 8 slices
     val df = (0 until 50000).map(i => ("g", (i % 10000).toDouble, i % 8))
