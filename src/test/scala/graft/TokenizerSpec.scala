@@ -82,6 +82,23 @@ class TokenizerSpec extends AnyFunSuite {
     assert(got === serialBpe(Map("abc" -> 1L), 5))
   }
 
+  test("bpeTrain equals the serial algorithm on randomized corpora") {
+    // tiny alphabet forces pair collisions, runs, and count ties — the
+    // argmax tie-break and island-parity corners a fixed fixture misses
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val wordGen = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val docGen = Gen.choose(2, 6)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, docGen))
+    val prop = Prop.forAll(corpusGen, Gen.choose(1, 4)) { (texts, n) =>
+      trainOn(texts, n) == serialBpe(wordFreqs(texts), n)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, s"randomized BPE law: ${res.status}")
+  }
+
   test("bpeSegment reconstructs every word and matches serial replay") {
     val texts = Seq("banana bandana", "aaaa abab")
     val merges = serialBpe(wordFreqs(texts), 6).map(m => (m._2, m._3))
