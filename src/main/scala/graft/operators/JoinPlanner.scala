@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-driven JOIN PLANNING — what the summary family is FOR at
+  * 100 TB: before launching a petabyte join, answer "how big is the
+  * output, is a side broadcastable, is a key skewed" from per-table
+  * sketch state instead of scanning either side twice.
+  *
+  * Each side contributes ONE 1-row aggregate: row count + a theta
+  * sketch of its join key ([[graft.plans.ThetaSketchExprs]], lgK
+  * sized so test-scale keyspaces stay in exact mode), optionally a
+  * frequency sketch ([[graft.plans.FreqSketchExprs]]) for the heavy
+  * hitter. The estimates compose on the 1-row cross of those
+  * aggregates — a broadcast of two single rows, never data-sized — and
+  * because sketches MERGE, per-partition/per-day sketch tables already
+  * in the lake answer the same questions without touching the tables
+  * at all (the q49/q54 persistence playbook).
+  *
+  * Output-size model: containment-style uniformity — every common
+  * distinct key carries its side-average multiplicity,
+  * `est_out = (n_l/d_l) · (n_r/d_r) · |keys_l ∩ keys_r|` — the
+  * classic System-R-family estimate, exact when multiplicities are
+  * uniform (JoinOpsSpec pins both the exact case and a documented
+  * over/under case). `floor` not `round` on the way to integer: the
+  * operand chain is identical in both engines so the double is
+  * bit-identical, and floor has no half-way rule to disagree on.
+  */
+object JoinPlanner {
+
+  /** 1-row join statistics + strategy advice for an equi-join of
+    * `left` on `lKey` with `right` on `rKey`. Columns: n_left, n_right,
+    * d_left, d_right (distinct keys), n_common (distinct key overlap),
+    * est_out (modelled output rows), strategy ('broadcast-left' /
+    * 'broadcast-right' / 'shuffle-hash' by `broadcastMaxRows`). */
+  def joinStats(left: DataFrame, lKey: String,
+                right: DataFrame, rKey: String,
+                broadcastMaxRows: Long = 1000000L,
+                lgK: Int = 18): DataFrame = {
+    import graft.plans.ThetaSketchExprs._
+    val l = left.agg(count(lit(1)).as("n_left"),
+      thetaSketchAgg(col(lKey), lgK).as("skl"))
+    val r = right.agg(count(lit(1)).as("n_right"),
+      thetaSketchAgg(col(rKey), lgK).as("skr"))
+    l.crossJoin(broadcast(r))
+      .select(col("n_left"), col("n_right"),
+        thetaEstimate(col("skl")).as("d_left"),
+        thetaEstimate(col("skr")).as("d_right"),
+        thetaEstimate(thetaIntersect(col("skl"), col("skr")))
+          .as("n_common"))
+      .withColumn("est_out",
+        floor((col("n_left").cast("double") / col("d_left"))
+          * (col("n_right").cast("double") / col("d_right"))
+          * col("n_common")).cast("long"))
+      .withColumn("strategy",
+        when(least(col("n_left"), col("n_right")) <= broadcastMaxRows,
+          when(col("n_right") <= col("n_left"), lit("broadcast-right"))
+            .otherwise(lit("broadcast-left")))
+          .otherwise(lit("shuffle-hash")))
+  }
+
+  /** 1-row key-skew probe: the heaviest key of `df.keyCol` and its
+    * share of all rows, read off a frequency sketch
+    * (exact below the counter budget, NO_FALSE_POSITIVES above).
+    * A share past ~1/shufflePartitions means one reducer owns that
+    * key's whole row set — feed [[SkewJoin]] salting. */
+  def skewProbe(df: DataFrame, keyCol: String,
+                maxMapSize: Int = 1024): DataFrame = {
+    import graft.plans.FreqSketchExprs._
+    df.agg(count(lit(1)).as("n_rows"),
+        freqTopItems(freqSketchAgg(col(keyCol).cast("string"), maxMapSize),
+          lit(1)).as("top"))
+      .select(col("n_rows"),
+        element_at(col("top"), 1).getField("item").as("top_key"),
+        element_at(col("top"), 1).getField("est").as("top_rows"))
+      .withColumn("top_share",
+        col("top_rows").cast("double") / col("n_rows"))
+  }
+}

@@ -105,6 +105,42 @@ object JoinQueries {
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |WHERE p_size >= 48
           |GROUP BY p_brand
-          |ORDER BY p_brand""".stripMargin))
+          |ORDER BY p_brand""".stripMargin)),
+
+    // ---- sketch-driven join cardinality estimation ----------------------
+    // JoinPlanner.joinStats over orders ⋈ lineitem: row counts, distinct
+    // join keys per side, their overlap, the System-R-style output
+    // estimate, and the broadcast/shuffle verdict — all read off two
+    // 1-row theta-sketch aggregates crossed by a broadcast of single
+    // rows (never data-sized). Exact gate: lgK=18 keeps the 150k-key
+    // space at sf0.1 in exact mode, so every field is a deterministic
+    // function of exact counts; the oracle recomputes the same FORMULA
+    // (identical operand order -> bit-identical double -> floor agrees).
+    "q58_join_estimate" -> Q(
+      (s, dir) => graft.operators.JoinPlanner.joinStats(
+        Lake(s, dir).orders, "o_orderkey",
+        Lake(s, dir).lineitem, "l_orderkey"),
+      Some(
+        """WITH l AS (SELECT count(*) AS n_left,
+          |             count(DISTINCT o_orderkey) AS d_left FROM orders),
+          |r AS (SELECT count(*) AS n_right,
+          |        count(DISTINCT l_orderkey) AS d_right FROM lineitem),
+          |c AS (SELECT count(*) AS n_common FROM (
+          |        SELECT DISTINCT o_orderkey AS k FROM orders
+          |        INTERSECT
+          |        SELECT DISTINCT l_orderkey AS k FROM lineitem))
+          |SELECT CAST(n_left AS BIGINT) AS n_left,
+          |  CAST(n_right AS BIGINT) AS n_right,
+          |  CAST(d_left AS BIGINT) AS d_left,
+          |  CAST(d_right AS BIGINT) AS d_right,
+          |  CAST(n_common AS BIGINT) AS n_common,
+          |  CAST(floor((CAST(n_left AS DOUBLE) / d_left)
+          |    * (CAST(n_right AS DOUBLE) / d_right) * n_common) AS BIGINT)
+          |    AS est_out,
+          |  CASE WHEN least(n_left, n_right) <= 1000000 THEN
+          |    (CASE WHEN n_right <= n_left THEN 'broadcast-right'
+          |          ELSE 'broadcast-left' END)
+          |  ELSE 'shuffle-hash' END AS strategy
+          |FROM l, r, c""".stripMargin))
   )
 }

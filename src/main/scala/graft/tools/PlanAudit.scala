@@ -59,6 +59,8 @@ object PlanAudit {
     // q57: two calendar-bounded broadcast window joins (sketch merge +
     // rank audit) — bounded by the calendar, never data-sized
     "q57_rolling_p95",
+    // q58: two 1-row sketch aggregates crossed (the t12 class)
+    "q58_join_estimate",
     "q43_skew_stats")
 
   private val allowedGlobalWindow = Set.empty[String]

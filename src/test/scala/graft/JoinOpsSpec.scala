@@ -130,4 +130,46 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(unbounded === Set((1L, 100L, Some("a")), (1L, 200L, Some("a")),
       (2L, 500L, Some("c"))))
   }
+
+  test("joinStats: estimate is exact under uniform multiplicity, honest under skew") {
+    import graft.operators.JoinPlanner
+    import spark.implicits._
+    // uniform: every key has exactly 2 left rows and 3 right rows, and
+    // keyspaces half-overlap -> the containment model is EXACT
+    val l = (0L until 40L).flatMap(k => Seq.fill(2)(k)).toSeq.toDF("k")
+    val r = (20L until 60L).flatMap(k => Seq.fill(3)(k)).toSeq.toDF("k")
+    val row = JoinPlanner.joinStats(l, "k", r, "k").collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) === ((80L, 120L, 40L, 40L, 20L)))
+    val actual = l.join(r, Seq("k")).count()
+    assert(row.getAs[Long]("est_out") === actual) // 2*3*20 = 120
+    // left (80 rows) is the smaller side -> it is the one to broadcast
+    assert(row.getAs[String]("strategy") === "broadcast-left")
+    // CORRELATED skew: the same key is heavy on both sides, so the true
+    // output is quadratic in that key's mass while the model spreads it
+    // uniformly -> underestimate. (One-sided skew stays exact: the
+    // estimate is sum(l_i)·avg_r over common keys, so a uniform right
+    // hides any left skew — that's why this fixture skews BOTH sides.)
+    val ls = (Seq.fill(90)(0L) ++ (1L until 11L)).toDF("k")
+    val rs = (Seq.fill(50)(0L) ++ (1L until 11L)).toDF("k")
+    val srow = JoinPlanner.joinStats(ls, "k", rs, "k").collect()(0)
+    val sactual = ls.join(rs, Seq("k")).count() // 90*50 + 10 = 4510
+    assert(sactual === 4510L)
+    assert(srow.getAs[Long]("est_out") < sactual)
+    // threshold flip: tiny broadcastMaxRows forces shuffle-hash
+    val tiny = JoinPlanner.joinStats(l, "k", r, "k", broadcastMaxRows = 10L)
+      .collect()(0)
+    assert(tiny.getAs[String]("strategy") === "shuffle-hash")
+  }
+
+  test("skewProbe finds the heavy key exactly below the counter budget") {
+    import graft.operators.JoinPlanner
+    import spark.implicits._
+    val df = (Seq.fill(70)(7L) ++ (0L until 30L)).toDF("k")
+    val row = JoinPlanner.skewProbe(df, "k").collect()(0)
+    assert(row.getAs[Long]("n_rows") === 100L)
+    assert(row.getAs[String]("top_key") === "7")
+    assert(row.getAs[Long]("top_rows") === 71L) // 70 heavy + key 7 itself
+    assert(math.abs(row.getAs[Double]("top_share") - 0.71) < 1e-9)
+  }
 }
