@@ -60,6 +60,41 @@ object JoinPlanner {
           .otherwise(lit("shuffle-hash")))
   }
 
+  /** The same statistics computed WITHOUT touching either table: from
+    * two persisted sketch-state tables of the
+    * `segmentSketchStream`/`applySegmentBatch` shape (any grouping,
+    * BINARY theta column + a row-count column). Sketch state merges
+    * associatively, so per-day/per-shard rows roll up here to the
+    * table-level numbers — join planning over 100 TB from megabytes of
+    * state the stream already maintains. Strategy semantics are
+    * identical to [[joinStats]]; a spec pins the two paths equal. */
+  def joinStatsFromSketches(leftState: DataFrame, lSketchCol: String,
+                            lCountCol: String,
+                            rightState: DataFrame, rSketchCol: String,
+                            rCountCol: String,
+                            broadcastMaxRows: Long = 1000000L): DataFrame = {
+    import graft.plans.ThetaSketchExprs._
+    val l = leftState.agg(sum(col(lCountCol)).as("n_left"),
+      thetaUnionAgg(col(lSketchCol)).as("skl"))
+    val r = rightState.agg(sum(col(rCountCol)).as("n_right"),
+      thetaUnionAgg(col(rSketchCol)).as("skr"))
+    l.crossJoin(broadcast(r))
+      .select(col("n_left"), col("n_right"),
+        thetaEstimate(col("skl")).as("d_left"),
+        thetaEstimate(col("skr")).as("d_right"),
+        thetaEstimate(thetaIntersect(col("skl"), col("skr")))
+          .as("n_common"))
+      .withColumn("est_out",
+        floor((col("n_left").cast("double") / col("d_left"))
+          * (col("n_right").cast("double") / col("d_right"))
+          * col("n_common")).cast("long"))
+      .withColumn("strategy",
+        when(least(col("n_left"), col("n_right")) <= broadcastMaxRows,
+          when(col("n_right") <= col("n_left"), lit("broadcast-right"))
+            .otherwise(lit("broadcast-left")))
+          .otherwise(lit("shuffle-hash")))
+  }
+
   /** 1-row key-skew probe: the heaviest key of `df.keyCol` and its
     * share of all rows, read off a frequency sketch
     * (exact below the counter budget, NO_FALSE_POSITIVES above).

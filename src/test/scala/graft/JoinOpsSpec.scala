@@ -162,6 +162,26 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(tiny.getAs[String]("strategy") === "shuffle-hash")
   }
 
+  test("joinStatsFromSketches over per-day state equals joinStats over the rows") {
+    import graft.operators.JoinPlanner
+    import graft.plans.ThetaSketchExprs._
+    import spark.implicits._
+    // per-day sketch-state tables of the segmentSketchStream shape:
+    // (day, theta, n_rows) — the rows themselves are never re-read
+    val l = (0L until 40L).flatMap(k => Seq.fill(2)((k % 5, k))).toSeq
+      .toDF("day", "k")
+    val r = (20L until 60L).flatMap(k => Seq.fill(3)((k % 3, k))).toSeq
+      .toDF("day", "k")
+    def state(df: org.apache.spark.sql.DataFrame) = df.groupBy("day")
+      .agg(thetaSketchAgg(col("k")).as("theta"),
+        count(lit(1)).as("n_rows"))
+    val fromState = JoinPlanner.joinStatsFromSketches(
+      state(l), "theta", "n_rows", state(r), "theta", "n_rows").collect()(0)
+    val fromRows = JoinPlanner.joinStats(l, "k", r, "k").collect()(0)
+    assert(fromState.toSeq === fromRows.toSeq,
+      "persisted sketch state must answer exactly like the raw tables")
+  }
+
   test("skewProbe finds the heavy key exactly below the counter budget") {
     import graft.operators.JoinPlanner
     import spark.implicits._
