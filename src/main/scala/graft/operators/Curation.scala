@@ -58,6 +58,44 @@ object Curation {
     Sampling.hashSample(deduped, "fp", cfg.sampleSixteenths)
   }
 
+  /** Per-document DROP AUDIT for the [[curate]] pipeline: every input
+    * row labeled with the FIRST rule that removed it, in pipeline
+    * order — `low_quality`, `unk_lang`, `dup`, `sampled_out` — or
+    * `kept`. The debugging view every curation stack needs ("where did
+    * my corpus go?"): reasons partition the input exactly, and the
+    * `kept` set is BY CONSTRUCTION the [[curate]] output (law-pinned in
+    * CurationSpec... OperatorLawsSpec).
+    *
+    * Pipeline-order subtlety the naive version gets wrong: the dedup
+    * survivor is the min id among rows that PASSED the quality/lang
+    * filters (the only rows the real dedup stage ever sees), so the
+    * survivor expression is `min(CASE WHEN passing THEN id END)` over
+    * the fingerprint window — a doc whose duplicate-group "first" copy
+    * failed quality is NOT a dup; it survives via the first passing id.
+    * One fp-partitioned window, no global state. */
+  def dropReasons(df: DataFrame, idCol: String, textCol: String,
+                  cfg: Config = Config()): DataFrame = {
+    val annotated = Parallelism.ensure(df)
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("fp", fingerprintMd5(col(textCol)))
+    val passing = col("quality") >= cfg.minQuality &&
+      (if (cfg.dropUnknownLang) col("lang_pred") =!= "unk" else lit(true))
+    val minPass = min(when(passing, col(idCol)))
+      .over(Window.partitionBy("fp"))
+    annotated
+      .withColumn("__min_pass", minPass)
+      .withColumn("reason",
+        when(col("quality") < cfg.minQuality, lit("low_quality"))
+          .when(if (cfg.dropUnknownLang) col("lang_pred") === "unk"
+            else lit(false), lit("unk_lang"))
+          .when(col(idCol) =!= col("__min_pass"), lit("dup"))
+          .when(!Sampling.hashKeep(col("fp"), cfg.sampleSixteenths),
+            lit("sampled_out"))
+          .otherwise(lit("kept")))
+      .select(col(idCol), col("lang_pred"), col("quality"), col("reason"))
+  }
+
   /** Source-level curation verdicts (the URL/domain-filtering stage a web
     * corpus runs before any per-document work): aggregate per-document
     * quality to its source and keep only sources with enough volume AND a

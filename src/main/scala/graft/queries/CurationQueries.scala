@@ -517,5 +517,53 @@ object CurationQueries {
           |     + (strpos('0123456789abcdef',
           |          substr(md5(d.doc_id::VARCHAR), 3, 1)) - 1) < kept_4096ths)
           |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- curation drop audit --------------------------------------------
+    // "Where did my corpus go?": every input doc labeled with the FIRST
+    // c1-pipeline rule that dropped it (low_quality -> unk_lang -> dup
+    // -> sampled_out) or 'kept'. The dedup survivor is min id among
+    // PASSING rows only (the rows the real dedup stage sees) — min(CASE
+    // WHEN passing THEN id END) over the fp window on both engines. The
+    // kept set is c1's output by construction (law in OperatorLawsSpec).
+    "c14_drop_reasons" -> Q(
+      (s, dir) => graft.operators.Curation.dropReasons(
+          Lake(s, dir).documents, "doc_id", "text",
+          graft.operators.Curation.Config(minQuality = 0.5,
+            dropUnknownLang = true, sampleSixteenths = 8))
+        .orderBy("doc_id"),
+      Some(
+        """WITH annotated AS (
+          |  SELECT doc_id,
+          |    CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unk'
+          |         WHEN en >= es AND en >= de THEN 'en'
+          |         WHEN es >= de THEN 'es'
+          |         ELSE 'de' END AS lang_pred,
+          |      least(CAST(ntok AS DOUBLE) / 100.0, 1.0) * 0.5
+          |    + (CASE WHEN ntok > 0 THEN CAST(stop_hits AS DOUBLE) / ntok ELSE 0.0 END) * 0.3
+          |    + (1.0 - CASE WHEN nchars > 0 THEN CAST(punct AS DOUBLE) / nchars ELSE 0.0 END) * 0.2
+          |      AS quality,
+          |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          |  FROM (
+          |    SELECT doc_id, text,
+          |      len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+          |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS en,
+          |      len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los)\b')) AS es,
+          |      len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|von)\b')) AS de,
+          |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+          |      len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS punct,
+          |      length(text) AS nchars
+          |    FROM documents) t
+          |), windowed AS (
+          |  SELECT *, min(CASE WHEN quality >= 0.5 AND lang_pred != 'unk'
+          |                     THEN doc_id END)
+          |            OVER (PARTITION BY fp) AS min_pass
+          |  FROM annotated)
+          |SELECT doc_id, lang_pred, quality,
+          |  CASE WHEN quality < 0.5 THEN 'low_quality'
+          |       WHEN lang_pred = 'unk' THEN 'unk_lang'
+          |       WHEN doc_id <> min_pass THEN 'dup'
+          |       WHEN md5(fp) >= '8' THEN 'sampled_out'
+          |       ELSE 'kept' END AS reason
+          |FROM windowed ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -260,6 +260,26 @@ class OperatorLawsSpec extends AnyFunSuite {
     assert(top.isEmpty)
   }
 
+  test("dropReasons partitions the corpus and its kept set IS the curate output") {
+    import graft.operators.Curation
+    val docs = Lake(spark, sf0001).documents
+    val cfg = Curation.Config(minQuality = 0.5, dropUnknownLang = true,
+      sampleSixteenths = 8)
+    val audited = Curation.dropReasons(docs, "doc_id", "text", cfg)
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // a total partition: one verdict per input doc
+    assert(audited.length === docs.count())
+    assert(audited.map(_._1).distinct.length === audited.length)
+    assert(audited.map(_._2).toSet.subsetOf(
+      Set("low_quality", "unk_lang", "dup", "sampled_out", "kept")))
+    // the kept set is exactly what the real pipeline emits
+    val kept = audited.filter(_._2 == "kept").map(_._1).sorted.toSeq
+    val curated = Curation.curate(docs, "doc_id", "text", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === curated)
+  }
+
   test("repetition fractions match hand-computed values on pinned docs") {
     import graft.functions.TextFunctions._
     val df = Seq(
