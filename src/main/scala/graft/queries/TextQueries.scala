@@ -1408,6 +1408,136 @@ object TextQueries {
           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
           |  round(corr(rx, ry), 4) + 0.0 AS spearman
           |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- per-source ROC AUC of the language-ID signal ------------------
+    // Rank-based (Mann-Whitney) AUC of the en-stopword-density score
+    // against the true lang='en' label, per source: AUC =
+    // (Σ ranks of positives − n₁(n₁+1)/2) / (n₁·n₀) with TIE-AVERAGED
+    // ranks (rank() + (|ties|−1)/2, the t37 device) so tied scores earn
+    // the textbook half-credit. No threshold sweep materializes — the
+    // rank identity computes the full curve's area in one source-
+    // partitioned window + one aggregate. Degenerate sources (all-
+    // positive or all-negative) yield NULL, not a division blowup.
+    "t38_auc" -> Q(
+      (s, dir) => {
+        val nTok = size(tokens(col("text"))).cast(DoubleType)
+        val base = docs(s, dir).select(
+          col("source"),
+          when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+          (langScore(col("text"), langMarkers.head._2).cast(DoubleType) / nTok)
+            .as("score"))
+        val rk = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("score"))
+        val ties = org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "score")
+        base
+          .withColumn("r",
+            rank().over(rk) + (count(lit(1)).over(ties) - 1) / lit(2.0))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("np"),
+            sum(when(col("y") === 1.0, col("r"))).as("srp"))
+          .select(col("source"),
+            col("n").as("n_docs"),
+            col("np").cast(LongType).as("n_pos"),
+            (round(
+              when(col("np") > 0 && col("np") < col("n"),
+                (col("srp") - col("np") * (col("np") + 1) / 2) /
+                  (col("np") * (col("n") - col("np")))),
+              4) + lit(0.0)).as("auc"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT source,
+          |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+          |    CAST(len(regexp_extract_all(lower(text),
+          |      '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+          |      / len(string_split_regex(lower(trim(text)), '\s+')) AS score
+          |  FROM documents),
+          |r AS (
+          |  SELECT source, y,
+          |    rank() OVER (PARTITION BY source ORDER BY score)
+          |      + (count(*) OVER (PARTITION BY source, score) - 1) / 2.0 AS r
+          |  FROM b),
+          |a AS (
+          |  SELECT source, count(*) AS n, sum(y) AS np,
+          |    sum(CASE WHEN y = 1.0 THEN r END) AS srp
+          |  FROM r GROUP BY source)
+          |SELECT source, CAST(n AS BIGINT) AS n_docs,
+          |  CAST(np AS BIGINT) AS n_pos,
+          |  round(CASE WHEN np > 0 AND np < n
+          |    THEN (srp - np * (np + 1) / 2) / (np * (n - np)) END, 4) + 0.0
+          |    AS auc
+          |FROM a ORDER BY source""".stripMargin)),
+
+    // ---- positional phrase search over the inverted index --------------
+    // Multi-token phrase matching as pure relational algebra: positional
+    // postings (doc_id, pos, tok) joined to a tiny exploded phrase table
+    // on the TOKEN (the inverted-index lookup — only postings of the
+    // phrase's words survive the join), then a full match is an anchor
+    // group (doc_id, phrase, pos − phrase_pos) holding ALL phrase
+    // positions. One hash join + one aggregate; the corpus-wide postings
+    // list is never self-joined. Phrases with zero hits at small SFs
+    // ("sort merge join") stay in the output via the left join back to
+    // the phrase list.
+    "t39_phrase_search" -> Q(
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val phrases = Seq("hash join", "table scan", "sort merge join")
+          .toDF("phrase")
+          .select(col("phrase"),
+            posexplode(split(col("phrase"), " ")).as(Seq("ppos", "tok")))
+        val postings = docs(s, dir)
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        val full = postings.join(broadcast(phrases), Seq("tok"))
+          .groupBy(col("phrase"), col("doc_id"),
+            (col("pos") - col("ppos")).as("anchor"))
+          .agg(count(lit(1)).as("k"))
+          .join(broadcast(
+            phrases.groupBy("phrase").agg(count(lit(1)).as("len"))),
+            Seq("phrase"))
+          .where(col("k") === col("len"))
+          .groupBy("phrase")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_hits"))
+        phrases.select("phrase").distinct()
+          .join(full, Seq("phrase"), "left")
+          .select(col("phrase"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .orderBy("phrase")
+      },
+      Some(
+        """WITH ph(phrase) AS (
+          |  VALUES ('hash join'), ('table scan'), ('sort merge join')),
+          |pt AS (
+          |  SELECT phrase, unnest(generate_series(1, len(w))) AS ppos,
+          |    unnest(w) AS tok
+          |  FROM (SELECT phrase, string_split(phrase, ' ') AS w FROM ph)),
+          |post AS (
+          |  SELECT doc_id, unnest(generate_series(1, len(w))) AS pos,
+          |    unnest(w) AS tok
+          |  FROM (SELECT doc_id,
+          |          string_split_regex(lower(trim(text)), '\s+') AS w
+          |        FROM documents)),
+          |m AS (
+          |  SELECT pt.phrase, post.doc_id, post.pos - pt.ppos AS anchor,
+          |    count(*) AS k
+          |  FROM post JOIN pt USING (tok)
+          |  GROUP BY 1, 2, 3),
+          |pl AS (SELECT phrase, count(*) AS len FROM pt GROUP BY 1),
+          |hits AS (
+          |  SELECT m.phrase, count(DISTINCT m.doc_id) AS n_docs,
+          |    count(*) AS n_hits
+          |  FROM m JOIN pl USING (phrase) WHERE m.k = pl.len
+          |  GROUP BY 1)
+          |SELECT ph.phrase,
+          |  CAST(COALESCE(h.n_docs, 0) AS BIGINT) AS n_docs,
+          |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+          |FROM ph LEFT JOIN hits h USING (phrase)
+          |ORDER BY ph.phrase""".stripMargin)),
   )
 
   private def bpeEncodeOracle(nMerges: Int): String =
