@@ -11,10 +11,17 @@ import org.apache.spark.sql.SparkSession
   *    (hour/day/week/...) are UTC-deterministic. The reference pipeline
   *    (reference `etl.py:98-131`) inherited whatever zone the cluster ran
   *    in — we pin UTC instead (see SURVEY.md §1, "timestamp semantics").
-  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the `events` table
-  *    carries Parquet `TIMESTAMP(NANOS)` which Spark 4.x cannot represent;
-  *    with the flag the column reads as `bigint` nanos and
-  *    [[graft.queries.EventsQueries]] converts explicitly.
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: a legacy generation of
+  *    the `events` table carried Parquet `TIMESTAMP(NANOS)` which Spark
+  *    4.x cannot represent; with the flag that column reads as `bigint`
+  *    nanos and [[graft.Lake.events]] normalizes it to `TimestampType`.
+  *    (The current generation is native TIMESTAMP(MICROS) — the flag is a
+  *    no-op there, kept so both generations stay readable.)
+  *  - `spark.sql.parquet.inferTimestampNTZ.enabled=false`: naive Parquet
+  *    timestamps (isAdjustedToUTC=false, as the testdata writes) read as
+  *    `TimestampType`, not NTZ — with the session pinned to UTC the two
+  *    agree on every value, and one type keeps window/join/oracle
+  *    comparisons cast-free.
   *  - AQE on: runtime join-strategy switching + skew-join splitting +
   *    partition coalescing. This is the engine's first line of defense at
   *    100 TB (skewed keys, misestimated build sides).
@@ -29,6 +36,7 @@ object GraftSession {
     .withExtensions(new graft.plans.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.parquet.compression.codec", "snappy")

@@ -24,7 +24,24 @@ final case class Lake(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  def events: DataFrame     = table("events")
+
+  /** `events` with `ts` normalized to `TimestampType` (µs precision,
+    * UTC session). The feed has shipped in two physical generations —
+    * epoch-nanos BIGINT and native Parquet TIMESTAMP(MICROS) — so the
+    * schema is adapted here, once, and every consumer sees one type.
+    * Integer `DIV` for the legacy branch is load-bearing: epoch-nanos
+    * (~1.7e18) overflow the 53-bit double mantissa, so float division
+    * would corrupt the low microsecond digits. */
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = table("events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 

@@ -7,13 +7,13 @@ import graft.Lake
 
 /** Event/time-series analytics over the `events` table.
   *
-  * `events.ts` is Parquet `TIMESTAMP(NANOS)`; with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[graft.GraftSession]])
-  * it reads as `bigint` epoch-nanoseconds and is converted explicitly here.
-  * `ts DIV 1000` stays in integer arithmetic — epoch-nanos (~1.7e18)
-  * overflow the 53-bit double mantissa, so float division would corrupt
-  * timestamps. Outputs are TIMESTAMP_NTZ to match the naive timestamps the
-  * DuckDB oracle sees.
+  * [[graft.Lake.events]] hands every consumer a `ts` already normalized to
+  * `TimestampType` at microsecond precision (UTC session), whichever
+  * physical generation the parquet carries. Where a query needs integer
+  * time arithmetic it derives epoch-micros via `unix_micros(ts)` — exact
+  * integer math, the precision the DuckDB oracle's `epoch_us(ts)` sees.
+  * Outputs are TIMESTAMP_NTZ to match the naive timestamps the DuckDB
+  * oracle sees (a value-preserving cast under the UTC session).
   *
   * Exercises the reference's epoch->timestamp derivation chain
   * (reference `etl.py:98-102`, seconds truncation) plus the streaming-style
@@ -22,11 +22,9 @@ import graft.Lake
   */
 object EventsQueries {
 
-  /** epoch-nanos bigint -> TimestampType at microsecond precision.
-    * `DIV` (integer division) is load-bearing: `/` on Columns is double
-    * division, and epoch-nanos exceed the 53-bit double mantissa — the
-    * low microsecond digits would round (off-by-1us vs the oracle). */
-  private val tsMicrosExpr: Column = timestamp_micros(expr("ts DIV 1000"))
+  /** The event-time column, microsecond-precision `TimestampType`
+    * (normalized by [[graft.Lake.events]]). */
+  private val tsMicrosExpr: Column = col("ts")
 
   private def events(s: SparkSession, dir: String): DataFrame =
     Lake(s, dir).events
@@ -37,15 +35,14 @@ object EventsQueries {
     // Stage k's timestamp is the earliest qualifying event AT OR AFTER
     // stage k-1's — three chained min-over-partition window expressions
     // sharing ONE user_id exchange (no self-joins). Timestamps stay in
-    // exact integer micros end to end (micros, not nanos: DuckDB reads
-    // the TIMESTAMP(NANOS) parquet at microsecond precision).
+    // exact integer micros end to end, matching the oracle's epoch_us.
     "q35_funnel" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("user_id")
         events(s, dir)
           .select(col("user_id"), col("event_type"),
-            expr("ts DIV 1000").as("t_us"))
+            unix_micros(col("ts")).as("t_us"))
           .withColumn("t_view",
             min(when(col("event_type") === "view", col("t_us"))).over(w))
           .withColumn("t_click",
@@ -89,15 +86,13 @@ object EventsQueries {
         |ORDER BY v.user_id""".stripMargin),
 
     // ---- cohort retention (first-activity cohort × day offset) ---------
-    // Day ids are exact integer micros-per-day divisions (floor(floor(ns/
-    // 1e3)/86400e6) == floor(ns/86400e9), so micros and nanos agree on
-    // day boundaries); one aggregation for cohorts, one distinct-count
-    // keyed on (cohort, offset).
+    // Day ids are exact integer micros-per-day divisions; one aggregation
+    // for cohorts, one distinct-count keyed on (cohort, offset).
     "q36_retention" -> Q(
       (s, dir) => {
         val ev = events(s, dir)
           .select(col("user_id"),
-            expr("(ts DIV 1000) DIV 86400000000").as("day"))
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
         val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
         ev.join(cohorts, Seq("user_id"))
           .withColumn("offset_days", col("day") - col("cohort_day"))
@@ -119,7 +114,7 @@ object EventsQueries {
         .select(
           col("event_id"),
           col("event_type"),
-          timestamp_seconds(expr("ts DIV 1000000000"))
+          date_trunc("second", col("ts"))
             .cast(TimestampNTZType).as("ts_sec"))
         .orderBy("event_id"),
       """SELECT event_id, event_type, date_trunc('second', ts) AS ts_sec
@@ -185,13 +180,11 @@ object EventsQueries {
     "q21b_event_deltas" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        // work on micros throughout: the oracle's timestamps are already
-        // us-truncated, so deltas (and order ties) must be computed on
-        // us values — flooring an ns delta is off by one when the
-        // sub-us parts straddle a boundary
+        // work on integer micros throughout — exact arithmetic, and the
+        // same values the oracle's epoch_us sees
         val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
         events(s, dir)
-          .withColumn("t_us", expr("ts DIV 1000"))
+          .withColumn("t_us", unix_micros(col("ts")))
           .withColumn("gap_us", col("t_us") - lag(col("t_us"), 1).over(w))
           .select("user_id", "event_id", "gap_us")
           .orderBy("user_id", "event_id")
@@ -276,14 +269,13 @@ object EventsQueries {
     // half of the stream upserts into the even half keyed by user — an
     // update row replaces the base row for its user unconditionally, and
     // within each side the latest (ts_us, event_id) wins. Version order
-    // runs on integer MICROS (ts DIV 1000), the precision the oracle
-    // sees — a nano-order could pick a different winner inside one
-    // microsecond. One user-partitioned window, parallel across keys.
+    // runs on integer MICROS (unix_micros), the precision the oracle
+    // sees. One user-partitioned window, parallel across keys.
     "q37_merge_upsert" -> Q(
       (s, dir) => {
         val ev = events(s, dir)
           .select(col("event_id"), col("user_id"),
-            expr("ts DIV 1000").as("ts_us"), col("event_type"), col("value"))
+            unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
         graft.operators.LakeMaintenance.mergeUpsert(
             ev.where(col("event_id") % 2 === 0),
             ev.where(col("event_id") % 2 === 1),
@@ -316,7 +308,7 @@ object EventsQueries {
         val w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
         events(s, dir)
           .select(col("user_id"), col("event_id"), col("event_type"),
-            expr("ts DIV 1000").as("valid_from_us"))
+            unix_micros(col("ts")).as("valid_from_us"))
           .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
           .withColumn("is_current", col("valid_to_us").isNull)
           .orderBy("user_id", "valid_from_us", "event_id")
@@ -371,7 +363,7 @@ object EventsQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val ev = events(s, dir).select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("ts_us"))
+          unix_micros(col("ts")).as("ts_us"))
         def latest(df: DataFrame) = {
           val w = Window.partitionBy("user_id")
             .orderBy(desc("ts_us"), desc("event_id"))
@@ -416,7 +408,7 @@ object EventsQueries {
     // grid derives from per-type min/max hour (size = types × calendar
     // span, independent of event volume), missing hours carry the last
     // observed value forward. Hour index stays in integer arithmetic
-    // (epoch-nanos DIV 3.6e12 — the nanos gotcha). The oracle builds the
+    // (epoch-micros DIV 3.6e9). The oracle builds the
     // same grid with generate_series and resolves LOCF with a native
     // ASOF join — independent machinery for the same semantics.
     // Null values are filtered BEFORE the hourly aggregate (both sides)
@@ -428,7 +420,7 @@ object EventsQueries {
       (s, dir) => {
         val hourly = events(s, dir)
           .where(col("value").isNotNull)
-          .groupBy(col("event_type"), expr("ts DIV 3600000000000").as("h"))
+          .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("h"))
           .agg(sum(col("value").cast(DecimalType(18, 2)))
             .cast(DoubleType).as("v"))
         graft.operators.TimeSeries.gapFillLocf(hourly, "event_type", "h", "v")

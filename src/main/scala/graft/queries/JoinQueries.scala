@@ -17,7 +17,7 @@ object JoinQueries {
     "a1_asof_purchase" -> Q(
       (s, dir) => {
         val ev = Lake(s, dir).events
-          .withColumn("t", expr("ts DIV 1000")) // epoch-micros, matches oracle
+          .withColumn("t", expr("unix_micros(ts)")) // epoch-micros, matches oracle
         val purchases = ev.where(col("event_type") === "purchase")
           .groupBy("user_id", "t").agg(max("event_id").as("purchase_id"))
         AsOfJoin.asOfBackward(
@@ -43,7 +43,7 @@ object JoinQueries {
     "a2_asof_tolerance" -> Q(
       (s, dir) => {
         val ev = Lake(s, dir).events
-          .withColumn("t", expr("ts DIV 1000")) // epoch-micros, matches oracle
+          .withColumn("t", expr("unix_micros(ts)")) // epoch-micros, matches oracle
         val purchases = ev.where(col("event_type") === "purchase")
           .groupBy("user_id", "t").agg(max("event_id").as("purchase_id"))
         AsOfJoin.asOfBackward(

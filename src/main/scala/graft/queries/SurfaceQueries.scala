@@ -229,12 +229,12 @@ object SurfaceQueries {
     "q49_hll_incremental" -> Q(
       (s, dir) => {
         import graft.operators.Sketches
-        // ts is epoch-nanos LONG; the day id only SLICES the incremental
-        // build (it never reaches the output), so integer div is all we
-        // need — no timestamp semantics, no oracle coupling
+        // the day id only SLICES the incremental build (it never reaches
+        // the output), so integer epoch-micros div is all we need — no
+        // timestamp semantics, no oracle coupling
         val ev = Lake(s, dir).events
           .select(col("event_type"), col("user_id"),
-            expr("ts div 86400000000000").as("day"))
+            expr("unix_micros(ts) div 86400000000").as("day"))
         val daily = Sketches.sketchBy(ev, Seq("event_type", "day"), "user_id")
         val oneShot = Sketches
           .withEstimate(Sketches.rollup(daily, Seq("event_type")))
@@ -426,7 +426,7 @@ object SurfaceQueries {
       (s, dir) => {
         import graft.plans.ThetaSketchExprs._
         val daily = Lake(s, dir).events
-          .select(expr("(ts DIV 1000) DIV 86400000000").as("day"),
+          .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
             col("user_id"))
           .groupBy("day")
           .agg(thetaSketchAgg(col("user_id")).as("sk"))
@@ -472,7 +472,7 @@ object SurfaceQueries {
       (s, dir) => {
         import graft.plans.ThetaSketchExprs._
         val daily = Lake(s, dir).events
-          .select(expr("(ts DIV 1000) DIV 86400000000").as("day"),
+          .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
             col("user_id"))
           .groupBy("day")
           .agg(thetaSketchAgg(col("user_id")).as("sk"))
@@ -513,7 +513,7 @@ object SurfaceQueries {
       (s, dir) => {
         import graft.plans.KllSketchExprs._
         val ev = Lake(s, dir).events.where(col("value").isNotNull)
-          .select(expr("(ts DIV 1000) DIV 86400000000").as("day"),
+          .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
             col("value"))
         val daily = ev.groupBy("day").agg(kllAgg(col("value")).as("sk"))
         val w = daily.select(col("day").as("day_w"), col("sk").as("skw"))

@@ -18,16 +18,16 @@ import org.apache.spark.sql.types._
 object EventsStream {
 
   /** Parquet file-source schema for the events feed. `ts` arrives as
-    * epoch-nanos bigint (nanosAsLong read of TIMESTAMP(NANOS)). */
+    * TIMESTAMP(MICROS) (read as TimestampType under the UTC session). */
   val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Unbounded read of an events directory. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("t", col("ts"))
 
   /** Tumbling 1-hour counts per event type — streaming twin of the batch
     * q19_hourly_windows; with a 2-hour watermark late events beyond the
@@ -153,7 +153,7 @@ object EventsStream {
     import spark.implicits._
     val stageOf = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
     events
-      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("t_us"),
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"),
         col("event_id"))
       .as[(Long, String, Long, Long)]
       .groupByKey(_._1)

@@ -10,7 +10,7 @@ class JoinOpsSpec extends AnyFunSuite {
   import TestSpark._
 
   test("asOfBackward equals the naive inequality-join + argmax form") {
-    val ev = Lake(spark, sf0001).events.withColumn("t", expr("ts DIV 1000"))
+    val ev = Lake(spark, sf0001).events.withColumn("t", expr("unix_micros(ts)"))
     val l = ev.select("event_id", "user_id", "t")
     val r = ev.where(col("event_type") === "purchase")
       .groupBy("user_id", "t").agg(max("event_id").as("purchase_id"))

@@ -30,7 +30,7 @@ class StreamingSpec extends AnyFunSuite {
         .select("hour_start", "event_type", "n")
         .collect().map(_.toString).sorted.toSeq
       val want = Lake(spark, sf0001).events
-        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("t", col("ts"))
         .groupBy(window(col("t"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
@@ -51,7 +51,7 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted.toSeq
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
       val want = Lake(spark, sf0001).events
-        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("t", col("ts"))
         .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("session_value"))
@@ -109,7 +109,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("p2e").collect().map(_.toString).sorted.toSeq
       val ev = Lake(spark, sf0001).events
-        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("t", col("ts"))
       val p = ev.where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"),
           col("user_id").as("p_user"), col("t").as("p_t"))
@@ -271,7 +271,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(dirs.length > 1, s"expected hour partitions, got ${dirs.toSeq}")
     // replaying the same content replaces its partitions - no duplication
     val replay = Lake(spark, sf0001).events
-      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("t", col("ts"))
       .withColumn("event_hour", date_trunc("hour", col("t")))
     graft.operators.LakeMaintenance.overwritePartitions(
       replay, sink, Seq("event_hour"))
