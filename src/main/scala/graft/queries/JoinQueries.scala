@@ -3,12 +3,13 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Lake
-import graft.operators.{AsOfJoin, RangeJoin, RuntimeFilter}
+import graft.operators.{AsOfJoin, RangeJoin, RuntimeFilter, TemporalJoin}
 
-/** Specialized join inventory: as-of and range joins — operators Spark
-  * lacks natively, built as shuffle-bounded compositions (SURVEY.md §2b,
-  * "custom operators" preference (a)). Both oracled: DuckDB has native
-  * ASOF JOIN, and the banded range join reduces to a BETWEEN predicate. */
+/** Specialized join inventory: as-of, point-in-time and range joins —
+  * operators Spark lacks natively, built as shuffle-bounded compositions
+  * (SURVEY.md §2b, "custom operators" preference (a)). All oracled:
+  * DuckDB has native ASOF JOIN, the point-in-time and banded range joins
+  * reduce to interval/BETWEEN predicates. */
 object JoinQueries {
 
   val defs: Map[String, Q] = Map(
@@ -63,6 +64,52 @@ object JoinQueries {
           |       THEN p.purchase_id END AS recent_purchase_id
           |FROM events e ASOF LEFT JOIN p
           |  ON e.user_id = p.user_id AND e.ts >= p.ts
+          |ORDER BY e.event_id""".stripMargin)),
+
+    // ---- point-in-time join against an SCD2 history with holes ----------
+    // Dimension: one version per (user, purchase instant), valid until
+    // the next purchase; every third version is "retention-deleted",
+    // leaving HOLES — facts falling inside a hole must match nothing,
+    // the case a plain backward as-of join cannot express. The oracle is
+    // the naive interval join (at most one version covers any instant,
+    // so LEFT JOIN keeps the row count at |events|).
+    "a3_temporal_join" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Lake(s, dir).events
+          .withColumn("t", expr("unix_micros(ts)"))
+        val w = Window.partitionBy("user_id").orderBy("valid_from")
+        val dim = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("t").as("valid_from"))
+          .agg(max("event_id").as("purchase_id"),
+            max_by(col("value"), col("event_id")).as("purchase_value"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .where(col("purchase_id") % 3 =!= 0)
+        TemporalJoin.pointInTime(
+            ev.select("event_id", "user_id", "t"), dim,
+            keys = Seq("user_id"), factTime = "t",
+            validFrom = "valid_from", validTo = "valid_to")
+          .select(col("event_id"), col("user_id"),
+            col("pit_purchase_id"), col("pit_purchase_value"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH p0 AS (
+          |  SELECT user_id, epoch_us(ts) AS valid_from,
+          |    max(event_id) AS purchase_id,
+          |    max_by(value, event_id) AS purchase_value
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          |p AS (
+          |  SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id
+          |    ORDER BY valid_from) AS valid_to
+          |  FROM p0),
+          |d AS (SELECT * FROM p WHERE purchase_id % 3 <> 0)
+          |SELECT e.event_id, e.user_id,
+          |  d.purchase_id AS pit_purchase_id,
+          |  d.purchase_value AS pit_purchase_value
+          |FROM events e LEFT JOIN d
+          |  ON e.user_id = d.user_id AND epoch_us(e.ts) >= d.valid_from
+          |  AND (d.valid_to IS NULL OR epoch_us(e.ts) < d.valid_to)
           |ORDER BY e.event_id""".stripMargin)),
 
     // ---- banded range join: |c_acctbal - s_acctbal| <= 10 ---------------

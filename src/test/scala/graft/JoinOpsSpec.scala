@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin, TemporalJoin}
 
 class JoinOpsSpec extends AnyFunSuite {
   import TestSpark._
@@ -57,6 +57,53 @@ class JoinOpsSpec extends AnyFunSuite {
         .select("asof_rid").head().getLong(0)
       assert(got === 9L, s"iteration $i: nondeterministic tie-break, got $got")
     }
+  }
+
+  test("pointInTime equals the naive interval join on an SCD2 history with holes") {
+    val ev = Lake(spark, sf0001).events.withColumn("t", expr("unix_micros(ts)"))
+    val dim = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("t").as("valid_from"))
+      .agg(max("event_id").as("purchase_id"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy("user_id").orderBy("valid_from")))
+      .where(col("purchase_id") % 3 =!= 0) // holes
+    val facts = ev.select("event_id", "user_id", "t")
+    val got = TemporalJoin.pointInTime(facts, dim, Seq("user_id"),
+        "t", "valid_from", "valid_to")
+      .select("event_id", "pit_purchase_id")
+    val naive = facts.as("f").join(dim.as("d"),
+        col("f.user_id") === col("d.user_id") &&
+          col("f.t") >= col("d.valid_from") &&
+          (col("d.valid_to").isNull || col("f.t") < col("d.valid_to")), "left")
+      .select(col("event_id"), col("purchase_id").as("pit_purchase_id"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    assert(canon(got) === canon(naive))
+    // intervals partition time per key, so the naive LEFT join kept |facts|
+    assert(naive.count() === facts.count())
+  }
+
+  test("pointInTime: boundary semantics and holes on a handcrafted history") {
+    import spark.implicits._
+    // key "k": v1 [10, 20), v2 [20, 30) DELETED (hole), v3 [30, open)
+    val dim = Seq(("k", 10L, 20L, "v1"), ("k", 30L, -1L, "v3"))
+      .toDF("k", "valid_from", "valid_to", "ver")
+      .withColumn("valid_to",
+        when(col("valid_to") === -1L, lit(null)).otherwise(col("valid_to")))
+    val facts = Seq(("k", 5L), ("k", 10L), ("k", 19L), ("k", 20L), ("k", 25L),
+      ("k", 30L), ("k", 99L)).toDF("k", "t")
+    val got = TemporalJoin.pointInTime(facts, dim, Seq("k"), "t",
+        "valid_from", "valid_to")
+      .select("t", "pit_ver").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got === Set(
+      (5L, None),         // before history
+      (10L, Some("v1")),  // valid_from inclusive
+      (19L, Some("v1")),
+      (20L, None),        // valid_to exclusive AND the next version deleted
+      (25L, None),        // inside the hole
+      (30L, Some("v3")),  // open interval starts
+      (99L, Some("v3"))))
   }
 
   test("binned range join equals the naive cross + filter") {
