@@ -9,6 +9,7 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+ThisBuild / scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
 // Pass the forked JVM's stdout through UNDECORATED: the driver parses

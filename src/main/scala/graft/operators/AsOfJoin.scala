@@ -42,13 +42,13 @@ object AsOfJoin {
                    tolerance: Option[Column] = None): DataFrame = {
     val l = left.select(
       keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
-        struct(left.columns.map(col): _*).as("__l")): _*)
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l")): _*)
     val r = right.select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
-        struct(right.columns.map(col): _*).as("__r")): _*)
+        struct(right.columns.toIndexedSeq.map(col): _*).as("__r")): _*)
     val lAug = l.withColumn("__r", lit(null).cast(r.schema("__r").dataType))
     val rAug = r.withColumn("__l", lit(null).cast(l.schema("__l").dataType))
-      .select(lAug.columns.map(col): _*)
+      .select(lAug.columns.toIndexedSeq.map(col): _*)
 
     // __r as the final sort key makes the choice among duplicate
     // (key, time) right rows deterministic: last() picks the greatest
@@ -70,7 +70,7 @@ object AsOfJoin {
     gated
       .where(col("__side") === 1)
       .select(
-        left.columns.map(c => col(s"__l.$c").as(c)) ++
-          right.columns.map(c => col(s"__match.$c").as(rightPrefix + c)): _*)
+        left.columns.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++
+          right.columns.toIndexedSeq.map(c => col(s"__match.$c").as(rightPrefix + c)): _*)
   }
 }

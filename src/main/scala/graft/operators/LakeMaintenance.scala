@@ -121,7 +121,7 @@ object LakeMaintenance {
       val existing =
         if (exists)
           spark.read.parquet(path).where(col("__bucket").isin(touched: _*))
-            .select(bucketed.columns.map(col): _*) // partition col position
+            .select(bucketed.columns.toIndexedSeq.map(col): _*) // partition col position
         else bucketed.limit(0)
       val merged = LakeMaintenance
         .mergeLatest(existing, bucketed, keyCols, versionCols)

@@ -25,7 +25,7 @@ object SkewJoin {
     // deterministic per-row salt (hash of the whole row) — correctness
     // only requires the right side to cover every salt value
     val lSalted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)))
     val rSalted = right.withColumn("__salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     lSalted.join(rSalted, lSalted(key) === rSalted(key) &&

@@ -41,7 +41,7 @@ object TemporalJoin {
     val to: Column = col(dimPrefix + validTo)
     val covers: Column = to.isNull || col(factTime) < to
     joined.select(
-      facts.columns.map(col) ++
-        dim.columns.map(c => when(covers, col(dimPrefix + c)).as(dimPrefix + c)): _*)
+      facts.columns.toIndexedSeq.map(col) ++
+        dim.columns.toIndexedSeq.map(c => when(covers, col(dimPrefix + c)).as(dimPrefix + c)): _*)
   }
 }

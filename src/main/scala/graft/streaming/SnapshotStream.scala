@@ -74,7 +74,7 @@ object SnapshotStream {
     // max over an EMPTY stored snapshot (an empty first micro-batch
     // leaves one behind) is null — treat as "nothing absorbed yet"
     val applied = prev.flatMap(p =>
-      Option(p.agg(max(col("__last_batch"))).head.get(0))
+      Option(p.agg(max(col("__last_batch"))).head().get(0))
         .map(_.asInstanceOf[Long]))
     if (applied.exists(batchId <= _)) return // already absorbed: replay no-op
     val partial = batch.groupBy(keyCols.map(col): _*)
@@ -140,7 +140,7 @@ object SnapshotStream {
       .exists(hPath)
     val prev = if (exists) Some(spark.read.parquet(path)) else None
     val applied = prev.flatMap(p =>
-      Option(p.agg(max(col("__last_batch"))).head.get(0))
+      Option(p.agg(max(col("__last_batch"))).head().get(0))
         .map(_.asInstanceOf[Long]))
     if (applied.exists(batchId <= _)) return // already absorbed
     val delta = batch.groupBy(groupCols.map(col): _*)
@@ -187,7 +187,7 @@ object SnapshotStream {
       .exists(hPath)
     val prev = if (exists) Some(spark.read.parquet(path)) else None
     val applied = prev.flatMap(p =>
-      Option(p.agg(max(col("__last_batch"))).head.get(0))
+      Option(p.agg(max(col("__last_batch"))).head().get(0))
         .map(_.asInstanceOf[Long]))
     if (applied.exists(batchId <= _)) return // already absorbed
     val delta = batch.groupBy(groupCols.map(col): _*)
@@ -237,7 +237,7 @@ object SnapshotStream {
       .exists(hPath)
     val prev = if (exists) Some(spark.read.parquet(path)) else None
     val applied = prev.flatMap(p =>
-      Option(p.agg(max(col("__last_batch"))).head.get(0))
+      Option(p.agg(max(col("__last_batch"))).head().get(0))
         .map(_.asInstanceOf[Long]))
     if (applied.exists(batchId <= _)) return // already absorbed
     val delta = batch.groupBy(groupCols.map(col): _*)
@@ -267,7 +267,7 @@ object SnapshotStream {
       .exists(hPath)
     val prev = if (exists) Some(spark.read.parquet(path)) else None
     val applied = prev.flatMap(p =>
-      Option(p.agg(max(col("__last_batch"))).head.get(0))
+      Option(p.agg(max(col("__last_batch"))).head().get(0))
         .map(_.asInstanceOf[Long]))
     if (applied.exists(batchId <= _)) return // already absorbed
     val delta = Sketches.sketchBy(batch, groupCols, valueCol)
