@@ -188,6 +188,40 @@ object JoinQueries {
           |    (CASE WHEN n_right <= n_left THEN 'broadcast-right'
           |          ELSE 'broadcast-left' END)
           |  ELSE 'shuffle-hash' END AS strategy
-          |FROM l, r, c""".stripMargin))
+          |FROM l, r, c""".stripMargin)),
+
+    // ---- incremental join maintenance (join IVM) -----------------------
+    // The two-term delta algebra checked end to end: orders/lineitem each
+    // split into a stored half (even keys) and an append delta (odd
+    // keys); the stored join plus IncrementalJoin.joinDelta must equal
+    // the direct join over the full tables — which is exactly what the
+    // oracle computes. Aggregated per priority with exact decimal sums,
+    // so one lost or duplicated delta pair shifts a count or a sum and
+    // fails the hash gate. Completes the IVM family: aggregates (q41),
+    // distinct sketches (q49), now joins.
+    "q59_join_ivm" -> Q(
+      (s, dir) => {
+        import graft.operators.IncrementalJoin
+        val lk = Lake(s, dir)
+        val o = lk.orders.select(col("o_orderkey").as("k"),
+          col("o_orderpriority"))
+        val l = lk.lineitem.select(col("l_orderkey").as("k"),
+          col("l_extendedprice"))
+        val (oBase, oDelta) = (o.where(col("k") % 2 === 0), o.where(col("k") % 2 === 1))
+        val (lBase, lDelta) = (l.where(col("k") % 2 === 0), l.where(col("k") % 2 === 1))
+        val stored = oBase.join(lBase, Seq("k"))
+        stored.unionByName(
+            IncrementalJoin.joinDelta(oBase, oDelta, lBase, lDelta, Seq("k")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """SELECT o_orderpriority, COUNT(*) AS n_pairs,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

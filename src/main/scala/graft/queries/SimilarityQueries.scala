@@ -419,7 +419,50 @@ object SimilarityQueries {
           .orderBy("rank")
       },
       Some(mmrOracleSql(lambdaNum = "0.5", penaltyNum = "0.5",
-        fetch = 15, k = 4)))
+        fetch = 15, k = 4))),
+
+    // ---- persisted IVF index: build once, query from disk --------------
+    // Two claims, each pinned by a boolean the hash gate makes load-
+    // bearing: (a) serving from the persisted bucket-partitioned index
+    // returns EXACTLY the rows of the inline train-and-query path at the
+    // same parameters (kmeansIters=0 is deterministic, and parquet
+    // roundtrips the float vectors bit-exactly — the two plans must
+    // agree row for row); (b) the s4 recall floor holds for the served
+    // answer too. DuckDB independently pins the query count; the probed
+    // scan's partition pruning is plan-pinned in VectorIndexSpec.
+    "s14_ivf_index" -> Q(
+      (s, dir) => {
+        import graft.operators.VectorIndex
+        val emb = Lake(s, dir).embeddings
+        val corpus = emb.where(col("vec_id") >= 10)
+        val queries = emb.where(col("vec_id") < 10)
+        val stage = s"/root/repo/target/ivf_stage/idx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        VectorIndex.build(corpus, stage, "vec_id", "embedding", planes = 4)
+        val served = VectorIndex.query(s, stage, queries,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        val inline = Similarity.ivfTopK(corpus, queries,
+          "vec_id", "embedding", k = 5, planes = 4, nProbe = 4)
+        val sKeys = served.select("query_id", "rank", "neighbor_id")
+        val iKeys = inline.select("query_id", "rank", "neighbor_id")
+        val agree = (sKeys.exceptAll(iKeys).count() == 0
+          && iKeys.exceptAll(sKeys).count() == 0)
+        val exact = Similarity.bruteForceTopK(corpus, queries,
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+        val hits = sKeys.join(exact,
+            sKeys("query_id") === exact("eq") && sKeys("neighbor_id") === exact("en"))
+          .agg(count(lit(1)).as("hits"))
+        sKeys.agg(countDistinct(col("query_id")).as("n_queries"))
+          .crossJoin(hits)
+          .select(col("n_queries"),
+            lit(agree).as("index_matches_inline"),
+            (col("hits").cast("double") / (col("n_queries") * 5) >= 0.25)
+              .as("recall_ok"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+          |  true AS index_matches_inline, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 10""".stripMargin))
   )
 
   /** DuckDB oracle for [[Similarity.mmrRerank]] with query vec_id = 0 and

@@ -32,7 +32,9 @@ import org.apache.spark.sql.execution.window.WindowExec
 object PlanAudit {
 
   private val allowedNestedLoop = Set(
-    "s1_cosine_topk", "s4_ann_ivf", "q24_sql_cosine",
+    // s14: s4's probe pattern twice (tiny query set × ≤2^planes
+    // centroids, once inline and once from the persisted index)
+    "s1_cosine_topk", "s4_ann_ivf", "s14_ivf_index", "q24_sql_cosine",
     "s8_hard_negatives", "s9_random_negatives",
     // s12: two s1-shaped broadcast-query scans (full + truncated dims)
     "s12_truncation_eval",

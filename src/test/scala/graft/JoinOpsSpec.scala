@@ -178,6 +178,33 @@ class JoinOpsSpec extends AnyFunSuite {
       (2L, 500L, Some("c"))))
   }
 
+  test("joinDelta law: stored ∪ delta equals the direct join, any split, empty deltas included") {
+    import graft.operators.IncrementalJoin
+    val lk = Lake(spark, sf0001)
+    val o = lk.orders.select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val l = lk.lineitem.select(col("l_orderkey").as("k"), col("l_extendedprice"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val direct = canon(o.join(l, Seq("k")))
+    for (m <- Seq(2, 3, 7)) {
+      val got = canon(
+        o.where(col("k") % m === 0).join(l.where(col("k") % m === 0), Seq("k"))
+          .unionByName(IncrementalJoin.joinDelta(
+            o.where(col("k") % m === 0), o.where(col("k") % m =!= 0),
+            l.where(col("k") % m === 0), l.where(col("k") % m =!= 0),
+            Seq("k"))))
+      assert(got === direct, s"split mod $m diverged")
+    }
+    // no new rows on either side -> empty delta
+    assert(IncrementalJoin.joinDelta(o, o.limit(0), l, l.limit(0), Seq("k"))
+      .count() === 0L)
+    // one-sided append: delta is exactly the new left rows' matches
+    val oneSided = IncrementalJoin.joinDelta(
+      o.where(col("k") % 2 === 0), o.where(col("k") % 2 === 1), l, l.limit(0),
+      Seq("k"))
+    assert(canon(oneSided) === canon(o.where(col("k") % 2 === 1).join(l, Seq("k"))))
+  }
+
   test("joinStats: estimate is exact under uniform multiplicity, honest under skew") {
     import graft.operators.JoinPlanner
     import spark.implicits._
