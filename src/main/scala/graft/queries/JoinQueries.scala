@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Lake
-import graft.operators.{AsOfJoin, RangeJoin, RuntimeFilter, TemporalJoin}
+import graft.operators.{AsOfJoin, IntervalJoin, RangeJoin, RuntimeFilter, TemporalJoin}
 
 /** Specialized join inventory: as-of, point-in-time and range joins —
   * operators Spark lacks natively, built as shuffle-bounded compositions
@@ -125,6 +125,67 @@ object JoinQueries {
         """SELECT c_custkey, s_suppkey
           |FROM customer JOIN supplier ON abs(c_acctbal - s_acctbal) <= 10
           |ORDER BY c_custkey, s_suppkey""".stripMargin)),
+
+    // ---- interval-overlap join: sessions × attribution windows ----------
+    // Per user: 30-min-gap sessions ([first, last+gap) half-open, the
+    // session_window convention) overlap-joined to 2-hour purchase
+    // attribution windows [t, t+2h). A purchase always overlaps its own
+    // session; the 2h window can also reach INTO the next session when
+    // the inter-session gap is under 2h — those cross-session pairs are
+    // what the overlap join finds and a same-session join would miss.
+    // The oracle replays the islands construction and the raw overlap
+    // predicate; the engine runs IntervalJoin's binned single-emission
+    // plan (hash join on (user, bin), no nested loop, no distinct).
+    "r2_session_overlap" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapUs = 30L * 60 * 1000000
+        val winUs = 2L * 3600 * 1000000
+        val ev = Lake(s, dir).events
+          .withColumn("t", expr("unix_micros(ts)"))
+        val wOrd = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val sessions = ev
+          .withColumn("brk",
+            when(lag(col("t"), 1).over(wOrd).isNull ||
+              col("t") - lag(col("t"), 1).over(wOrd) >= gapUs, 1).otherwise(0))
+          .withColumn("sid", sum(col("brk")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min(col("t")).as("s_start"),
+            (max(col("t")) + gapUs).as("s_end"))
+        val windows = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("t").as("p_start"), (col("t") + winUs).as("p_end"))
+        IntervalJoin.overlaps(sessions, windows, keys = Seq("user_id"),
+            lStart = "s_start", lEnd = "s_end",
+            rStart = "p_start", rEnd = "p_end", binWidth = gapUs)
+          .select(col("user_id"), col("s_start").as("session_start"),
+            col("purchase_id"))
+          .orderBy("user_id", "session_start", "purchase_id")
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+          |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+          |          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+          |), i AS (
+          |  SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id
+          |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM m
+          |), sess AS (
+          |  SELECT user_id, MIN(t) AS s_start, MAX(t) + 1800000000 AS s_end
+          |  FROM i GROUP BY user_id, sid
+          |), p AS (
+          |  SELECT user_id, event_id AS purchase_id,
+          |    epoch_us(ts) AS p_start, epoch_us(ts) + 7200000000 AS p_end
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT sess.user_id, sess.s_start AS session_start, p.purchase_id
+          |FROM sess JOIN p ON sess.user_id = p.user_id
+          |  AND sess.s_start < p.p_end AND p.p_start < sess.s_end
+          |ORDER BY sess.user_id, session_start, p.purchase_id""".stripMargin)),
 
     // ---- runtime Bloom-filter join pruning ------------------------------
     // The explicit runtime-filter shape: a 64 Kbit / 3-hash Bloom filter

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{AsOfJoin, RangeJoin, SkewJoin, TemporalJoin}
+import graft.operators.{AsOfJoin, IntervalJoin, RangeJoin, SkewJoin, TemporalJoin}
 
 class JoinOpsSpec extends AnyFunSuite {
   import TestSpark._
@@ -176,6 +176,44 @@ class JoinOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
     assert(unbounded === Set((1L, 100L, Some("a")), (1L, 200L, Some("a")),
       (2L, 500L, Some("c"))))
+  }
+
+  test("interval overlaps equals the naive predicate join, keyed and unkeyed, any bin width") {
+    import spark.implicits._
+    // spans from events: [t, t + hash-derived length) — lengths from
+    // sub-bin to many-bin so the single-emission rule is exercised
+    val ev = Lake(spark, sf0001).events.withColumn("t", expr("unix_micros(ts)"))
+    val l = ev.where(col("event_id") < 400)
+      .select(col("user_id"), col("event_id").as("lid"),
+        col("t").as("ls"), (col("t") + pmod(xxhash64(col("event_id")), lit(5000000000L)) + 1).as("le"))
+    val r = ev.where(col("event_id") < 400)
+      .select(col("user_id"), col("event_id").as("rid"),
+        col("t").as("rs"), (col("t") + pmod(xxhash64(col("event_id") + 7), lit(5000000000L)) + 1).as("re"))
+    def canonKeyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val naive = canonKeyed(l.as("a").join(r.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("ls") < col("re") && col("rs") < col("le")))
+    for (w <- Seq(1000000L, 600000000L, 86400000000L)) {
+      val got = canonKeyed(IntervalJoin.overlaps(l, r, Seq("user_id"),
+        "ls", "le", "rs", "re", binWidth = w))
+      assert(got === naive, s"binWidth $w diverged (keyed)")
+    }
+    assert(naive.nonEmpty)
+    // unkeyed: same law on small slices (global axis, no key equality)
+    val ls = l.where(col("lid") < 40); val rs = r.where(col("rid") < 40)
+    val naiveU = ls.as("a").join(rs.as("b"),
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val gotU = IntervalJoin.overlaps(ls, rs, Seq.empty,
+        "ls", "le", "rs", "re", binWidth = 3600000000L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(gotU === naiveU)
+    // degenerate (empty) intervals match nothing
+    val degen = Seq((1L, 100L, 100L)).toDF("k", "s", "e")
+    val other = Seq((1L, 0L, 1000L)).toDF("k", "s2", "e2")
+    assert(IntervalJoin.overlaps(degen, other, Seq("k"), "s", "e", "s2", "e2", 10L)
+      .count() === 0L)
   }
 
   test("joinDelta law: stored ∪ delta equals the direct join, any split, empty deltas included") {
