@@ -255,6 +255,43 @@ object SnapshotStream {
     merged.write.mode("overwrite").parquet(path)
   }
 
+  /** Continuous JOINED-VIEW maintenance — the streaming face of
+    * [[graft.operators.IncrementalJoin]] (q59's batch delta algebra):
+    * each micro-batch of left appends joins the CURRENT enrichment side
+    * (re-read per batch, so dimension updates between batches are picked
+    * up) and lands in the materialized view. Per-batch work is
+    * |Δ| ⋈ dim — the view itself is never re-joined or re-read.
+    *
+    * Exactly-once comes from partition ownership rather than a batch-id
+    * guard: every batch writes its rows under its own `__batch=<id>`
+    * partition via dynamic partition overwrite, so a crash-replay
+    * REPLACES exactly the partition it owns instead of appending
+    * duplicates (the [[EventsStream.writeHourlyPartitioned]] idempotence
+    * model, keyed by batch id instead of event hour).
+    *
+    * Scope: left appends against a current dimension. Symmetric deltas
+    * on BOTH sides (late right rows must pair with already-absorbed
+    * left rows) need the two-term batch algebra —
+    * [[graft.operators.IncrementalJoin.joinDelta]] on a schedule — not
+    * this per-batch stream. */
+  def joinedViewStream(updates: DataFrame, path: String, checkpoint: String,
+                       dim: () => DataFrame, keys: Seq[String]): DataStreamWriter[Row] =
+    updates.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyJoinBatch(batch, batchId, path, dim(), keys)
+      }
+
+  /** One step of [[joinedViewStream]]; public so replay is testable (and
+    * for batch backfills with a synthetic batch id). */
+  def applyJoinBatch(batch: DataFrame, batchId: Long, path: String,
+                     dim: DataFrame, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    LakeMaintenance.overwritePartitions(
+      batch.join(dim, keys).withColumn("__batch", lit(batchId)),
+      path, Seq("__batch"))
+  }
+
   /** One merge step of [[distinctSketchStream]]; public so replay and
     * double-apply are testable (and for batch backfills). */
   def applySketchBatch(batch: DataFrame, batchId: Long, path: String,

@@ -317,6 +317,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap() === want, "replay must not change the snapshot")
   }
 
+  test("streaming joined view equals the direct join; batch replay replaces, not appends") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SnapshotStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = Files.createTempDirectory("jview_sink").toString + "/view"
+    val ckpt = Files.createTempDirectory("jview_ckpt").toString
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "bronze"))
+      .toDF("k", "tier")
+    val input = MemoryStream[(Long, Long)]
+    val q = SnapshotStream.joinedViewStream(
+      input.toDF.toDF("k", "amount"), sink, ckpt,
+      dim = () => dim, keys = Seq("k")).start()
+    try {
+      input.addData((1L, 10L), (2L, 20L), (9L, 99L)) // 9 has no dim row
+      q.processAllAvailable()
+      input.addData((1L, 11L), (3L, 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    def view() = spark.read.parquet(sink)
+      .select("k", "amount", "tier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val want = Seq((1L, 10L, "gold"), (1L, 11L, "gold"),
+      (2L, 20L, "silver"), (3L, 30L, "bronze"))
+    assert(view() === want)
+    // crash-replay of an absorbed batch: its partition is REPLACED, so
+    // the view is unchanged — no duplicated rows
+    SnapshotStream.applyJoinBatch(
+      Seq((1L, 11L), (3L, 30L)).toDF("k", "amount"), 1L, sink, dim, Seq("k"))
+    assert(view() === want, "replay must not duplicate view rows")
+    // a late backfill with a fresh id lands additively
+    SnapshotStream.applyJoinBatch(
+      Seq((2L, 21L)).toDF("k", "amount"), 7L, sink, dim, Seq("k"))
+    assert(view() === (want :+ ((2L, 21L, "silver"))).sorted)
+  }
+
   test("stateful running totals accumulate per user") {
     val totals = EventsStream.runningUserTotals(spark,
       EventsStream.readEvents(spark, eventsDir))
