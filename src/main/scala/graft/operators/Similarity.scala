@@ -405,6 +405,45 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Semantic decontamination: flag every corpus row with ANY benchmark
+    * vector at cosine >= `threshold` — the embedding-space complement of
+    * the n-gram [[Dedup.decontaminate]] (d11), catching paraphrased or
+    * reformatted benchmark leakage that shares no 8-gram. Returns the
+    * corpus with a `contaminated` boolean appended.
+    *
+    * Candidate generation is [[cosineNearDupPairs]]'s banded LSH (miss
+    * only if a pair splits in every table; `planes = 0` = exact single
+    * bucket, the SQL-oracle-able mode; `planes < 0` adapts to corpus
+    * size). The exact cosine filter runs on every candidate, so false
+    * POSITIVES are impossible at any planes — ANN only trades recall.
+    * The benchmark side is typically tiny (an eval set), so its banded
+    * copy broadcasts and the probe is one map-side join; the corpus is
+    * never self-joined. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double = 0.9, planes: Int = -1,
+                            targetBucketRows: Long = 2048,
+                            tables: Int = 2): DataFrame = {
+    require(tables >= 1)
+    val v = Parallelism.ensure(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val p = if (planes >= 0) planes else adaptivePlanes(v.count(), targetBucketRows)
+    val nTables = if (p == 0) 1 else tables
+    def banded(df: DataFrame): DataFrame = df.select(col("id"), col("vec"),
+      posexplode(array((0 until nTables).map(t =>
+        lshBucket(col("vec"), p, t * p)): _*)).as(Seq("table", "bucket")))
+    val c = banded(v)
+    val b = banded(benchmark.select(lit(0L).as("id"), col(vecCol).as("vec")))
+      .select(col("vec").as("b_vec"), col("table"), col("bucket"))
+    val hits = c.join(broadcast(b), Seq("table", "bucket"))
+      .where(cosine(col("vec"), col("b_vec")) >= threshold)
+      .select(col("id")).distinct()
+      .withColumn("__hit", lit(true))
+    corpus.join(hits, corpus(idCol) === hits("id"), "left_outer")
+      .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
+      .drop("id", "__hit")
+  }
+
   /** A candidate-generation stage for [[mmrRerank]]: (corpus, queries,
     * idCol, vecCol, fetch) → a frame with `(query_id, neighbor_id, sim)`
     * columns — the shared output shape of [[bruteForceTopK]],

@@ -462,7 +462,41 @@ object SimilarityQueries {
       Some(
         """SELECT CAST(count(*) AS BIGINT) AS n_queries,
           |  true AS index_matches_inline, true AS recall_ok
-          |FROM embeddings WHERE vec_id < 10""".stripMargin))
+          |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // ---- semantic decontamination (embedding-space benchmark leakage) --
+    // The embedding complement of d11's n-gram decontamination: corpus
+    // rows (vec_id >= 10) are flagged when ANY benchmark vector
+    // (vec_id < 10) sits at cosine >= 0.4. planes=0 is the exact
+    // single-bucket mode (the s3 playbook) so the DuckDB brute-force
+    // predicate replays it verbatim; real-planes recall behavior is
+    // spec-pinned in VectorSpec (ANN can only lower recall — the exact
+    // cosine filter makes false positives impossible).
+    "s15_semantic_decontam" -> Q(
+      (s, dir) => {
+        val emb = Lake(s, dir).embeddings
+        Similarity.semanticDecontaminate(
+            corpus = emb.where(col("vec_id") >= 10).select("vec_id", "embedding"),
+            benchmark = emb.where(col("vec_id") < 10),
+            idCol = "vec_id", vecCol = "embedding",
+            threshold = 0.4, planes = 0)
+          .select(col("vec_id"), col("contaminated"))
+          .orderBy("vec_id")
+      },
+      Some(
+        """WITH c AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 10),
+          |b AS (SELECT embedding AS w FROM embeddings WHERE vec_id < 10),
+          |hits AS (
+          |  SELECT DISTINCT c.vec_id FROM c JOIN b ON
+          |    list_sum([c.v[i]::DOUBLE * b.w[i]::DOUBLE
+          |              for i in generate_series(1, len(c.v))]) /
+          |    (sqrt(list_sum([c.v[i]::DOUBLE * c.v[i]::DOUBLE
+          |                    for i in generate_series(1, len(c.v))])) *
+          |     sqrt(list_sum([b.w[i]::DOUBLE * b.w[i]::DOUBLE
+          |                    for i in generate_series(1, len(b.w))]))) >= 0.4)
+          |SELECT c.vec_id, (h.vec_id IS NOT NULL) AS contaminated
+          |FROM c LEFT JOIN hits h ON c.vec_id = h.vec_id
+          |ORDER BY c.vec_id""".stripMargin))
   )
 
   /** DuckDB oracle for [[Similarity.mmrRerank]] with query vec_id = 0 and

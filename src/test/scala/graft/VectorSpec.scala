@@ -338,4 +338,35 @@ class VectorSpec extends AnyFunSuite {
     assert(got.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
     assert(got.map(_.getLong(2)).toSet === Set(10L, 11L, 12L))
   }
+
+  test("semanticDecontaminate: exact mode equals the naive predicate, ANN only loses recall") {
+    val emb = Lake(spark, sf0001).embeddings
+    val corpus = emb.where(col("vec_id") >= 10).select("vec_id", "embedding")
+    val bench = emb.where(col("vec_id") < 10)
+    def flagged(planes: Int, tables: Int = 2): Set[Long] =
+      Similarity.semanticDecontaminate(corpus, bench, "vec_id", "embedding",
+          threshold = 0.35, planes = planes, tables = tables)
+        .where(col("contaminated")).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    val naive = corpus.as("c").crossJoin(
+        bench.select(col("embedding").as("w")))
+      .where(VectorFunctions.cosine(col("embedding"), col("w")) >= 0.35)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(naive.nonEmpty, "fixture must contain contamination at this threshold")
+    // planes = 0: single bucket = exact
+    assert(flagged(0) === naive)
+    // real planes: exact cosine filter on candidates -> no false
+    // positives ever; banding can only MISS (subset), and more tables
+    // can only recover (monotone recall)
+    val oneTable = flagged(6, tables = 1)
+    val threeTables = flagged(6, tables = 3)
+    assert(oneTable.subsetOf(naive))
+    assert(threeTables.subsetOf(naive))
+    assert(oneTable.subsetOf(threeTables))
+    // every corpus row survives with a verdict (no row loss/duplication)
+    val out = Similarity.semanticDecontaminate(corpus, bench,
+      "vec_id", "embedding", threshold = 0.35, planes = 4)
+    assert(out.count() === corpus.count())
+    assert(out.select("vec_id").distinct().count() === corpus.count())
+  }
 }
