@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-driven data skipping: the READ-side half of the zone-map
+  * story. [[LakeMaintenance.clusterBy]] writes range-clustered files so
+  * values co-locate; `q40` shows the per-shard min/max stats; this
+  * operator PERSISTS those stats as a per-file manifest and serves
+  * range-filtered reads that open only the files whose zone intersects
+  * the predicate — whole files skipped before any footer is touched.
+  *
+  * This is the engine-level formulation of what Delta/Iceberg keep in
+  * their table metadata: at 100 TB a clustered table resolves a narrow
+  * range scan from the manifest (file-count-sized, one tiny read) to a
+  * handful of data files, while a bare directory scan must at least open
+  * every footer. Parquet row-group pushdown still applies WITHIN the
+  * surviving files — the two skipping layers compose.
+  *
+  * Layout under `dir`: `data/` (clustered parquet) + `_zonemap/` (one
+  * row per file: path, n_rows, per-column min/max). The manifest is
+  * rebuilt on every [[write]] — it is derived state, never merged. */
+object ZoneMapTable {
+
+  /** Cluster `df` by `clusterCol` into `files` files under `dir/data`
+    * and persist the per-file min/max manifest for `statsCols`. */
+  def write(df: DataFrame, dir: String, clusterCol: String,
+            statsCols: Seq[String], files: Int): Unit = {
+    require(statsCols.nonEmpty, "zone map needs at least one stats column")
+    LakeMaintenance.clusterBy(df, s"$dir/data", clusterCol, files)
+    val spark = df.sparkSession
+    val aggs = count(lit(1)).as("n_rows") +: statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(s"$dir/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(s"$dir/_zonemap")
+  }
+
+  /** Files whose `[min, max]` zone intersects `[lo, hi]`, with the
+    * total file count — the skipping decision, exposed for tests and
+    * observability. Manifest-sized work: one small read, a file-count
+    * list on the driver (the same object any manifest reader holds). */
+  def survivingFiles(spark: SparkSession, dir: String, statsCol: String,
+                     lo: Column, hi: Column): (Seq[String], Long) = {
+    val manifest = spark.read.parquet(s"$dir/_zonemap")
+    val total = manifest.count()
+    val kept = manifest
+      .where(!(col(s"max_$statsCol") < lo || col(s"min_$statsCol") > hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+    (kept, total)
+  }
+
+  /** Range read through the manifest: only intersecting files are opened;
+    * the exact predicate is re-applied to the survivors (zones are
+    * bounding boxes, not membership proofs). An empty survivor set
+    * degrades to an empty frame of the table's schema, not an error. */
+  def prunedRead(spark: SparkSession, dir: String, statsCol: String,
+                 lo: Column, hi: Column): DataFrame = {
+    val (kept, _) = survivingFiles(spark, dir, statsCol, lo, hi)
+    val all = spark.read.parquet(s"$dir/data")
+    val base = if (kept.isEmpty) all.limit(0)
+               else spark.read.parquet(kept: _*)
+    base.where(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+}

@@ -932,6 +932,33 @@ object SurfaceQueries {
           |   OR min(l_shipdate) >= TIMESTAMP '1995-01-01') AS prunable
           |FROM lineitem GROUP BY 1 ORDER BY shard""".stripMargin)),
 
+    // ---- manifest-driven data skipping (zone-map pruned scan) ----------
+    // The READ half of q40's zone maps: lineitem re-clustered by order
+    // key into 16 files + a persisted per-file min/max manifest; the
+    // range scan consults the manifest and opens only intersecting
+    // files, then re-applies the exact predicate (zones are bounding
+    // boxes). The oracle runs the plain range filter on the original
+    // table — a manifest that skipped a file it needed, or double-read
+    // one, shifts a count or sum and fails the hash gate. File-skipping
+    // itself (kept << total) is pinned in LakeMaintenanceSpec.
+    "q60_zonemap_scan" -> Q(
+      (s, dir) => {
+        import graft.operators.ZoneMapTable
+        val stage = s"/root/repo/target/zm_stage/lineitem_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        ZoneMapTable.write(Lake(s, dir).lineitem, stage,
+          clusterCol = "l_orderkey", statsCols = Seq("l_orderkey"), files = 16)
+        ZoneMapTable.prunedRead(s, stage, "l_orderkey", lit(200L), lit(900L))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("qty"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 200 AND 900
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // ---- shuffle-skew diagnostics (the salt-factor advisor) ------------
     // The pre-flight a big join/groupBy runs before picking a skew
     // strategy: per-key frequency profile of the shuffle key — key

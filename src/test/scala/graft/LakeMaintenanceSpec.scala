@@ -314,4 +314,36 @@ class LakeMaintenanceSpec extends AnyFunSuite {
       ("p1", 4L, 1L), ("p1", 5L, 2L),
       ("p2", 1L, 0L), ("p2", 2L, 2L)))
   }
+
+  test("zone-map pruned read skips files and loses no rows") {
+    import graft.operators.ZoneMapTable
+    val dir = Files.createTempDirectory("zonemap").toString + "/t"
+    val li = Lake(spark, sf0001).lineitem
+    ZoneMapTable.write(li, dir, clusterCol = "l_orderkey",
+      statsCols = Seq("l_orderkey", "l_quantity"), files = 16)
+    // skipping: a narrow key range must open a strict minority of files
+    val (kept, total) = ZoneMapTable.survivingFiles(spark, dir,
+      "l_orderkey", lit(200L), lit(300L))
+    assert(total === 16L)
+    assert(kept.nonEmpty && kept.size < 4,
+      s"expected a narrow range to keep few files, kept ${kept.size}/$total")
+    // correctness: pruned read == plain filter, row for row
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val got = canon(ZoneMapTable.prunedRead(spark, dir,
+      "l_orderkey", lit(200L), lit(300L)))
+    val want = canon(li.where(col("l_orderkey").between(200L, 300L)))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // an out-of-range scan keeps zero files and returns an empty frame
+    val (none, _) = ZoneMapTable.survivingFiles(spark, dir,
+      "l_orderkey", lit(10000000L), lit(20000000L))
+    assert(none.isEmpty)
+    assert(ZoneMapTable.prunedRead(spark, dir, "l_orderkey",
+      lit(10000000L), lit(20000000L)).count() === 0L)
+    // the manifest also carries the secondary column's zones
+    val m = spark.read.parquet(s"$dir/_zonemap")
+    assert(m.columns.toSet.intersect(
+      Set("min_l_quantity", "max_l_quantity")).size === 2)
+  }
 }
