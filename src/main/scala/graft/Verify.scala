@@ -16,13 +16,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    // Failures are caught per query so one break cannot hide the rest —
+    // but they must stay LOUD: a failed query silently vanishes from the
+    // driver's CORRECTNESS report (it compares only dumped results), so
+    // the summary line + verify_failures.txt make any drop visible both
+    // in captured stdout and as an artifact (the round-9 lesson, where a
+    // testdata schema change cost 17 queries and nothing flagged it).
+    val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
     }
+    println(s"""{"metric":"verify_summary","declared":${SparkEntry.queries.size},"dumped":${SparkEntry.queries.size - failed.size},"failed":${failed.size},"failed_names":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.txt"),
+      failed.mkString("", "\n", "\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
