@@ -167,7 +167,7 @@ object Similarity {
     * shuffle volume is cells x partitions x dim doubles regardless of
     * corpus size (the posexplode alternative fans every corpus row out
     * dim-fold and shuffles all of it). */
-  private def meanVectorsWide(df: DataFrame, groupCol: String, vecCol: String,
+  private[graft] def meanVectorsWide(df: DataFrame, groupCol: String, vecCol: String,
                               outCol: String, dim: Int): DataFrame = {
     val avgs = (1 to dim).map(i =>
       avg(element_at(col(vecCol), i).cast("double")).as(s"__m$i"))
