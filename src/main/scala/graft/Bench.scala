@@ -91,14 +91,17 @@ object Bench {
     // round's record can carry per-query deltas against it. Parsed with
     // json4s (already on Spark's classpath); any parse/read failure just
     // drops the delta field rather than failing the bench.
+    // The history copy lives OUTSIDE target/ — `sbt clean` wipes target,
+    // and a delta baseline that dies with every clean isn't a baseline.
     val benchFile = new java.io.File("target/bench.json")
+    val historyFile = new java.io.File("bench_latest.json")
     val prevBest: Map[String, Double] =
       try {
-        if (benchFile.isFile) {
+        if (historyFile.isFile) {
           import org.json4s._
           import org.json4s.jackson.JsonMethods
           val prev = JsonMethods.parse(
-            new String(java.nio.file.Files.readAllBytes(benchFile.toPath), "UTF-8"))
+            new String(java.nio.file.Files.readAllBytes(historyFile.toPath), "UTF-8"))
           (prev \ "queries") match {
             case JObject(fields) => fields.collect {
               case (k, JDouble(v)) if v >= 0 => k -> v
@@ -130,12 +133,16 @@ object Bench {
     val record =
       s"""{"metric":"total","value":$total1,"unit":"sec","queries":${fmt(res1)},"spread":${fmtSpread(res1)},"failed":$failed1,"sf":"$sfDir"$deltaField$secondary}"""
     println(record)
-    // Durable whole-record copy: immune to any stdout capture window.
-    try {
-      benchFile.getParentFile.mkdirs()
-      java.nio.file.Files.write(benchFile.toPath, (record + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write ${benchFile.getPath}: ${e.getMessage}")
+    // Durable whole-record copies: immune to any stdout capture window.
+    // target/bench.json is the driver-visible path; bench_latest.json is
+    // the clean-proof history the NEXT run's deltas read.
+    for (f <- Seq(benchFile, historyFile)) {
+      try {
+        Option(f.getParentFile).foreach(_.mkdirs())
+        java.nio.file.Files.write(f.toPath, (record + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write ${f.getPath}: ${e.getMessage}")
+      }
     }
     // Short trailer printed LAST: a tail capture of any width keeps this
     // line whole, so the total stays machine-readable even if the full
