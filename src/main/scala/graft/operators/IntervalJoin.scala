@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Interval-overlap join: all (left, right) pairs whose half-open
   * intervals intersect — `lStart < rEnd AND rStart < lEnd` — optionally
@@ -19,37 +18,89 @@ import org.apache.spark.sql.types.LongType
   * A pair sharing several bins must emit ONCE without a distinct (a
   * shuffle + full-row compare at 100 TB): the pair is kept only in its
   * FIRST common bin, `max(floor(lStart/w), floor(rStart/w))` — a
-  * row-local predicate, no extra exchange. Cost: explode factor =
-  * interval span / binWidth per side + one hash join; size binWidth to
-  * the typical interval length so most intervals register in O(1) bins. */
+  * row-local predicate, no extra exchange.
+  *
+  * Fan-out guard: the explode factor is interval span / binWidth per
+  * side, so ONE open-ended or day-long interval against a minute-sized
+  * `binWidth` would register in thousands of bins. Intervals covering
+  * more than `maxBins` bins therefore never enter the bin join at all:
+  * they are few by definition in real session/attribution data (else
+  * binWidth is mis-sized), so each long side is routed through a
+  * BROADCAST predicate join against the other side — the same
+  * outlier-vs-bulk split `Dedup.jaccardPairs` applies via maxShingleDf.
+  * The three branches (bulk×bulk binned, longL×all, bulk×longR) cover
+  * every overlapping pair exactly once. Size binWidth to the typical
+  * interval length so most intervals register in O(1) bins.
+  */
 object IntervalJoin {
+
+  /** Exact floor(c / w) for LONG `c`: subtracting the (always
+    * non-negative) pmod makes the numerator an exact multiple of w, so
+    * integral division truncates to the true floor — no double-mantissa
+    * rounding at any magnitude (a bare `floor(c / w)` silently mis-bins
+    * past 2^53, e.g. epoch-nanos values). */
+  private def binOf(c: Column, w: Long): Column =
+    call_function("div", c - pmod(c, lit(w)), lit(w))
 
   /** Interval columns are exact integers (epoch-micros longs — same
     * convention as the engine's event-time arithmetic); `keys` may be
     * empty for an unkeyed overlap join (global time axis). Output keeps
     * every column of both inputs (right's prefixed on name collision is
-    * the caller's concern — pre-alias as needed). */
+    * the caller's concern — pre-alias as needed). `maxBins` caps the
+    * per-row explode factor; intervals spanning more bins take the
+    * broadcast outlier path (identical result, law-pinned in
+    * JoinOpsSpec). */
   def overlaps(left: DataFrame, right: DataFrame, keys: Seq[String],
                lStart: String, lEnd: String,
                rStart: String, rEnd: String,
-               binWidth: Long): DataFrame = {
+               binWidth: Long, maxBins: Int = 64): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def bin(c: Column): Column = floor(c / binWidth).cast(LongType)
+    require(maxBins >= 1, "maxBins must be >= 1")
+    def bin(c: Column): Column = binOf(c, binWidth)
     // half-open [start, end): the last covered bin is bin(end - 1);
     // empty/negative-length intervals cover no bin and match nothing
-    val l = left
-      .where(col(lStart) < col(lEnd))
+    val lv = left.where(col(lStart) < col(lEnd))
+    val rv = right.where(col(rStart) < col(rEnd))
+    def spanBins(s: String, e: String): Column =
+      bin(col(e) - 1) - bin(col(s)) + 1
+    val lLong = lv.where(spanBins(lStart, lEnd) > maxBins)
+    val lBulk = lv.where(spanBins(lStart, lEnd) <= maxBins)
+    val rLong = rv.where(spanBins(rStart, rEnd) > maxBins)
+    val rBulk = rv.where(spanBins(rStart, rEnd) <= maxBins)
+
+    val overlapPred: (DataFrame, DataFrame) => Column = (l, r) =>
+      keys.map(k => l(k) === r(k))
+        .foldLeft(l(lStart) < r(rEnd) && r(rStart) < l(lEnd))(_ && _)
+    def dropRightKeys(df: DataFrame, r: DataFrame): DataFrame =
+      keys.foldLeft(df)((d, k) => d.drop(r(k)))
+
+    // bulk×bulk: the binned hash join (the scale path)
+    val lb = lBulk
       .withColumn("__lb0", bin(col(lStart)))
       .withColumn("__bin", explode(sequence(col("__lb0"), bin(col(lEnd) - 1))))
-    val r = right
-      .where(col(rStart) < col(rEnd))
+    val rb = rBulk
       .withColumn("__rb0", bin(col(rStart)))
       .withColumn("__rbin", explode(sequence(col("__rb0"), bin(col(rEnd) - 1))))
-    val joined = l.join(r, keys.map(k => l(k) === r(k))
-        .foldLeft(col("__bin") === col("__rbin"))(_ && _))
-      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
-      .where(col("__bin") === greatest(col("__lb0"), col("__rb0")))
-      .drop("__bin", "__rbin", "__lb0", "__rb0")
-    keys.foldLeft(joined)((df, k) => df.drop(r(k)))
+    val binned = dropRightKeys(
+      lb.join(rb, keys.map(k => lb(k) === rb(k))
+          .foldLeft(col("__bin") === col("__rbin"))(_ && _))
+        .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+        .where(col("__bin") === greatest(col("__lb0"), col("__rb0")))
+        .drop("__bin", "__rbin", "__lb0", "__rb0"),
+      rb)
+
+    // outliers: long-left × ALL right, bulk-left × long-right — disjoint
+    // from each other and from the bin join, together exhaustive. The
+    // long side broadcasts (few rows by the maxBins contract); with keys
+    // these stay hash joins, unkeyed they are broadcast loops over a
+    // handful of rows.
+    val longL = dropRightKeys(
+      broadcast(lLong).join(rv, overlapPred(lLong, rv)), rv)
+    val longR = dropRightKeys(
+      lBulk.join(broadcast(rLong), overlapPred(lBulk, rLong)), rLong)
+
+    // positional union: all branches are left-columns ++ right-columns
+    // minus the dropped right keys, in identical order by construction
+    binned.union(longL).union(longR)
   }
 }

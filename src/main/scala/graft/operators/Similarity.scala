@@ -435,13 +435,15 @@ object Similarity {
     val c = banded(v)
     val b = banded(benchmark.select(lit(0L).as("id"), col(vecCol).as("vec")))
       .select(col("vec").as("b_vec"), col("table"), col("bucket"))
+    // hits key under a reserved name: drop-by-name ("id") would also
+    // remove the CALLER's column when idCol is literally "id"
     val hits = c.join(broadcast(b), Seq("table", "bucket"))
       .where(cosine(col("vec"), col("b_vec")) >= threshold)
-      .select(col("id")).distinct()
+      .select(col("id").as("__decon_id")).distinct()
       .withColumn("__hit", lit(true))
-    corpus.join(hits, corpus(idCol) === hits("id"), "left_outer")
+    corpus.join(hits, corpus(idCol) === hits("__decon_id"), "left_outer")
       .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
-      .drop("id", "__hit")
+      .drop("__decon_id", "__hit")
   }
 
   /** A candidate-generation stage for [[mmrRerank]]: (corpus, queries,
@@ -478,10 +480,19 @@ object Similarity {
   def mmrRerank(corpus: DataFrame, query: DataFrame, idCol: String,
                 vecCol: String, k: Int = 5, fetch: Int = 20,
                 lambda: Double = 0.7,
-                candidates: CandidateFetcher = bruteForceTopK): DataFrame = {
+                candidates: CandidateFetcher = bruteForceTopK,
+                maxQueries: Int = 256): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(fetch >= k, s"fetch ($fetch) must be >= k ($k)")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    // the driver-side greedy is bounded by |queries| * fetch^2 — make the
+    // broadcast-sized-query-set assumption a CHECKED contract so an
+    // oversized query frame fails with an actionable error, not an OOM
+    val nQueries = query.count()
+    require(nQueries <= maxQueries,
+      s"mmrRerank collects fetch^2 rows per query on the driver; got " +
+        s"$nQueries query rows > maxQueries=$maxQueries. Rerank per " +
+        s"query batch, or raise maxQueries if driver memory allows.")
     val spark = corpus.sparkSession
     import spark.implicits._
     val cand = candidates(corpus, query, idCol, vecCol, fetch)

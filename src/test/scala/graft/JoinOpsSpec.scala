@@ -216,6 +216,46 @@ class JoinOpsSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("long-interval guard: guarded join equals the naive predicate join at any maxBins") {
+    import spark.implicits._
+    val minUs = 60L * 1000000
+    // minute-sized intervals plus one day-long outlier on each side —
+    // the fan-out case the guard exists for (a day at minute bins would
+    // register in 1440 bins; the guard routes it via broadcast instead)
+    val l = (Seq((1L, 0L, 1440 * minUs)) ++ (0 until 50).map(i =>
+      (i.toLong % 3, i * 10 * minUs, i * 10 * minUs + minUs)))
+      .zipWithIndex.map { case ((k, s, e), i) => (k, i.toLong, s, e) }
+      .toDF("k", "lid", "ls", "le")
+    val r = (Seq((2L, 100L * minUs, 100L * minUs + 1440 * minUs)) ++
+      (0 until 50).map(i => (i.toLong % 3, i * 7 * minUs, i * 7 * minUs + 2 * minUs)))
+      .zipWithIndex.map { case ((k, s, e), i) => (k, i.toLong, s, e) }
+      .toDF("k", "rid", "rs", "re")
+    val naive = l.join(r, l("k") === r("k") &&
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(naive.nonEmpty)
+    for (mb <- Seq(1, 4, 64, Int.MaxValue)) {
+      val got = IntervalJoin.overlaps(l, r, Seq("k"), "ls", "le", "rs", "re",
+          binWidth = minUs, maxBins = mb)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got === naive, s"maxBins $mb diverged from the naive join")
+    }
+    // exact integer binning: epoch-NANOS magnitudes (past the 2^53
+    // double mantissa) must bin exactly — float division would mis-bin
+    // and drop overlapping pairs (the round-10 advice)
+    val base = 1700000000L * 1000000000L
+    val ln = Seq((1L, 10L, base, base + 3600L * 1000000000L))
+      .toDF("k", "lid", "ls", "le")
+    val rn = Seq((1L, 20L, base + 1800L * 1000000000L, base + 5400L * 1000000000L))
+      .toDF("k", "rid", "rs", "re")
+    val gotN = IntervalJoin.overlaps(ln, rn, Seq("k"), "ls", "le", "rs", "re",
+        binWidth = 60L * 1000000000L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(gotN === Seq((10L, 20L)))
+  }
+
   test("joinDelta law: stored ∪ delta equals the direct join, any split, empty deltas included") {
     import graft.operators.IncrementalJoin
     val lk = Lake(spark, sf0001)

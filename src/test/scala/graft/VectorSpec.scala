@@ -369,4 +369,35 @@ class VectorSpec extends AnyFunSuite {
     assert(out.count() === corpus.count())
     assert(out.select("vec_id").distinct().count() === corpus.count())
   }
+
+  test("semanticDecontaminate keeps a caller column literally named 'id'") {
+    // drop-by-name regression: the hits side once joined under "id", so
+    // .drop("id") also removed the CALLER's id column from the output
+    val emb = Lake(spark, sf0001).embeddings
+    val corpus = emb.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val bench = emb.where(col("vec_id") < 10)
+    val out = Similarity.semanticDecontaminate(corpus, bench,
+      "id", "embedding", threshold = 0.35, planes = 0)
+    assert(out.columns.toSeq === Seq("id", "embedding", "contaminated"))
+    assert(out.select("id").distinct().count() === corpus.count())
+  }
+
+  test("mmrRerank rejects an unbounded query frame with an actionable error") {
+    import spark.implicits._
+    val corpus = Seq((10L, Array(1f, 0f)), (11L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val bigQuery = spark.range(0, 50)
+      .select(col("id").as("vec_id"),
+        array(lit(1f), lit(0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(corpus, bigQuery, "vec_id", "embedding",
+        k = 1, fetch = 2, maxQueries = 10)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+    // at or under the bound the rerank runs normally
+    val small = bigQuery.where(col("vec_id") < 10)
+    assert(Similarity.mmrRerank(corpus, small, "vec_id", "embedding",
+      k = 1, fetch = 2, maxQueries = 10).count() === 10L)
+  }
 }
