@@ -436,7 +436,9 @@ object SimilarityQueries {
         val emb = Lake(s, dir).embeddings
         val corpus = emb.where(col("vec_id") >= 10)
         val queries = emb.where(col("vec_id") < 10)
-        val stage = s"/root/repo/target/ivf_stage/idx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        // cwd-relative (matches Bench and the specs): the query suite
+        // must not pin one checkout location
+        val stage = s"target/ivf_stage/idx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         VectorIndex.build(corpus, stage, "vec_id", "embedding", planes = 4)
         val served = VectorIndex.query(s, stage, queries,
           "vec_id", "embedding", k = 5, nProbe = 4)

@@ -944,7 +944,9 @@ object SurfaceQueries {
     "q60_zonemap_scan" -> Q(
       (s, dir) => {
         import graft.operators.ZoneMapTable
-        val stage = s"/root/repo/target/zm_stage/lineitem_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        // cwd-relative (matches Bench and the specs): the query suite
+        // must not pin one checkout location
+        val stage = s"target/zm_stage/lineitem_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         ZoneMapTable.write(Lake(s, dir).lineitem, stage,
           clusterCol = "l_orderkey", statsCols = Seq("l_orderkey"), files = 16)
         ZoneMapTable.prunedRead(s, stage, "l_orderkey", lit(200L), lit(900L))

@@ -6,16 +6,29 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import graft.operators.{Similarity, VectorIndex}
 
 /** The persisted-IVF-index contract: serving from disk equals the inline
-  * train-and-query path, and the probed read is partition-pruned to the
-  * probed buckets (the nProbe/2^planes byte-cost claim s14 rides on). */
+  * train-and-query path, the probed read is partition-pruned to the
+  * probed buckets (the nProbe/2^planes byte-cost claim s14 rides on),
+  * and the generational manifest commit makes build/append CRASH-ATOMIC:
+  * a writer dying before the manifest rename leaves the prior
+  * generation byte-identically servable. */
 class VectorIndexSpec extends AnyFunSuite {
   import TestSpark._
 
   private lazy val emb = Lake(spark, sf0001).embeddings
   private lazy val corpus = emb.where(col("vec_id") >= 10)
   private lazy val queries = emb.where(col("vec_id") < 10)
+
+  /** Fresh stage dir (wiped per session — generations would otherwise
+    * accrete across sbt invocations and shift the g numbers the layout
+    * assertions read). */
+  private def freshDir(name: String): String = {
+    val p = s"target/ivf_stage/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    p
+  }
+
   private lazy val dir = {
-    val p = "/root/repo/target/ivf_stage/vector_index_spec"
+    val p = freshDir("vector_index_spec")
     VectorIndex.build(corpus, p, "vec_id", "embedding", planes = 4)
     p
   }
@@ -33,10 +46,11 @@ class VectorIndexSpec extends AnyFunSuite {
   }
 
   test("index layout: cells are bucket-partitioned, centroids bounded by 2^planes") {
-    val buckets = new java.io.File(s"$dir/cells").listFiles()
+    val buckets = new java.io.File(s"$dir/cells/g=1").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket="))
     assert(buckets.length > 1, s"expected bucket partitions, got ${buckets.toSeq}")
-    assert(spark.read.parquet(s"$dir/centroids").count() <= 16)
+    assert(VectorIndex.centroids(spark, dir).count() <= 16)
+    assert(VectorIndex.generations(spark, dir) === Seq(1L))
   }
 
   test("probe scan is dynamically partition-pruned to the probed buckets") {
@@ -50,8 +64,8 @@ class VectorIndexSpec extends AnyFunSuite {
   }
 
   test("append-grown LSH index holds a rebuild's cells; full-probe answers agree") {
-    val p1 = "/root/repo/target/ivf_stage/vector_index_spec_append"
-    val p2 = "/root/repo/target/ivf_stage/vector_index_spec_full"
+    val p1 = freshDir("vector_index_spec_append")
+    val p2 = freshDir("vector_index_spec_full")
     val half1 = corpus.where(col("vec_id") % 2 === 0)
     val half2 = corpus.where(col("vec_id") % 2 === 1)
     VectorIndex.build(half1, p1, "vec_id", "embedding", planes = 4)
@@ -59,7 +73,7 @@ class VectorIndexSpec extends AnyFunSuite {
     VectorIndex.build(corpus, p2, "vec_id", "embedding", planes = 4)
     // cell-for-cell: deterministic hash assignment makes the grown index
     // hold exactly the rebuilt index's (id, bucket) set
-    def cells(dir: String) = spark.read.parquet(s"$dir/cells")
+    def cells(dir: String) = VectorIndex.cells(spark, dir)
       .select("neighbor_id", "bucket").collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     assert(cells(p1) === cells(p2))
@@ -72,9 +86,9 @@ class VectorIndexSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
     assert(canon(p1) === canon(p2))
     // refreshed centroids track a rebuild's within float tolerance
-    val c1 = spark.read.parquet(s"$p1/centroids").collect()
+    val c1 = VectorIndex.centroids(spark, p1).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-    val c2 = spark.read.parquet(s"$p2/centroids").collect()
+    val c2 = VectorIndex.centroids(spark, p2).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     assert(c1.keySet === c2.keySet)
     for (b <- c1.keySet; (x, y) <- c1(b).zip(c2(b)))
@@ -82,15 +96,15 @@ class VectorIndexSpec extends AnyFunSuite {
   }
 
   test("trained-mode append routes new vectors to existing centroids only") {
-    val p = "/root/repo/target/ivf_stage/vector_index_spec_trained"
+    val p = freshDir("vector_index_spec_trained")
     val half1 = corpus.where(col("vec_id") % 2 === 0)
     val half2 = corpus.where(col("vec_id") % 2 === 1)
     VectorIndex.build(half1, p, "vec_id", "embedding",
       planes = 3, kmeansIters = 2)
-    val bucketsBefore = spark.read.parquet(s"$p/cells")
+    val bucketsBefore = VectorIndex.cells(spark, p)
       .select("bucket").distinct().collect().map(_.getInt(0)).toSet
     VectorIndex.append(half2, p, "vec_id", "embedding")
-    val after = spark.read.parquet(s"$p/cells")
+    val after = VectorIndex.cells(spark, p)
     val bucketsAfter = after.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     assert(bucketsAfter === bucketsBefore, "append must not invent cells")
@@ -101,12 +115,81 @@ class VectorIndexSpec extends AnyFunSuite {
       .where(col("count") =!= 5).count() === 0L)
   }
 
-  test("rebuild overwrites in place; a fresh session can query without retraining") {
-    val p = "/root/repo/target/ivf_stage/vector_index_spec_rebuild"
+  test("rebuild republishes atomically; a fresh session can query without retraining") {
+    val p = freshDir("vector_index_spec_rebuild")
     VectorIndex.build(corpus, p, "vec_id", "embedding", planes = 4)
     VectorIndex.build(corpus, p, "vec_id", "embedding", planes = 4)
+    assert(VectorIndex.generations(spark, p) === Seq(1L, 2L))
     val n = VectorIndex.query(spark, p, queries,
       "vec_id", "embedding", k = 3, nProbe = 2).count()
     assert(n > 0)
+  }
+
+  test("a writer killed mid-append is invisible: query serves the pre-append index byte-identically") {
+    val p = freshDir("vector_index_spec_torn")
+    VectorIndex.build(corpus.where(col("vec_id") % 2 === 0), p,
+      "vec_id", "embedding", planes = 4)
+    def canon() = VectorIndex.query(spark, p, queries,
+        "vec_id", "embedding", k = 5, nProbe = 16)
+      .collect().map(_.toString).sorted.toSeq
+    val before = canon()
+    val cellsBefore = VectorIndex.cells(spark, p)
+      .collect().map(_.toString).sorted.toSeq
+    // simulate a writer dying after its DATA writes but before the
+    // manifest rename: delta cell files under a fresh g= dir, refreshed
+    // centroids, even a staged (hidden) manifest — everything an append
+    // does except the final commit
+    corpus.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"),
+        graft.functions.VectorFunctions.lshBucket(col("embedding"), 4)
+          .as("bucket"))
+      .write.partitionBy("bucket").parquet(s"$p/cells/g=2")
+    VectorIndex.centroids(spark, p)
+      .write.parquet(s"$p/centroids/g=2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$p/_manifests/.m=2.json.tmp"),
+      "{\"gen\":2}")
+    // a stray orphan inside an EXISTING manifested bucket dir must be
+    // ignored too (readers scan exactly the manifested files)
+    val bucketDir = new java.io.File(s"$p/cells/g=1").listFiles()
+      .filter(_.isDirectory).head
+    val donor = bucketDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(donor.toPath,
+      bucketDir.toPath.resolve("part-orphan-from-dead-writer.parquet"))
+    assert(VectorIndex.generations(spark, p) === Seq(1L))
+    assert(VectorIndex.cells(spark, p)
+      .collect().map(_.toString).sorted.toSeq === cellsBefore)
+    assert(canon() === before)
+    // a RETRIED append then commits normally (fresh g=, no duplicates)
+    VectorIndex.append(corpus.where(col("vec_id") % 2 === 1), p,
+      "vec_id", "embedding")
+    val served = VectorIndex.cells(spark, p)
+    assert(served.count() === corpus.count())
+    assert(served.select("neighbor_id").distinct().count() === corpus.count())
+  }
+
+  test("vacuum reclaims superseded generations and dead-writer orphans, keeps the servable index") {
+    val p = freshDir("vector_index_spec_vacuum")
+    val half1 = corpus.where(col("vec_id") % 2 === 0)
+    val half2 = corpus.where(col("vec_id") % 2 === 1)
+    VectorIndex.build(half1, p, "vec_id", "embedding", planes = 4, retain = 0)
+    VectorIndex.append(half2, p, "vec_id", "embedding")
+    // torn writer leftovers below the newest commit
+    VectorIndex.centroids(spark, p).write.parquet(s"$p/centroids/g=0")
+    val before = VectorIndex.query(spark, p, queries,
+        "vec_id", "embedding", k = 5, nProbe = 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(VectorIndex.vacuum(spark, p, keepLast = 1) === Seq(1L))
+    assert(VectorIndex.generations(spark, p) === Seq(2L))
+    // superseded centroid table + orphan gone; manifested cells intact
+    assert(!new java.io.File(s"$p/centroids/g=1").exists())
+    assert(!new java.io.File(s"$p/centroids/g=0").exists())
+    // gen-2 (append) manifest still references gen-1 CELL files: kept
+    assert(new java.io.File(s"$p/cells/g=1").exists())
+    val after = VectorIndex.query(spark, p, queries,
+        "vec_id", "embedding", k = 5, nProbe = 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before)
   }
 }
