@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * surviving files — the two skipping layers compose.
   *
   * Layout under `dir`: `data/` (clustered parquet) + `_zonemap/` (one
-  * row per file: path, n_rows, per-column min/max). The manifest is
-  * rebuilt on every [[write]] — it is derived state, never merged. */
+  * row per file: path, n_rows, per-column min/max). [[write]] rebuilds
+  * the manifest from a full re-read (the from-scratch path);
+  * [[append]] maintains it from the DELTA's per-file stats only — the
+  * 100 TB ingest path, where a manifest rebuild would cost a table
+  * scan per batch. */
 object ZoneMapTable {
 
   /** Cluster `df` by `clusterCol` into `files` files under `dir/data`
@@ -35,6 +38,49 @@ object ZoneMapTable {
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(s"$dir/_zonemap")
+  }
+
+  /** Incremental maintenance: cluster ONLY the delta into new files and
+    * union their per-file stats into the manifest — no re-read of the
+    * existing table (at 100 TB the rebuild-on-every-write form pays a
+    * full scan per batch; this pays delta bytes + one manifest
+    * rewrite). The delta gets its own range-clustering, so its files
+    * carry tight zones over the batch even though they interleave the
+    * table's global order — zones are bounding boxes, never an ordering
+    * contract, so reads stay exact either way (append ≡ rebuild on the
+    * manifest is law-pinned in LakeMaintenanceSpec). Periodic [[write]]
+    * re-clustering restores global file disjointness when batch overlap
+    * accumulates. */
+  def append(df: DataFrame, dir: String, clusterCol: String,
+             statsCols: Seq[String], files: Int): Unit = {
+    require(statsCols.nonEmpty, "zone map needs at least one stats column")
+    val spark = df.sparkSession
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Set[String] =
+      if (!fs.exists(dataPath)) Set.empty
+      else fs.listStatus(dataPath).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+        .map(_.getPath.getName).toSet
+    val before = dataFiles()
+    df.repartitionByRange(files, df.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("append").parquet(s"$dir/data")
+    val fresh = (dataFiles() -- before).toSeq.sorted
+    if (fresh.isEmpty) return
+    val aggs = count(lit(1)).as("n_rows") +: statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val freshStats = spark.read.parquet(fresh.map(n => s"$dir/data/$n"): _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    // union with the existing manifest; localCheckpoint materializes the
+    // read before the overwrite (a path cannot be rewritten while a
+    // plan still reads it — the SnapshotStream convention)
+    val merged = spark.read.parquet(s"$dir/_zonemap")
+      .unionByName(freshStats)
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$dir/_zonemap")
   }
 
   /** Files whose `[min, max]` zone intersects `[lo, hi]`, with the

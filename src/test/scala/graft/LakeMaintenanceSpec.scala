@@ -346,4 +346,42 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(m.columns.toSet.intersect(
       Set("min_l_quantity", "max_l_quantity")).size === 2)
   }
+
+  test("zone-map append maintains the manifest from the delta; append == rebuild") {
+    import graft.operators.ZoneMapTable
+    val li = Lake(spark, sf0001).lineitem
+    val base = li.where(col("l_orderkey") <= 700)
+    val delta = li.where(col("l_orderkey") > 700)
+    val incDir = Files.createTempDirectory("zonemap_inc").toString + "/t"
+    val fullDir = Files.createTempDirectory("zonemap_full").toString + "/t"
+    ZoneMapTable.write(base, incDir, "l_orderkey", Seq("l_orderkey"), files = 8)
+    ZoneMapTable.append(delta, incDir, "l_orderkey", Seq("l_orderkey"), files = 4)
+    ZoneMapTable.write(li, fullDir, "l_orderkey", Seq("l_orderkey"), files = 12)
+    // manifest law: same file count, same total rows, same covered range
+    def m(dir: String) = spark.read.parquet(s"$dir/_zonemap")
+      .agg(count(lit(1)), sum(col("n_rows")),
+        min(col("min_l_orderkey")), max(col("max_l_orderkey")))
+      .collect().head
+    assert(m(incDir) === m(fullDir))
+    // reads through the appended manifest equal the plain filter
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    for ((lo, hi) <- Seq((200L, 900L), (650L, 750L), (1000L, 1200L))) {
+      assert(canon(ZoneMapTable.prunedRead(spark, incDir,
+          "l_orderkey", lit(lo), lit(hi))) ===
+        canon(li.where(col("l_orderkey").between(lo, hi))),
+        s"range [$lo,$hi] diverged through the appended manifest")
+    }
+    // delta-local skipping: a range covered only by the base still
+    // skips all delta files (their zones exclude it)
+    val (kept, total) = ZoneMapTable.survivingFiles(spark, incDir,
+      "l_orderkey", lit(200L), lit(300L))
+    assert(total === 12L)
+    assert(kept.nonEmpty && kept.size < 4,
+      s"expected a narrow base-side range to keep few files, kept ${kept.size}/$total")
+    // appending an empty delta is a manifest no-op
+    ZoneMapTable.append(delta.limit(0), incDir, "l_orderkey",
+      Seq("l_orderkey"), files = 4)
+    assert(m(incDir) === m(fullDir))
+  }
 }
