@@ -93,8 +93,13 @@ object Bench {
     // drops the delta field rather than failing the bench.
     // The history copy lives OUTSIDE target/ — `sbt clean` wipes target,
     // and a delta baseline that dies with every clean isn't a baseline.
+    // It is keyed BY SCALE FACTOR: a local smoke run at sf0.001 must not
+    // overwrite the sf0.1 baseline the round-over-round deltas read
+    // (that cross-SF clobber happened once; deltas compared apples to
+    // grapes until the next full run).
     val benchFile = new java.io.File("target/bench.json")
-    val historyFile = new java.io.File("bench_latest.json")
+    val historyFile = new java.io.File(
+      s"bench_latest-${new java.io.File(sfDir).getName}.json")
     val prevBest: Map[String, Double] =
       try {
         if (historyFile.isFile) {

@@ -110,7 +110,8 @@ object JoinQueries {
           |FROM events e LEFT JOIN d
           |  ON e.user_id = d.user_id AND epoch_us(e.ts) >= d.valid_from
           |  AND (d.valid_to IS NULL OR epoch_us(e.ts) < d.valid_to)
-          |ORDER BY e.event_id""".stripMargin)),
+          |ORDER BY e.event_id""".stripMargin),
+      headline = true),
 
     // ---- banded range join: |c_acctbal - s_acctbal| <= 10 ---------------
     "r1_range_join" -> Q(
@@ -185,7 +186,8 @@ object JoinQueries {
           |SELECT sess.user_id, sess.s_start AS session_start, p.purchase_id
           |FROM sess JOIN p ON sess.user_id = p.user_id
           |  AND sess.s_start < p.p_end AND p.p_start < sess.s_end
-          |ORDER BY sess.user_id, session_start, p.purchase_id""".stripMargin)),
+          |ORDER BY sess.user_id, session_start, p.purchase_id""".stripMargin),
+      headline = true),
 
     // ---- runtime Bloom-filter join pruning ------------------------------
     // The explicit runtime-filter shape: a 64 Kbit / 3-hash Bloom filter
@@ -283,6 +285,7 @@ object JoinQueries {
         """SELECT o_orderpriority, COUNT(*) AS n_pairs,
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      headline = true)
   )
 }

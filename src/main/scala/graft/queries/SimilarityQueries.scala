@@ -464,7 +464,8 @@ object SimilarityQueries {
       Some(
         """SELECT CAST(count(*) AS BIGINT) AS n_queries,
           |  true AS index_matches_inline, true AS recall_ok
-          |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+          |FROM embeddings WHERE vec_id < 10""".stripMargin),
+      headline = true),
 
     // ---- semantic decontamination (embedding-space benchmark leakage) --
     // The embedding complement of d11's n-gram decontamination: corpus

@@ -959,7 +959,8 @@ object SurfaceQueries {
       """SELECT l_returnflag, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem WHERE l_orderkey BETWEEN 200 AND 900
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      headline = true),
 
     // ---- shuffle-skew diagnostics (the salt-factor advisor) ------------
     // The pre-flight a big join/groupBy runs before picking a skew
