@@ -16,6 +16,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Schema-contract tripwire (the r8→r9 lesson): a driver-side
+    // testdata regeneration that re-types a column must fail LOUDLY by
+    // table name up front — not as a scatter of per-query failures a
+    // round later. Queries still run (one drifted table must not zero
+    // the other tables' correctness rows); the banner + artifact make
+    // the drift unmissable.
+    val drifted = SchemaContract.drift(Lake(spark, sfDir))
+    if (drifted.nonEmpty) {
+      System.err.println("=" * 72)
+      drifted.foreach(d => System.err.println(s"[verify] SCHEMA DRIFT: $d"))
+      System.err.println("=" * 72)
+      println(s"""{"metric":"schema_drift","tables":${drifted.size}}""")
+    }
+    Files.writeString(Paths.get(s"$outDir/schema_drift.txt"),
+      drifted.mkString("", "\n", "\n"))
     // Failures are caught per query so one break cannot hide the rest —
     // but they must stay LOUD: a failed query silently vanishes from the
     // driver's CORRECTNESS report (it compares only dumped results), so

@@ -17,17 +17,38 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Parquet file-source schema for the events feed. `ts` arrives as
-    * TIMESTAMP(MICROS) (read as TimestampType under the UTC session). */
+  /** Parquet file-source schema for the events feed, current physical
+    * generation: `ts` as TIMESTAMP(MICROS) (read as TimestampType under
+    * the UTC session). The legacy generation shipped `ts` as epoch-nanos
+    * BIGINT — [[readEvents]] detects which one a directory holds. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Unbounded read of an events directory. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("t", col("ts"))
+  /** Unbounded read of an events directory, normalized to the same
+    * contract batch [[graft.Lake.events]] serves: `ts` is TimestampType
+    * whichever physical generation the directory holds. A streaming
+    * source must declare its schema up front, so the generation is
+    * sniffed from the directory ONCE (one batch-side footer read) —
+    * declaring the wrong one would misread every micro-batch with
+    * nothing flagging the mismatch. Integer DIV for the legacy branch,
+    * as in the batch adapter (epoch-nanos overflow the double
+    * mantissa). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val physicalTs = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(eventsSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = physicalTs)
+      case f => f
+    })
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    val normalized = physicalTs match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+    normalized.withColumn("t", col("ts"))
+  }
 
   /** Tumbling 1-hour counts per event type — streaming twin of the batch
     * q19_hourly_windows; with a 2-hour watermark late events beyond the
