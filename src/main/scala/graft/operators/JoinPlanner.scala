@@ -50,9 +50,12 @@ object JoinPlanner {
         thetaEstimate(thetaIntersect(col("skl"), col("skr")))
           .as("n_common"))
       .withColumn("est_out",
-        floor((col("n_left").cast("double") / col("d_left"))
-          * (col("n_right").cast("double") / col("d_right"))
-          * col("n_common")).cast("long"))
+        // an empty side has d = 0: the estimate is 0, not a division
+        // error (ANSI mode turns x/0 into an exception)
+        when(col("d_left") === 0 || col("d_right") === 0, lit(0L))
+          .otherwise(floor((col("n_left").cast("double") / col("d_left"))
+            * (col("n_right").cast("double") / col("d_right"))
+            * col("n_common")).cast("long")))
       .withColumn("strategy",
         when(least(col("n_left"), col("n_right")) <= broadcastMaxRows,
           when(col("n_right") <= col("n_left"), lit("broadcast-right"))
@@ -85,14 +88,91 @@ object JoinPlanner {
         thetaEstimate(thetaIntersect(col("skl"), col("skr")))
           .as("n_common"))
       .withColumn("est_out",
-        floor((col("n_left").cast("double") / col("d_left"))
-          * (col("n_right").cast("double") / col("d_right"))
-          * col("n_common")).cast("long"))
+        // an empty side has d = 0: the estimate is 0, not a division
+        // error (ANSI mode turns x/0 into an exception)
+        when(col("d_left") === 0 || col("d_right") === 0, lit(0L))
+          .otherwise(floor((col("n_left").cast("double") / col("d_left"))
+            * (col("n_right").cast("double") / col("d_right"))
+            * col("n_common")).cast("long")))
       .withColumn("strategy",
         when(least(col("n_left"), col("n_right")) <= broadcastMaxRows,
           when(col("n_right") <= col("n_left"), lit("broadcast-right"))
             .otherwise(lit("broadcast-left")))
           .otherwise(lit("shuffle-hash")))
+  }
+
+  /** The decision [[plannedJoin]] executes, exposed for tests and
+    * observability: which physical shape the sketch statistics picked,
+    * and the salt count when salting. */
+  final case class JoinPlan(strategy: String, salts: Int)
+
+  /** Pick the join shape from sketch statistics alone: two 1-row
+    * aggregates ([[joinStats]] for sizes, [[skewProbe]] on the probe
+    * side for the heavy hitter) — never a second full scan of either
+    * table beyond those aggregates.
+    *
+    *  - a side at or under `broadcastMaxRows` → broadcast it;
+    *  - else if the probe side's hottest key owns ≥ `skewShareThreshold`
+    *    of its rows → salt, with the count that brings the hot key's
+    *    expected per-task load down to `targetRatio` × the mean key
+    *    load (mean from the theta distinct estimate — the
+    *    [[SkewJoin.adviseSalts]] formula computed from sketches),
+    *    clamped to [2, maxSalts];
+    *  - else → plain shuffle join (AQE's runtime skew split remains the
+    *    backstop for skew below the threshold). */
+  def planFor(left: DataFrame, lKey: String,
+              right: DataFrame, rKey: String,
+              broadcastMaxRows: Long = 1000000L,
+              skewShareThreshold: Double = 0.125,
+              targetRatio: Double = 4.0, maxSalts: Int = 64): JoinPlan = {
+    require(targetRatio >= 1.0 && maxSalts > 1)
+    val st = joinStats(left, lKey, right, rKey, broadcastMaxRows).head()
+    st.getAs[String]("strategy") match {
+      case b @ ("broadcast-left" | "broadcast-right") => JoinPlan(b, 1)
+      case _ =>
+        val sp = skewProbe(left, lKey).head()
+        val nRows = sp.getAs[Long]("n_rows")
+        val dLeft = math.max(1L, st.getAs[Long]("d_left"))
+        val share =
+          if (nRows == 0L) 0.0 else sp.getAs[Double]("top_share")
+        if (share >= skewShareThreshold) {
+          val mean = nRows.toDouble / dLeft
+          val need = math.ceil(
+            sp.getAs[Long]("top_rows") / (mean * targetRatio)).toInt
+          if (need <= 1) JoinPlan("shuffle-hash", 1)
+          else JoinPlan("salted", math.min(need, maxSalts))
+        } else JoinPlan("shuffle-hash", 1)
+    }
+  }
+
+  /** Execute an inner equi-join under [[planFor]]'s decision — the
+    * closed planning loop: the sketch advice (q58/q43) actually picks
+    * broadcast / salted / plain instead of only reporting. Output is
+    * multiset-identical to `left.join(right, lKey === rKey).drop(rKey)`
+    * whichever shape runs (column order: left columns then
+    * right-minus-key — the [[SkewJoin.saltedJoin]] shape), law-pinned
+    * in JoinOpsSpec across skewed, uniform and broadcast-small
+    * fixtures. */
+  def plannedJoin(left: DataFrame, lKey: String,
+                  right: DataFrame, rKey: String,
+                  broadcastMaxRows: Long = 1000000L,
+                  skewShareThreshold: Double = 0.125,
+                  targetRatio: Double = 4.0, maxSalts: Int = 64): DataFrame = {
+    val plan = planFor(left, lKey, right, rKey, broadcastMaxRows,
+      skewShareThreshold, targetRatio, maxSalts)
+    def plain(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, l(lKey) === r(rKey)).drop(r(rKey))
+    plan.strategy match {
+      case "broadcast-right" => plain(left, broadcast(right))
+      case "broadcast-left"  => plain(broadcast(left), right)
+      case "salted" =>
+        // saltedJoin joins on one shared column name: align the right
+        // key to the left's, which also lands the plain path's
+        // right-minus-key output shape
+        SkewJoin.saltedJoin(left,
+          right.withColumnRenamed(rKey, lKey), lKey, plan.salts)
+      case _ => plain(left, right)
+    }
   }
 
   /** 1-row key-skew probe: the heaviest key of `df.keyCol` and its

@@ -256,6 +256,48 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(gotN === Seq((10L, 20L)))
   }
 
+  test("plannedJoin executes the sketch advice and stays multiset-equal to the manual join") {
+    import graft.operators.JoinPlanner
+    import spark.implicits._
+    val hot = spark.range(0, 2000)
+      .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val uniform = spark.range(0, 2000)
+      .select((col("id") % 500).as("k"), col("id").as("payload"))
+    val dim = spark.range(0, 50).select(col("id").as("dk"),
+      concat(lit("v"), col("id")).as("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def manual(l: org.apache.spark.sql.DataFrame,
+               r: org.apache.spark.sql.DataFrame) =
+      canon(l.join(r, l("k") === r("dk")).drop(r("dk")))
+    // small side under the threshold -> broadcast (no salting needed)
+    assert(JoinPlanner.planFor(hot, "k", dim, "dk") ===
+      JoinPlanner.JoinPlan("broadcast-right", 1))
+    assert(canon(JoinPlanner.plannedJoin(hot, "k", dim, "dk")) ===
+      manual(hot, dim))
+    assert(JoinPlanner.planFor(dim.withColumnRenamed("dk", "k"), "k",
+        hot.select(col("k").as("dk"), col("payload")), "dk",
+        broadcastMaxRows = 100L).strategy === "broadcast-left")
+    // both sides big + hot probe key -> salted, with a sketch-derived count
+    val skewPlan = JoinPlanner.planFor(hot, "k", dim, "dk",
+      broadcastMaxRows = 10L)
+    assert(skewPlan.strategy === "salted" && skewPlan.salts > 1)
+    assert(canon(JoinPlanner.plannedJoin(hot, "k", dim, "dk",
+      broadcastMaxRows = 10L)) === manual(hot, dim))
+    // both sides big + uniform probe -> plain shuffle join
+    assert(JoinPlanner.planFor(uniform, "k", dim, "dk",
+      broadcastMaxRows = 10L) === JoinPlanner.JoinPlan("shuffle-hash", 1))
+    assert(canon(JoinPlanner.plannedJoin(uniform, "k", dim, "dk",
+      broadcastMaxRows = 10L)) === manual(uniform, dim))
+    // empty probe degrades to a plain (empty) join, no division blowup
+    val empty = hot.limit(0)
+    assert(JoinPlanner.planFor(empty, "k", dim, "dk",
+      broadcastMaxRows = 0L).salts === 1)
+    assert(JoinPlanner.plannedJoin(empty, "k", dim, "dk",
+      broadcastMaxRows = 0L).count() === 0L)
+  }
+
   test("joinDelta law: stored ∪ delta equals the direct join, any split, empty deltas included") {
     import graft.operators.IncrementalJoin
     val lk = Lake(spark, sf0001)
