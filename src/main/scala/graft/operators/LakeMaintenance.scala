@@ -227,49 +227,73 @@ object LakeMaintenance {
     * immutable version under `root` (`root/v=<n>` — the Delta/Iceberg
     * snapshot idea with plain-Parquet machinery).
     *
-    * Commit protocol (the round-6 torn-directory hole, closed):
+    * Commit protocol (the round-6 torn-directory hole closed; the
+    * round-10 allocation race closed with OPTIMISTIC CONCURRENCY):
     *  1. allocate n = max over ALL `v=` directories + 1 — committed or
     *     torn — so a partial directory is never written over;
-    *  2. write the data files into `v=<n>`; the directory is INVISIBLE
-    *     to [[snapshotVersions]]/[[readSnapshotVersion]] because it has
-    *     no manifest yet — a crash here leaves garbage, never a
+    *  2. CLAIM the version by atomically creating `v=<n>/_claim`
+    *     (create-fail-if-exists — the one primitive that serializes
+    *     writers): exactly one contender owns each version number; a
+    *     loser re-reads the directory listing and retries on the next
+    *     number, so concurrent writers land on DISTINCT consecutive
+    *     versions and none is lost or mixed;
+    *  3. write the data files into the claimed `v=<n>`; the directory
+    *     is INVISIBLE to [[snapshotVersions]]/[[readSnapshotVersion]]
+    *     because it has no manifest yet — a crash here leaves garbage
+    *     (a permanently-claimed torn dir vacuum clears), never a
     *     readable-but-torn version;
-    *  3. list the files actually written and stage a manifest (name →
+    *  4. list the files actually written and stage a manifest (name →
     *     byte length) as a hidden temp file inside the directory;
-    *  4. PUBLISH with a single rename of the temp to `_graft_manifest
+    *  5. PUBLISH with a single rename of the temp to `_graft_manifest
     *     .json` — the one atomic step (rename atomicity is the same
     *     primitive every file-listing-based table format leans on;
-    *     object stores without atomic rename need their usual
-    *     metastore/log shim).
+    *     object stores without atomic rename or atomic create need
+    *     their usual metastore/log shim).
     * Readers validate the manifest against the files on disk
     * ([[readSnapshotVersion]]) and scan exactly the manifested files, so
     * a reader can never serve a half-written version. Old versions are
     * never rewritten; [[vacuumVersions]] retires superseded ones.
-    * Concurrent writers remain best-effort (two simultaneous allocations
-    * can race to the same n; `ErrorIfExists` + the rename failing turn
-    * the loser into an error, not a corruption). Returns the version
-    * written. */
-  def writeSnapshotVersion(df: DataFrame, root: String): Long = {
+    * Returns the version written. */
+  def writeSnapshotVersion(df: DataFrame, root: String,
+                           maxAttempts: Int = 20): Long = {
+    require(maxAttempts >= 1)
     val spark = df.sparkSession
-    val next = allVersionDirs(spark, root).lastOption.getOrElse(0L) + 1
-    val dir = s"$root/v=$next"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = fsOf(spark, dirPath)
-    val files = fs.listStatus(dirPath).toSeq
-      .filter(f => f.isFile && isDataFile(f.getPath.getName))
-      .sortBy(_.getPath.getName)
-    val manifest = files
-      .map(f => "\"" + f.getPath.getName + "\":" + f.getLen)
-      .mkString(s"""{"version":$next,"files":{""", ",", "}}")
-    val tmp = new org.apache.hadoop.fs.Path(dirPath, s".$ManifestName.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
-    val target = new org.apache.hadoop.fs.Path(dirPath, ManifestName)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(
-        s"snapshot commit of v=$next lost the publish rename (concurrent writer?): $target")
-    next
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(root))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val next = allVersionDirs(spark, root).lastOption.getOrElse(0L) + 1
+      val dirPath = new org.apache.hadoop.fs.Path(s"$root/v=$next")
+      fs.mkdirs(dirPath)
+      val claimed =
+        try { fs.create(new org.apache.hadoop.fs.Path(dirPath, "_claim"), false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        // append mode: the dir exists (it holds the claim marker) but
+        // the claim guarantees this writer is its only owner
+        df.write.mode(SaveMode.Append).parquet(dirPath.toString)
+        val files = fs.listStatus(dirPath).toSeq
+          .filter(f => f.isFile && isDataFile(f.getPath.getName))
+          .sortBy(_.getPath.getName)
+        val manifest = files
+          .map(f => "\"" + f.getPath.getName + "\":" + f.getLen)
+          .mkString(s"""{"version":$next,"files":{""", ",", "}}")
+        val tmp = new org.apache.hadoop.fs.Path(dirPath, s".$ManifestName.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(manifest.getBytes("UTF-8")) finally out.close()
+        val target = new org.apache.hadoop.fs.Path(dirPath, ManifestName)
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(
+            s"snapshot commit of v=$next lost the publish rename: $target")
+        return next
+      }
+      if (attempt >= maxAttempts)
+        throw new java.io.IOException(
+          s"could not claim a snapshot version under $root after $maxAttempts attempts")
+      // lost the claim race: the winner's directory is now visible to
+      // allocation, so the retry lands on the next number
+    }
+    -1L // unreachable
   }
 
   /** Spark data files only — success markers, CRCs and staged manifests

@@ -252,6 +252,49 @@ class LakeMaintenanceSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSet === Set("b"))
   }
 
+  test("optimistic concurrency: contending writers land distinct versions, none lost, none mixed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("occ").toString + "/tbl"
+    // an in-flight CLAIM from another writer (no data yet): the next
+    // commit must skip the claimed number, not write into it
+    LakeMaintenance.writeSnapshotVersion(Seq((0L, 0L)).toDF("writer", "batch"), root)
+    new java.io.File(s"$root/v=2").mkdirs()
+    assert(new java.io.File(s"$root/v=2/_claim").createNewFile())
+    val v = LakeMaintenance.writeSnapshotVersion(
+      Seq((0L, 1L)).toDF("writer", "batch"), root)
+    assert(v === 3L)
+    assert(LakeMaintenance.snapshotVersions(spark, root) === Seq(1L, 3L))
+    // two writers racing from the same start state: every commit wins a
+    // DISTINCT version (exactly one winner per number), none is lost,
+    // and each committed version holds exactly one writer's batch
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    try {
+      val futures = (1 to 2).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+          def call(): Seq[Long] = {
+            barrier.await()
+            (0 until 3).map { i =>
+              LakeMaintenance.writeSnapshotVersion(
+                Seq((w.toLong, i.toLong)).toDF("writer", "batch"), root)
+            }
+          }
+        })
+      }
+      val won = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      val all = won.flatten
+      assert(all.size === 6 && all.toSet.size === 6, s"versions shared or lost: $won")
+      assert(LakeMaintenance.snapshotVersions(spark, root).toSet ===
+        all.toSet + 1L + 3L)
+      for ((vs, i) <- won.zipWithIndex; v <- vs) {
+        val writers = LakeMaintenance.readSnapshotVersion(spark, root, v)
+          .select("writer").distinct().collect().map(_.getLong(0)).toSet
+        assert(writers === Set((i + 1).toLong),
+          s"version $v mixed writers: $writers")
+      }
+    } finally pool.shutdown()
+  }
+
   test("reads validate the manifest against the files on disk") {
     import spark.implicits._
     val root = Files.createTempDirectory("validated").toString + "/tbl"
