@@ -286,6 +286,64 @@ object JoinQueries {
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- closed planning loop: the sketch advice EXECUTES ---------------
+    // plannedJoin's two non-trivial decisions, each hash-gated against
+    // the plain-join semantics it must preserve: (1) orders is under the
+    // broadcast cap -> broadcast-right; (2) a 90%-hot probe key above a
+    // tiny cap -> salted, with the sketch-derived salt count — the
+    // decision machinery (theta distinct + frequency heavy-hitter) runs
+    // inside the registered query, so a planning regression shifts a
+    // count or a sum and fails the gate. The oracle is the PLAIN join
+    // both times: whatever shape the planner picks, output equality is
+    // the contract.
+    "q61_planned_join" -> Q(
+      (s, dir) => {
+        import graft.operators.JoinPlanner
+        val lk = Lake(s, dir)
+        val bc = JoinPlanner.plannedJoin(lk.lineitem, "l_orderkey",
+            lk.orders.select(col("o_orderkey"), col("o_orderpriority")),
+            "o_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("val"))
+        val skewed = lk.lineitem.select(
+          when(col("l_orderkey") % 10 =!= 0, lit(0L))
+            .otherwise(col("l_orderkey")).as("hk"),
+          col("l_extendedprice"))
+        val dimKeys = lk.orders.select(
+            when(col("o_orderkey") % 10 =!= 0, lit(0L))
+              .otherwise(col("o_orderkey")).as("dk"))
+          .distinct()
+        val salted = JoinPlanner.plannedJoin(skewed, "hk", dimKeys, "dk",
+            broadcastMaxRows = 10L)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("val"))
+        bc.select(col("o_orderpriority").as("grp"), col("n"), col("val"))
+          .unionByName(salted.select(lit("salted_total").as("grp"),
+            col("n"), col("val")))
+          .orderBy("grp")
+      },
+      Some(
+        """WITH bc AS (
+          |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS val
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  GROUP BY 1),
+          |sk AS (
+          |  SELECT 'salted_total' AS grp, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+          |  FROM (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+          |               ELSE l_orderkey END AS hk, l_extendedprice
+          |        FROM lineitem) l
+          |  JOIN (SELECT DISTINCT CASE WHEN o_orderkey % 10 <> 0 THEN 0
+          |               ELSE o_orderkey END AS dk FROM orders) d
+          |    ON l.hk = d.dk)
+          |SELECT grp, n, val FROM bc
+          |UNION ALL SELECT grp, n, val FROM sk
+          |ORDER BY grp""".stripMargin))
   )
 }
