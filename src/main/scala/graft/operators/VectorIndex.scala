@@ -71,7 +71,8 @@ object VectorIndex {
   }
 
   private case class Manifest(gen: Long, planes: Int, trained: Boolean,
-                              centroidDir: String, files: Map[String, Long])
+                              centroidDir: String, files: Map[String, Long],
+                              batchId: Long = -1L)
 
   /** Data files only — success markers / CRCs / staged manifests are not
     * part of a generation's content. */
@@ -105,6 +106,7 @@ object VectorIndex {
       .map { case (p, len) => "\"" + p + "\":" + len }
       .mkString(
         s"""{"gen":${m.gen},"planes":${m.planes},"trained":${m.trained},""" +
+          s""""batchId":${m.batchId},""" +
           s""""centroids":"${m.centroidDir}","files":{""", ",", "}}")
     val mDir = new Path(s"$dir/$ManifestDir")
     val fs = fsOf(spark, mDir)
@@ -142,7 +144,8 @@ object VectorIndex {
     val planes = j \ "planes" match { case JInt(v) => v.toInt; case _ => fail("planes") }
     val trained = j \ "trained" match { case JBool(v) => v; case _ => fail("trained") }
     val centroidDir = j \ "centroids" match { case JString(v) => v; case _ => fail("centroids") }
-    Manifest(gen, planes, trained, centroidDir, files)
+    val batchId = j \ "batchId" match { case JInt(v) => v.toLong; case _ => -1L }
+    Manifest(gen, planes, trained, centroidDir, files, batchId)
   }
 
   private def latestManifest(spark: SparkSession, dir: String,
@@ -236,10 +239,17 @@ object VectorIndex {
     * trained mode assigns to the nearest stored centroid — the standard
     * IVF insert, with the known drift caveat that heavy growth
     * eventually wants a re-[[build]] (centroids follow their cells here,
-    * but the PARTITION of space is frozen). */
-  def append(newVecs: DataFrame, dir: String, idCol: String, vecCol: String): Unit = {
+    * but the PARTITION of space is frozen).
+    *
+    * `batchId` makes a SUCCESSFUL append replay-safe (exactly-once for
+    * streaming ingest): the manifest records the last absorbed id, and
+    * an append whose id is at or below it is a no-op — the
+    * SnapshotStream convention. Leave it -1 for one-shot batch use. */
+  def append(newVecs: DataFrame, dir: String, idCol: String, vecCol: String,
+             batchId: Long = -1L): Unit = {
     val spark = newVecs.sparkSession
     val prev = latestManifest(spark, dir)
+    if (batchId >= 0 && prev.batchId >= batchId) return // replay: already absorbed
     val gen = allGenNumbers(spark, dir).lastOption.getOrElse(0L) + 1
     val v = newVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val assigned =
@@ -287,7 +297,31 @@ object VectorIndex {
     kept.unionByName(fresh)
       .write.mode("errorifexists").parquet(s"$dir/centroids/g=$gen")
     writeManifest(spark, dir, Manifest(gen, prev.planes, prev.trained,
-      s"centroids/g=$gen", mergedFiles))
+      s"centroids/g=$gen", mergedFiles, math.max(prev.batchId, batchId)))
+  }
+
+  /** Generation compaction: rewrite the CURRENT cell set as one fresh
+    * `g=` dir (one partitioned write, one file batch per bucket) and
+    * republish — a data-layout no-op that collapses a long append
+    * chain's small delta files, the index-side analog of
+    * [[LakeMaintenance.compactSnapshotInPlace]]. A continuous ingest
+    * accretes one file set per absorbed batch; reads stay correct but
+    * pay per-file open costs, so periodic compaction (+ [[vacuum]] to
+    * reclaim the superseded generations) keeps the file count
+    * proportional to buckets, not batches. The centroid table and
+    * replay guard carry forward unchanged; assignments are not
+    * recomputed, so the operation commutes with [[query]] exactly
+    * (spec-pinned). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val prev = latestManifest(spark, dir)
+    val gen = allGenNumbers(spark, dir).lastOption.getOrElse(0L) + 1
+    val current = cells(spark, dir, prev.gen)
+    // one task per bucket -> each bucket dir collapses to one file
+    current.repartition(col("bucket"))
+      .write.mode("errorifexists").partitionBy("bucket")
+      .parquet(s"$dir/cells/g=$gen")
+    writeManifest(spark, dir, Manifest(gen, prev.planes, prev.trained,
+      prev.centroidDir, listGenFiles(spark, dir, gen), prev.batchId))
   }
 
   /** Retention: keep the newest `keepLast` committed generations; delete

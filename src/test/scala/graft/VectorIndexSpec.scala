@@ -169,6 +169,58 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(served.select("neighbor_id").distinct().count() === corpus.count())
   }
 
+  test("streamed ingest equals a batch rebuild, absorbs each batch exactly once, and compaction is a query no-op") {
+    val p = freshDir("vector_index_spec_stream")
+    val feedDir = freshDir("vector_index_spec_feed")
+    val half1 = corpus.where(col("vec_id") % 2 === 0)
+    val half2 = corpus.where(col("vec_id") % 2 === 1)
+    VectorIndex.build(half1, p, "vec_id", "embedding", planes = 4)
+    // bounded feed, one file per micro-batch -> several append commits
+    half2.where(col("vec_id") % 4 === 1).coalesce(1)
+      .write.mode("append").parquet(feedDir)
+    half2.where(col("vec_id") % 4 === 3).coalesce(1)
+      .write.mode("append").parquet(feedDir)
+    val stream = graft.streaming.IndexStream.indexStream(
+        graft.streaming.IndexStream.readEmbeddings(spark, feedDir)
+          .select("vec_id", "embedding"),
+        p, "vec_id", "embedding",
+        checkpoint = freshDir("vector_index_spec_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("maxFilesPerTrigger", "1")
+      .start()
+    stream.awaitTermination()
+    def cellSet() = VectorIndex.cells(spark, p)
+      .select("neighbor_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val full = freshDir("vector_index_spec_stream_full")
+    VectorIndex.build(corpus, full, "vec_id", "embedding", planes = 4)
+    assert(cellSet() === VectorIndex.cells(spark, full)
+      .select("neighbor_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq)
+    // replaying an absorbed batch id is a committed no-op (exactly-once)
+    val gensBefore = VectorIndex.generations(spark, p)
+    VectorIndex.append(half2, p, "vec_id", "embedding", batchId = 0L)
+    assert(VectorIndex.generations(spark, p) === gensBefore)
+    assert(cellSet().size === corpus.count())
+    // compaction: same answers, fewer referenced generations/files
+    def canon() = VectorIndex.query(spark, p, queries,
+        "vec_id", "embedding", k = 5, nProbe = 16)
+      .collect().map(_.toString).sorted.toSeq
+    val before = canon()
+    VectorIndex.compact(spark, p)
+    assert(canon() === before)
+    VectorIndex.vacuum(spark, p, keepLast = 1)
+    assert(canon() === before)
+    // post-compaction the live generation holds ONE file batch per bucket
+    val gen = VectorIndex.generations(spark, p).last
+    val bucketDirs = new java.io.File(s"$p/cells/g=$gen").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    for (b <- bucketDirs)
+      assert(b.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+        s"bucket ${b.getName} not compacted")
+  }
+
   test("vacuum reclaims superseded generations and dead-writer orphans, keeps the servable index") {
     val p = freshDir("vector_index_spec_vacuum")
     val half1 = corpus.where(col("vec_id") % 2 === 0)
