@@ -109,4 +109,57 @@ object ZoneMapTable {
                else spark.read.parquet(kept: _*)
     base.where(col(statsCol) >= lo && col(statsCol) <= hi)
   }
+
+  // ---- versioned zone-mapped tables: time travel × data skipping ------
+  // The composition the snapshot family and the zone maps were built
+  // for: each committed version is an immutable clustered table WITH its
+  // own per-file manifest, so a pinned historical read skips files
+  // exactly like the live one. Commit discipline matches the rest of
+  // the engine: `v=<n>/` is invisible until its `_zonemap_commit`
+  // marker lands (atomic create, written LAST, after data + manifest) —
+  // a writer dying mid-version leaves a torn dir no reader ever serves,
+  // and version allocation never reuses a torn number.
+
+  private val CommitMarker = "_zonemap_commit"
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def allVersionDirs(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }.sorted
+  }
+
+  /** Committed versions under `root`, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    allVersionDirs(spark, root).filter { v =>
+      fsOf(spark, new org.apache.hadoop.fs.Path(root)).exists(
+        new org.apache.hadoop.fs.Path(s"$root/v=$v/$CommitMarker"))
+    }
+
+  /** Land `df` as the next committed zone-mapped version. */
+  def writeVersion(df: DataFrame, root: String, clusterCol: String,
+                   statsCols: Seq[String], files: Int): Long = {
+    val spark = df.sparkSession
+    val next = allVersionDirs(spark, root).lastOption.getOrElse(0L) + 1
+    write(df, s"$root/v=$next", clusterCol, statsCols, files)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/v=$next/$CommitMarker")
+    fsOf(spark, marker).create(marker, false).close() // publish
+    next
+  }
+
+  /** Zone-map-pruned range read of a pinned version (latest when
+    * `version < 0`): historical data keeps its skipping. */
+  def prunedReadVersion(spark: SparkSession, root: String, statsCol: String,
+                        lo: Column, hi: Column,
+                        version: Long = -1L): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed zone-mapped versions under $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in $vs")
+    prunedRead(spark, s"$root/v=$v", statsCol, lo, hi)
+  }
 }

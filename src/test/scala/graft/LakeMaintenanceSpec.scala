@@ -390,6 +390,42 @@ class LakeMaintenanceSpec extends AnyFunSuite {
       Set("min_l_quantity", "max_l_quantity")).size === 2)
   }
 
+  test("versioned zone-mapped tables: pinned reads keep file-skipping, torn versions invisible") {
+    import graft.operators.ZoneMapTable
+    val root = Files.createTempDirectory("zonemap_ver").toString + "/t"
+    val li = Lake(spark, sf0001).lineitem
+    val v1 = ZoneMapTable.writeVersion(li.where(col("l_orderkey") < 1000),
+      root, "l_orderkey", Seq("l_orderkey"), files = 8)
+    val v2 = ZoneMapTable.writeVersion(li, root, "l_orderkey",
+      Seq("l_orderkey"), files = 8)
+    assert((v1, v2) === (1L, 2L))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // latest == full table; pinned v1 serves the HISTORICAL subset
+    assert(canon(ZoneMapTable.prunedReadVersion(spark, root, "l_orderkey",
+        lit(900L), lit(1100L))) ===
+      canon(li.where(col("l_orderkey").between(900L, 1100L))))
+    assert(canon(ZoneMapTable.prunedReadVersion(spark, root, "l_orderkey",
+        lit(900L), lit(1100L), version = 1L)) ===
+      canon(li.where(col("l_orderkey") < 1000)
+        .where(col("l_orderkey").between(900L, 1100L))))
+    // the pinned HISTORICAL read still skips files via its own manifest
+    val (kept, total) = ZoneMapTable.survivingFiles(spark, s"$root/v=1",
+      "l_orderkey", lit(0L), lit(100L))
+    assert(total === 8L && kept.nonEmpty && kept.size < 4)
+    // a torn version (data, no commit marker) is invisible
+    ZoneMapTable.write(li.limit(10), s"$root/v=3", "l_orderkey",
+      Seq("l_orderkey"), files = 1)
+    assert(ZoneMapTable.versions(spark, root) === Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      ZoneMapTable.prunedReadVersion(spark, root, "l_orderkey",
+        lit(0L), lit(10L), version = 3L)
+    }
+    // allocation never reuses the torn number
+    assert(ZoneMapTable.writeVersion(li.limit(5), root, "l_orderkey",
+      Seq("l_orderkey"), files = 1) === 4L)
+  }
+
   test("zone-map append maintains the manifest from the delta; append == rebuild") {
     import graft.operators.ZoneMapTable
     val li = Lake(spark, sf0001).lineitem
