@@ -93,7 +93,10 @@ object IntervalJoin {
     // from each other and from the bin join, together exhaustive. The
     // long side broadcasts (few rows by the maxBins contract); with keys
     // these stay hash joins, unkeyed they are broadcast loops over a
-    // handful of rows.
+    // handful of rows. In the common NO-outlier case the broadcast side
+    // materializes empty and AQE's empty-relation propagation folds the
+    // branch away before the probe side's scan runs — the guard's cost
+    // is then the outlier filters, not two extra table scans.
     val longL = dropRightKeys(
       broadcast(lLong).join(rv, overlapPred(lLong, rv)), rv)
     val longR = dropRightKeys(

@@ -437,8 +437,11 @@ object SimilarityQueries {
         val corpus = emb.where(col("vec_id") >= 10)
         val queries = emb.where(col("vec_id") < 10)
         // cwd-relative (matches Bench and the specs): the query suite
-        // must not pin one checkout location
+        // must not pin one checkout location. Wiped per run: the gate
+        // rebuilds from scratch anyway, and a fresh dir keeps the
+        // timed work identical run to run (no generation accretion)
         val stage = s"target/ivf_stage/idx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
         VectorIndex.build(corpus, stage, "vec_id", "embedding", planes = 4)
         val served = VectorIndex.query(s, stage, queries,
           "vec_id", "embedding", k = 5, nProbe = 4)
