@@ -49,13 +49,27 @@ object IntervalJoin {
     * the caller's concern — pre-alias as needed). `maxBins` caps the
     * per-row explode factor; intervals spanning more bins take the
     * broadcast outlier path (identical result, law-pinned in
-    * JoinOpsSpec). */
+    * JoinOpsSpec).
+    *
+    * Outlier cost model: each side pays ONE probe pass
+    * (`take(maxCollectedLong + 1)` over the long filter — no shuffle,
+    * and it doubles as the branch's materialization). No outliers →
+    * the branch is dropped from the plan entirely (measured: AQE does
+    * NOT fold an empty-broadcast join away by itself, so without the
+    * probe the guard would cost two full extra scans plus joins). Up
+    * to `maxCollectedLong` outliers → they join as a LOCAL broadcast
+    * relation, already materialized — no second scan of the outlier
+    * side. Beyond the gate (binWidth badly mis-sized) → the branch
+    * stays lazy and distributed — correct at any count, never a
+    * driver OOM (the Dedup union-find size-gate pattern). */
   def overlaps(left: DataFrame, right: DataFrame, keys: Seq[String],
                lStart: String, lEnd: String,
                rStart: String, rEnd: String,
-               binWidth: Long, maxBins: Int = 64): DataFrame = {
+               binWidth: Long, maxBins: Int = 64,
+               maxCollectedLong: Int = 65536): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     require(maxBins >= 1, "maxBins must be >= 1")
+    require(maxCollectedLong >= 0, "maxCollectedLong must be >= 0")
     def bin(c: Column): Column = binOf(c, binWidth)
     // half-open [start, end): the last covered bin is bin(end - 1);
     // empty/negative-length intervals cover no bin and match nothing
@@ -63,10 +77,19 @@ object IntervalJoin {
     val rv = right.where(col(rStart) < col(rEnd))
     def spanBins(s: String, e: String): Column =
       bin(col(e) - 1) - bin(col(s)) + 1
-    val lLong = lv.where(spanBins(lStart, lEnd) > maxBins)
     val lBulk = lv.where(spanBins(lStart, lEnd) <= maxBins)
-    val rLong = rv.where(spanBins(rStart, rEnd) > maxBins)
     val rBulk = rv.where(spanBins(rStart, rEnd) <= maxBins)
+    // one bounded probe per side: empty / local-broadcast / lazy
+    def longSide(df: DataFrame, s: String, e: String): Option[DataFrame] = {
+      val longDf = df.where(spanBins(s, e) > maxBins)
+      val probed = longDf.take(maxCollectedLong + 1)
+      if (probed.isEmpty) None
+      else if (probed.length <= maxCollectedLong) {
+        import scala.jdk.CollectionConverters._
+        Some(df.sparkSession.createDataFrame(
+          probed.toSeq.asJava, longDf.schema))
+      } else Some(longDf)
+    }
 
     val overlapPred: (DataFrame, DataFrame) => Column = (l, r) =>
       keys.map(k => l(k) === r(k))
@@ -93,17 +116,21 @@ object IntervalJoin {
     // from each other and from the bin join, together exhaustive. The
     // long side broadcasts (few rows by the maxBins contract); with keys
     // these stay hash joins, unkeyed they are broadcast loops over a
-    // handful of rows. In the common NO-outlier case the broadcast side
-    // materializes empty and AQE's empty-relation propagation folds the
-    // branch away before the probe side's scan runs — the guard's cost
-    // is then the outlier filters, not two extra table scans.
-    val longL = dropRightKeys(
-      broadcast(lLong).join(rv, overlapPred(lLong, rv)), rv)
-    val longR = dropRightKeys(
-      lBulk.join(broadcast(rLong), overlapPred(lBulk, rLong)), rLong)
+    // handful of rows.
+    val longL = longSide(lv, lStart, lEnd).map { lLong =>
+      dropRightKeys(broadcast(lLong).join(rv, overlapPred(lLong, rv)), rv)
+    }
+    val longR = longSide(rv, rStart, rEnd).map { rLong =>
+      dropRightKeys(lBulk.join(broadcast(rLong), overlapPred(lBulk, rLong)), rLong)
+    }
 
-    // positional union: all branches are left-columns ++ right-columns
-    // minus the dropped right keys, in identical order by construction
-    binned.union(longL).union(longR)
+    // union BY NAME: every branch carries the same column SET
+    // (left ++ right minus the joined keys), but not always in the same
+    // ORDER — when left and right share lineage (a self-join), Spark's
+    // ambiguous-attribute drop can remove the LEFT key in the
+    // lineage-shared branches while the local-relation outlier branch
+    // drops the right one; a positional union would then silently
+    // misalign same-typed columns (caught by the law spec).
+    (Seq(binned) ++ longL ++ longR).reduce(_ unionByName _)
   }
 }

@@ -235,12 +235,14 @@ class JoinOpsSpec extends AnyFunSuite {
       .select("lid", "rid").collect()
       .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
     assert(naive.nonEmpty)
-    for (mb <- Seq(1, 4, 64, Int.MaxValue)) {
+    // every (maxBins, gate) combination must agree: outliers absent,
+    // collected to a local broadcast, or left lazy above the gate
+    for (mb <- Seq(1, 4, 64, Int.MaxValue); gate <- Seq(0, 1, 65536)) {
       val got = IntervalJoin.overlaps(l, r, Seq("k"), "ls", "le", "rs", "re",
-          binWidth = minUs, maxBins = mb)
+          binWidth = minUs, maxBins = mb, maxCollectedLong = gate)
         .select("lid", "rid").collect()
         .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
-      assert(got === naive, s"maxBins $mb diverged from the naive join")
+      assert(got === naive, s"maxBins $mb gate $gate diverged from the naive join")
     }
     // exact integer binning: epoch-NANOS magnitudes (past the 2^53
     // double mantissa) must bin exactly — float division would mis-bin
