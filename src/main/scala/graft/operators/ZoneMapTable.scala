@@ -25,6 +25,63 @@ import org.apache.spark.sql.functions._
   * scan per batch. */
 object ZoneMapTable {
 
+  // The manifest is CRASH-ATOMIC via the same generational commit the
+  // rest of the engine's persisted state uses: each manifest version
+  // lands under `_zonemap/g=<n>/` and becomes visible only when its
+  // `_committed` marker (atomic create, written LAST) exists. A torn
+  // manifest must never be readable — unlike torn DATA (a missing file
+  // fails the read loudly), a half-written manifest would silently
+  // SKIP files and serve a wrong answer. Readers resolve the newest
+  // committed generation; publish prunes superseded ones.
+
+  private val Marker = "_committed"
+
+  private def zfsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestGens(spark: SparkSession, dir: String,
+                           committedOnly: Boolean): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/_zonemap")
+    val fs = zfsOf(spark, root)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("g=") => s.drop(2).toLong }
+      .filter(g => !committedOnly || fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/_zonemap/g=$g/$Marker")))
+      .sorted
+  }
+
+  /** The live manifest, one row per file — exposed for tests and
+    * observability. */
+  def manifest(spark: SparkSession, dir: String): DataFrame =
+    readManifest(spark, dir)
+
+  /** Newest committed manifest (legacy flat `_zonemap` layouts read as
+    * a fallback when no committed generation exists). */
+  private def readManifest(spark: SparkSession, dir: String): DataFrame =
+    manifestGens(spark, dir, committedOnly = true).lastOption match {
+      case Some(g) => spark.read.parquet(s"$dir/_zonemap/g=$g")
+      case None    => spark.read.parquet(s"$dir/_zonemap")
+    }
+
+  /** Land a manifest as the next committed generation (allocation skips
+    * torn dirs), then prune every OTHER generation below it — derived
+    * state keeps no history; [[writeVersion]] is the time-travel form. */
+  private def publishManifest(spark: SparkSession, dir: String,
+                              manifest: DataFrame): Unit = {
+    val next = manifestGens(spark, dir, committedOnly = false)
+      .lastOption.getOrElse(0L) + 1
+    manifest.write.mode("errorifexists").parquet(s"$dir/_zonemap/g=$next")
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_zonemap/g=$next/$Marker")
+    zfsOf(spark, marker).create(marker, false).close() // publish
+    val fs = zfsOf(spark, marker)
+    manifestGens(spark, dir, committedOnly = false)
+      .filter(_ < next)
+      .foreach(g => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$dir/_zonemap/g=$g"), true))
+  }
+
   /** Cluster `df` by `clusterCol` into `files` files under `dir/data`
     * and persist the per-file min/max manifest for `statsCols`. */
   def write(df: DataFrame, dir: String, clusterCol: String,
@@ -34,10 +91,10 @@ object ZoneMapTable {
     val spark = df.sparkSession
     val aggs = count(lit(1)).as("n_rows") +: statsCols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(s"$dir/data")
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(s"$dir/_zonemap")
+    publishManifest(spark, dir,
+      spark.read.parquet(s"$dir/data")
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*))
   }
 
   /** Incremental maintenance: cluster ONLY the delta into new files and
@@ -74,13 +131,11 @@ object ZoneMapTable {
     val freshStats = spark.read.parquet(fresh.map(n => s"$dir/data/$n"): _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-    // union with the existing manifest; localCheckpoint materializes the
-    // read before the overwrite (a path cannot be rewritten while a
-    // plan still reads it — the SnapshotStream convention)
-    val merged = spark.read.parquet(s"$dir/_zonemap")
-      .unionByName(freshStats)
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(s"$dir/_zonemap")
+    // the merged manifest lands as a NEW committed generation: no
+    // overwrite-while-reading, and a crash mid-write leaves the prior
+    // manifest (not a torn one) servable
+    publishManifest(spark, dir,
+      readManifest(spark, dir).unionByName(freshStats))
   }
 
   /** Files whose `[min, max]` zone intersects `[lo, hi]`, with the
@@ -89,7 +144,7 @@ object ZoneMapTable {
     * list on the driver (the same object any manifest reader holds). */
   def survivingFiles(spark: SparkSession, dir: String, statsCol: String,
                      lo: Column, hi: Column): (Seq[String], Long) = {
-    val manifest = spark.read.parquet(s"$dir/_zonemap")
+    val manifest = readManifest(spark, dir)
     val total = manifest.count()
     val kept = manifest
       .where(!(col(s"max_$statsCol") < lo || col(s"min_$statsCol") > hi))

@@ -945,8 +945,11 @@ object SurfaceQueries {
       (s, dir) => {
         import graft.operators.ZoneMapTable
         // cwd-relative (matches Bench and the specs): the query suite
-        // must not pin one checkout location
+        // must not pin one checkout location. Wiped per run, like s14:
+        // the gate rebuilds from scratch, and a fresh dir keeps the
+        // timed work identical run to run
         val stage = s"target/zm_stage/lineitem_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
         ZoneMapTable.write(Lake(s, dir).lineitem, stage,
           clusterCol = "l_orderkey", statsCols = Seq("l_orderkey"), files = 16)
         ZoneMapTable.prunedRead(s, stage, "l_orderkey", lit(200L), lit(900L))

@@ -385,7 +385,7 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(ZoneMapTable.prunedRead(spark, dir, "l_orderkey",
       lit(10000000L), lit(20000000L)).count() === 0L)
     // the manifest also carries the secondary column's zones
-    val m = spark.read.parquet(s"$dir/_zonemap")
+    val m = ZoneMapTable.manifest(spark, dir)
     assert(m.columns.toSet.intersect(
       Set("min_l_quantity", "max_l_quantity")).size === 2)
   }
@@ -437,7 +437,7 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     ZoneMapTable.append(delta, incDir, "l_orderkey", Seq("l_orderkey"), files = 4)
     ZoneMapTable.write(li, fullDir, "l_orderkey", Seq("l_orderkey"), files = 12)
     // manifest law: same file count, same total rows, same covered range
-    def m(dir: String) = spark.read.parquet(s"$dir/_zonemap")
+    def m(dir: String) = ZoneMapTable.manifest(spark, dir)
       .agg(count(lit(1)), sum(col("n_rows")),
         min(col("min_l_orderkey")), max(col("max_l_orderkey")))
       .collect().head
@@ -462,5 +462,22 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     ZoneMapTable.append(delta.limit(0), incDir, "l_orderkey",
       Seq("l_orderkey"), files = 4)
     assert(m(incDir) === m(fullDir))
+    // a writer killed mid-manifest-publish is invisible: partial stats
+    // under an uncommitted g= dir must not shift any read (a torn
+    // manifest would silently SKIP files - the one failure mode worse
+    // than an error)
+    def mrows() = ZoneMapTable.manifest(spark, incDir)
+      .collect().map(_.toString).sorted.toSeq
+    val beforeTorn = mrows()
+    ZoneMapTable.manifest(spark, incDir).limit(2)
+      .write.parquet(s"$incDir/_zonemap/g=99")
+    assert(mrows() === beforeTorn)
+    assert(canon(ZoneMapTable.prunedRead(spark, incDir,
+        "l_orderkey", lit(200L), lit(900L))) ===
+      canon(li.where(col("l_orderkey").between(200L, 900L))))
+    // the next publish allocates past the torn dir and prunes it
+    ZoneMapTable.append(li.limit(3), incDir, "l_orderkey",
+      Seq("l_orderkey"), files = 1)
+    assert(!new java.io.File(s"$incDir/_zonemap/g=99").exists())
   }
 }
