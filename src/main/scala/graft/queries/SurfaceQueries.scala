@@ -965,6 +965,46 @@ object SurfaceQueries {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       headline = true),
 
+    // ---- zone maps × time travel (versioned zone-mapped table) ---------
+    // Two committed versions (v1 = even order keys, v2 = the full
+    // table); the query range-reads BOTH the pinned v1 and the latest
+    // through their own per-version manifests. The oracle replays each
+    // version's defining filter over the source table, so a pinned read
+    // bleeding rows from the other version, or a manifest skipping a
+    // needed file, shifts a count or a sum and fails the hash gate.
+    // Commit-marker atomicity (torn versions invisible) is spec-pinned
+    // in LakeMaintenanceSpec.
+    "q62_zonemap_travel" -> Q(
+      (s, dir) => {
+        import graft.operators.ZoneMapTable
+        val stage = s"target/zmv_stage/lineitem_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+        val li = Lake(s, dir).lineitem
+        ZoneMapTable.writeVersion(li.where(col("l_orderkey") % 2 === 0),
+          stage, "l_orderkey", Seq("l_orderkey"), files = 8)
+        ZoneMapTable.writeVersion(li, stage, "l_orderkey",
+          Seq("l_orderkey"), files = 8)
+        def slice(pin: String, version: Long) =
+          ZoneMapTable.prunedReadVersion(s, stage, "l_orderkey",
+              lit(200L), lit(900L), version)
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast(DecimalType(18, 2)))
+                .cast(DoubleType).as("qty"))
+            .select(lit(pin).as("pin"), col("n"), col("qty"))
+        slice("v1_even", 1L).unionByName(slice("v2_latest", -1L))
+          .orderBy("pin")
+      },
+      Some(
+        """SELECT 'v1_even' AS pin, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM lineitem
+          |WHERE l_orderkey % 2 = 0 AND l_orderkey BETWEEN 200 AND 900
+          |UNION ALL
+          |SELECT 'v2_latest', CAST(count(*) AS BIGINT),
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |FROM lineitem WHERE l_orderkey BETWEEN 200 AND 900
+          |ORDER BY pin""".stripMargin)),
+
     // ---- shuffle-skew diagnostics (the salt-factor advisor) ------------
     // The pre-flight a big join/groupBy runs before picking a skew
     // strategy: per-key frequency profile of the shuffle key — key
