@@ -70,6 +70,16 @@ object VectorIndex {
     (generations(spark, dir) ++ gDirs("cells") ++ gDirs("centroids")).distinct.sorted
   }
 
+  /** One exchange keyed on (bucket, id-hash mod n) so the partitioned
+    * write leaves ≤ n files per bucket dir instead of one per upstream
+    * task per bucket. */
+  private def bucketSized(cells: DataFrame, filesPerBucket: Int): DataFrame = {
+    require(filesPerBucket >= 1, s"filesPerBucket must be >= 1, got $filesPerBucket")
+    if (filesPerBucket == 1) cells.repartition(col("bucket"))
+    else cells.repartition(col("bucket"),
+      pmod(xxhash64(col("neighbor_id")), lit(filesPerBucket)))
+  }
+
   private case class Manifest(gen: Long, planes: Int, trained: Boolean,
                               centroidDir: String, files: Map[String, Long],
                               batchId: Long = -1L)
@@ -210,14 +220,25 @@ object VectorIndex {
     *
     * Deterministic for `kmeansIters = 0` (LSH-hyperplane cells — the
     * portable mode the s14 gate replays); trained cells
-    * (`kmeansIters > 0`) trade that for occupancy balance. */
+    * (`kmeansIters > 0`) trade that for occupancy balance.
+    *
+    * `filesPerBucket` bounds the cell-file count: without it every
+    * upstream task writes its own sliver into every bucket dir it
+    * touches (tasks × buckets files — a 100 TB build from tens of
+    * thousands of tasks would leave millions of footers for `query` to
+    * open, and even the sf0.1 gate left ~7 files per bucket). The
+    * pre-write shuffle keys on (bucket, id-hash mod filesPerBucket) so
+    * each bucket collapses to at most `filesPerBucket` files; size it
+    * to corpusBytes / (2^planes · targetFileBytes). */
   def build(corpus: DataFrame, dir: String, idCol: String, vecCol: String,
-            planes: Int = 4, kmeansIters: Int = 0, retain: Int = 2): Unit = {
+            planes: Int = 4, kmeansIters: Int = 0, retain: Int = 2,
+            filesPerBucket: Int = 1): Unit = {
     val spark = corpus.sparkSession
     val gen = allGenNumbers(spark, dir).lastOption.getOrElse(0L) + 1
     val (cellRows, centroidRows) =
       Similarity.trainCells(corpus, idCol, vecCol, planes, kmeansIters)
-    cellRows.select(col("neighbor_id"), col("c_vec"), col("bucket"))
+    bucketSized(cellRows.select(col("neighbor_id"), col("c_vec"), col("bucket")),
+        filesPerBucket)
       .write.mode("errorifexists").partitionBy("bucket")
       .parquet(s"$dir/cells/g=$gen")
     centroidRows.write.mode("errorifexists").parquet(s"$dir/centroids/g=$gen")
@@ -268,7 +289,8 @@ object VectorIndex {
             max_by(col("bucket"), struct(col("__sim"), -col("bucket")))
               .as("bucket"))
       }
-    assigned.select(col("neighbor_id"), col("c_vec"), col("bucket"))
+    bucketSized(assigned.select(col("neighbor_id"), col("c_vec"), col("bucket")),
+        filesPerBucket = 1)
       .write.mode("errorifexists").partitionBy("bucket")
       .parquet(s"$dir/cells/g=$gen")
     val deltaFiles = listGenFiles(spark, dir, gen)

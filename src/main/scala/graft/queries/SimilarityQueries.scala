@@ -449,8 +449,15 @@ object SimilarityQueries {
           "vec_id", "embedding", k = 5, planes = 4, nProbe = 4)
         val sKeys = served.select("query_id", "rank", "neighbor_id")
         val iKeys = inline.select("query_id", "rank", "neighbor_id")
-        val agree = (sKeys.exceptAll(iKeys).count() == 0
-          && iKeys.exceptAll(sKeys).count() == 0)
+        // (query_id, rank) is unique per side (row_number), so multiset
+        // equality is exactly "the full-outer join has no one-sided
+        // rows" — ONE action, where the exceptAll pair would replay the
+        // inline re-train a second time
+        val agree = sKeys.withColumn("__s", lit(1))
+          .join(iKeys.withColumn("__i", lit(1)),
+            Seq("query_id", "rank", "neighbor_id"), "full_outer")
+          .where(col("__s").isNull || col("__i").isNull)
+          .isEmpty
         val exact = Similarity.bruteForceTopK(corpus, queries,
             "vec_id", "embedding", k = 5)
           .select(col("query_id").as("eq"), col("neighbor_id").as("en"))

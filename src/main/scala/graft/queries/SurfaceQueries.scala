@@ -90,7 +90,7 @@ object SurfaceQueries {
     // lossless for these types).
     "q21_json_roundtrip" -> Q(
       (s, dir) => {
-        val stage = s"/root/repo/target/json_stage/documents_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val stage = s"target/json_stage/documents_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         Lake(s, dir).documents.write.mode("overwrite").json(stage)
         s.read.schema(docJsonSchema).json(stage)
           .groupBy("lang")
@@ -104,7 +104,7 @@ object SurfaceQueries {
     // ---- CSV sink + source (schema'd read, no inference scan) ----------
     "q27_csv_roundtrip" -> Q(
       (s, dir) => {
-        val stage = s"/root/repo/target/csv_stage/lineitem_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val stage = s"target/csv_stage/lineitem_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         Lake(s, dir).lineitem
           .select("l_orderkey", "l_returnflag", "l_quantity")
           .write.mode("overwrite").option("header", "true").csv(stage)
@@ -127,7 +127,7 @@ object SurfaceQueries {
     // Roundtrip must be lossless: the oracle reads the ORIGINAL parquet.
     "q29_orc_roundtrip" -> Q(
       (s, dir) => {
-        val stage = s"/root/repo/target/orc_stage/docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val stage = s"target/orc_stage/docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         Lake(s, dir).documents
           .select("doc_id", "lang", "n_chars", "text")
           .write.mode("overwrite").orc(stage)
@@ -153,7 +153,7 @@ object SurfaceQueries {
     // duplicated a partition's rows fails the hash gate.
     "q47_partitioned_roundtrip" -> Q(
       (s, dir) => {
-        val stage = s"/root/repo/target/part_stage/orders_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val stage = s"target/part_stage/orders_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         Lake(s, dir).orders
           .write.mode("overwrite").partitionBy("o_orderpriority").parquet(stage)
         s.read.parquet(stage)
@@ -181,7 +181,7 @@ object SurfaceQueries {
     "q48_time_travel" -> Q(
       (s, dir) => {
         import graft.operators.LakeMaintenance
-        val root = s"/root/repo/target/snap_stage/orders_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val root = s"target/snap_stage/orders_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         val p = new org.apache.hadoop.fs.Path(root)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
@@ -743,7 +743,7 @@ object SurfaceQueries {
     // survive. Oracle replays the same projection from the source table.
     "q31_schema_evolution" -> Q(
       (s, dir) => {
-        val stage = s"/root/repo/target/evo_stage/docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val stage = s"target/evo_stage/docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         val docs = Lake(s, dir).documents
         docs.where(col("doc_id") % 2 === 0)
           .select("doc_id", "lang")

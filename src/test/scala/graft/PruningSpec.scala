@@ -16,7 +16,7 @@ class PruningSpec extends AnyFunSuite {
   import TestSpark._
 
   private lazy val stage = {
-    val p = "/root/repo/target/part_stage/pruning_spec"
+    val p = "target/part_stage/pruning_spec"
     Lake(spark, sf0001).orders
       .write.mode("overwrite").partitionBy("o_orderpriority").parquet(p)
     p
