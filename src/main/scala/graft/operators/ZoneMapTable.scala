@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Manifest-driven data skipping: the READ-side half of the zone-map
   * story. [[LakeMaintenance.clusterBy]] writes range-clustered files so
   * values co-locate; `q40` shows the per-shard min/max stats; this
@@ -18,11 +20,13 @@ import org.apache.spark.sql.functions._
   * surviving files — the two skipping layers compose.
   *
   * Layout under `dir`: `data/` (clustered parquet) + `_zonemap/` (one
-  * row per file: path, n_rows, per-column min/max). [[write]] rebuilds
-  * the manifest from a full re-read (the from-scratch path);
-  * [[append]] maintains it from the DELTA's per-file stats only — the
-  * 100 TB ingest path, where a manifest rebuild would cost a table
-  * scan per batch. */
+  * row per file: path, n_rows, per-column min/max). [[write]] derives
+  * the manifest for the files it just clustered, [[append]] for the
+  * DELTA's files only — the 100 TB ingest path, where a manifest
+  * rebuild would cost a table scan per batch. Both read the stats from
+  * the parquet FOOTERS when the column types allow (metadata-only:
+  * zero data bytes), falling back to a column-pruned scan otherwise —
+  * see [[statsOf]]. */
 object ZoneMapTable {
 
   // The manifest is CRASH-ATOMIC via the same generational commit the
@@ -89,12 +93,139 @@ object ZoneMapTable {
     require(statsCols.nonEmpty, "zone map needs at least one stats column")
     LakeMaintenance.clusterBy(df, s"$dir/data", clusterCol, files)
     val spark = df.sparkSession
-    val aggs = count(lit(1)).as("n_rows") +: statsCols.flatMap(c => Seq(
-      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     publishManifest(spark, dir,
-      spark.read.parquet(s"$dir/data")
+      statsOf(spark, listDataFiles(spark, dir), statsCols, df.schema))
+  }
+
+  private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = zfsOf(spark, dataPath)
+    if (!fs.exists(dataPath)) Seq.empty
+    else fs.listStatus(dataPath).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Per-file `(file, n_rows, min_c, max_c …)` stats — from parquet
+    * FOOTERS when every stats column supports it (metadata-only: zero
+    * data bytes read, the path Delta/Iceberg stats collection takes),
+    * else one column-pruned scan of `paths`. Footer eligibility is
+    * all-or-nothing per manifest so a manifest never mixes two stats
+    * provenances for one column. */
+  private def statsOf(spark: SparkSession, paths: Seq[String],
+                      statsCols: Seq[String],
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    footerStats(spark, paths, statsCols, schema).getOrElse {
+      val aggs = count(lit(1)).as("n_rows") +: statsCols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      if (paths.isEmpty)
+        spark.range(0).select(
+          (lit("").as("file") +: lit(0L).as("n_rows") +:
+            statsCols.flatMap(c => Seq(
+              lit(null).cast(schema(c).dataType).as(s"min_$c"),
+              lit(null).cast(schema(c).dataType).as(s"max_$c")))): _*)
+      else spark.read.parquet(paths: _*)
         .groupBy(input_file_name().as("file"))
-        .agg(aggs.head, aggs.tail: _*))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+
+  /** Footer-only stats, or None when any column/file lacks EXACT footer
+    * bounds. Supported: integral and string columns — parquet chunk
+    * statistics are exact for them (string chunk stats are dropped, not
+    * truncated, past the 4 KB cap, which lands in the None fallback).
+    * Float/double columns always fall back: a footer cannot witness NaN
+    * presence, and Spark's max() orders NaN above every value, so a
+    * footer bound could disagree with the scan the rest of the engine
+    * treats as truth. The per-footer loop is manifest-sized driver work
+    * (one ~KB metadata read per file — the same list the manifest
+    * itself holds); a 100 TB build distributes it by mapping the same
+    * reader over a file-list dataset. */
+  private def footerStats(spark: SparkSession, paths: Seq[String],
+                          statsCols: Seq[String],
+                          schema: org.apache.spark.sql.types.StructType)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.io.api.Binary
+    val types = statsCols.map(c => schema(c).dataType)
+    if (!types.forall {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }) return None
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = paths.flatMap { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        val nRows = (0 until blocks.size).map(blocks.get(_).getRowCount).sum
+        // a 0-row file contributes no manifest row — the scan path's
+        // groupBy(file) semantics (an empty write's file is invisible)
+        if (nRows == 0) None
+        else {
+        val bounds: Seq[Option[(Any, Any)]] = statsCols.zip(types).map {
+          case (c, t) =>
+            // per-column merge across row groups; any unusable chunk
+            // stat poisons the whole footer path (exactness first)
+            var acc: Option[(Any, Any)] = None
+            for (i <- 0 until blocks.size) {
+              val chunk = blocks.get(i).getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .getOrElse(return None)
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                chunk.getStatistics
+              if (st == null || st.isEmpty) return None
+              val phys = chunk.getPrimitiveType.getPrimitiveTypeName
+              val ok = (t, phys) match {
+                case (ByteType | ShortType | IntegerType, INT32) => true
+                case (LongType, INT64)                           => true
+                case (StringType, BINARY)                        => true
+                case _                                           => false
+              }
+              if (!ok) return None
+              if (st.hasNonNullValue) {
+                // the column type's own comparator IS its stats order:
+                // signed for ints, unsigned-lexicographic for strings —
+                // exactly the order Spark's min/max would compute
+                val cmp = chunk.getPrimitiveType.comparator()
+                  .asInstanceOf[java.util.Comparator[Any]]
+                val (lo, hi) = (st.genericGetMin: Any, st.genericGetMax: Any)
+                acc = acc match {
+                  case None => Some((lo, hi))
+                  case Some((alo, ahi)) =>
+                    Some((if (cmp.compare(lo, alo) < 0) lo else alo,
+                          if (cmp.compare(hi, ahi) > 0) hi else ahi))
+                }
+              } else if (st.getNumNulls != chunk.getValueCount)
+                return None // no values AND not provably all-null
+            }
+            acc
+        }
+        def materialize(v: Any, t: DataType): Any = (v, t) match {
+          case (b: Binary, StringType)  => b.toStringUsingUTF8
+          case (n: Number, ByteType)    => n.byteValue
+          case (n: Number, ShortType)   => n.shortValue
+          case (n: Number, IntegerType) => n.intValue
+          case (n: Number, LongType)    => n.longValue
+          case _ => v
+        }
+        Some(org.apache.spark.sql.Row.fromSeq(
+          p +: nRows +: bounds.zip(types).flatMap {
+            case (Some((lo, hi)), t) =>
+              Seq(materialize(lo, t), materialize(hi, t))
+            case (None, _) => Seq(null, null) // all-null column
+          }))
+        }
+      } finally reader.close()
+    }
+    val outSchema = StructType(
+      StructField("file", StringType) +: StructField("n_rows", LongType) +:
+        statsCols.zip(types).flatMap { case (c, t) =>
+          Seq(StructField(s"min_$c", t), StructField(s"max_$c", t)) })
+    Some(spark.createDataFrame(
+      new java.util.ArrayList(rows.asJava), outSchema))
   }
 
   /** Incremental maintenance: cluster ONLY the delta into new files and
@@ -126,11 +257,10 @@ object ZoneMapTable {
       .write.mode("append").parquet(s"$dir/data")
     val fresh = (dataFiles() -- before).toSeq.sorted
     if (fresh.isEmpty) return
-    val aggs = count(lit(1)).as("n_rows") +: statsCols.flatMap(c => Seq(
-      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val freshStats = spark.read.parquet(fresh.map(n => s"$dir/data/$n"): _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    val freshStats = statsOf(spark,
+      fresh.map(n => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(s"$dir/data/$n")).toString),
+      statsCols, df.schema)
     // the merged manifest lands as a NEW committed generation: no
     // overwrite-while-reading, and a crash mid-write leaves the prior
     // manifest (not a torn one) servable

@@ -480,4 +480,54 @@ class LakeMaintenanceSpec extends AnyFunSuite {
       Seq("l_orderkey"), files = 1)
     assert(!new java.io.File(s"$incDir/_zonemap/g=99").exists())
   }
+
+  test("zone-map footer stats == scan stats; unsupported types fall back, reads stay exact") {
+    import graft.operators.ZoneMapTable
+    val li = Lake(spark, sf0001).lineitem
+    // long + string stats: footer-eligible, multi-row-group files
+    // (maxRecordsPerFile forces several blocks' worth of files so the
+    // cross-row-group merge actually runs)
+    val footDir = Files.createTempDirectory("zm_foot").toString + "/t"
+    ZoneMapTable.write(li, footDir, "l_orderkey",
+      Seq("l_orderkey", "l_returnflag"), files = 6)
+    // independent truth: per-file min/max via a plain scan
+    def scanManifest(dir: String, cols: Seq[String]) = {
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      spark.read.parquet(s"$dir/data")
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    def zones(df: org.apache.spark.sql.DataFrame) =
+      df.drop("file").collect().map(_.toString).sorted.toSeq
+    assert(zones(ZoneMapTable.manifest(spark, footDir)) ===
+      zones(scanManifest(footDir, Seq("l_orderkey", "l_returnflag"))),
+      "footer-derived zones diverged from a full scan's")
+    // a string-zone pruned read is exact (bounds in parquet's
+    // unsigned-lexicographic order must not lose any survivor)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(ZoneMapTable.prunedRead(spark, footDir, "l_returnflag",
+        lit("N"), lit("N"))) ===
+      canon(li.where(col("l_returnflag") === "N")))
+    // double stats column: NOT footer-eligible (NaN invisibility) —
+    // the scan fallback must produce the same manifest shape and the
+    // same exact reads
+    val fallDir = Files.createTempDirectory("zm_fall").toString + "/t"
+    ZoneMapTable.write(li, fallDir, "l_orderkey",
+      Seq("l_orderkey", "l_quantity"), files = 6)
+    assert(zones(ZoneMapTable.manifest(spark, fallDir)) ===
+      zones(scanManifest(fallDir, Seq("l_orderkey", "l_quantity"))))
+    assert(canon(ZoneMapTable.prunedRead(spark, fallDir, "l_orderkey",
+        lit(200L), lit(300L))) ===
+      canon(li.where(col("l_orderkey").between(200L, 300L))))
+    // footer path must also agree through append's delta manifest
+    val incDir = Files.createTempDirectory("zm_foot_inc").toString + "/t"
+    ZoneMapTable.write(li.where(col("l_orderkey") <= 700), incDir,
+      "l_orderkey", Seq("l_orderkey", "l_returnflag"), files = 4)
+    ZoneMapTable.append(li.where(col("l_orderkey") > 700), incDir,
+      "l_orderkey", Seq("l_orderkey", "l_returnflag"), files = 2)
+    assert(zones(ZoneMapTable.manifest(spark, incDir)) ===
+      zones(scanManifest(incDir, Seq("l_orderkey", "l_returnflag"))))
+  }
 }
