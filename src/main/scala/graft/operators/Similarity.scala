@@ -541,6 +541,32 @@ object Similarity {
     out.toDF("query_id", "rank", "id", "score")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * fuse N retrieval rankings — e.g. a lexical BM25 list and an
+    * embedding-cosine list, the standard hybrid-search combiner — into
+    * one score per id: `rrf(d) = Σ_lists 1/(kRrf + rank_list(d))`. An id
+    * absent from a list simply contributes nothing (the standard
+    * convention); `n_lists` reports how many lists surfaced each id.
+    *
+    * Each input frame carries `(idCol, rankCol)` with rank 1-based.
+    * Scale shape: one union of the candidate LISTS + one hash aggregate
+    * on id — fusion cost is Σ|lists| (k-bounded by the retrievers),
+    * independent of corpus size. Determinism: with ≤2 lists the
+    * two-term double sum is order-independent (IEEE addition is
+    * commutative); with more lists, round the result before comparing
+    * across engines. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf >= 1, s"kRrf must be >= 1: $kRrf")
+    rankings
+      .map(_.select(col(idCol), col(rankCol).cast("int").as("__r")))
+      .reduce(_.unionByName(_))
+      .groupBy(idCol)
+      .agg(sum(lit(1.0) / (lit(kRrf) + col("__r"))).as("rrf"),
+        count(lit(1)).as("n_lists"))
+  }
+
   /** Product quantization (PQ): split each D-dim vector into `m`
     * contiguous subvectors, k-means each subspace independently
     * (2^planes centroids via the deterministic hash-seeded

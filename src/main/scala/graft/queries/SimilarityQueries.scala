@@ -509,7 +509,101 @@ object SimilarityQueries {
           |                    for i in generate_series(1, len(b.w))]))) >= 0.4)
           |SELECT c.vec_id, (h.vec_id IS NOT NULL) AS contaminated
           |FROM c LEFT JOIN hits h ON c.vec_id = h.vec_id
-          |ORDER BY c.vec_id""".stripMargin))
+          |ORDER BY c.vec_id""".stripMargin)),
+
+    // ---- hybrid retrieval: BM25 × embedding cosine via RRF -------------
+    // The standard hybrid-search combiner: a lexical BM25 top-20 (t27's
+    // scorer, same terms and constants) and an embedding-cosine top-20
+    // (query = vector 0) fused by reciprocal-rank fusion, rrf(d) =
+    // Σ 1/(60 + rank). Ranks are cross-engine stable BY CONSTRUCTION:
+    // the BM25 leg ranks on the 4-decimal ROUNDED score with the id
+    // tie-break (t27's argument), the cosine leg on raw sim with the id
+    // tie-break (s1's precedent); the fused sum has ≤2 terms, so IEEE
+    // addition order cannot shift it, and the output rounds anyway.
+    // BM25 ranks come from the k-bounded TopKAggregator + posexplode —
+    // no global window (the t25 pattern); fusion itself is one union +
+    // one hash aggregate over 40 candidate rows, corpus-independent.
+    "s16_hybrid_rrf" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        import graft.functions.TextFunctions.tokens
+        // BM25 leg — t27's scorer verbatim (k1=1.2, b=0.75)
+        val qTerms = Seq("data", "scan", "hash")
+        val d = Lake(s, dir).documents
+        val lens = d.select(col("doc_id"),
+          size(tokens(col("text"))).cast(DoubleType).as("dl"))
+        val stats = lens.agg(avg(col("dl")).as("avgdl"),
+          count(lit(1)).cast(DoubleType).as("n"))
+        val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .where(col("term").isin(qTerms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).cast(DoubleType).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).cast(DoubleType).as("df"))
+        val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+        val norm = col("tf") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))
+        val bmScored = tf.join(dfreq, "term").join(lens, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("s", idf * col("tf") * lit(2.2) / norm)
+          .groupBy("doc_id").agg(round(sum(col("s")), 4).as("bm25"))
+        val topk = graft.functions.TopKAggregator.topK(20)
+        val bmRank = bmScored
+          .agg(topk(col("bm25"), col("doc_id")).as("top"))
+          .select(posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("t.id").as("doc_id"),
+            (col("pos") + 1).cast("int").as("rank"))
+        // embedding leg — exact cosine top-20 for query vector 0
+        val emb = Lake(s, dir).embeddings
+        val cosRank = Similarity.bruteForceTopK(
+            corpus = emb, queries = emb.where(col("vec_id") === 0),
+            idCol = "vec_id", vecCol = "embedding", k = 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(Seq(bmRank, cosRank), "doc_id", "rank", kRrf = 60)
+          .select(col("doc_id"), (round(col("rrf"), 6) + 0.0).as("rrf"),
+            col("n_lists"))
+          .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          |  FROM documents),
+          |lens AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM tok),
+          |st AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM lens),
+          |tf AS (
+          |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+          |  FROM (SELECT doc_id, unnest(w) AS term FROM tok) t
+          |  WHERE term IN ('data', 'scan', 'hash')
+          |  GROUP BY doc_id, term),
+          |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+          |sc AS (
+          |  SELECT tf.doc_id,
+          |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf.tf * 2.2
+          |              / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / avgdl))), 4) AS bm25
+          |  FROM tf JOIN dfq USING (term) JOIN lens l USING (doc_id), st
+          |  GROUP BY tf.doc_id),
+          |bmr AS (
+          |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+          |    (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r FROM sc),
+          |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+          |cs AS (
+          |  SELECT c.vec_id AS doc_id,
+          |    list_sum([qv.v[i]::DOUBLE * c.embedding[i]::DOUBLE
+          |              for i in generate_series(1, len(qv.v))]) /
+          |    (sqrt(list_sum([qv.v[i]::DOUBLE * qv.v[i]::DOUBLE
+          |                    for i in generate_series(1, len(qv.v))])) *
+          |     sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+          |                    for i in generate_series(1, len(c.embedding))])))
+          |      AS sim
+          |  FROM embeddings c, qv),
+          |csr AS (
+          |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+          |    (ORDER BY sim DESC, doc_id) AS INTEGER) AS r FROM cs),
+          |u AS (
+          |  SELECT doc_id, r FROM bmr WHERE r <= 20
+          |  UNION ALL SELECT doc_id, r FROM csr WHERE r <= 20)
+          |SELECT doc_id, round(sum(1.0 / (60 + r)), 6) + 0.0 AS rrf,
+          |  CAST(count(*) AS BIGINT) AS n_lists
+          |FROM u GROUP BY doc_id
+          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
   )
 
   /** DuckDB oracle for [[Similarity.mmrRerank]] with query vec_id = 0 and

@@ -38,6 +38,9 @@ object PlanAudit {
     "s8_hard_negatives", "s9_random_negatives",
     // s12: two s1-shaped broadcast-query scans (full + truncated dims)
     "s12_truncation_eval",
+    // s16: one s1-shaped broadcast-query scan (the cosine leg) plus
+    // t27's 1-row corpus-stats cross (the BM25 leg)
+    "s16_hybrid_rrf",
     "t12_tfidf", "t16_rare_tokens", "t17_countmin",
     "t21_lm_score", "t22_quality_buckets", "t26_lm_heldout", "t27_bm25",
     // t24: two 1-row corpus totals (unigram + bigram N) broadcast

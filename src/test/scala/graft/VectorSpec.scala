@@ -400,4 +400,29 @@ class VectorSpec extends AnyFunSuite {
     assert(Similarity.mmrRerank(corpus, small, "vec_id", "embedding",
       k = 1, fetch = 2, maxQueries = 10).count() === 10L)
   }
+
+  test("rrfFuse sums 1/(k+rank) per list, absent ids contribute nothing") {
+    import spark.implicits._
+    val lexical = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val semantic = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val got = Similarity
+      .rrfFuse(Seq(lexical, semantic), "doc_id", "rank", kRrf = 60)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (1L, 1.0 / 61, 1L),
+      (2L, 1.0 / 62 + 1.0 / 61, 2L), // both lists; IEEE 2-term sum exact
+      (3L, 1.0 / 63, 1L),
+      (4L, 1.0 / 62, 1L)))
+    // a doc in every list always outscores a doc strictly below it in
+    // every list (rank dominance)
+    val fused = got.map(t => t._1 -> t._2).toMap
+    assert(fused(2L) > fused(1L))
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq.empty, "doc_id", "rank")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq(lexical), "doc_id", "rank", kRrf = 0)
+    }
+  }
 }
