@@ -130,6 +130,89 @@ object ZoneMapTable {
         .agg(aggs.head, aggs.tail: _*)
     }
 
+  /** Above this file count the footer parse fans out as a Spark job
+    * (one task per ~64 footers) instead of a driver loop — the loop is
+    * fine for a per-batch delta, wrong for a 100 TB initial build whose
+    * file list is tens of thousands long. private[graft] so the law
+    * spec can force-exercise the distributed path. */
+  private[graft] val DriverFooterBatch = 256
+
+  /** One file's footer parse — pure and executor-safe.
+    * Left(()) = this footer can't yield EXACT bounds (missing/unusable
+    * chunk stats, physical-type mismatch) and the CALLER must fall back
+    * to the scan path for the whole manifest; Right(None) = a 0-row
+    * file (contributes no manifest row — the scan path's groupBy(file)
+    * semantics); Right(Some(values)) = the manifest row's values,
+    * already materialized to Spark externals. */
+  private def parseFooter(path: String,
+                          conf: org.apache.hadoop.conf.Configuration,
+                          statsCols: Seq[String],
+                          types: Seq[org.apache.spark.sql.types.DataType])
+      : Either[Unit, Option[Seq[Any]]] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.io.api.Binary
+    def materialize(v: Any, t: DataType): Any = (v, t) match {
+      case (b: Binary, StringType)  => b.toStringUsingUTF8
+      case (n: Number, ByteType)    => n.byteValue
+      case (n: Number, ShortType)   => n.shortValue
+      case (n: Number, IntegerType) => n.intValue
+      case (n: Number, LongType)    => n.longValue
+      case _ => v
+    }
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks
+      val nRows = (0 until blocks.size).map(blocks.get(_).getRowCount).sum
+      if (nRows == 0) return Right(None)
+      val bounds: Seq[Option[(Any, Any)]] = statsCols.zip(types).map {
+        case (c, t) =>
+          // per-column merge across row groups; any unusable chunk
+          // stat poisons the whole footer path (exactness first)
+          var acc: Option[(Any, Any)] = None
+          for (i <- 0 until blocks.size) {
+            val chunk = blocks.get(i).getColumns.asScala
+              .find(_.getPath.toDotString == c)
+              .getOrElse(return Left(()))
+            val st: org.apache.parquet.column.statistics.Statistics[_] =
+              chunk.getStatistics
+            if (st == null || st.isEmpty) return Left(())
+            val phys = chunk.getPrimitiveType.getPrimitiveTypeName
+            val ok = (t, phys) match {
+              case (ByteType | ShortType | IntegerType, INT32) => true
+              case (LongType, INT64)                           => true
+              case (StringType, BINARY)                        => true
+              case _                                           => false
+            }
+            if (!ok) return Left(())
+            if (st.hasNonNullValue) {
+              // the column type's own comparator IS its stats order:
+              // signed for ints, unsigned-lexicographic for strings —
+              // exactly the order Spark's min/max would compute
+              val cmp = chunk.getPrimitiveType.comparator()
+                .asInstanceOf[java.util.Comparator[Any]]
+              val (lo, hi) = (st.genericGetMin: Any, st.genericGetMax: Any)
+              acc = acc match {
+                case None => Some((lo, hi))
+                case Some((alo, ahi)) =>
+                  Some((if (cmp.compare(lo, alo) < 0) lo else alo,
+                        if (cmp.compare(hi, ahi) > 0) hi else ahi))
+              }
+            } else if (st.getNumNulls != chunk.getValueCount)
+              return Left(()) // no values AND not provably all-null
+          }
+          acc
+      }
+      Right(Some(path +: nRows +: bounds.zip(types).flatMap {
+        case (Some((lo, hi)), t) =>
+          Seq(materialize(lo, t), materialize(hi, t))
+        case (None, _) => Seq(null, null) // all-null column
+      }))
+    } finally reader.close()
+  }
+
   /** Footer-only stats, or None when any column/file lacks EXACT footer
     * bounds. Supported: integral and string columns — parquet chunk
     * statistics are exact for them (string chunk stats are dropped, not
@@ -137,89 +220,42 @@ object ZoneMapTable {
     * Float/double columns always fall back: a footer cannot witness NaN
     * presence, and Spark's max() orders NaN above every value, so a
     * footer bound could disagree with the scan the rest of the engine
-    * treats as truth. The per-footer loop is manifest-sized driver work
-    * (one ~KB metadata read per file — the same list the manifest
-    * itself holds); a 100 TB build distributes it by mapping the same
-    * reader over a file-list dataset. */
+    * treats as truth. Small file lists parse on the driver (a ~KB
+    * metadata read per file); past [[DriverFooterBatch]] the parse fans
+    * out over executors and only the manifest-sized results come back. */
   private def footerStats(spark: SparkSession, paths: Seq[String],
                           statsCols: Seq[String],
                           schema: org.apache.spark.sql.types.StructType)
       : Option[DataFrame] = {
     import org.apache.spark.sql.types._
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    import org.apache.parquet.io.api.Binary
     val types = statsCols.map(c => schema(c).dataType)
     if (!types.forall {
       case ByteType | ShortType | IntegerType | LongType | StringType => true
       case _ => false
     }) return None
     val conf = spark.sessionState.newHadoopConf()
-    val rows = paths.flatMap { p =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val blocks = reader.getFooter.getBlocks
-        val nRows = (0 until blocks.size).map(blocks.get(_).getRowCount).sum
-        // a 0-row file contributes no manifest row — the scan path's
-        // groupBy(file) semantics (an empty write's file is invisible)
-        if (nRows == 0) None
-        else {
-        val bounds: Seq[Option[(Any, Any)]] = statsCols.zip(types).map {
-          case (c, t) =>
-            // per-column merge across row groups; any unusable chunk
-            // stat poisons the whole footer path (exactness first)
-            var acc: Option[(Any, Any)] = None
-            for (i <- 0 until blocks.size) {
-              val chunk = blocks.get(i).getColumns.asScala
-                .find(_.getPath.toDotString == c)
-                .getOrElse(return None)
-              val st: org.apache.parquet.column.statistics.Statistics[_] =
-                chunk.getStatistics
-              if (st == null || st.isEmpty) return None
-              val phys = chunk.getPrimitiveType.getPrimitiveTypeName
-              val ok = (t, phys) match {
-                case (ByteType | ShortType | IntegerType, INT32) => true
-                case (LongType, INT64)                           => true
-                case (StringType, BINARY)                        => true
-                case _                                           => false
-              }
-              if (!ok) return None
-              if (st.hasNonNullValue) {
-                // the column type's own comparator IS its stats order:
-                // signed for ints, unsigned-lexicographic for strings —
-                // exactly the order Spark's min/max would compute
-                val cmp = chunk.getPrimitiveType.comparator()
-                  .asInstanceOf[java.util.Comparator[Any]]
-                val (lo, hi) = (st.genericGetMin: Any, st.genericGetMax: Any)
-                acc = acc match {
-                  case None => Some((lo, hi))
-                  case Some((alo, ahi)) =>
-                    Some((if (cmp.compare(lo, alo) < 0) lo else alo,
-                          if (cmp.compare(hi, ahi) > 0) hi else ahi))
-                }
-              } else if (st.getNumNulls != chunk.getValueCount)
-                return None // no values AND not provably all-null
-            }
-            acc
-        }
-        def materialize(v: Any, t: DataType): Any = (v, t) match {
-          case (b: Binary, StringType)  => b.toStringUsingUTF8
-          case (n: Number, ByteType)    => n.byteValue
-          case (n: Number, ShortType)   => n.shortValue
-          case (n: Number, IntegerType) => n.intValue
-          case (n: Number, LongType)    => n.longValue
-          case _ => v
-        }
-        Some(org.apache.spark.sql.Row.fromSeq(
-          p +: nRows +: bounds.zip(types).flatMap {
-            case (Some((lo, hi)), t) =>
-              Seq(materialize(lo, t), materialize(hi, t))
-            case (None, _) => Seq(null, null) // all-null column
-          }))
-        }
-      } finally reader.close()
-    }
+    val parsed: Seq[Either[Unit, Option[Seq[Any]]]] =
+      if (paths.size <= DriverFooterBatch)
+        paths.map(parseFooter(_, conf, statsCols, types))
+      else {
+        // executors rebuild the Hadoop conf from its serialized entries
+        // (Configuration itself is not serializable); results shipped
+        // back are manifest rows, never data
+        val confEntries = conf.iterator.asScala
+          .map(e => e.getKey -> e.getValue).toVector
+        val (cols, ts) = (statsCols, types)
+        spark.sparkContext
+          .parallelize(paths, math.max(1, paths.size / 64))
+          .map { p =>
+            val c = new org.apache.hadoop.conf.Configuration(false)
+            confEntries.foreach { case (k, v) => c.set(k, v) }
+            parseFooter(p, c, cols, ts)
+          }
+          .collect().toSeq
+      }
+    if (parsed.exists(_.isLeft)) return None
+    val rows = parsed.collect { case Right(Some(vs)) =>
+      org.apache.spark.sql.Row.fromSeq(vs) }
     val outSchema = StructType(
       StructField("file", StringType) +: StructField("n_rows", LongType) +:
         statsCols.zip(types).flatMap { case (c, t) =>

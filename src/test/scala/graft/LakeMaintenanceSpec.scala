@@ -529,5 +529,19 @@ class LakeMaintenanceSpec extends AnyFunSuite {
       "l_orderkey", Seq("l_orderkey", "l_returnflag"), files = 2)
     assert(zones(ZoneMapTable.manifest(spark, incDir)) ===
       zones(scanManifest(incDir, Seq("l_orderkey", "l_returnflag"))))
+    // past DriverFooterBatch files the parse fans out over executors —
+    // same zones, same exactness (the 100 TB initial-build path)
+    val bigDir = Files.createTempDirectory("zm_foot_big").toString + "/t"
+    val nFiles = graft.operators.ZoneMapTable.DriverFooterBatch + 44
+    ZoneMapTable.write(li, bigDir, "l_orderkey",
+      Seq("l_orderkey", "l_returnflag"), files = nFiles)
+    val bigManifest = ZoneMapTable.manifest(spark, bigDir)
+    assert(bigManifest.count() > graft.operators.ZoneMapTable.DriverFooterBatch,
+      "fixture did not exceed the driver-batch threshold")
+    assert(zones(bigManifest) ===
+      zones(scanManifest(bigDir, Seq("l_orderkey", "l_returnflag"))))
+    assert(canon(ZoneMapTable.prunedRead(spark, bigDir, "l_orderkey",
+        lit(200L), lit(300L))) ===
+      canon(li.where(col("l_orderkey").between(200L, 300L))))
   }
 }
