@@ -71,20 +71,39 @@ object ZoneMapTable {
 
   /** Land a manifest as the next committed generation (allocation skips
     * torn dirs), then prune every OTHER generation below it — derived
-    * state keeps no history; [[writeVersion]] is the time-travel form. */
+    * state keeps no history; [[writeVersion]] is the time-travel form.
+    * `batchId >= 0` stamps the generation with the last absorbed ingest
+    * batch (a `_batch-<id>` sidecar, written BEFORE the commit marker so
+    * a committed generation always carries its stamp — the replay guard
+    * [[append]] and [[graft.streaming.ZoneMapStream]] read). */
   private def publishManifest(spark: SparkSession, dir: String,
-                              manifest: DataFrame): Unit = {
+                              manifest: DataFrame,
+                              batchId: Long = -1L): Unit = {
     val next = manifestGens(spark, dir, committedOnly = false)
       .lastOption.getOrElse(0L) + 1
     manifest.write.mode("errorifexists").parquet(s"$dir/_zonemap/g=$next")
+    val fs = zfsOf(spark, new org.apache.hadoop.fs.Path(dir))
+    if (batchId >= 0)
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/_zonemap/g=$next/_batch-$batchId"), false).close()
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_zonemap/g=$next/$Marker")
-    zfsOf(spark, marker).create(marker, false).close() // publish
-    val fs = zfsOf(spark, marker)
+    fs.create(marker, false).close() // publish
     manifestGens(spark, dir, committedOnly = false)
       .filter(_ < next)
       .foreach(g => fs.delete(
         new org.apache.hadoop.fs.Path(s"$dir/_zonemap/g=$g"), true))
   }
+
+  /** Last ingest batch id the newest committed generation absorbed
+    * (−1 when none recorded — e.g. a fresh [[write]]). */
+  def lastBatchId(spark: SparkSession, dir: String): Long =
+    manifestGens(spark, dir, committedOnly = true).lastOption.map { g =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_zonemap/g=$g")
+      val fs = zfsOf(spark, p)
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith("_batch-") => s.drop(7).toLong }
+        .sorted.lastOption.getOrElse(-1L)
+    }.getOrElse(-1L)
 
   /** Cluster `df` by `clusterCol` into `files` files under `dir/data`
     * and persist the per-file min/max manifest for `statsCols`. */
@@ -274,11 +293,23 @@ object ZoneMapTable {
     * contract, so reads stay exact either way (append ≡ rebuild on the
     * manifest is law-pinned in LakeMaintenanceSpec). Periodic [[write]]
     * re-clustering restores global file disjointness when batch overlap
-    * accumulates. */
+    * accumulates.
+    *
+    * `batchId` makes a SUCCESSFUL append replay-safe (exactly-once for
+    * streaming ingest, the [[VectorIndex.append]] convention): the
+    * committed generation records the last absorbed id, and an append
+    * at or below it is a no-op BEFORE any data lands. A crash
+    * mid-append leaves orphan data files no manifest references —
+    * invisible to every read — and the recovery replay appends fresh
+    * files, so the guard composes with the manifest commit protocol to
+    * exactly-once. Leave −1 for one-shot batch use. */
   def append(df: DataFrame, dir: String, clusterCol: String,
-             statsCols: Seq[String], files: Int): Unit = {
+             statsCols: Seq[String], files: Int,
+             batchId: Long = -1L): Unit = {
     require(statsCols.nonEmpty, "zone map needs at least one stats column")
     val spark = df.sparkSession
+    if (batchId >= 0 && lastBatchId(spark, dir) >= batchId)
+      return // replay: already absorbed
     val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
     val fs = dataPath.getFileSystem(spark.sessionState.newHadoopConf())
     def dataFiles(): Set[String] =
@@ -299,9 +330,12 @@ object ZoneMapTable {
       statsCols, df.schema)
     // the merged manifest lands as a NEW committed generation: no
     // overwrite-while-reading, and a crash mid-write leaves the prior
-    // manifest (not a torn one) servable
+    // manifest (not a torn one) servable. The batch stamp carries the
+    // MAX of old and new so batch (-1) and streaming appends interleave
+    // without regressing the guard.
     publishManifest(spark, dir,
-      readManifest(spark, dir).unionByName(freshStats))
+      readManifest(spark, dir).unionByName(freshStats),
+      math.max(lastBatchId(spark, dir), batchId))
   }
 
   /** Files whose `[min, max]` zone intersects `[lo, hi]`, with the

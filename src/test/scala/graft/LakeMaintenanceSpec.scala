@@ -544,4 +544,52 @@ class LakeMaintenanceSpec extends AnyFunSuite {
         lit(200L), lit(300L))) ===
       canon(li.where(col("l_orderkey").between(200L, 300L))))
   }
+
+  test("streamed zone-map ingest reads like batch, absorbs each batch exactly once") {
+    import graft.operators.ZoneMapTable
+    val li = Lake(spark, sf0001).lineitem
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val dir = Files.createTempDirectory("zm_stream").toString + "/t"
+    val feed = Files.createTempDirectory("zm_stream_feed").toString
+    ZoneMapTable.write(li.where(col("l_orderkey") <= 700), dir,
+      "l_orderkey", Seq("l_orderkey"), files = 4)
+    // bounded feed, one file per micro-batch -> several append commits
+    li.where(col("l_orderkey").between(701, 1200)).coalesce(1)
+      .write.mode("append").parquet(feed)
+    li.where(col("l_orderkey") > 1200).coalesce(1)
+      .write.mode("append").parquet(feed)
+    val stream = graft.streaming.ZoneMapStream.zoneMapStream(
+        graft.streaming.ZoneMapStream.readFeed(spark, feed, li.schema),
+        dir, "l_orderkey", Seq("l_orderkey"), filesPerBatch = 2,
+        checkpoint = Files.createTempDirectory("zm_stream_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("maxFilesPerTrigger", "1")
+      .start()
+    stream.awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // reads through the streamed manifest equal the plain filter
+    for ((lo, hi) <- Seq((200L, 900L), (1100L, 1300L)))
+      assert(canon(ZoneMapTable.prunedRead(spark, dir, "l_orderkey",
+          lit(lo), lit(hi))) ===
+        canon(li.where(col("l_orderkey").between(lo, hi))),
+        s"range [$lo,$hi] diverged through the streamed manifest")
+    // total coverage: manifest rows == table rows, batch stamp advanced
+    val total = ZoneMapTable.manifest(spark, dir)
+      .agg(sum(col("n_rows"))).collect().head.getLong(0)
+    assert(total === li.count())
+    // the stamp recorded SOME absorbed batch (file-source batching may
+    // fold the feed into one micro-batch, so only >= 0 is contractual)
+    assert(ZoneMapTable.lastBatchId(spark, dir) >= 0L)
+    // replaying an absorbed batch id is a committed no-op (exactly-once)
+    val before = canon(ZoneMapTable.manifest(spark, dir))
+    ZoneMapTable.append(li.limit(50), dir, "l_orderkey",
+      Seq("l_orderkey"), files = 1, batchId = 0L)
+    assert(canon(ZoneMapTable.manifest(spark, dir)) === before)
+    // a FRESH batch id still lands, and the stamp follows the max
+    ZoneMapTable.append(li.limit(3), dir, "l_orderkey",
+      Seq("l_orderkey"), files = 1, batchId = 7L)
+    assert(ZoneMapTable.manifest(spark, dir).count() === before.size + 1)
+    assert(ZoneMapTable.lastBatchId(spark, dir) === 7L)
+  }
 }
