@@ -338,6 +338,58 @@ object ZoneMapTable {
       math.max(lastBatchId(spark, dir), batchId))
   }
 
+  /** Data-layout compaction for an append-grown table: rewrite the
+    * CURRENT manifested rows as one fresh `targetFiles`-file global
+    * re-clustering (restoring the file disjointness per-batch appends
+    * erode), landed BESIDE the old files, then publish a manifest
+    * referencing only the new set. Readers stay correct throughout —
+    * they resolve committed manifests, and the superseded files remain
+    * on disk for any in-flight read until [[vacuumData]] reclaims them.
+    * The batch stamp carries forward, so compaction commutes with the
+    * streaming replay guard. The index-side analog is
+    * [[VectorIndex.compact]]. */
+  def compact(spark: SparkSession, dir: String, clusterCol: String,
+              statsCols: Seq[String], targetFiles: Int): Unit = {
+    val kept = readManifest(spark, dir)
+      .select("file").collect().map(_.getString(0)).toSeq
+    if (kept.isEmpty) return
+    val current = spark.read.parquet(kept: _*)
+    val before = listDataFiles(spark, dir).map(fileName).toSet
+    current.repartitionByRange(targetFiles, current.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("append").parquet(s"$dir/data")
+    val fresh = listDataFiles(spark, dir)
+      .filterNot(p => before.contains(fileName(p)))
+    publishManifest(spark, dir,
+      statsOf(spark, fresh, statsCols, current.schema),
+      lastBatchId(spark, dir))
+  }
+
+  /** Reclaim every file under `data/` the newest committed manifest
+    * does not reference — superseded [[compact]] inputs and dead
+    * writers' orphan appends. Readers pinned to a SUPERSEDED manifest
+    * mid-flight can lose files (the standard vacuum caveat everywhere
+    * in the engine — schedule with a retention delay in production).
+    * Returns the deleted file names. */
+  def vacuumData(spark: SparkSession, dir: String): Seq[String] = {
+    val referenced = readManifest(spark, dir)
+      .select("file").collect().map(r => fileName(r.getString(0))).toSet
+    val fs = zfsOf(spark, new org.apache.hadoop.fs.Path(s"$dir/data"))
+    listDataFiles(spark, dir)
+      .filterNot(p => referenced.contains(fileName(p)))
+      .map { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), false)
+        fileName(p)
+      }
+  }
+
+  /** Last path segment — manifest `file` entries and directory listings
+    * render the same file with different URI prefixes (`file:///` vs
+    * `file:/`), so identity comparisons go by name (part-file names
+    * carry a task UUID and cannot collide). */
+  private def fileName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
   /** Files whose `[min, max]` zone intersects `[lo, hi]`, with the
     * total file count — the skipping decision, exposed for tests and
     * observability. Manifest-sized work: one small read, a file-count

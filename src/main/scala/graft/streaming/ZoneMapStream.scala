@@ -34,14 +34,25 @@ object ZoneMapStream {
 
   /** Maintain the zone-mapped table at `dir` from an unbounded frame.
     * `filesPerBatch` bounds each micro-batch's file count (its
-    * range-clustering width) — size it to batchBytes / targetFileBytes. */
+    * range-clustering width) — size it to batchBytes / targetFileBytes.
+    * `compactEvery > 0` re-clusters + vacuums after every Nth batch
+    * (into `compactTo` files), bounding file-count growth under
+    * continuous ingest the way `IndexStream` does for the vector
+    * index. */
   def zoneMapStream(rows: DataFrame, dir: String, clusterCol: String,
                     statsCols: Seq[String], filesPerBatch: Int,
-                    checkpoint: String): DataStreamWriter[Row] =
+                    checkpoint: String, compactEvery: Int = 0,
+                    compactTo: Int = 16): DataStreamWriter[Row] =
     rows.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ZoneMapTable.append(batch, dir, clusterCol, statsCols,
           filesPerBatch, batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          ZoneMapTable.compact(batch.sparkSession, dir, clusterCol,
+            statsCols, compactTo)
+          ZoneMapTable.vacuumData(batch.sparkSession, dir)
+          ()
+        }
       }
 }

@@ -592,4 +592,47 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(ZoneMapTable.manifest(spark, dir).count() === before.size + 1)
     assert(ZoneMapTable.lastBatchId(spark, dir) === 7L)
   }
+
+  test("zone-map compact restores disjoint files; vacuumData reclaims only unreferenced ones") {
+    import graft.operators.ZoneMapTable
+    val li = Lake(spark, sf0001).lineitem
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val dir = Files.createTempDirectory("zm_compact").toString + "/t"
+    // append-grown table: 3 overlapping batches -> many small files
+    ZoneMapTable.write(li.where(col("l_orderkey") % 3 === 0), dir,
+      "l_orderkey", Seq("l_orderkey"), files = 4)
+    ZoneMapTable.append(li.where(col("l_orderkey") % 3 === 1), dir,
+      "l_orderkey", Seq("l_orderkey"), files = 4, batchId = 0L)
+    ZoneMapTable.append(li.where(col("l_orderkey") % 3 === 2), dir,
+      "l_orderkey", Seq("l_orderkey"), files = 4, batchId = 1L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def readRange(lo: Long, hi: Long) = canon(
+      ZoneMapTable.prunedRead(spark, dir, "l_orderkey", lit(lo), lit(hi)))
+    val want = canon(li.where(col("l_orderkey").between(200L, 900L)))
+    assert(readRange(200L, 900L) === want)
+    val filesBefore = ZoneMapTable.manifest(spark, dir).count()
+    assert(filesBefore === 12L)
+    ZoneMapTable.compact(spark, dir, "l_orderkey", Seq("l_orderkey"),
+      targetFiles = 5)
+    // same answers through fewer, globally-disjoint files; superseded
+    // files still on disk (in-flight readers), so vacuum reclaims them
+    assert(ZoneMapTable.manifest(spark, dir).count() === 5L)
+    assert(readRange(200L, 900L) === want)
+    // compaction restores skipping: a narrow range opens a minority
+    val (kept, total) = ZoneMapTable.survivingFiles(spark, dir,
+      "l_orderkey", lit(200L), lit(300L))
+    assert(total === 5L && kept.size < 3)
+    // the replay stamp carried through compaction
+    assert(ZoneMapTable.lastBatchId(spark, dir) === 1L)
+    val removed = ZoneMapTable.vacuumData(spark, dir)
+    assert(removed.size === 12)
+    assert(readRange(200L, 900L) === want)
+    // vacuum with nothing unreferenced is a no-op
+    assert(ZoneMapTable.vacuumData(spark, dir) === Seq.empty)
+    // data dir now holds exactly the manifested files
+    assert(new java.io.File(s"$dir/data").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")) === 5)
+  }
 }
