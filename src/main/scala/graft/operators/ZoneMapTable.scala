@@ -106,14 +106,34 @@ object ZoneMapTable {
     }.getOrElse(-1L)
 
   /** Cluster `df` by `clusterCol` into `files` files under `dir/data`
-    * and persist the per-file min/max manifest for `statsCols`. */
+    * and persist the per-file min/max manifest for `statsCols`.
+    *
+    * Rebuilding an EXISTING table is reader-safe: the new clustering
+    * lands BESIDE the current files and the manifest flips in one
+    * committed generation — an in-flight reader keeps its old file set
+    * until [[vacuumData]] (the [[compact]] protocol, with `df` as the
+    * new contents). Only a fresh directory takes the overwrite path. */
   def write(df: DataFrame, dir: String, clusterCol: String,
             statsCols: Seq[String], files: Int): Unit = {
     require(statsCols.nonEmpty, "zone map needs at least one stats column")
-    LakeMaintenance.clusterBy(df, s"$dir/data", clusterCol, files)
     val spark = df.sparkSession
-    publishManifest(spark, dir,
-      statsOf(spark, listDataFiles(spark, dir), statsCols, df.schema))
+    if (manifestGens(spark, dir, committedOnly = true).nonEmpty) {
+      val before = listDataFiles(spark, dir).map(fileName).toSet
+      df.repartitionByRange(files, df.col(clusterCol))
+        .sortWithinPartitions(clusterCol)
+        .write.mode("append").parquet(s"$dir/data")
+      val fresh = listDataFiles(spark, dir)
+        .filterNot(p => before.contains(fileName(p)))
+      // the replay stamp survives a rebuild: stream batches absorbed
+      // before it must stay no-ops on replay (the rebuild's contents
+      // already reflect them)
+      publishManifest(spark, dir, statsOf(spark, fresh, statsCols, df.schema),
+        lastBatchId(spark, dir))
+    } else {
+      LakeMaintenance.clusterBy(df, s"$dir/data", clusterCol, files)
+      publishManifest(spark, dir,
+        statsOf(spark, listDataFiles(spark, dir), statsCols, df.schema))
+    }
   }
 
   private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {

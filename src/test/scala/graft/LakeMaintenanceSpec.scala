@@ -634,5 +634,45 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/data").listFiles()
       .count(f => f.isFile && !f.getName.startsWith("_")
         && !f.getName.startsWith(".")) === 5)
+    // REBUILDING an existing table lands beside the old files and flips
+    // the manifest (reader-safe: old files stay until vacuum), replaces
+    // the contents, and keeps the replay stamp
+    val sub = li.where(col("l_orderkey") <= 500)
+    ZoneMapTable.write(sub, dir, "l_orderkey", Seq("l_orderkey"), files = 3)
+    assert(ZoneMapTable.manifest(spark, dir).count() === 3L)
+    assert(readRange(0L, 100000L) === canon(sub))
+    assert(ZoneMapTable.lastBatchId(spark, dir) === 1L)
+    assert(ZoneMapTable.vacuumData(spark, dir).size === 5)
+    assert(readRange(0L, 100000L) === canon(sub))
+  }
+
+  test("streamed zone-map ingest with compactEvery keeps the file count bounded") {
+    import graft.operators.ZoneMapTable
+    val li = Lake(spark, sf0001).lineitem
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val dir = Files.createTempDirectory("zm_stream_cpt").toString + "/t"
+    val feed = Files.createTempDirectory("zm_stream_cpt_feed").toString
+    ZoneMapTable.write(li.where(col("l_orderkey") <= 700), dir,
+      "l_orderkey", Seq("l_orderkey"), files = 6)
+    li.where(col("l_orderkey") > 700).coalesce(1)
+      .write.mode("append").parquet(feed)
+    val stream = graft.streaming.ZoneMapStream.zoneMapStream(
+        graft.streaming.ZoneMapStream.readFeed(spark, feed, li.schema),
+        dir, "l_orderkey", Seq("l_orderkey"), filesPerBatch = 4,
+        checkpoint = Files.createTempDirectory("zm_stream_cpt_ckpt").toString,
+        compactEvery = 1, compactTo = 5)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    stream.awaitTermination()
+    // post-compaction: exactly compactTo manifested + on-disk files,
+    // reads equal the plain filter over everything ingested
+    assert(ZoneMapTable.manifest(spark, dir).count() === 5L)
+    assert(new java.io.File(s"$dir/data").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")) === 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(ZoneMapTable.prunedRead(spark, dir, "l_orderkey",
+        lit(0L), lit(100000L))) === canon(li))
   }
 }
