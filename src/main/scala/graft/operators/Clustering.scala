@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Deterministic, engine-portable clustering + dimensionality reduction
+  * over an `array<float>` embedding column — the two classic corpus
+  * organization steps an LLM-data pipeline runs after embedding
+  * (cluster-balanced sampling, SemDedup-style cluster pruning, PCA-based
+  * whitening/outlier scoring).
+  *
+  * Both operators follow the engine's BPE playbook (`Tokenizer.bpeTrain`)
+  * for making an ITERATIVE fit exactly replayable by a SQL oracle:
+  * a fixed number of rounds, and every cross-row aggregate that feeds
+  * the next round is ROUNDED to a fixed decimal grid before use. Within
+  * a round, all per-row arithmetic is a left-to-right float→double fold
+  * (the portable order `VectorFunctions.cosineHof` established), so both
+  * engines walk bit-identical state between roundings; the rounding
+  * collapses the only nondeterminism there is — partial-aggregation
+  * order in distributed sums (~1 ulp), which sits ten orders of
+  * magnitude under the rounding step.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - Driver state is O(k·dim) / O(dim) doubles — model size, never data
+  *    size. Corpus rows are NEVER shuffled: each round is one narrow
+  *    per-row expression over centroid/direction literals plus ONE
+  *    map-side-combined aggregation (k·dim or dim cells), exactly the
+  *    [[Similarity.trainCells]] shape.
+  *  - Lineage depth stays constant across rounds (assignments are a
+  *    single expression over literals, not an iterated join), so no
+  *    checkpointing is needed no matter how many rounds run.
+  *  - [[pcaFit]] is MATRIX-FREE: it never materializes the dim×dim
+  *    covariance. Each power-iteration round computes X'(Xv) as a
+  *    per-row dot product followed by one dim-cell aggregate — O(n·dim)
+  *    work, O(dim) shuffle bytes — where the Gram-matrix route would
+  *    explode every row dim² -fold before aggregating.
+  */
+object Clustering {
+
+  private def roundTo(x: Double, decimals: Int): Double =
+    BigDecimal(x).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Σ (x_i - c_i)² with float→double left fold — the portable order. */
+  private def l2sq(x: Column, c: Seq[Double]): Column =
+    aggregate(
+      zip_with(x, typedlit(c), (a, b) =>
+        (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Σ (x_i - m_i)·v_i, same fold order as the SQL oracle's
+    * `list_sum([(x[i] - m[i]) * v[i] ...])`. */
+  private def centeredDot(x: Column, m: Seq[Double], v: Seq[Double]): Column =
+    aggregate(
+      zip_with(
+        zip_with(x, typedlit(m), (a, b) => a.cast(DoubleType) - b),
+        typedlit(v), (a, b) => a * b),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** Nearest-centroid id (0-based) by squared L2, distance rounded to
+    * `distDecimals` so borderline argmin comparisons cannot differ
+    * across engines, ties to the SMALLEST cluster id
+    * (`array_position` returns the FIRST minimum; `cents` is ascending
+    * by id). */
+  private def nearest(x: Column, cents: Seq[Array[Double]],
+                      distDecimals: Int): Column = {
+    val dists = array(cents.map(c => round(l2sq(x, c.toSeq), distDecimals)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("long")
+  }
+
+  private def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** Lloyd k-means, fully deterministic and oracle-replayable:
+    *  - init: the vectors of the `k` smallest ids, elements rounded to
+    *    `meanDecimals` (seeding from actual data rows, the standard
+    *    trick to avoid empty initial cells; smallest-ids rather than a
+    *    hash sample so a SQL oracle can state it as ORDER BY id LIMIT k);
+    *  - `iters` rounds of { assign to nearest rounded centroid (squared
+    *    L2, rounded, ties to smallest id) ; re-mean, each coordinate
+    *    rounded to `meanDecimals` }. A cluster that loses every member
+    *    KEEPS its previous centroid (deterministic, and mirrors the
+    *    LEFT JOIN + coalesce a SQL replay writes naturally).
+    *
+    * Returns the final centroids, ascending by cluster id. Driver cost:
+    * `iters` jobs, each collecting ≤ k rows of dim doubles. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int,
+                      meanDecimals: Int = 6,
+                      distDecimals: Int = 9): Seq[Array[Double]] = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    val c0 = Parallelism.ensure(df)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val dim = dimOf(c0, "__v")
+    if (dim == 0) return Seq.empty
+    // seed: the k smallest ids' vectors — TakeOrderedAndProject, no sort
+    var cents: Seq[Array[Double]] = c0.orderBy("__id").limit(k)
+      .select(transform(col("__v"), x => x.cast(DoubleType)).as("v"))
+      .collect()
+      .map(_.getSeq[Double](0).map(roundTo(_, meanDecimals)).toArray)
+      .toSeq
+    if (cents.isEmpty) return Seq.empty
+    val avgs = (1 to dim).map(i =>
+      round(avg(element_at(col("__v"), i).cast(DoubleType)), meanDecimals)
+        .as(s"__m$i"))
+    for (_ <- 0 until iters) {
+      val means: Map[Long, Array[Double]] = c0
+        .withColumn("__cl", nearest(col("__v"), cents, distDecimals))
+        .groupBy("__cl").agg(avgs.head, avgs.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (1 to dim).map(i => r.getDouble(i)).toArray)
+        .toMap
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        means.getOrElse(cid.toLong, prev) // empty cluster keeps centroid
+      }
+    }
+    cents
+  }
+
+  /** Final assignment `(idCol, cluster)` of every row to its nearest
+    * trained centroid — one narrow expression over the centroid
+    * literals, no join, no shuffle. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int,
+                   meanDecimals: Int = 6,
+                   distDecimals: Int = 9): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters,
+      meanDecimals, distDecimals)
+    if (cents.isEmpty)
+      return df.select(col(idCol), lit(0L).as("cluster")).limit(0)
+    df.select(col(idCol),
+      nearest(col(vecCol), cents, distDecimals).as("cluster"))
+  }
+
+  /** Uncentered-data-safe PCA-1 by power iteration: the top principal
+    * direction of the MEAN-CENTERED data, fit matrix-free.
+    *
+    * Each round computes w = X'c (Xc v) in two steps — a per-row score
+    * s_r = (x_r - m)·v (expression only, no job) and one aggregate of
+    * dim sums w_j = Σ_r s_r (x_rj - m_j) — then publishes the next
+    * direction v' = round(w / ‖w‖). `w` is rounded to `wDecimals`
+    * BEFORE the norm, so both engines normalize bit-identical inputs
+    * and everything after the rounding is deterministic on both sides.
+    * A zero `w` (data with no variance) publishes the zero vector.
+    *
+    * Start direction: uniform 1/√dim (rounded) — deterministic, and
+    * orthogonal to no coordinate axis, so it cannot start perpendicular
+    * to a principal axis that any single feature participates in.
+    * `iters` is FIXED, not convergence-tested: the contract is "the
+    * deterministic result of `iters` rounds", which is what makes the
+    * fit replayable; convergence quality is the caller's lever.
+    *
+    * Returns (mean, direction), each dim doubles. */
+  def pcaFit(df: DataFrame, vecCol: String, iters: Int = 8,
+             meanDecimals: Int = 6, wDecimals: Int = 5,
+             vDecimals: Int = 6): (Array[Double], Array[Double]) = {
+    require(iters >= 0, "iters must be >= 0")
+    val c0 = Parallelism.ensure(df).select(col(vecCol).as("__v"))
+    val dim = dimOf(c0, "__v")
+    if (dim == 0) return (Array.empty, Array.empty)
+    val meanRow = c0.agg(
+      round(avg(element_at(col("__v"), 1).cast(DoubleType)), meanDecimals)
+        .as("__m1"),
+      (2 to dim).map(i =>
+        round(avg(element_at(col("__v"), i).cast(DoubleType)), meanDecimals)
+          .as(s"__m$i")): _*)
+      .collect()(0)
+    val m = (0 until dim).map(meanRow.getDouble).toArray
+    var v = Array.fill(dim)(roundTo(1.0 / math.sqrt(dim), vDecimals))
+    for (_ <- 0 until iters) {
+      val s = centeredDot(col("__v"), m.toSeq, v.toSeq)
+      val wRow = c0.withColumn("__s", s).agg(
+        round(sum(col("__s") *
+          (element_at(col("__v"), 1).cast(DoubleType) - m(0))), wDecimals)
+          .as("__w1"),
+        (2 to dim).map(i =>
+          round(sum(col("__s") *
+            (element_at(col("__v"), i).cast(DoubleType) - m(i - 1))),
+            wDecimals).as(s"__w$i")): _*)
+        .collect()(0)
+      val w = (0 until dim).map(i =>
+        if (wRow.isNullAt(i)) 0.0 else wRow.getDouble(i)).toArray
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = if (norm == 0.0) Array.fill(dim)(0.0)
+          else w.map(x => roundTo(x / norm, vDecimals))
+    }
+    (m, v)
+  }
+
+  /** Per-row projection `(idCol, pc1)` onto the fitted direction —
+    * after the fit, one narrow pass over the corpus. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 iters: Int = 8, scoreDecimals: Int = 6): DataFrame = {
+    val (m, v) = pcaFit(df, vecCol, iters)
+    if (m.isEmpty)
+      return df.select(col(idCol), lit(0.0).as("pc1")).limit(0)
+    df.select(col(idCol),
+      round(centeredDot(col(vecCol), m.toSeq, v.toSeq), scoreDecimals)
+        .as("pc1"))
+  }
+}

@@ -603,8 +603,137 @@ object SimilarityQueries {
           |SELECT doc_id, round(sum(1.0 / (60 + r)), 6) + 0.0 AS rrf,
           |  CAST(count(*) AS BIGINT) AS n_lists
           |FROM u GROUP BY doc_id
-          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
+          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- deterministic k-means over embeddings -------------------------
+    // Lloyd with the engine's replayable-iteration contract (the BPE
+    // playbook): seed = the k smallest vec_ids' vectors, 3 rounds of
+    // assign/re-mean with every published centroid coordinate rounded to
+    // 6 decimals and every distance to 9 — so the DuckDB chain replays
+    // the whole fit and the final assignment hash-compares exactly.
+    // Cluster structure itself is spec-pinned on an anisotropic fixture
+    // (ClusteringSpec); here the synthetic near-isotropic embeddings
+    // just exercise the full pipeline end to end.
+    "s17_kmeans" -> Q(
+      (s, dir) => {
+        import graft.operators.Clustering
+        Clustering.kmeansAssign(Lake(s, dir).embeddings,
+            "vec_id", "embedding", k = 8, iters = 3)
+          .orderBy("vec_id")
+      },
+      Some(kmeansOracleSql(k = 8, iters = 3, dim = 64))),
+
+    // ---- PCA-1 by matrix-free power iteration --------------------------
+    // Top principal direction of the mean-centered embeddings via 8
+    // power-iteration rounds — each round is one per-row dot product
+    // plus one dim-cell aggregate (X'(Xv), never the dim x dim Gram).
+    // Published state (mean, per-round w, direction, scores) is rounded
+    // (6/5/6/6 decimals), so the oracle replays every round bit-for-bit.
+    // `iters` is a fixed deterministic-replay contract, not a
+    // convergence test: convergence on spectrally-peaked data is
+    // spec-pinned in ClusteringSpec (these near-isotropic synthetics
+    // have lambda2/lambda1 ~ 0.99, where NO iteration count separates
+    // components — the honest behavior is "the result of 8 rounds").
+    "s18_pca_power" -> Q(
+      (s, dir) => {
+        import graft.operators.Clustering
+        Clustering.pcaProject(Lake(s, dir).embeddings,
+            "vec_id", "embedding", iters = 8)
+          .orderBy("vec_id")
+      },
+      Some(pcaOracleSql(iters = 8, dim = 64)))
   )
+
+  /** DuckDB replay of [[graft.operators.Clustering.kmeansAssign]]: one
+    * (distances, assignment, means, next-centroids) CTE block per Lloyd
+    * round, then the final assignment with the trained centroids. The
+    * re-referenced centroid CTEs are MATERIALIZED (the BPE-oracle
+    * convention — default inlining re-expands each round's state into
+    * its readers). Distances round to 9 decimals before the argmin and
+    * centroid coordinates to 6 before publication, mirroring the Spark
+    * side, so the two engines walk identical state between roundings. */
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH v AS (SELECT vec_id, embedding AS x FROM embeddings),
+         |dims AS (SELECT i FROM generate_series(1, $dim) t(i)),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |              [round(e::DOUBLE, 6) for e in embedding] AS c
+         |       FROM (SELECT vec_id, embedding FROM embeddings
+         |             ORDER BY vec_id LIMIT $k))""".stripMargin
+    def distAssign(r: Int): String =
+      s""",
+         |d$r AS (SELECT v.vec_id, c.cid,
+         |         round(list_sum([(v.x[i]::DOUBLE - c.c[i]) *
+         |               (v.x[i]::DOUBLE - c.c[i])
+         |               for i in generate_series(1, len(v.x))]), 9) AS d
+         |       FROM v CROSS JOIN c$r c),
+         |a$r AS (SELECT vec_id, cid AS cluster FROM
+         |        (SELECT vec_id, cid, row_number() OVER
+         |           (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$r)
+         |       WHERE rn = 1)""".stripMargin
+    for (r <- 0 until iters) {
+      sb ++= distAssign(r)
+      sb ++=
+        s""",
+           |m$r AS (SELECT a.cluster AS cid, t.i,
+           |         round(avg(v.x[t.i]::DOUBLE), 6) AS m
+           |       FROM a$r a JOIN v USING (vec_id) CROSS JOIN dims t
+           |       GROUP BY a.cluster, t.i),
+           |c${r + 1} AS MATERIALIZED (SELECT p.cid, coalesce(l.c, p.c) AS c
+           |       FROM c$r p LEFT JOIN
+           |         (SELECT cid, list(m ORDER BY i) AS c FROM m$r
+           |          GROUP BY cid) l
+           |         USING (cid))""".stripMargin
+    }
+    sb ++= distAssign(iters)
+    sb ++=
+      s"""
+         |SELECT vec_id, cluster FROM a$iters ORDER BY vec_id""".stripMargin
+    sb.result()
+  }
+
+  /** DuckDB replay of [[graft.operators.Clustering.pcaProject]]: the
+    * rounded global mean, the rounded uniform start direction, then one
+    * (per-row score, rounded w, next direction) block per power round —
+    * w rounds to 5 decimals BEFORE the norm so both engines normalize
+    * identical inputs — and the final rounded per-row projection. */
+  private def pcaOracleSql(iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH v AS (SELECT vec_id, embedding AS x FROM embeddings),
+         |dims AS (SELECT i FROM generate_series(1, $dim) t(i)),
+         |ml AS (SELECT t.i, round(avg(v.x[t.i]::DOUBLE), 6) AS m
+         |       FROM v CROSS JOIN dims t GROUP BY t.i),
+         |m AS (SELECT list(m ORDER BY i) AS mv FROM ml),
+         |p0 AS (SELECT [round(1/sqrt($dim), 6)
+         |               for i in generate_series(1, $dim)] AS pv)""".stripMargin
+    for (r <- 0 until iters) {
+      sb ++=
+        s""",
+           |s$r AS (SELECT vec_id, list_sum([(x[i]::DOUBLE - mv[i]) * pv[i]
+           |          for i in generate_series(1, len(x))]) AS s
+           |        FROM v, m, p$r),
+           |wl$r AS (SELECT t.i,
+           |          round(sum(s.s * (v.x[t.i]::DOUBLE - m.mv[t.i])), 5) AS w
+           |         FROM s$r s JOIN v USING (vec_id)
+           |         CROSS JOIN m CROSS JOIN dims t
+           |         GROUP BY t.i),
+           |w$r AS (SELECT list(w ORDER BY i) AS wv FROM wl$r),
+           |p${r + 1} AS MATERIALIZED (SELECT CASE
+           |          WHEN list_sum([w * w for w in wv]) = 0
+           |          THEN [0.0 for w in wv]
+           |          ELSE [round(w / sqrt(list_sum([w2 * w2 for w2 in wv])), 6)
+           |                for w in wv]
+           |        END AS pv FROM w$r)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT vec_id, round(list_sum([(x[i]::DOUBLE - mv[i]) * pv[i]
+         |    for i in generate_series(1, len(x))]), 6) AS pc1
+         |FROM v, m, p$iters ORDER BY vec_id""".stripMargin
+    sb.result()
+  }
 
   /** DuckDB oracle for [[Similarity.mmrRerank]] with query vec_id = 0 and
     * corpus vec_id >= 10: the candidate pool is the exact top-`fetch` by
