@@ -135,6 +135,31 @@ object Clustering {
       nearest(col(vecCol), cents, distDecimals).as("cluster"))
   }
 
+  /** Per-row distance diagnostics `(idCol, cluster, dist)` against the
+    * trained centroids: `dist` is the same rounded squared-L2 the
+    * assignment argmin ranks (so cluster and dist are consistent by
+    * construction). The embedding-outlier signal: a row far from every
+    * centroid is far from its OWN centroid, so ranking on `dist`
+    * surfaces corrupt/off-distribution vectors for curation review.
+    * One narrow pass, top-k consumers plan as TakeOrderedAndProject. */
+  def centroidDistances(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int,
+                        meanDecimals: Int = 6,
+                        distDecimals: Int = 9): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters,
+      meanDecimals, distDecimals)
+    if (cents.isEmpty)
+      return df.select(col(idCol), lit(0L).as("cluster"),
+        lit(0.0).as("dist")).limit(0)
+    val dists = array(cents.map(c =>
+      round(l2sq(col(vecCol), c.toSeq), distDecimals)): _*)
+    df.select(col(idCol), dists.as("__d"))
+      .select(col(idCol),
+        (array_position(col("__d"), array_min(col("__d"))) - 1)
+          .cast("long").as("cluster"),
+        array_min(col("__d")).as("dist"))
+  }
+
   /** Uncentered-data-safe PCA-1 by power iteration: the top principal
     * direction of the MEAN-CENTERED data, fit matrix-free.
     *

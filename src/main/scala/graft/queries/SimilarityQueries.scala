@@ -641,18 +641,110 @@ object SimilarityQueries {
             "vec_id", "embedding", iters = 8)
           .orderBy("vec_id")
       },
-      Some(pcaOracleSql(iters = 8, dim = 64)))
+      Some(pcaOracleSql(iters = 8, dim = 64))),
+
+    // ---- serving-path latency for the persisted IVF index --------------
+    // s14 gates the FULL lifecycle (fresh build + served-vs-inline
+    // agreement + recall floor) and therefore times a build per bench
+    // rep; this is the complementary steady-state signal — build once
+    // if absent, then serve — so the headline bench tracks probe
+    // latency (the dynamic-partition-pruned bucket join) separately
+    // from build cost. Row-shape correctness of the served answer is
+    // already pinned by s14 + VectorIndexSpec; the oracle here pins the
+    // serving CONTRACT: k rows for every query (the probed buckets
+    // always hold >= k candidates at these parameters — 500+ corpus
+    // rows over 16 cells, 4 probed).
+    "s19_ivf_serve" -> Q(
+      (s, dir) => {
+        import graft.operators.VectorIndex
+        val emb = Lake(s, dir).embeddings
+        val corpus = emb.where(col("vec_id") >= 10)
+        val queries = emb.where(col("vec_id") < 10)
+        val stage = s"target/ivf_stage/serve_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        if (VectorIndex.generations(s, stage).isEmpty)
+          VectorIndex.build(corpus, stage, "vec_id", "embedding", planes = 4)
+        VectorIndex.query(s, stage, queries,
+            "vec_id", "embedding", k = 5, nProbe = 4)
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+          |  CAST(count(*) * 5 AS BIGINT) AS n_rows
+          |FROM embeddings WHERE vec_id < 10""".stripMargin),
+      headline = true),
+
+    // ---- embedding-space outlier scoring (k-means distance) ------------
+    // The curation signal cluster distance gives for free: a vector far
+    // from its OWN (nearest) centroid is far from every centroid — the
+    // corrupt/off-distribution rows a pipeline reviews before training.
+    // Top-20 by the same rounded squared-L2 the assignment ranks, so
+    // cluster and dist are consistent by construction; the full fit +
+    // ranking replays in the oracle. TakeOrderedAndProject, no global
+    // sort.
+    "s20_centroid_outliers" -> Q(
+      (s, dir) => {
+        import graft.operators.Clustering
+        Clustering.centroidDistances(Lake(s, dir).embeddings,
+            "vec_id", "embedding", k = 8, iters = 3)
+          .orderBy(desc("dist"), asc("vec_id")).limit(20)
+      },
+      Some(kmeansCtes(k = 8, iters = 3, dim = 64) +
+        """
+          |SELECT vec_id, cluster, d AS dist FROM a3
+          |ORDER BY d DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // ---- cluster-balanced deterministic sample -------------------------
+    // Diversity subsampling: exactly 10 vectors per learned k-means
+    // cluster, drawn as the smallest portable md5 hashes (t25's
+    // exact-k machinery — map-side k-bounded TopKAggregator, no
+    // per-cluster window sort), so dense regions can't crowd out the
+    // corpus tails in a training subsample. The oracle replays the fit
+    // AND the draw.
+    "s21_cluster_sample" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        import graft.operators.Clustering
+        val h52 = conv(substring(md5(concat(lit("21:"),
+          col("vec_id").cast("string"))), 1, 13), 16, 10).cast(LongType)
+        val topk = graft.functions.TopKAggregator.topK(10)
+        Clustering.kmeansAssign(Lake(s, dir).embeddings,
+            "vec_id", "embedding", k = 8, iters = 3)
+          .select(col("cluster"), (-h52).cast(DoubleType).as("nh"), col("vec_id"))
+          .groupBy("cluster").agg(topk(col("nh"), col("vec_id")).as("top"))
+          .select(col("cluster"), posexplode(col("top")).as(Seq("pos", "s")))
+          .select(col("cluster"), (col("pos") + 1).cast("int").as("smp_rank"),
+            col("s.id").as("vec_id"))
+          .orderBy("cluster", "smp_rank")
+      },
+      Some(kmeansCtes(k = 8, iters = 3, dim = 64) +
+        """,
+          |h AS (
+          |  SELECT a3.vec_id, a3.cluster,
+          |    CAST(list_sum([(strpos('0123456789abcdef',
+          |                    substr(md5('21:' || a3.vec_id::VARCHAR), i, 1)) - 1)
+          |                   * CAST(pow(16, 13 - i) AS BIGINT)
+          |                   for i in generate_series(1, 13)]) AS BIGINT) AS hv
+          |  FROM a3),
+          |r AS (
+          |  SELECT vec_id, cluster,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+          |         ORDER BY hv, vec_id) AS INTEGER) AS smp_rank
+          |  FROM h)
+          |SELECT cluster, smp_rank, vec_id FROM r WHERE smp_rank <= 10
+          |ORDER BY cluster, smp_rank""".stripMargin))
   )
 
-  /** DuckDB replay of [[graft.operators.Clustering.kmeansAssign]]: one
-    * (distances, assignment, means, next-centroids) CTE block per Lloyd
-    * round, then the final assignment with the trained centroids. The
+  /** DuckDB replay of the [[graft.operators.Clustering]] k-means fit:
+    * one (distances, assignment, means, next-centroids) CTE block per
+    * Lloyd round, ending at the FINAL distance/assignment pair
+    * `a<iters>` (vec_id, cluster, d) for the consumer's SELECT. The
     * re-referenced centroid CTEs are MATERIALIZED (the BPE-oracle
     * convention — default inlining re-expands each round's state into
     * its readers). Distances round to 9 decimals before the argmin and
     * centroid coordinates to 6 before publication, mirroring the Spark
     * side, so the two engines walk identical state between roundings. */
-  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     val sb = new StringBuilder
     sb ++=
       s"""WITH v AS (SELECT vec_id, embedding AS x FROM embeddings),
@@ -668,8 +760,8 @@ object SimilarityQueries {
          |               (v.x[i]::DOUBLE - c.c[i])
          |               for i in generate_series(1, len(v.x))]), 9) AS d
          |       FROM v CROSS JOIN c$r c),
-         |a$r AS (SELECT vec_id, cid AS cluster FROM
-         |        (SELECT vec_id, cid, row_number() OVER
+         |a$r AS (SELECT vec_id, cid AS cluster, d FROM
+         |        (SELECT vec_id, cid, d, row_number() OVER
          |           (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$r)
          |       WHERE rn = 1)""".stripMargin
     for (r <- 0 until iters) {
@@ -687,11 +779,13 @@ object SimilarityQueries {
            |         USING (cid))""".stripMargin
     }
     sb ++= distAssign(iters)
-    sb ++=
-      s"""
-         |SELECT vec_id, cluster FROM a$iters ORDER BY vec_id""".stripMargin
     sb.result()
   }
+
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String =
+    kmeansCtes(k, iters, dim) +
+      s"""
+         |SELECT vec_id, cluster FROM a$iters ORDER BY vec_id""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Clustering.pcaProject]]: the
     * rounded global mean, the rounded uniform start direction, then one
