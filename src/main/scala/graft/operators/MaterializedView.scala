@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.hadoop.fs.Path
+import scala.collection.concurrent.TrieMap
+
+/** Materialized-view registry + builder: the declarative end of the
+  * engine's view-routing loop.
+  *
+  * The engine already has the two halves of materialized-view SERVING:
+  * q41's mergeable-partial maintenance (how a stored aggregate absorbs a
+  * delta) and q59's join IVM. What was missing is ROUTING — a user query
+  * that happens to BE the view's defining aggregate should read the
+  * tiny view table, not re-scan the base. [[graft.plans.MaterializedViewRule]]
+  * does that rewrite; this object owns the catalog it consults:
+  *
+  *  - [[MvAgg]]/[[create]] declare a view as (base path, group columns,
+  *    aggregate list). `create` computes the aggregate ONCE, writes it
+  *    to `mvPath`, snapshots the base's file-level fingerprint, and
+  *    registers the definition.
+  *  - The rule rewrites a matching `Aggregate` over the base scan into a
+  *    scan of `mvPath` — but only while the CURRENT base fingerprint
+  *    equals the snapshot, so a mutated base silently falls back to the
+  *    direct scan (correctness is never conditional on freshness
+  *    bookkeeping; the view just stops being used until [[refresh]]).
+  *
+  * Scale notes: the staleness probe is one file listing of the base per
+  * optimization — the right call for a plain parquet dir at test scale,
+  * and the scaladoc'd swap at 100 TB is a snapshot-versioned base
+  * ([[LakeMaintenance.writeSnapshotVersion]]), where "has the base
+  * changed" is one manifest read, O(1) in table size. The listing
+  * fingerprint subsumes that case automatically (a new version writes
+  * new manifest + data files). The REWRITE is where the scale win
+  * lives: a grouped aggregate over a 100 TB base becomes a scan of a
+  * |groups|-row table.
+  */
+object MaterializedView {
+
+  /** One aggregate column of a view definition: `func` over `inputCol`
+    * (optionally pre-cast to `castTo`, e.g. "decimal(18,6)" — the exact
+    * shape the engine's decimal-sum convention produces), written as
+    * `outCol`. Supported funcs: count_star, count, sum, min, max —
+    * the self-maintainable aggregates (q41's merge family). */
+  final case class MvAgg(func: String, inputCol: String = "",
+                         castTo: Option[String] = None, outCol: String) {
+    require(Set("count_star", "count", "sum", "min", "max")(func),
+      s"unsupported MV aggregate: $func")
+  }
+
+  final case class MvDef(name: String, basePath: String,
+                         groupCols: Seq[String], aggs: Seq[MvAgg],
+                         mvPath: String, dataDir: String,
+                         baseFingerprint: String,
+                         relation: LogicalRelation)
+
+  /** name -> definition; process-wide (sessions share the JVM). */
+  private val catalog = TrieMap.empty[String, MvDef]
+
+  def registered: Map[String, MvDef] = catalog.toMap
+
+  def get(name: String): Option[MvDef] = catalog.get(name)
+
+  def drop(name: String): Unit = catalog.remove(name)
+
+  def dropAll(): Unit = catalog.clear()
+
+  private def aggColumn(a: MvAgg): Column = {
+    val in = a.castTo.map(t => col(a.inputCol).cast(t))
+      .getOrElse(col(a.inputCol))
+    val c = a.func match {
+      case "count_star" => count(lit(1))
+      case "count"      => count(in)
+      case "sum"        => sum(in)
+      case "min"        => min(in)
+      case "max"        => max(in)
+    }
+    c.as(a.outCol)
+  }
+
+  /** File-level content fingerprint of a base path: every data file's
+    * (relative path, length, modification time), sorted, hashed. Any
+    * append/overwrite/compaction changes it; a snapshot-versioned base
+    * changes it through its manifest + data files. */
+  def fingerprint(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return "absent"
+    val parts = Seq.newBuilder[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile) {
+        val full = f.getPath.toUri.getPath
+        parts += s"$full:${f.getLen}:${f.getModificationTime}"
+      }
+    }
+    val joined = parts.result().sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(joined.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** The defining aggregate as a DataFrame (what the view stores, and
+    * what a routed query's answer must equal). */
+  def definingQuery(spark: SparkSession, basePath: String,
+                    groupCols: Seq[String], aggs: Seq[MvAgg]): DataFrame = {
+    val base = spark.read.parquet(basePath)
+    val aggCols = aggs.map(aggColumn)
+    if (groupCols.isEmpty) base.agg(aggCols.head, aggCols.tail: _*)
+    else base.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Compute, persist and register the view. The stored table holds
+    * groupCols ++ agg outCols; the registered relation is re-read AFTER
+    * the write so its file index sees exactly the persisted files.
+    *
+    * Each create/refresh writes a FRESH `gen-<n>` dir under `mvPath`
+    * rather than overwriting in place — two lessons baked in:
+    *  - self-route: the defining query is by construction EXACTLY the
+    *    shape the rule rewrites, so recomputing an already-registered
+    *    view with routing enabled would read the view's own files while
+    *    the overwrite deletes them (FILE_NOT_EXIST mid-write; caught by
+    *    RegistrySpec the first time). The registration is dropped for
+    *    the duration of the recompute, and the write lands in a
+    *    directory no reader has ever seen.
+    *  - reader safety: an already-optimized plan holds the PREVIOUS
+    *    generation's file list; in-place overwrite would break it at
+    *    execution time. Generations make recreate publish-by-pointer —
+    *    the catalog swaps to the new dir, existing plans keep reading
+    *    the old one (the snapshot-family protocol, minus the manifest:
+    *    this catalog is in-memory, so the pointer swap IS the commit).
+    * Older generations beyond the previous one are vacuumed best-effort. */
+  def create(spark: SparkSession, name: String, basePath: String,
+             groupCols: Seq[String], aggs: Seq[MvAgg],
+             mvPath: String): MvDef = {
+    require(aggs.nonEmpty, "a view needs at least one aggregate column")
+    catalog.remove(name) // the defining query must never route to itself
+    val root = new Path(mvPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val gens: Seq[Long] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("gen-") => s.drop(4).toLong }
+    val gen = gens.sorted.lastOption.getOrElse(0L) + 1
+    val dataDir = s"$mvPath/gen-$gen"
+    val fp = fingerprint(spark, basePath)
+    definingQuery(spark, basePath, groupCols, aggs)
+      .write.mode("errorifexists").parquet(dataDir)
+    val rel = spark.read.parquet(dataDir).queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }
+      .getOrElse(throw new IllegalStateException(
+        s"materialized view at $dataDir did not analyze to a file relation"))
+    val d = MvDef(name, basePath, groupCols, aggs, mvPath, dataDir, fp, rel)
+    catalog.put(name, d)
+    // keep the current + previous generation (plans optimized before
+    // this publish may still read the previous one); drop older
+    gens.sorted.dropRight(1).foreach(g =>
+      fs.delete(new Path(s"$mvPath/gen-$g"), true))
+    d
+  }
+
+  /** Recompute the view against the CURRENT base and re-arm routing
+    * (fresh fingerprint). Full recompute — the incremental path is
+    * q41's merge applied to a delta feed; composing the two is the
+    * maintenance pipeline's job, not the catalog's. */
+  def refresh(spark: SparkSession, name: String): MvDef = {
+    val d = catalog.getOrElse(name,
+      throw new NoSuchElementException(s"no materialized view named $name"))
+    create(spark, name, d.basePath, d.groupCols, d.aggs, d.mvPath)
+  }
+
+  /** True while routing to `name` is sound: base unchanged since the
+    * last create/refresh. */
+  def isFresh(spark: SparkSession, name: String): Boolean =
+    catalog.get(name).exists(d =>
+      fingerprint(spark, d.basePath) == d.baseFingerprint)
+}

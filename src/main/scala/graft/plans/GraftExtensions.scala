@@ -141,5 +141,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // opt-in via spark.graft.rewriteOrJoin (see OrEquiJoinRule scaladoc)
     e.injectOptimizerRule(_ => OrEquiJoinRule)
+    // opt-in via spark.graft.rewriteMaterializedViews (MaterializedViewRule)
+    e.injectOptimizerRule(_ => MaterializedViewRule)
   }
 }

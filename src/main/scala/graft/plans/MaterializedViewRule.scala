@@ -1,0 +1,167 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DataType
+import org.apache.hadoop.fs.Path
+import graft.operators.MaterializedView
+import graft.operators.MaterializedView.{MvAgg, MvDef}
+
+/** Optimizer rule: route a grouped aggregate over a registered view's
+  * base scan to the persisted view table.
+  *
+  *   Aggregate(G, [G..., f1(c1), f2(c2)...], Scan(basePath))
+  *     =>  Project(outputs re-aliased to the ORIGINAL expr ids,
+  *                 Scan(mvPath))
+  *
+  * when a registered [[MaterializedView.MvDef]] has the same base path,
+  * the same grouping column set, and every aggregate expression matches
+  * one of the view's declared [[MvAgg]] shapes (count_star / count /
+  * sum / min / max over a bare column, with at most one cast — the
+  * self-maintainable family). The rewrite preserves the query's own
+  * output names and expression ids, so parents resolve unchanged; the
+  * view relation is `newInstance()`d per rewrite so two routed
+  * aggregates in one plan never share attribute ids.
+  *
+  * Soundness gates, all of which fall back to the un-rewritten plan:
+  *  - routing is opt-in (`spark.graft.rewriteMaterializedViews`);
+  *  - the base's CURRENT file fingerprint must equal the one snapshotted
+  *    at create/refresh (a mutated base silently stops routing — results
+  *    are never a function of freshness bookkeeping);
+  *  - aggregate expressions must be non-distinct, unfiltered, and typed
+  *    identically to the stored view column (a distinct or filtered
+  *    aggregate is NOT derivable from stored partials);
+  *  - only column-pruning Projects may sit between the aggregate and
+  *    the scan — any Filter means the query aggregates a subset the
+  *    view did not.
+  *
+  * At 100 TB this is the difference between scanning the base and
+  * scanning a |groups|-row table; the staleness probe is one base file
+  * listing (O(1) manifest read when the base is snapshot-versioned).
+  */
+object MaterializedViewRule extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.rewriteMaterializedViews"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
+    if (MaterializedView.registered.isEmpty) return plan
+    plan.transformUp {
+      case agg: Aggregate =>
+        rewrite(agg).getOrElse(agg)
+    }
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    for {
+      scan <- baseScanOf(agg.child)
+      mv <- MaterializedView.registered.values.find(d =>
+        samePath(spark, d.basePath, scan) &&
+          groupingMatches(agg, d) &&
+          aggregatesMatch(agg, d) &&
+          MaterializedView.isFresh(spark, d.name))
+      routed <- route(agg, mv)
+    } yield routed
+  }
+
+  /** The base file scan under the aggregate, looking through
+    * column-pruning Projects only. */
+  private def baseScanOf(plan: LogicalPlan): Option[LogicalRelation] =
+    plan match {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        Some(lr)
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        baseScanOf(child)
+      case _ => None
+    }
+
+  private def samePath(spark: SparkSession, basePath: String,
+                       scan: LogicalRelation): Boolean = {
+    val hconf = spark.sessionState.newHadoopConf()
+    def qualified(p: Path): Path = {
+      val fs = p.getFileSystem(hconf)
+      p.makeQualified(fs.getUri, fs.getWorkingDirectory)
+    }
+    val want = qualified(new Path(basePath))
+    val got = scan.relation.asInstanceOf[HadoopFsRelation]
+      .location.rootPaths.map(qualified)
+    got == Seq(want)
+  }
+
+  private def groupingMatches(agg: Aggregate, d: MvDef): Boolean = {
+    val names = agg.groupingExpressions.map {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    names.forall(_.isDefined) &&
+      names.flatten.toSet == d.groupCols.toSet &&
+      names.size == names.flatten.toSet.size
+  }
+
+  /** (func, inputCol, castTo) of a supported aggregate call, or None. */
+  private def shapeOf(fn: AggregateFunction): Option[(String, String, Option[DataType])] = {
+    def strip(e: Expression): Option[(String, Option[DataType])] = e match {
+      case a: AttributeReference => Some((a.name, None))
+      case c: Cast =>
+        c.child match {
+          case a: AttributeReference => Some((a.name, Some(c.dataType)))
+          case _ => None
+        }
+      case _ => None
+    }
+    fn match {
+      case s: Sum => strip(s.child).map { case (c, t) => ("sum", c, t) }
+      case m: Min => strip(m.child).map { case (c, t) => ("min", c, t) }
+      case m: Max => strip(m.child).map { case (c, t) => ("max", c, t) }
+      case c: Count => c.children match {
+        case Seq(Literal(1, _)) => Some(("count_star", "", None))
+        case Seq(e) => strip(e).map { case (col, t) => ("count", col, t) }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def declaredShape(a: MvAgg): (String, String, Option[DataType]) =
+    (a.func, a.inputCol, a.castTo.map(DataType.fromDDL))
+
+  /** The view's outCol serving this aggregate expression, if any. */
+  private def servedBy(e: AggregateExpression, d: MvDef): Option[String] =
+    e match {
+      case AggregateExpression(fn, _, false, None, _) =>
+        shapeOf(fn).flatMap { got =>
+          d.aggs.find(a => declaredShape(a) == got).map(_.outCol)
+        }
+      case _ => None
+    }
+
+  private def aggregatesMatch(agg: Aggregate, d: MvDef): Boolean =
+    agg.aggregateExpressions.forall {
+      case a: AttributeReference => d.groupCols.contains(a.name)
+      case Alias(ae: AggregateExpression, _) => servedBy(ae, d).isDefined
+      case _ => false
+    }
+
+  private def route(agg: Aggregate, d: MvDef): Option[LogicalPlan] = {
+    val inst = d.relation.newInstance()
+    val byName = inst.output.map(a => a.name -> a).toMap
+    val projected = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        byName.get(a.name).filter(_.dataType == a.dataType)
+          .map(mv => Alias(mv, a.name)(exprId = a.exprId))
+      case al @ Alias(ae: AggregateExpression, name) =>
+        servedBy(ae, d).flatMap(byName.get)
+          .filter(_.dataType == al.dataType)
+          .map(mv => Alias(mv, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (projected.exists(_.isEmpty)) None // a type mismatch: stand down
+    else Some(Project(projected.flatten, inst))
+  }
+}

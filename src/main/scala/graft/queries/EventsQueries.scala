@@ -443,5 +443,56 @@ object EventsQueries {
           |LEFT JOIN hourly e
           |  ON e.event_type = g.event_type AND e.h = g.h
           |ORDER BY g.event_type, g.h""".stripMargin)),
+
+    // ---- materialized-view routing (automatic aggregate rewrite) -------
+    // Closes the IVM loop q41/q59 opened: q41 shows how a stored
+    // aggregate absorbs a delta; this shows a USER QUERY being routed to
+    // the stored aggregate by MaterializedViewRule — the naive
+    // groupBy-over-base-scan is rewritten by Catalyst into a scan of the
+    // |groups|-row view table (at 100 TB: the whole point). The
+    // `served_from_mv` boolean is read from the OPTIMIZED plan and is
+    // hash-gated, so the rewrite actually firing is load-bearing, not
+    // decorative; value correctness is the usual oracle compare (the
+    // routed answer must equal the direct aggregate DuckDB computes).
+    // Fallback soundness (stale base, distinct/filter shapes, disabled
+    // flag) is law-pinned in MaterializedViewSpec.
+    "q63_mv_rewrite" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        import graft.operators.MaterializedView.MvAgg
+        val base = s"$dir/events.parquet"
+        val mvPath =
+          s"target/mv/events_by_type_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        MaterializedView.create(s, "events_by_type", base,
+          groupCols = Seq("event_type"),
+          aggs = Seq(
+            MvAgg("count_star", outCol = "n_events"),
+            MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
+          mvPath = mvPath)
+        s.conf.set(graft.plans.MaterializedViewRule.ConfKey, "true")
+        val q = s.read.parquet(base)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+        val routed = q.queryExecution.optimizedPlan.collectLeaves().exists {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains(mvPath))
+              case _ => false
+            }
+          case _ => false
+        }
+        q.select(col("event_type"), col("n_events"),
+            col("sv").cast(DoubleType).as("total_value"),
+            lit(routed).as("served_from_mv"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, count(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+          |  true AS served_from_mv
+          |FROM events
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

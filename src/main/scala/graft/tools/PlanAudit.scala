@@ -33,8 +33,11 @@ object PlanAudit {
 
   private val allowedNestedLoop = Set(
     // s14: s4's probe pattern twice (tiny query set × ≤2^planes
-    // centroids, once inline and once from the persisted index)
-    "s1_cosine_topk", "s4_ann_ivf", "s14_ivf_index", "q24_sql_cosine",
+    // centroids, once inline and once from the persisted index);
+    // s19: the same designed probe (tiny query set × ≤2^planes
+    // centroids) on the serve-only path
+    "s1_cosine_topk", "s4_ann_ivf", "s14_ivf_index", "s19_ivf_serve",
+    "q24_sql_cosine",
     "s8_hard_negatives", "s9_random_negatives",
     // s12: two s1-shaped broadcast-query scans (full + truncated dims)
     "s12_truncation_eval",

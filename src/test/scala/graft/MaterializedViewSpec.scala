@@ -1,0 +1,173 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import graft.operators.MaterializedView
+import graft.operators.MaterializedView.MvAgg
+import graft.plans.MaterializedViewRule
+
+/** The materialized-view routing contract: a query that IS the view's
+  * defining aggregate reads the view table; every soundness gate (stale
+  * base, disabled flag, distinct/filtered/mis-grouped shapes, type
+  * drift) falls back to the direct scan — and in every case the ANSWER
+  * equals the direct aggregate, so correctness never depends on the
+  * freshness bookkeeping. */
+class MaterializedViewSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val p = s"target/mv_spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    p
+  }
+
+  private def readsPath(df: DataFrame, path: String): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains(path))
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def withRouting[A](f: => A): A = {
+    spark.conf.set(MaterializedViewRule.ConfKey, "true")
+    try f finally spark.conf.set(MaterializedViewRule.ConfKey, "false")
+  }
+
+  private def writeBase(dir: String, rows: Seq[(String, Long, Double)]): Unit =
+    rows.toDF("k", "n", "v").write.mode("overwrite").parquet(dir)
+
+  private val rows = Seq(
+    ("a", 1L, 1.5), ("a", 2L, 2.5), ("b", 3L, 10.0), ("c", 4L, -1.0))
+
+  private def define(name: String, base: String, mv: String) =
+    MaterializedView.create(spark, name, base,
+      groupCols = Seq("k"),
+      aggs = Seq(
+        MvAgg("count_star", outCol = "cnt"),
+        MvAgg("sum", "v", Some("decimal(18,6)"), outCol = "sv"),
+        MvAgg("max", "n", outCol = "mx")),
+      mvPath = mv)
+
+  private def query(base: String): DataFrame =
+    spark.read.parquet(base).groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast(DecimalType(18, 6))).as("sv"),
+        max(col("n")).as("mx"))
+
+  private def collectQ(df: DataFrame) =
+    df.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString, r.getLong(3))).toSeq
+
+  test("a matching aggregate routes to the view and answers identically") {
+    val base = freshDir("route/base"); val mv = freshDir("route/mv")
+    writeBase(base, rows)
+    define("mv_route", base, mv)
+    try withRouting {
+      val q = query(base)
+      assert(readsPath(q, mv), "expected the optimized plan to read the view")
+      assert(!readsPath(q, base))
+      val direct = { // flag off: the same query against the base
+        spark.conf.set(MaterializedViewRule.ConfKey, "false")
+        try collectQ(query(base))
+        finally spark.conf.set(MaterializedViewRule.ConfKey, "true")
+      }
+      assert(collectQ(q) == direct)
+    } finally MaterializedView.drop("mv_route")
+  }
+
+  test("a mutated base silently stops routing and the answer is fresh") {
+    val base = freshDir("stale/base"); val mv = freshDir("stale/mv")
+    writeBase(base, rows)
+    define("mv_stale", base, mv)
+    try withRouting {
+      assert(readsPath(query(base), mv))
+      // append a new row -> fingerprint drifts -> no routing, new answer
+      Seq(("a", 9L, 100.0)).toDF("k", "n", "v")
+        .write.mode("append").parquet(base)
+      val q = query(base)
+      assert(!readsPath(q, mv), "stale view must not serve")
+      assert(readsPath(q, base))
+      val a = collectQ(q).find(_._1 == "a").get
+      assert(a._2 == 3L && a._4 == 9L, s"stale-path answer not fresh: $a")
+      // refresh re-arms routing with the new content
+      MaterializedView.refresh(spark, "mv_stale")
+      val r = query(base)
+      assert(readsPath(r, mv))
+      assert(collectQ(r).find(_._1 == "a").get == a)
+    } finally MaterializedView.drop("mv_stale")
+  }
+
+  test("routing is opt-in and shape mismatches stand down") {
+    val base = freshDir("shape/base"); val mv = freshDir("shape/mv")
+    writeBase(base, rows)
+    define("mv_shape", base, mv)
+    try {
+      // flag off -> no rewrite even though the view matches
+      assert(!readsPath(query(base), mv))
+      withRouting {
+        // distinct aggregate is not derivable from stored partials
+        val distinctQ = spark.read.parquet(base).groupBy("k")
+          .agg(countDistinct(col("n")).as("cnt"))
+        assert(!readsPath(distinctQ, mv))
+        // a filter under the aggregate means a different population
+        val filteredQ = spark.read.parquet(base).where(col("n") > 1)
+          .groupBy("k").agg(count(lit(1)).as("cnt"))
+        assert(!readsPath(filteredQ, mv))
+        // different grouping
+        val regroupedQ = spark.read.parquet(base).groupBy("n")
+          .agg(count(lit(1)).as("cnt"))
+        assert(!readsPath(regroupedQ, mv))
+        // an aggregate the view does not store
+        val avgQ = spark.read.parquet(base).groupBy("k")
+          .agg(avg(col("v")).as("m"))
+        assert(!readsPath(avgQ, mv))
+        // a SUBSET of stored aggregates still routes
+        val subsetQ = spark.read.parquet(base).groupBy("k")
+          .agg(max(col("n")).as("mx"))
+        assert(readsPath(subsetQ, mv))
+      }
+    } finally MaterializedView.drop("mv_shape")
+  }
+
+  test("two routed aggregates in one plan get independent attribute ids") {
+    val base = freshDir("twice/base"); val mv = freshDir("twice/mv")
+    writeBase(base, rows)
+    define("mv_twice", base, mv)
+    try withRouting {
+      val l = query(base).select(col("k"), col("cnt").as("lc"))
+      val r = query(base).select(col("k"), col("mx").as("rm"))
+      val joined = l.join(r, "k")
+      assert(readsPath(joined, mv))
+      val got = joined.orderBy("k").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+      assert(got == Seq(("a", 2L, 2L), ("b", 1L, 3L), ("c", 1L, 4L)))
+    } finally MaterializedView.drop("mv_twice")
+  }
+
+  test("SQL text gets the same routing as the DataFrame API") {
+    val base = freshDir("sql/base"); val mv = freshDir("sql/mv")
+    writeBase(base, rows)
+    define("mv_sql", base, mv)
+    spark.read.parquet(base).createOrReplaceTempView("mv_sql_base")
+    try withRouting {
+      val q = spark.sql(
+        """SELECT k, count(1) AS cnt, max(n) AS mx
+          |FROM mv_sql_base GROUP BY k""".stripMargin)
+      assert(readsPath(q, mv))
+      assert(q.orderBy("k").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("a", 2L, 2L), ("b", 1L, 3L), ("c", 1L, 4L)))
+    } finally {
+      MaterializedView.drop("mv_sql")
+      spark.catalog.dropTempView("mv_sql_base")
+    }
+  }
+}
