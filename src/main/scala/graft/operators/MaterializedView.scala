@@ -102,14 +102,51 @@ object MaterializedView {
       .map("%02x".format(_)).mkString
   }
 
+  private def aggregateOf(df: DataFrame, groupCols: Seq[String],
+                          aggCols: Seq[Column]): DataFrame =
+    if (groupCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+
   /** The defining aggregate as a DataFrame (what the view stores, and
     * what a routed query's answer must equal). */
   def definingQuery(spark: SparkSession, basePath: String,
-                    groupCols: Seq[String], aggs: Seq[MvAgg]): DataFrame = {
-    val base = spark.read.parquet(basePath)
-    val aggCols = aggs.map(aggColumn)
-    if (groupCols.isEmpty) base.agg(aggCols.head, aggCols.tail: _*)
-    else base.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+                    groupCols: Seq[String], aggs: Seq[MvAgg]): DataFrame =
+    aggregateOf(spark.read.parquet(basePath), groupCols, aggs.map(aggColumn))
+
+  /** Next `gen-<n>` dir under the view root plus the generations that
+    * preceded it (for post-publish vacuum). */
+  private def nextGen(spark: SparkSession, mvPath: String): (String, Seq[Long]) = {
+    val root = new Path(mvPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val gens: Seq[Long] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("gen-") => s.drop(4).toLong }
+        .sorted
+    (s"$mvPath/gen-${gens.lastOption.getOrElse(0L) + 1}", gens)
+  }
+
+  /** Write `content` as a fresh generation, register the definition over
+    * it (the pointer swap IS the commit — the catalog is in-memory),
+    * then best-effort-vacuum generations older than the previous one
+    * (plans optimized before this publish may still read it). */
+  private def publish(spark: SparkSession, name: String, basePath: String,
+                      groupCols: Seq[String], aggs: Seq[MvAgg],
+                      mvPath: String, baseFp: String,
+                      content: DataFrame): MvDef = {
+    val (dataDir, gens) = nextGen(spark, mvPath)
+    content.write.mode("errorifexists").parquet(dataDir)
+    val rel = spark.read.parquet(dataDir).queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }
+      .getOrElse(throw new IllegalStateException(
+        s"materialized view at $dataDir did not analyze to a file relation"))
+    val d = MvDef(name, basePath, groupCols, aggs, mvPath, dataDir, baseFp, rel)
+    catalog.put(name, d)
+    val fs = new Path(mvPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    gens.dropRight(1).foreach(g => fs.delete(new Path(s"$mvPath/gen-$g"), true))
+    d
   }
 
   /** Compute, persist and register the view. The stored table holds
@@ -137,29 +174,46 @@ object MaterializedView {
              mvPath: String): MvDef = {
     require(aggs.nonEmpty, "a view needs at least one aggregate column")
     catalog.remove(name) // the defining query must never route to itself
-    val root = new Path(mvPath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val gens: Seq[Long] =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .collect { case s if s.startsWith("gen-") => s.drop(4).toLong }
-    val gen = gens.sorted.lastOption.getOrElse(0L) + 1
-    val dataDir = s"$mvPath/gen-$gen"
     val fp = fingerprint(spark, basePath)
-    definingQuery(spark, basePath, groupCols, aggs)
-      .write.mode("errorifexists").parquet(dataDir)
-    val rel = spark.read.parquet(dataDir).queryExecution.analyzed
-      .collectFirst { case lr: LogicalRelation => lr }
-      .getOrElse(throw new IllegalStateException(
-        s"materialized view at $dataDir did not analyze to a file relation"))
-    val d = MvDef(name, basePath, groupCols, aggs, mvPath, dataDir, fp, rel)
-    catalog.put(name, d)
-    // keep the current + previous generation (plans optimized before
-    // this publish may still read the previous one); drop older
-    gens.sorted.dropRight(1).foreach(g =>
-      fs.delete(new Path(s"$mvPath/gen-$g"), true))
-    d
+    publish(spark, name, basePath, groupCols, aggs, mvPath, fp,
+      definingQuery(spark, basePath, groupCols, aggs))
+  }
+
+  /** Delta-cost maintenance — q41's merge family wired to routing. The
+    * caller has ALREADY appended `delta` to the base; absorb folds the
+    * delta's partials into the stored view at |delta| + |groups| cost
+    * (the base is never re-read) and publishes a new generation whose
+    * fingerprint snapshots the post-append base, so routing re-arms
+    * without a full recompute. The supported aggregate family is
+    * self-maintainable under APPEND by construction: counts and sums
+    * merge by summing partials, min/max by min/max. Each merged column
+    * is cast back to its STORED type — re-aggregating a decimal sum
+    * widens the precision, and the stored type is the routing
+    * contract. merge ≡ recompute is law-pinned in MaterializedViewSpec.
+    *
+    * The contract is the caller's to honor: `delta` must be exactly the
+    * rows appended since the last create/refresh/absorb. (With a
+    * snapshot-versioned base the delta IS the version diff — q42's
+    * change feed; with a raw dir it is the batch just written.) */
+  def absorb(spark: SparkSession, name: String, delta: DataFrame): MvDef = {
+    val d = catalog.getOrElse(name,
+      throw new NoSuchElementException(s"no materialized view named $name"))
+    val fp = fingerprint(spark, d.basePath)
+    catalog.remove(name) // no routing against the view mid-republish
+    val storedTypes = d.relation.output.map(a => a.name -> a.dataType).toMap
+    val stored = spark.read.parquet(d.dataDir)
+    val deltaAgg = aggregateOf(delta, d.groupCols, d.aggs.map(aggColumn))
+    val mergeCols = d.aggs.map { a =>
+      val c = a.func match {
+        case "count_star" | "count" | "sum" => sum(col(a.outCol))
+        case "min"                          => min(col(a.outCol))
+        case "max"                          => max(col(a.outCol))
+      }
+      c.cast(storedTypes(a.outCol)).as(a.outCol)
+    }
+    val merged = aggregateOf(stored.unionByName(deltaAgg),
+      d.groupCols, mergeCols)
+    publish(spark, name, d.basePath, d.groupCols, d.aggs, d.mvPath, fp, merged)
   }
 
   /** Recompute the view against the CURRENT base and re-arm routing

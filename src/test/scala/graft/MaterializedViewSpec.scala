@@ -152,6 +152,39 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_twice")
   }
 
+  test("absorb law: merging a delta's partials equals a full recompute") {
+    val base = freshDir("absorb/base"); val mv = freshDir("absorb/mv")
+    val mv2 = freshDir("absorb/mv_recompute")
+    writeBase(base, rows)
+    define("mv_absorb", base, mv)
+    val delta = Seq(("a", 7L, 4.5), ("d", 8L, 3.0)) // new rows + new group
+    try withRouting {
+      delta.toDF("k", "n", "v").write.mode("append").parquet(base)
+      MaterializedView.absorb(spark, "mv_absorb", delta.toDF("k", "n", "v"))
+      // the absorbed view routes again immediately (fingerprint re-armed)
+      val q = query(base)
+      assert(readsPath(q, mv), "absorb must re-arm routing")
+      // and its content equals a from-scratch view over the grown base
+      val recomputed = define("mv_absorb_recompute", base, mv2)
+      try {
+        val got = spark.read.parquet(
+            MaterializedView.get("mv_absorb").get.dataDir)
+          .orderBy("k").collect().map(_.toSeq).toSeq
+        val want = spark.read.parquet(recomputed.dataDir)
+          .orderBy("k").collect().map(_.toSeq).toSeq
+        assert(got == want, s"merge != recompute:\n  $got\n  $want")
+        // stored types survive the merge (decimal sums re-widen under
+        // re-aggregation; the cast back is the routing contract)
+        assert(spark.read.parquet(MaterializedView.get("mv_absorb").get.dataDir)
+          .schema == spark.read.parquet(recomputed.dataDir).schema)
+      } finally MaterializedView.drop("mv_absorb_recompute")
+      // the routed answer reflects the delta
+      val a = collectQ(q).find(_._1 == "a").get
+      assert(a._2 == 3L && a._4 == 7L, s"absorbed answer stale: $a")
+      assert(collectQ(q).map(_._1).contains("d"))
+    } finally MaterializedView.drop("mv_absorb")
+  }
+
   test("SQL text gets the same routing as the DataFrame API") {
     val base = freshDir("sql/base"); val mv = freshDir("sql/mv")
     writeBase(base, rows)
