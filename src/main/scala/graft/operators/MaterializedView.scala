@@ -53,7 +53,8 @@ object MaterializedView {
                          groupCols: Seq[String], aggs: Seq[MvAgg],
                          mvPath: String, dataDir: String,
                          baseFingerprint: String,
-                         relation: LogicalRelation)
+                         relation: LogicalRelation,
+                         lastBatchId: Long = -1L)
 
   /** name -> definition; process-wide (sessions share the JVM). */
   private val catalog = TrieMap.empty[String, MvDef]
@@ -127,25 +128,109 @@ object MaterializedView {
     (s"$mvPath/gen-${gens.lastOption.getOrElse(0L) + 1}", gens)
   }
 
-  /** Write `content` as a fresh generation, register the definition over
-    * it (the pointer swap IS the commit — the catalog is in-memory),
-    * then best-effort-vacuum generations older than the previous one
-    * (plans optimized before this publish may still read it). */
+  /** Write `content` as a fresh generation, persist the definition as
+    * `_mvdef.json` (temp + atomic rename — [[load]]'s recovery record),
+    * register it (the pointer swap IS the in-process commit), then
+    * best-effort-vacuum generations older than the previous one (plans
+    * optimized before this publish may still read it). */
   private def publish(spark: SparkSession, name: String, basePath: String,
                       groupCols: Seq[String], aggs: Seq[MvAgg],
                       mvPath: String, baseFp: String,
-                      content: DataFrame): MvDef = {
+                      content: DataFrame, lastBatchId: Long): MvDef = {
     val (dataDir, gens) = nextGen(spark, mvPath)
     content.write.mode("errorifexists").parquet(dataDir)
     val rel = spark.read.parquet(dataDir).queryExecution.analyzed
       .collectFirst { case lr: LogicalRelation => lr }
       .getOrElse(throw new IllegalStateException(
         s"materialized view at $dataDir did not analyze to a file relation"))
-    val d = MvDef(name, basePath, groupCols, aggs, mvPath, dataDir, baseFp, rel)
+    val d = MvDef(name, basePath, groupCols, aggs, mvPath, dataDir, baseFp,
+      rel, lastBatchId)
+    writeDefJson(spark, d)
     catalog.put(name, d)
     val fs = new Path(mvPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     gens.dropRight(1).foreach(g => fs.delete(new Path(s"$mvPath/gen-$g"), true))
+    d
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def writeDefJson(spark: SparkSession, d: MvDef): Unit = {
+    val aggsJson = d.aggs.map(a =>
+      s"""{"func":${jsonStr(a.func)},"inputCol":${jsonStr(a.inputCol)},""" +
+        s""""castTo":${a.castTo.map(jsonStr).getOrElse("null")},""" +
+        s""""outCol":${jsonStr(a.outCol)}}""").mkString("[", ",", "]")
+    val body =
+      s"""{"name":${jsonStr(d.name)},"basePath":${jsonStr(d.basePath)},""" +
+        s""""groupCols":${d.groupCols.map(jsonStr).mkString("[", ",", "]")},""" +
+        s""""aggs":$aggsJson,"dataDir":${jsonStr(d.dataDir)},""" +
+        s""""baseFingerprint":${jsonStr(d.baseFingerprint)},""" +
+        s""""lastBatchId":${d.lastBatchId}}"""
+    val root = new Path(d.mvPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(root)
+    val tmp = new Path(root, "._mvdef.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val target = new Path(root, "_mvdef.json")
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"could not publish $target")
+  }
+
+  /** Re-register a view from its persisted `_mvdef.json` (a new JVM's
+    * recovery path — the in-memory catalog dies with the process, the
+    * definition and data do not). The stored dataDir must still exist;
+    * freshness is re-judged against the CURRENT base on every routing
+    * decision as usual, so a base that moved on while the process was
+    * down simply doesn't route until refresh/absorb. */
+  def load(spark: SparkSession, mvPath: String): MvDef = {
+    val p = new Path(s"$mvPath/_mvdef.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(text)
+    def str(f: String): String = j \ f match {
+      case JString(s) => s
+      case other => throw new java.io.IOException(s"bad _mvdef.json $f: $other")
+    }
+    val groupCols = j \ "groupCols" match {
+      case JArray(xs) => xs.map { case JString(s) => s
+        case other => throw new java.io.IOException(s"bad groupCol: $other") }
+      case other => throw new java.io.IOException(s"bad groupCols: $other")
+    }
+    val aggs = j \ "aggs" match {
+      case JArray(xs) => xs.map { a =>
+        MvAgg(
+          a \ "func" match { case JString(s) => s; case _ => "?" },
+          a \ "inputCol" match { case JString(s) => s; case _ => "" },
+          a \ "castTo" match { case JString(s) => Some(s); case _ => None },
+          outCol = a \ "outCol" match { case JString(s) => s; case _ => "?" })
+      }
+      case other => throw new java.io.IOException(s"bad aggs: $other")
+    }
+    val lastBatchId = j \ "lastBatchId" match {
+      case JInt(v) => v.toLong
+      case _ => -1L
+    }
+    val dataDir = str("dataDir")
+    val rel = spark.read.parquet(dataDir).queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }
+      .getOrElse(throw new IllegalStateException(
+        s"materialized view at $dataDir did not analyze to a file relation"))
+    val d = MvDef(str("name"), str("basePath"), groupCols, aggs, mvPath,
+      dataDir, str("baseFingerprint"), rel, lastBatchId)
+    catalog.put(d.name, d)
     d
   }
 
@@ -173,10 +258,15 @@ object MaterializedView {
              groupCols: Seq[String], aggs: Seq[MvAgg],
              mvPath: String): MvDef = {
     require(aggs.nonEmpty, "a view needs at least one aggregate column")
+    // a refresh carries the replay guard forward: the recomputed view
+    // already CONTAINS every absorbed batch's rows (they are in the
+    // base), so a crash-replayed batch arriving after the refresh must
+    // still be recognized as absorbed
+    val carried = catalog.get(name).map(_.lastBatchId).getOrElse(-1L)
     catalog.remove(name) // the defining query must never route to itself
     val fp = fingerprint(spark, basePath)
     publish(spark, name, basePath, groupCols, aggs, mvPath, fp,
-      definingQuery(spark, basePath, groupCols, aggs))
+      definingQuery(spark, basePath, groupCols, aggs), carried)
   }
 
   /** Delta-cost maintenance — q41's merge family wired to routing. The
@@ -194,10 +284,19 @@ object MaterializedView {
     * The contract is the caller's to honor: `delta` must be exactly the
     * rows appended since the last create/refresh/absorb. (With a
     * snapshot-versioned base the delta IS the version diff — q42's
-    * change feed; with a raw dir it is the batch just written.) */
-  def absorb(spark: SparkSession, name: String, delta: DataFrame): MvDef = {
+    * change feed; with a raw dir it is the batch just written.)
+    *
+    * `batchId >= 0` makes a SUCCESSFUL absorb replay-safe for streaming
+    * maintenance ([[graft.streaming.MvStream]]): the id persists with
+    * the definition, and an absorb at or below it is a no-op — absorb
+    * is NOT idempotent by itself (replaying a delta double-counts), the
+    * guard is what makes exactly-once hold across crash-replays. Leave
+    * -1 for one-shot batch use. */
+  def absorb(spark: SparkSession, name: String, delta: DataFrame,
+             batchId: Long = -1L): MvDef = {
     val d = catalog.getOrElse(name,
       throw new NoSuchElementException(s"no materialized view named $name"))
+    if (batchId >= 0 && d.lastBatchId >= batchId) return d // replayed
     val fp = fingerprint(spark, d.basePath)
     catalog.remove(name) // no routing against the view mid-republish
     val storedTypes = d.relation.output.map(a => a.name -> a.dataType).toMap
@@ -213,7 +312,8 @@ object MaterializedView {
     }
     val merged = aggregateOf(stored.unionByName(deltaAgg),
       d.groupCols, mergeCols)
-    publish(spark, name, d.basePath, d.groupCols, d.aggs, d.mvPath, fp, merged)
+    publish(spark, name, d.basePath, d.groupCols, d.aggs, d.mvPath, fp,
+      merged, math.max(d.lastBatchId, batchId))
   }
 
   /** Recompute the view against the CURRENT base and re-arm routing

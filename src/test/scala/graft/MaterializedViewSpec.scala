@@ -185,6 +185,108 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_absorb")
   }
 
+  test("a view survives the process: load() re-registers from _mvdef.json") {
+    val base = freshDir("durable/base"); val mv = freshDir("durable/mv")
+    writeBase(base, rows)
+    define("mv_durable", base, mv)
+    try withRouting {
+      assert(readsPath(query(base), mv))
+      // "new JVM": the in-memory catalog is gone, the files are not
+      MaterializedView.drop("mv_durable")
+      assert(!readsPath(query(base), mv), "dropped view must not route")
+      val d = MaterializedView.load(spark, mv)
+      assert(d.name == "mv_durable" && d.basePath == base)
+      assert(d.aggs == Seq(
+        MvAgg("count_star", outCol = "cnt"),
+        MvAgg("sum", "v", Some("decimal(18,6)"), outCol = "sv"),
+        MvAgg("max", "n", outCol = "mx")))
+      val q = query(base)
+      assert(readsPath(q, mv), "loaded view must route again")
+      assert(collectQ(q).map(_._1) == Seq("a", "b", "c"))
+    } finally MaterializedView.drop("mv_durable")
+  }
+
+  test("absorb with a batch id refuses replays and the guard survives refresh and reload") {
+    val base = freshDir("replay/base"); val mv = freshDir("replay/mv")
+    writeBase(base, rows)
+    define("mv_replay", base, mv)
+    val delta = Seq(("b", 20L, 5.0))
+    try {
+      delta.toDF("k", "n", "v").write.mode("append").parquet(base)
+      MaterializedView.absorb(spark, "mv_replay", delta.toDF("k", "n", "v"),
+        batchId = 4L)
+      def bCount = spark.read.parquet(
+          MaterializedView.get("mv_replay").get.dataDir)
+        .where(col("k") === "b").collect().head.getLong(1)
+      assert(bCount == 2L)
+      // replay at and below the stamp: committed no-ops
+      MaterializedView.absorb(spark, "mv_replay", delta.toDF("k", "n", "v"),
+        batchId = 4L)
+      MaterializedView.absorb(spark, "mv_replay", delta.toDF("k", "n", "v"),
+        batchId = 2L)
+      assert(bCount == 2L, "replayed batch must not double-count")
+      // refresh carries the guard (the recomputed view CONTAINS the
+      // absorbed rows; a replay arriving after it must stay refused)
+      MaterializedView.refresh(spark, "mv_replay")
+      assert(MaterializedView.get("mv_replay").get.lastBatchId == 4L)
+      MaterializedView.absorb(spark, "mv_replay", delta.toDF("k", "n", "v"),
+        batchId = 4L)
+      assert(bCount == 2L)
+      // and survives a process restart
+      MaterializedView.drop("mv_replay")
+      assert(MaterializedView.load(spark, mv).lastBatchId == 4L)
+      // a fresh id still lands and advances the stamp
+      Seq(("b", 21L, 1.0)).toDF("k", "n", "v")
+        .write.mode("append").parquet(base)
+      MaterializedView.absorb(spark, "mv_replay",
+        Seq(("b", 21L, 1.0)).toDF("k", "n", "v"), batchId = 5L)
+      assert(bCount == 3L)
+      assert(MaterializedView.get("mv_replay").get.lastBatchId == 5L)
+    } finally MaterializedView.drop("mv_replay")
+  }
+
+  test("streamed MV maintenance: routed answers track the feed exactly once") {
+    // the ZoneMapStream convention: the BASE is the maintained table's
+    // source dir, the FEED is a separate dir that carries only the
+    // appended batches (a file-source stream replays every file in its
+    // dir, so feeding the base itself would re-absorb the seed rows the
+    // view already holds)
+    val base = freshDir("stream/base"); val mv = freshDir("stream/mv")
+    val feed = freshDir("stream/feed")
+    writeBase(base, rows)
+    define("mv_stream", base, mv)
+    val d1 = Seq(("a", 30L, 1.0)); val d2 = Seq(("d", 31L, 2.0))
+    try withRouting {
+      // two appended batches land in the base AND in the feed
+      for (d <- Seq(d1, d2)) {
+        d.toDF("k", "n", "v").write.mode("append").parquet(base)
+        d.toDF("k", "n", "v").coalesce(1).write.mode("append").parquet(feed)
+      }
+      val q = graft.streaming.MvStream.maintain(
+          spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", "1").parquet(feed),
+          "mv_stream",
+          checkpoint = freshDir("stream/ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the view caught up with the base: routing serves, answers fresh
+      val routed = query(base)
+      assert(readsPath(routed, mv), "caught-up view must route")
+      val got = collectQ(routed)
+      val direct = {
+        spark.conf.set(MaterializedViewRule.ConfKey, "false")
+        try collectQ(query(base))
+        finally spark.conf.set(MaterializedViewRule.ConfKey, "true")
+      }
+      assert(got == direct, s"streamed view diverged:\n  $got\n  $direct")
+      assert(got.find(_._1 == "a").get._4 == 30L)
+      assert(got.map(_._1).contains("d"))
+      // the replay guard advanced with the stream's batch ids
+      assert(MaterializedView.get("mv_stream").get.lastBatchId >= 0L)
+    } finally MaterializedView.drop("mv_stream")
+  }
+
   test("SQL text gets the same routing as the DataFrame API") {
     val base = freshDir("sql/base"); val mv = freshDir("sql/mv")
     writeBase(base, rows)
