@@ -49,12 +49,26 @@ object MaterializedView {
       s"unsupported MV aggregate: $func")
   }
 
+  /** A derived grouping dimension: `sql` evaluated over the base (e.g.
+    * `date_trunc('hour', ts)`), stored as column `name`. The routing
+    * rule matches a query's grouping EXPRESSION against the resolved
+    * template semantically (same canonical tree after remapping
+    * attribute references by name), so the classic time-bucketed rollup
+    * routes without the query naming the view. */
+  final case class MvGroupExpr(name: String, sql: String)
+
   final case class MvDef(name: String, basePath: String,
                          groupCols: Seq[String], aggs: Seq[MvAgg],
                          mvPath: String, dataDir: String,
                          baseFingerprint: String,
                          relation: LogicalRelation,
-                         lastBatchId: Long = -1L)
+                         lastBatchId: Long = -1L,
+                         groupExprs: Seq[MvGroupExpr] = Nil,
+                         /** resolved template per groupExpr, built once
+                           * at create/load against a base scan; the
+                           * rule remaps its attribute refs by NAME onto
+                           * the query's scan before comparing. */
+                         groupTemplates: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
 
   /** name -> definition; process-wide (sessions share the JVM). */
   private val catalog = TrieMap.empty[String, MvDef]
@@ -103,16 +117,46 @@ object MaterializedView {
       .map("%02x".format(_)).mkString
   }
 
-  private def aggregateOf(df: DataFrame, groupCols: Seq[String],
+  private def aggregateOf(df: DataFrame, groupings: Seq[Column],
                           aggCols: Seq[Column]): DataFrame =
-    if (groupCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-    else df.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    if (groupings.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+    else df.groupBy(groupings: _*).agg(aggCols.head, aggCols.tail: _*)
+
+  private def groupingColumns(groupCols: Seq[String],
+                              groupExprs: Seq[MvGroupExpr]): Seq[Column] =
+    groupCols.map(col) ++ groupExprs.map(g => expr(g.sql).as(g.name))
 
   /** The defining aggregate as a DataFrame (what the view stores, and
     * what a routed query's answer must equal). */
   def definingQuery(spark: SparkSession, basePath: String,
-                    groupCols: Seq[String], aggs: Seq[MvAgg]): DataFrame =
-    aggregateOf(spark.read.parquet(basePath), groupCols, aggs.map(aggColumn))
+                    groupCols: Seq[String], aggs: Seq[MvAgg],
+                    groupExprs: Seq[MvGroupExpr] = Nil): DataFrame =
+    aggregateOf(spark.read.parquet(basePath),
+      groupingColumns(groupCols, groupExprs), aggs.map(aggColumn))
+
+  /** Resolve each groupExpr against a base scan ONCE; the rule compares
+    * these templates (attribute refs remapped by name) against query
+    * grouping expressions. */
+  private def resolveTemplates(spark: SparkSession, basePath: String,
+                               groupExprs: Seq[MvGroupExpr])
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
+    if (groupExprs.isEmpty) Nil
+    else {
+      val base = spark.read.parquet(basePath)
+      groupExprs.map { g =>
+        val analyzed = base.select(expr(g.sql).as(g.name))
+          .queryExecution.analyzed
+        val template = analyzed.collectFirst {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            p.projectList.head match {
+              case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+              case e => e
+            }
+        }.getOrElse(throw new IllegalArgumentException(
+          s"could not resolve MV group expression '${g.sql}'"))
+        g.name -> template
+      }
+    }
 
   /** Next `gen-<n>` dir under the view root plus the generations that
     * preceded it (for post-publish vacuum). */
@@ -136,7 +180,8 @@ object MaterializedView {
   private def publish(spark: SparkSession, name: String, basePath: String,
                       groupCols: Seq[String], aggs: Seq[MvAgg],
                       mvPath: String, baseFp: String,
-                      content: DataFrame, lastBatchId: Long): MvDef = {
+                      content: DataFrame, lastBatchId: Long,
+                      groupExprs: Seq[MvGroupExpr]): MvDef = {
     val (dataDir, gens) = nextGen(spark, mvPath)
     content.write.mode("errorifexists").parquet(dataDir)
     val rel = spark.read.parquet(dataDir).queryExecution.analyzed
@@ -144,7 +189,8 @@ object MaterializedView {
       .getOrElse(throw new IllegalStateException(
         s"materialized view at $dataDir did not analyze to a file relation"))
     val d = MvDef(name, basePath, groupCols, aggs, mvPath, dataDir, baseFp,
-      rel, lastBatchId)
+      rel, lastBatchId, groupExprs,
+      resolveTemplates(spark, basePath, groupExprs))
     writeDefJson(spark, d)
     catalog.put(name, d)
     val fs = new Path(mvPath)
@@ -167,9 +213,13 @@ object MaterializedView {
       s"""{"func":${jsonStr(a.func)},"inputCol":${jsonStr(a.inputCol)},""" +
         s""""castTo":${a.castTo.map(jsonStr).getOrElse("null")},""" +
         s""""outCol":${jsonStr(a.outCol)}}""").mkString("[", ",", "]")
+    val groupExprsJson = d.groupExprs.map(g =>
+      s"""{"name":${jsonStr(g.name)},"sql":${jsonStr(g.sql)}}""")
+      .mkString("[", ",", "]")
     val body =
       s"""{"name":${jsonStr(d.name)},"basePath":${jsonStr(d.basePath)},""" +
         s""""groupCols":${d.groupCols.map(jsonStr).mkString("[", ",", "]")},""" +
+        s""""groupExprs":$groupExprsJson,""" +
         s""""aggs":$aggsJson,"dataDir":${jsonStr(d.dataDir)},""" +
         s""""baseFingerprint":${jsonStr(d.baseFingerprint)},""" +
         s""""lastBatchId":${d.lastBatchId}}"""
@@ -223,13 +273,23 @@ object MaterializedView {
       case JInt(v) => v.toLong
       case _ => -1L
     }
+    val groupExprs = j \ "groupExprs" match {
+      case JArray(xs) => xs.map { g =>
+        MvGroupExpr(
+          g \ "name" match { case JString(s) => s; case _ => "?" },
+          g \ "sql" match { case JString(s) => s; case _ => "?" })
+      }
+      case _ => Nil // pre-groupExprs definition records
+    }
     val dataDir = str("dataDir")
     val rel = spark.read.parquet(dataDir).queryExecution.analyzed
       .collectFirst { case lr: LogicalRelation => lr }
       .getOrElse(throw new IllegalStateException(
         s"materialized view at $dataDir did not analyze to a file relation"))
-    val d = MvDef(str("name"), str("basePath"), groupCols, aggs, mvPath,
-      dataDir, str("baseFingerprint"), rel, lastBatchId)
+    val basePath = str("basePath")
+    val d = MvDef(str("name"), basePath, groupCols, aggs, mvPath,
+      dataDir, str("baseFingerprint"), rel, lastBatchId, groupExprs,
+      resolveTemplates(spark, basePath, groupExprs))
     catalog.put(d.name, d)
     d
   }
@@ -256,7 +316,7 @@ object MaterializedView {
     * Older generations beyond the previous one are vacuumed best-effort. */
   def create(spark: SparkSession, name: String, basePath: String,
              groupCols: Seq[String], aggs: Seq[MvAgg],
-             mvPath: String): MvDef = {
+             mvPath: String, groupExprs: Seq[MvGroupExpr] = Nil): MvDef = {
     require(aggs.nonEmpty, "a view needs at least one aggregate column")
     // a refresh carries the replay guard forward: the recomputed view
     // already CONTAINS every absorbed batch's rows (they are in the
@@ -266,7 +326,8 @@ object MaterializedView {
     catalog.remove(name) // the defining query must never route to itself
     val fp = fingerprint(spark, basePath)
     publish(spark, name, basePath, groupCols, aggs, mvPath, fp,
-      definingQuery(spark, basePath, groupCols, aggs), carried)
+      definingQuery(spark, basePath, groupCols, aggs, groupExprs),
+      carried, groupExprs)
   }
 
   /** Delta-cost maintenance — q41's merge family wired to routing. The
@@ -301,7 +362,8 @@ object MaterializedView {
     catalog.remove(name) // no routing against the view mid-republish
     val storedTypes = d.relation.output.map(a => a.name -> a.dataType).toMap
     val stored = spark.read.parquet(d.dataDir)
-    val deltaAgg = aggregateOf(delta, d.groupCols, d.aggs.map(aggColumn))
+    val deltaAgg = aggregateOf(delta,
+      groupingColumns(d.groupCols, d.groupExprs), d.aggs.map(aggColumn))
     val mergeCols = d.aggs.map { a =>
       val c = a.func match {
         case "count_star" | "count" | "sum" => sum(col(a.outCol))
@@ -310,10 +372,14 @@ object MaterializedView {
       }
       c.cast(storedTypes(a.outCol)).as(a.outCol)
     }
+    // the stored table holds every grouping DIMENSION as a plain
+    // column (groupCols and groupExpr names alike), so the merge
+    // re-groups on names — no expression re-evaluation
+    val mergeKeys = (d.groupCols ++ d.groupExprs.map(_.name)).map(col)
     val merged = aggregateOf(stored.unionByName(deltaAgg),
-      d.groupCols, mergeCols)
+      mergeKeys, mergeCols)
     publish(spark, name, d.basePath, d.groupCols, d.aggs, d.mvPath, fp,
-      merged, math.max(d.lastBatchId, batchId))
+      merged, math.max(d.lastBatchId, batchId), d.groupExprs)
   }
 
   /** Recompute the view against the CURRENT base and re-arm routing
@@ -323,7 +389,8 @@ object MaterializedView {
   def refresh(spark: SparkSession, name: String): MvDef = {
     val d = catalog.getOrElse(name,
       throw new NoSuchElementException(s"no materialized view named $name"))
-    create(spark, name, d.basePath, d.groupCols, d.aggs, d.mvPath)
+    create(spark, name, d.basePath, d.groupCols, d.aggs, d.mvPath,
+      d.groupExprs)
   }
 
   /** True while routing to `name` is sound: base unchanged since the

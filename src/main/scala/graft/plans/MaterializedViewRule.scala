@@ -59,25 +59,76 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val spark = SparkSession.active
     for {
-      scan <- baseScanOf(agg.child)
+      (scan, env) <- baseScanOf(agg.child)
       mv <- MaterializedView.registered.values.find(d =>
         samePath(spark, d.basePath, scan) &&
-          groupingMatches(agg, d) &&
-          aggregatesMatch(agg, d) &&
+          groupingMatches(agg, d, scan, env) &&
+          aggregatesMatch(agg, d, scan, env) &&
           MaterializedView.isFresh(spark, d.name))
-      routed <- route(agg, mv)
+      routed <- route(agg, mv, scan, env)
     } yield routed
   }
 
-  /** The base file scan under the aggregate, looking through
-    * column-pruning Projects only. */
-  private def baseScanOf(plan: LogicalPlan): Option[LogicalRelation] =
+  /** Substitute projected aliases back into `e` so matching sees the
+    * expression over the SCAN's attributes — the optimizer's
+    * PullOutGroupingExpressions hoists non-attribute groupings into a
+    * Project below the Aggregate as `_groupingexpression` columns, and
+    * column-pruning Projects can alias too. */
+  private def resolveThrough(e: Expression,
+                             env: Map[ExprId, Expression]): Expression =
+    e.transformUp {
+      case a: AttributeReference if env.contains(a.exprId) => env(a.exprId)
+    }
+
+  /** The def's resolved group-expression template with its attribute
+    * references re-bound BY NAME onto the query's own scan, so
+    * semantic comparison sees one attribute id space. */
+  private def remappedTemplate(template: Expression,
+                               scan: LogicalRelation): Option[Expression] = {
+    val byName = scan.output.map(a => a.name -> a).toMap
+    var ok = true
+    val r = template.transform {
+      case a: AttributeReference =>
+        byName.get(a.name) match {
+          case Some(x) => x
+          case None => ok = false; a
+        }
+    }
+    if (ok) Some(r) else None
+  }
+
+  /** The stored column name of the group TEMPLATE `e` matches, if any. */
+  private def templateFor(e: Expression, d: MvDef,
+                          scan: LogicalRelation): Option[String] =
+    d.groupTemplates.collectFirst {
+      case (name, t) if remappedTemplate(t, scan).exists(_.semanticEquals(e)) =>
+        name
+    }
+
+  /** The base file scan under the aggregate, looking through Projects
+    * that only pass attributes through or alias DETERMINISTIC
+    * expressions of them (column pruning and the optimizer's
+    * pulled-out grouping expressions). Returns the scan plus the alias
+    * environment accumulated on the way down — every aliased expression
+    * fully substituted to scan attributes. Any Filter (or other
+    * operator) means the aggregate sees a different population than the
+    * view did: no match. */
+  private def baseScanOf(plan: LogicalPlan)
+      : Option[(LogicalRelation, Map[ExprId, Expression])] =
     plan match {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        Some(lr)
-      case Project(projList, child)
-          if projList.forall(_.isInstanceOf[AttributeReference]) =>
-        baseScanOf(child)
+        Some((lr, Map.empty))
+      case Project(projList, child) if projList.forall {
+            case _: AttributeReference => true
+            case a: Alias => a.child.deterministic
+            case _ => false
+          } =>
+        baseScanOf(child).map { case (scan, childEnv) =>
+          val here = projList.collect {
+            case a: Alias => a.exprId -> resolveThrough(a.child, childEnv)
+          }.toMap
+          (scan, childEnv ++ here)
+        }
       case _ => None
     }
 
@@ -94,14 +145,21 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
     got == Seq(want)
   }
 
-  private def groupingMatches(agg: Aggregate, d: MvDef): Boolean = {
-    val names = agg.groupingExpressions.map {
-      case a: AttributeReference => Some(a.name)
-      case _ => None
+  /** Every query grouping is either a bare declared column or matches a
+    * declared group-expression template, and together they cover the
+    * view's full grouping set exactly once — a query grouping COARSER
+    * or FINER than the stored one is not servable. */
+  private def groupingMatches(agg: Aggregate, d: MvDef,
+                              scan: LogicalRelation,
+                              env: Map[ExprId, Expression]): Boolean = {
+    val matched = agg.groupingExpressions.map(resolveThrough(_, env)).map {
+      case a: AttributeReference if d.groupCols.contains(a.name) => Some(a.name)
+      case e => templateFor(e, d, scan)
     }
-    names.forall(_.isDefined) &&
-      names.flatten.toSet == d.groupCols.toSet &&
-      names.size == names.flatten.toSet.size
+    val want = d.groupCols ++ d.groupExprs.map(_.name)
+    matched.forall(_.isDefined) &&
+      matched.flatten.toSet == want.toSet &&
+      matched.size == matched.flatten.toSet.size
   }
 
   /** (func, inputCol, castTo) of a supported aggregate call, or None. */
@@ -141,24 +199,51 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def aggregatesMatch(agg: Aggregate, d: MvDef): Boolean =
+  private def aggregatesMatch(agg: Aggregate, d: MvDef,
+                              scan: LogicalRelation,
+                              env: Map[ExprId, Expression]): Boolean =
     agg.aggregateExpressions.forall {
-      case a: AttributeReference => d.groupCols.contains(a.name)
-      case Alias(ae: AggregateExpression, _) => servedBy(ae, d).isDefined
+      case a: AttributeReference if !env.contains(a.exprId) =>
+        d.groupCols.contains(a.name)
+      case Alias(ae: AggregateExpression, _) =>
+        servedBy(mapAggChildren(ae, env), d).isDefined
+      case al: Alias =>
+        templateFor(resolveThrough(al.child, env), d, scan).isDefined
+      case a: AttributeReference => // a pulled-out grouping expression
+        templateFor(resolveThrough(a, env), d, scan).isDefined
       case _ => false
     }
 
-  private def route(agg: Aggregate, d: MvDef): Option[LogicalPlan] = {
+  /** Resolve projected aliases inside an aggregate call's ARGUMENTS
+    * (not the call itself). */
+  private def mapAggChildren(ae: AggregateExpression,
+                             env: Map[ExprId, Expression]): AggregateExpression =
+    if (env.isEmpty) ae
+    else ae.copy(aggregateFunction = ae.aggregateFunction
+      .mapChildren(resolveThrough(_, env)).asInstanceOf[AggregateFunction])
+
+  private def route(agg: Aggregate, d: MvDef, scan: LogicalRelation,
+                    env: Map[ExprId, Expression]): Option[LogicalPlan] = {
     val inst = d.relation.newInstance()
     val byName = inst.output.map(a => a.name -> a).toMap
     val projected = agg.aggregateExpressions.map {
-      case a: AttributeReference =>
+      case a: AttributeReference if !env.contains(a.exprId) =>
         byName.get(a.name).filter(_.dataType == a.dataType)
           .map(mv => Alias(mv, a.name)(exprId = a.exprId))
       case al @ Alias(ae: AggregateExpression, name) =>
-        servedBy(ae, d).flatMap(byName.get)
+        servedBy(mapAggChildren(ae, env), d).flatMap(byName.get)
           .filter(_.dataType == al.dataType)
           .map(mv => Alias(mv, name)(exprId = al.exprId))
+      case al: Alias =>
+        templateFor(resolveThrough(al.child, env), d, scan)
+          .flatMap(byName.get)
+          .filter(_.dataType == al.dataType)
+          .map(mv => Alias(mv, al.name)(exprId = al.exprId))
+      case a: AttributeReference => // pulled-out grouping expression
+        templateFor(resolveThrough(a, env), d, scan)
+          .flatMap(byName.get)
+          .filter(_.dataType == a.dataType)
+          .map(mv => Alias(mv, a.name)(exprId = a.exprId))
       case _ => None
     }
     if (projected.exists(_.isEmpty)) None // a type mismatch: stand down

@@ -494,5 +494,55 @@ object EventsQueries {
           |  true AS served_from_mv
           |FROM events
           |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- time-bucketed MV routing (expression grouping) ----------------
+    // The classic hourly rollup, served automatically: the view declares
+    // a derived grouping dimension (`date_trunc('hour', ts)`), and the
+    // rule matches the query's grouping EXPRESSION against the resolved
+    // template — through the optimizer's PullOutGroupingExpressions
+    // projection — so a q19-shaped rollup reads the |type×hour|-row view
+    // instead of the event log. Same hash-gated `served_from_mv` boolean
+    // as q63; bucket-width mismatches (a finer or coarser rollup) are
+    // spec-pinned to stand down in MaterializedViewSpec.
+    "q65_mv_hourly" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        import graft.operators.MaterializedView.{MvAgg, MvGroupExpr}
+        val base = s"$dir/events.parquet"
+        val mvPath =
+          s"target/mv/events_hourly_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        MaterializedView.create(s, "events_hourly", base,
+          groupCols = Seq("event_type"),
+          aggs = Seq(
+            MvAgg("count_star", outCol = "n_events"),
+            MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
+          mvPath = mvPath,
+          groupExprs = Seq(MvGroupExpr("h", "date_trunc('hour', ts)")))
+        s.conf.set(graft.plans.MaterializedViewRule.ConfKey, "true")
+        val q = s.read.parquet(base)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+        val routed = q.queryExecution.optimizedPlan.collectLeaves().exists {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains(mvPath))
+              case _ => false
+            }
+          case _ => false
+        }
+        q.select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+            col("n_events"), col("sv").cast(DoubleType).as("total_value"),
+            lit(routed).as("served_from_mv"))
+          .orderBy("event_type", "hour_us")
+      },
+      Some(
+        """SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+          |  count(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+          |  true AS served_from_mv
+          |FROM events GROUP BY 1, 2
+          |ORDER BY event_type, hour_us""".stripMargin)),
   )
 }

@@ -287,6 +287,56 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_stream")
   }
 
+  test("expression grouping: an hourly rollup routes on a date_trunc match") {
+    import MaterializedView.MvGroupExpr
+    val base = freshDir("hourly/base"); val mv = freshDir("hourly/mv")
+    Seq(
+      ("a", java.sql.Timestamp.valueOf("2026-01-01 10:15:00"), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2026-01-01 10:45:00"), 2.0),
+      ("a", java.sql.Timestamp.valueOf("2026-01-01 11:05:00"), 4.0),
+      ("b", java.sql.Timestamp.valueOf("2026-01-01 10:59:00"), 8.0))
+      .toDF("k", "ts", "v").write.mode("overwrite").parquet(base)
+    MaterializedView.create(spark, "mv_hourly", base,
+      groupCols = Seq("k"),
+      aggs = Seq(MvAgg("count_star", outCol = "cnt"),
+        MvAgg("sum", "v", Some("decimal(18,6)"), outCol = "sv")),
+      mvPath = mv,
+      groupExprs = Seq(MvGroupExpr("h", "date_trunc('hour', ts)")))
+    try withRouting {
+      val q = spark.read.parquet(base)
+        .groupBy(col("k"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("v").cast(DecimalType(18, 6))).as("sv"))
+      assert(readsPath(q, mv), "hourly rollup must route on the template")
+      val got = q.orderBy("k", "h").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDecimal(3).toPlainString)).toSeq
+      assert(got == Seq(
+        ("a", "2026-01-01 10:00:00.0", 2L, "3.000000"),
+        ("a", "2026-01-01 11:00:00.0", 1L, "4.000000"),
+        ("b", "2026-01-01 10:00:00.0", 1L, "8.000000")))
+      // a DIFFERENT bucket width must stand down (finer than stored)
+      val daily = spark.read.parquet(base)
+        .groupBy(col("k"), date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(!readsPath(daily, mv))
+      // grouping by the raw ts (finer) must stand down too
+      val raw = spark.read.parquet(base).groupBy(col("k"), col("ts"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(!readsPath(raw, mv))
+      // absorb keeps working through the expression dimension
+      val delta = Seq(("b",
+        java.sql.Timestamp.valueOf("2026-01-01 11:30:00"), 16.0))
+      delta.toDF("k", "ts", "v").write.mode("append").parquet(base)
+      MaterializedView.absorb(spark, "mv_hourly", delta.toDF("k", "ts", "v"))
+      val q2 = spark.read.parquet(base)
+        .groupBy(col("k"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(readsPath(q2, mv))
+      assert(q2.where(col("k") === "b").count() == 2L)
+    } finally MaterializedView.drop("mv_hourly")
+  }
+
   test("SQL text gets the same routing as the DataFrame API") {
     val base = freshDir("sql/base"); val mv = freshDir("sql/mv")
     writeBase(base, rows)
