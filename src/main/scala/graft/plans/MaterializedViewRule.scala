@@ -35,9 +35,14 @@ import graft.operators.MaterializedView.{MvAgg, MvDef}
   *  - aggregate expressions must be non-distinct, unfiltered, and typed
   *    identically to the stored view column (a distinct or filtered
   *    aggregate is NOT derivable from stored partials);
-  *  - only column-pruning Projects may sit between the aggregate and
-  *    the scan — any Filter means the query aggregates a subset the
-  *    view did not.
+  *  - between the aggregate and the scan: Projects that pass attributes
+  *    or alias deterministic expressions (column pruning and the
+  *    optimizer's pulled-out grouping expressions), plus Filters whose
+  *    predicates touch ONLY bare grouping columns — those select whole
+  *    groups, so they re-apply to the view's rows verbatim
+  *    (`WHERE event_type = 'click' ... GROUP BY event_type` routes; a
+  *    predicate over any aggregated column, or over a derived grouping
+  *    dimension's input, stands down).
   *
   * At 100 TB this is the difference between scanning the base and
   * scanning a |groups|-row table; the staleness probe is one base file
@@ -59,14 +64,30 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val spark = SparkSession.active
     for {
-      (scan, env) <- baseScanOf(agg.child)
+      (scan, env, filters) <- baseScanOf(agg.child)
       mv <- MaterializedView.registered.values.find(d =>
         samePath(spark, d.basePath, scan) &&
+          filters.forall(groupOnlyPredicate(_, d, env)) &&
           groupingMatches(agg, d, scan, env) &&
           aggregatesMatch(agg, d, scan, env) &&
           MaterializedView.isFresh(spark, d.name))
-      routed <- route(agg, mv, scan, env)
+      routed <- route(agg, mv, scan, env, filters)
     } yield routed
+  }
+
+  /** A pre-aggregation filter is servable from the view iff it touches
+    * ONLY bare grouping columns (after alias substitution): such a
+    * predicate selects whole groups, so filtering the view's rows is
+    * exactly filtering the base's groups. A predicate over any other
+    * column — or over a derived grouping dimension's INPUT (hour
+    * buckets cannot answer a raw-ts range) — stands down. */
+  private def groupOnlyPredicate(cond: Expression, d: MvDef,
+                                 env: Map[ExprId, Expression]): Boolean = {
+    val resolved = resolveThrough(cond, env)
+    resolved.deterministic && resolved.references.toSeq.forall {
+      case a: AttributeReference => d.groupCols.contains(a.name)
+      case _ => false
+    }
   }
 
   /** Substitute projected aliases back into `e` so matching sees the
@@ -114,20 +135,26 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
     * operator) means the aggregate sees a different population than the
     * view did: no match. */
   private def baseScanOf(plan: LogicalPlan)
-      : Option[(LogicalRelation, Map[ExprId, Expression])] =
+      : Option[(LogicalRelation, Map[ExprId, Expression], Seq[Expression])] =
     plan match {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        Some((lr, Map.empty))
+        Some((lr, Map.empty, Nil))
       case Project(projList, child) if projList.forall {
             case _: AttributeReference => true
             case a: Alias => a.child.deterministic
             case _ => false
           } =>
-        baseScanOf(child).map { case (scan, childEnv) =>
+        baseScanOf(child).map { case (scan, childEnv, filters) =>
           val here = projList.collect {
             case a: Alias => a.exprId -> resolveThrough(a.child, childEnv)
           }.toMap
-          (scan, childEnv ++ here)
+          (scan, childEnv ++ here, filters)
+        }
+      case Filter(cond, child) =>
+        // collected, judged against the matched view later (servable
+        // only when it selects whole groups — see groupOnlyPredicate)
+        baseScanOf(child).map { case (scan, childEnv, filters) =>
+          (scan, childEnv, resolveThrough(cond, childEnv) +: filters)
         }
       case _ => None
     }
@@ -223,9 +250,26 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
       .mapChildren(resolveThrough(_, env)).asInstanceOf[AggregateFunction])
 
   private def route(agg: Aggregate, d: MvDef, scan: LogicalRelation,
-                    env: Map[ExprId, Expression]): Option[LogicalPlan] = {
+                    env: Map[ExprId, Expression],
+                    filters: Seq[Expression]): Option[LogicalPlan] = {
     val inst = d.relation.newInstance()
     val byName = inst.output.map(a => a.name -> a).toMap
+    // group-only predicates select whole groups, so they re-apply to
+    // the view's rows verbatim — references re-bound by name
+    val filtered: Option[LogicalPlan] =
+      if (filters.isEmpty) Some(inst)
+      else {
+        var ok = true
+        val rebound = filters.map(_.transform {
+          case a: AttributeReference =>
+            byName.get(a.name) match {
+              case Some(mv) if mv.dataType == a.dataType => mv
+              case _ => ok = false; a
+            }
+        })
+        if (!ok) None
+        else Some(Filter(rebound.reduce(And), inst))
+      }
     val projected = agg.aggregateExpressions.map {
       case a: AttributeReference if !env.contains(a.exprId) =>
         byName.get(a.name).filter(_.dataType == a.dataType)
@@ -247,6 +291,6 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
       case _ => None
     }
     if (projected.exists(_.isEmpty)) None // a type mismatch: stand down
-    else Some(Project(projected.flatten, inst))
+    else filtered.map(child => Project(projected.flatten, child))
   }
 }

@@ -337,6 +337,34 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_hourly")
   }
 
+  test("a group-column filter routes (whole groups) and a value filter stands down") {
+    val base = freshDir("filter/base"); val mv = freshDir("filter/mv")
+    writeBase(base, rows)
+    define("mv_filter", base, mv)
+    try withRouting {
+      // predicate over the grouping column: selects whole groups ->
+      // served by filtering the view's rows
+      val q = spark.read.parquet(base).where(col("k") =!= "c")
+        .groupBy("k").agg(count(lit(1)).as("cnt"), max(col("n")).as("mx"))
+      assert(readsPath(q, mv), "group-column filter must route")
+      val got = q.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq(("a", 2L, 2L), ("b", 1L, 3L)))
+      // predicate over an aggregated column: a different population per
+      // group — not servable from stored partials
+      val vq = spark.read.parquet(base).where(col("v") > 2.0)
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+      assert(!readsPath(vq, mv), "value filter must stand down")
+      assert(vq.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+        .toSeq == Seq(("a", 1L), ("b", 1L)))
+      // mixed predicate (group AND value column): stands down whole
+      val mixed = spark.read.parquet(base)
+        .where(col("k") === "a" && col("v") > 2.0)
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+      assert(!readsPath(mixed, mv))
+    } finally MaterializedView.drop("mv_filter")
+  }
+
   test("SQL text gets the same routing as the DataFrame API") {
     val base = freshDir("sql/base"); val mv = freshDir("sql/mv")
     writeBase(base, rows)
