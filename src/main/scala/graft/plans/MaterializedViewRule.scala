@@ -61,6 +61,44 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Why-didn't-it-route, per aggregate × registered view — the
+    * operability face of the soundness gates. Runs the SAME checks the
+    * rewrite runs, in order, and names the first one that fails, so a
+    * user staring at a direct-scan plan gets "stale since last
+    * refresh/absorb" instead of silence. Works off the ANALYZED plan
+    * (diagnosis must not depend on which optimizer rules already
+    * fired). */
+  def diagnose(df: org.apache.spark.sql.Dataset[_]): Seq[String] = {
+    val spark = df.sparkSession
+    val views = MaterializedView.registered.values.toSeq.sortBy(_.name)
+    val flagOn = spark.conf.get(ConfKey, "false").toBoolean
+    val aggs = df.queryExecution.analyzed.collect { case a: Aggregate => a }
+    val header =
+      (if (!flagOn) Seq(s"routing disabled: set $ConfKey=true") else Nil) ++
+        (if (views.isEmpty) Seq("no materialized views registered") else Nil) ++
+        (if (aggs.isEmpty) Seq("no aggregate in the plan") else Nil)
+    val rows = for (agg <- aggs; d <- views) yield {
+      val verdict = baseScanOf(agg.child) match {
+        case None =>
+          "no clean base scan under the aggregate (non-Project/Filter operator in between)"
+        case Some((scan, env, filters)) =>
+          if (!samePath(spark, d.basePath, scan))
+            s"base path differs (view is over ${d.basePath})"
+          else if (!filters.forall(groupOnlyPredicate(_, d, env)))
+            "a pre-aggregation filter touches a non-grouping column"
+          else if (!groupingMatches(agg, d, scan, env))
+            "grouping differs from the view's declared dimensions"
+          else if (!aggregatesMatch(agg, d, scan, env))
+            "an aggregate expression is not served by the view's stored columns"
+          else if (!MaterializedView.isFresh(spark, d.name))
+            "view is STALE: the base changed since the last create/refresh/absorb"
+          else "routable"
+      }
+      s"view '${d.name}': $verdict"
+    }
+    header ++ rows
+  }
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val spark = SparkSession.active
     for {

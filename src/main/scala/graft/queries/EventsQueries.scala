@@ -493,7 +493,8 @@ object EventsQueries {
           |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
           |  true AS served_from_mv
           |FROM events
-          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+          |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      headline = true),
 
     // ---- time-bucketed MV routing (expression grouping) ----------------
     // The classic hourly rollup, served automatically: the view declares

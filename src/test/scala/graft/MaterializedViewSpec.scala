@@ -365,6 +365,35 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_filter")
   }
 
+  test("diagnose names the failing gate: routable, stale, shape, filter") {
+    val base = freshDir("diag/base"); val mv = freshDir("diag/mv")
+    writeBase(base, rows)
+    define("mv_diag", base, mv)
+    try withRouting {
+      def oneLine(df: DataFrame) =
+        MaterializedViewRule.diagnose(df)
+          .filter(_.startsWith("view 'mv_diag'")).head
+      assert(oneLine(query(base)).endsWith("routable"))
+      assert(oneLine(spark.read.parquet(base).where(col("v") > 0)
+          .groupBy("k").agg(count(lit(1)).as("c")))
+        .contains("non-grouping column"))
+      assert(oneLine(spark.read.parquet(base).groupBy("n")
+          .agg(count(lit(1)).as("c")))
+        .contains("grouping differs"))
+      assert(oneLine(spark.read.parquet(base).groupBy("k")
+          .agg(avg(col("v")).as("m")))
+        .contains("not served"))
+      Seq(("z", 99L, 0.0)).toDF("k", "n", "v")
+        .write.mode("append").parquet(base)
+      assert(oneLine(query(base)).contains("STALE"))
+      // and the disabled-flag note
+      spark.conf.set(MaterializedViewRule.ConfKey, "false")
+      assert(MaterializedViewRule.diagnose(query(base))
+        .exists(_.contains("routing disabled")))
+      spark.conf.set(MaterializedViewRule.ConfKey, "true")
+    } finally MaterializedView.drop("mv_diag")
+  }
+
   test("SQL text gets the same routing as the DataFrame API") {
     val base = freshDir("sql/base"); val mv = freshDir("sql/mv")
     writeBase(base, rows)
