@@ -167,11 +167,13 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
   /** The base file scan under the aggregate, looking through Projects
     * that only pass attributes through or alias DETERMINISTIC
     * expressions of them (column pruning and the optimizer's
-    * pulled-out grouping expressions). Returns the scan plus the alias
+    * pulled-out grouping expressions). Returns the scan, the alias
     * environment accumulated on the way down — every aliased expression
-    * fully substituted to scan attributes. Any Filter (or other
-    * operator) means the aggregate sees a different population than the
-    * view did: no match. */
+    * fully substituted to scan attributes — and every Filter predicate
+    * encountered (substituted likewise; servable only if group-only,
+    * judged later against the matched view by [[groupOnlyPredicate]]).
+    * Any OTHER operator means the aggregate sees a population the view
+    * cannot reproduce: no match. */
   private def baseScanOf(plan: LogicalPlan)
       : Option[(LogicalRelation, Map[ExprId, Expression], Seq[Expression])] =
     plan match {
