@@ -226,4 +226,99 @@ object Clustering {
       round(centeredDot(col(vecCol), m.toSeq, v.toSeq), scoreDecimals)
         .as("pc1"))
   }
+
+  /** x_i - s·v_i with s = r·v — one deflation step: subtract the
+    * residual's projection onto `v`. Same per-element op order as the
+    * SQL replay. */
+  private def deflate(r: Column, v: Seq[Double]): Column = {
+    val s = aggregate(
+      zip_with(r, typedlit(v), (a, b) => a * b),
+      lit(0.0), (acc, p) => acc + p)
+    zip_with(r, typedlit(v), (ri, vi) => ri - s * vi)
+  }
+
+  /** Top-`k` principal directions by power iteration WITH DEFLATION:
+    * component j is fit on the residual left after subtracting every
+    * earlier component's projection (r_j = r_{j-1} − (r_{j-1}·v_{j-1})
+    * v_{j-1}, starting from the mean-centered rows). Each fit is the
+    * [[pcaFit]] loop verbatim — uniform rounded start, w rounded to
+    * `wDecimals` before the norm, direction rounded to `vDecimals` —
+    * run over a materialized residual column, so the whole k-component
+    * fit stays exactly replayable (s22's oracle chains k blocks of the
+    * s18 CTE rounds over successive residual lists). k=1 equals
+    * [[pcaFit]] bit for bit (law-pinned in ClusteringSpec).
+    *
+    * Same matrix-free scale shape, ×k: per round one narrow expression
+    * pass + one dim-cell aggregate; the residual is an expression over
+    * (x, m, v_1..v_{j-1}) literals — never materialized to storage,
+    * and driver state stays O(k·dim). */
+  def pcaFitK(df: DataFrame, vecCol: String, k: Int, iters: Int = 8,
+              meanDecimals: Int = 6, wDecimals: Int = 5,
+              vDecimals: Int = 6): (Array[Double], Seq[Array[Double]]) = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    val c0 = Parallelism.ensure(df).select(col(vecCol).as("__v"))
+    val dim = dimOf(c0, "__v")
+    if (dim == 0) return (Array.empty, Seq.empty)
+    val meanRow = c0.agg(
+      round(avg(element_at(col("__v"), 1).cast(DoubleType)), meanDecimals)
+        .as("__m1"),
+      (2 to dim).map(i =>
+        round(avg(element_at(col("__v"), i).cast(DoubleType)), meanDecimals)
+          .as(s"__m$i")): _*)
+      .collect()(0)
+    val m = (0 until dim).map(meanRow.getDouble).toArray
+    val centered = zip_with(col("__v"), typedlit(m.toSeq),
+      (a, b) => a.cast(DoubleType) - b)
+    var components = Seq.empty[Array[Double]]
+    for (_ <- 0 until k) {
+      val resid = components.foldLeft(centered)((r, v) => deflate(r, v.toSeq))
+      val withR = c0.withColumn("__r", resid)
+      var v = Array.fill(dim)(roundTo(1.0 / math.sqrt(dim), vDecimals))
+      for (_ <- 0 until iters) {
+        val s = aggregate(
+          zip_with(col("__r"), typedlit(v.toSeq), (a, b) => a * b),
+          lit(0.0), (acc, p) => acc + p)
+        val wRow = withR.withColumn("__s", s).agg(
+          round(sum(col("__s") * element_at(col("__r"), 1)), wDecimals)
+            .as("__w1"),
+          (2 to dim).map(i =>
+            round(sum(col("__s") * element_at(col("__r"), i)), wDecimals)
+              .as(s"__w$i")): _*)
+          .collect()(0)
+        val w = (0 until dim).map(i =>
+          if (wRow.isNullAt(i)) 0.0 else wRow.getDouble(i)).toArray
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        v = if (norm == 0.0) Array.fill(dim)(0.0)
+            else w.map(x => roundTo(x / norm, vDecimals))
+      }
+      components :+= v
+    }
+    (m, components)
+  }
+
+  /** Per-row scores `(idCol, pc1 … pck)` where pc_j is the j-th
+    * RESIDUAL's projection onto v_j — the exact quantity the deflated
+    * fit iterated on (for orthogonal components this coincides with
+    * the plain centered projection; after rounding it is the
+    * deterministic choice both engines replay). */
+  def pcaProjectK(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int = 8,
+                  scoreDecimals: Int = 6): DataFrame = {
+    val (m, vs) = pcaFitK(df, vecCol, k, iters)
+    if (m.isEmpty) {
+      val empty = (1 to k).map(j => lit(0.0).as(s"pc$j"))
+      return df.select(col(idCol) +: empty: _*).limit(0)
+    }
+    val centered = zip_with(col(vecCol), typedlit(m.toSeq),
+      (a, b) => a.cast(DoubleType) - b)
+    val resids = vs.indices.map(j =>
+      vs.take(j).foldLeft(centered)((r, v) => deflate(r, v.toSeq)))
+    val scores = vs.indices.map { j =>
+      round(aggregate(
+        zip_with(resids(j), typedlit(vs(j).toSeq), (a, b) => a * b),
+        lit(0.0), (acc, p) => acc + p), scoreDecimals).as(s"pc${j + 1}")
+    }
+    df.select(col(idCol) +: scores: _*)
+  }
 }

@@ -694,6 +694,22 @@ object SimilarityQueries {
           |SELECT vec_id, cluster, d AS dist FROM a3
           |ORDER BY d DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // ---- multi-component PCA by deflation ------------------------------
+    // Component 2 is fit on the residual left after subtracting the
+    // pc1 projection — the standard deflation — with every published
+    // quantity rounded exactly as s18, so the oracle chains two blocks
+    // of the power-iteration CTE rounds over successive residual
+    // lists. pc1 here coincides with s18's (same mean, same first-
+    // component fit, same fold), which cross-pins the two gates.
+    "s22_pca_deflate" -> Q(
+      (s, dir) => {
+        import graft.operators.Clustering
+        Clustering.pcaProjectK(Lake(s, dir).embeddings,
+            "vec_id", "embedding", k = 2, iters = 8)
+          .orderBy("vec_id")
+      },
+      Some(pcaKOracleSql(k = 2, iters = 8, dim = 64))),
+
     // ---- cluster-balanced deterministic sample -------------------------
     // Diversity subsampling: exactly 10 vectors per learned k-means
     // cluster, drawn as the smallest portable md5 hashes (t25's
@@ -786,6 +802,72 @@ object SimilarityQueries {
     kmeansCtes(k, iters, dim) +
       s"""
          |SELECT vec_id, cluster FROM a$iters ORDER BY vec_id""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Clustering.pcaProjectK]]: the
+    * rounded global mean as a residual list `rv1` (x − m), then per
+    * component c: the s18 power-round block run over `rv<c>`, and for
+    * c+1 a deflated residual list rv<c+1> = rv<c> − (rv<c>·v_c) v_c.
+    * Scores are each residual's projection onto its component —
+    * exactly the quantity the fit iterated on. */
+  private def pcaKOracleSql(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH v AS (SELECT vec_id, embedding AS x FROM embeddings),
+         |dims AS (SELECT i FROM generate_series(1, $dim) t(i)),
+         |ml AS (SELECT t.i, round(avg(v.x[t.i]::DOUBLE), 6) AS m
+         |       FROM v CROSS JOIN dims t GROUP BY t.i),
+         |m AS (SELECT list(m ORDER BY i) AS mv FROM ml),
+         |rv1 AS MATERIALIZED (SELECT vec_id,
+         |        [x[i]::DOUBLE - mv[i] for i in generate_series(1, len(x))]
+         |          AS r
+         |       FROM v, m)""".stripMargin
+    for (c <- 1 to k) {
+      sb ++=
+        s""",
+           |p${c}_0 AS (SELECT [round(1/sqrt($dim), 6)
+           |             for i in generate_series(1, $dim)] AS pv)""".stripMargin
+      for (r <- 0 until iters) {
+        sb ++=
+          s""",
+             |s${c}_$r AS (SELECT vec_id, list_sum([rv.r[i] * pv[i]
+             |          for i in generate_series(1, len(rv.r))]) AS s
+             |        FROM rv$c rv, p${c}_$r),
+             |wl${c}_$r AS (SELECT t.i,
+             |          round(sum(s.s * rv.r[t.i]), 5) AS w
+             |         FROM s${c}_$r s JOIN rv$c rv USING (vec_id)
+             |         CROSS JOIN dims t
+             |         GROUP BY t.i),
+             |w${c}_$r AS (SELECT list(w ORDER BY i) AS wv FROM wl${c}_$r),
+             |p${c}_${r + 1} AS MATERIALIZED (SELECT CASE
+             |          WHEN list_sum([w * w for w in wv]) = 0
+             |          THEN [0.0 for w in wv]
+             |          ELSE [round(w / sqrt(list_sum([w2 * w2 for w2 in wv])), 6)
+             |                for w in wv]
+             |        END AS pv FROM w${c}_$r)""".stripMargin
+      }
+      if (c < k) {
+        sb ++=
+          s""",
+             |rv${c + 1} AS MATERIALIZED (SELECT t.vec_id,
+             |        [t.r[i] - t.s * p.pv[i]
+             |         for i in generate_series(1, len(t.r))] AS r
+             |       FROM (SELECT rv.vec_id, rv.r,
+             |               list_sum([rv.r[i] * p2.pv[i]
+             |                 for i in generate_series(1, len(rv.r))]) AS s
+             |             FROM rv$c rv, p${c}_$iters p2) t, p${c}_$iters p)""".stripMargin
+      }
+    }
+    val scoreCols = (1 to k).map(c =>
+      s"""round(list_sum([rv$c.r[i] * p$c.pv[i]
+         |    for i in generate_series(1, len(rv$c.r))]), 6) AS pc$c""".stripMargin)
+    val joins = (2 to k).map(c => s"JOIN rv$c USING (vec_id)").mkString(" ")
+    val ps = (1 to k).map(c => s"p${c}_$iters p$c").mkString(", ")
+    sb ++=
+      s"""
+         |SELECT rv1.vec_id, ${scoreCols.mkString(",\n  ")}
+         |FROM rv1 $joins, $ps ORDER BY rv1.vec_id""".stripMargin
+    sb.result()
+  }
 
   /** DuckDB replay of [[graft.operators.Clustering.pcaProject]]: the
     * rounded global mean, the rounded uniform start direction, then one

@@ -133,6 +133,44 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaFitK with k=1 equals pcaFit bit for bit") {
+    val (m1, v1) = Clustering.pcaFit(peaked, "vec", iters = 8)
+    val (mk, vs) = Clustering.pcaFitK(peaked, "vec", k = 1, iters = 8)
+    assert(m1.toSeq == mk.toSeq)
+    assert(vs.size == 1 && vs.head.toSeq == v1.toSeq)
+  }
+
+  /** Two planted orthogonal directions with well-separated variance. */
+  private lazy val twoAxes = {
+    val d = 6
+    val dir1 = Array(0.5, -0.5, 0.5, -0.5, 0.0, 0.0)
+    val dir2 = Array(0.0, 0.0, 0.0, 0.0, 0.7071, 0.7071)
+    val rows = (0 until 240).map { id =>
+      val t1 = (id % 25) - 12.0        // dominant spread along dir1
+      val t2 = ((id / 25) % 9) - 4.0   // weaker spread along dir2
+      val v = Array.tabulate(d) { j =>
+        (t1 * dir1(j) + t2 * dir2(j) +
+          (((id * 11 + j * 5) % 100) / 1000.0 - 0.05)).toFloat
+      }
+      (id.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "vec")
+  }
+
+  test("deflation recovers a second planted direction, near-orthogonal to the first") {
+    val (_, vs) = Clustering.pcaFitK(twoAxes, "vec", k = 2, iters = 12)
+    def cosWith(v: Array[Double], d: Array[Double]): Double = {
+      val dn = math.sqrt(d.map(x => x * x).sum)
+      math.abs(v.zip(d).map { case (a, b) => a * b }.sum / dn)
+    }
+    val dir1 = Array(0.5, -0.5, 0.5, -0.5, 0.0, 0.0)
+    val dir2 = Array(0.0, 0.0, 0.0, 0.0, 0.7071, 0.7071)
+    assert(cosWith(vs(0), dir1) > 0.99, s"pc1 off: ${vs(0).toSeq}")
+    assert(cosWith(vs(1), dir2) > 0.99, s"pc2 off: ${vs(1).toSeq}")
+    val ortho = math.abs(vs(0).zip(vs(1)).map { case (a, b) => a * b }.sum)
+    assert(ortho < 0.01, s"components not orthogonal: $ortho")
+  }
+
   test("pca on zero-variance data publishes the zero direction") {
     val flat = (0 until 10).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "vec")
