@@ -57,6 +57,17 @@ object MaterializedView {
     * routes without the query naming the view. */
   final case class MvGroupExpr(name: String, sql: String)
 
+  /** A join-backed view's second input: the base (fact) path INNER
+    * equi-joins `rightPath` (dimension) on pairwise
+    * `leftKeys(i) = rightKeys(i)`. Column names across the two inputs
+    * must be disjoint (the star-schema convention — prefixed columns);
+    * grouping/aggregate columns may come from either side. */
+  final case class MvJoin(rightPath: String,
+                          leftKeys: Seq[String], rightKeys: Seq[String]) {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      "MvJoin needs one or more (leftKey, rightKey) pairs")
+  }
+
   final case class MvDef(name: String, basePath: String,
                          groupCols: Seq[String], aggs: Seq[MvAgg],
                          mvPath: String, dataDir: String,
@@ -68,7 +79,9 @@ object MaterializedView {
                            * at create/load against a base scan; the
                            * rule remaps its attribute refs by NAME onto
                            * the query's scan before comparing. */
-                         groupTemplates: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+                         groupTemplates: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+                         join: Option[MvJoin] = None,
+                         rightFingerprint: String = "")
 
   /** name -> definition; process-wide (sessions share the JVM). */
   private val catalog = TrieMap.empty[String, MvDef]
@@ -130,9 +143,21 @@ object MaterializedView {
     * what a routed query's answer must equal). */
   def definingQuery(spark: SparkSession, basePath: String,
                     groupCols: Seq[String], aggs: Seq[MvAgg],
-                    groupExprs: Seq[MvGroupExpr] = Nil): DataFrame =
-    aggregateOf(spark.read.parquet(basePath),
-      groupingColumns(groupCols, groupExprs), aggs.map(aggColumn))
+                    groupExprs: Seq[MvGroupExpr] = Nil,
+                    join: Option[MvJoin] = None): DataFrame = {
+    val base = spark.read.parquet(basePath)
+    val frame = join match {
+      case None => base
+      case Some(j) =>
+        val right = spark.read.parquet(j.rightPath)
+        base.join(right,
+          j.leftKeys.zip(j.rightKeys)
+            .map { case (l, r) => base(l) === right(r) }
+            .reduce(_ && _), "inner")
+    }
+    aggregateOf(frame, groupingColumns(groupCols, groupExprs),
+      aggs.map(aggColumn))
+  }
 
   /** Resolve each groupExpr against a base scan ONCE; the rule compares
     * these templates (attribute refs remapped by name) against query
@@ -181,7 +206,8 @@ object MaterializedView {
                       groupCols: Seq[String], aggs: Seq[MvAgg],
                       mvPath: String, baseFp: String,
                       content: DataFrame, lastBatchId: Long,
-                      groupExprs: Seq[MvGroupExpr]): MvDef = {
+                      groupExprs: Seq[MvGroupExpr],
+                      join: Option[MvJoin], rightFp: String): MvDef = {
     val (dataDir, gens) = nextGen(spark, mvPath)
     content.write.mode("errorifexists").parquet(dataDir)
     val rel = spark.read.parquet(dataDir).queryExecution.analyzed
@@ -190,7 +216,7 @@ object MaterializedView {
         s"materialized view at $dataDir did not analyze to a file relation"))
     val d = MvDef(name, basePath, groupCols, aggs, mvPath, dataDir, baseFp,
       rel, lastBatchId, groupExprs,
-      resolveTemplates(spark, basePath, groupExprs))
+      resolveTemplates(spark, basePath, groupExprs), join, rightFp)
     writeDefJson(spark, d)
     catalog.put(name, d)
     val fs = new Path(mvPath)
@@ -216,10 +242,16 @@ object MaterializedView {
     val groupExprsJson = d.groupExprs.map(g =>
       s"""{"name":${jsonStr(g.name)},"sql":${jsonStr(g.sql)}}""")
       .mkString("[", ",", "]")
+    val joinJson = d.join.map(j =>
+      s"""{"rightPath":${jsonStr(j.rightPath)},""" +
+        s""""leftKeys":${j.leftKeys.map(jsonStr).mkString("[", ",", "]")},""" +
+        s""""rightKeys":${j.rightKeys.map(jsonStr).mkString("[", ",", "]")}}""")
+      .getOrElse("null")
     val body =
       s"""{"name":${jsonStr(d.name)},"basePath":${jsonStr(d.basePath)},""" +
         s""""groupCols":${d.groupCols.map(jsonStr).mkString("[", ",", "]")},""" +
-        s""""groupExprs":$groupExprsJson,""" +
+        s""""groupExprs":$groupExprsJson,"join":$joinJson,""" +
+        s""""rightFingerprint":${jsonStr(d.rightFingerprint)},""" +
         s""""aggs":$aggsJson,"dataDir":${jsonStr(d.dataDir)},""" +
         s""""baseFingerprint":${jsonStr(d.baseFingerprint)},""" +
         s""""lastBatchId":${d.lastBatchId}}"""
@@ -281,6 +313,21 @@ object MaterializedView {
       }
       case _ => Nil // pre-groupExprs definition records
     }
+    def strList(v: JValue): Seq[String] = v match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    val join = j \ "join" match {
+      case JObject(_) => Some(MvJoin(
+        j \ "join" \ "rightPath" match { case JString(s) => s; case _ => "?" },
+        strList(j \ "join" \ "leftKeys"),
+        strList(j \ "join" \ "rightKeys")))
+      case _ => None
+    }
+    val rightFp = j \ "rightFingerprint" match {
+      case JString(s) => s
+      case _ => ""
+    }
     val dataDir = str("dataDir")
     val rel = spark.read.parquet(dataDir).queryExecution.analyzed
       .collectFirst { case lr: LogicalRelation => lr }
@@ -289,7 +336,7 @@ object MaterializedView {
     val basePath = str("basePath")
     val d = MvDef(str("name"), basePath, groupCols, aggs, mvPath,
       dataDir, str("baseFingerprint"), rel, lastBatchId, groupExprs,
-      resolveTemplates(spark, basePath, groupExprs))
+      resolveTemplates(spark, basePath, groupExprs), join, rightFp)
     catalog.put(d.name, d)
     d
   }
@@ -316,8 +363,11 @@ object MaterializedView {
     * Older generations beyond the previous one are vacuumed best-effort. */
   def create(spark: SparkSession, name: String, basePath: String,
              groupCols: Seq[String], aggs: Seq[MvAgg],
-             mvPath: String, groupExprs: Seq[MvGroupExpr] = Nil): MvDef = {
+             mvPath: String, groupExprs: Seq[MvGroupExpr] = Nil,
+             join: Option[MvJoin] = None): MvDef = {
     require(aggs.nonEmpty, "a view needs at least one aggregate column")
+    require(join.isEmpty || groupExprs.isEmpty,
+      "join-backed views with derived grouping dimensions are not supported")
     // a refresh carries the replay guard forward: the recomputed view
     // already CONTAINS every absorbed batch's rows (they are in the
     // base), so a crash-replayed batch arriving after the refresh must
@@ -325,9 +375,10 @@ object MaterializedView {
     val carried = catalog.get(name).map(_.lastBatchId).getOrElse(-1L)
     catalog.remove(name) // the defining query must never route to itself
     val fp = fingerprint(spark, basePath)
+    val rightFp = join.map(jn => fingerprint(spark, jn.rightPath)).getOrElse("")
     publish(spark, name, basePath, groupCols, aggs, mvPath, fp,
-      definingQuery(spark, basePath, groupCols, aggs, groupExprs),
-      carried, groupExprs)
+      definingQuery(spark, basePath, groupCols, aggs, groupExprs, join),
+      carried, groupExprs, join, rightFp)
   }
 
   /** Delta-cost maintenance — q41's merge family wired to routing. The
@@ -357,6 +408,10 @@ object MaterializedView {
              batchId: Long = -1L): MvDef = {
     val d = catalog.getOrElse(name,
       throw new NoSuchElementException(s"no materialized view named $name"))
+    require(d.join.isEmpty,
+      s"absorb on join-backed view '$name' is not supported: a base delta " +
+        "changes JOINED groups (the q59 IncrementalJoin delta algebra is " +
+        "the right primitive) — use refresh")
     if (batchId >= 0 && d.lastBatchId >= batchId) return d // replayed
     val fp = fingerprint(spark, d.basePath)
     catalog.remove(name) // no routing against the view mid-republish
@@ -379,7 +434,7 @@ object MaterializedView {
     val merged = aggregateOf(stored.unionByName(deltaAgg),
       mergeKeys, mergeCols)
     publish(spark, name, d.basePath, d.groupCols, d.aggs, d.mvPath, fp,
-      merged, math.max(d.lastBatchId, batchId), d.groupExprs)
+      merged, math.max(d.lastBatchId, batchId), d.groupExprs, None, "")
   }
 
   /** Recompute the view against the CURRENT base and re-arm routing
@@ -390,12 +445,15 @@ object MaterializedView {
     val d = catalog.getOrElse(name,
       throw new NoSuchElementException(s"no materialized view named $name"))
     create(spark, name, d.basePath, d.groupCols, d.aggs, d.mvPath,
-      d.groupExprs)
+      d.groupExprs, d.join)
   }
 
-  /** True while routing to `name` is sound: base unchanged since the
-    * last create/refresh. */
+  /** True while routing to `name` is sound: every input unchanged since
+    * the last create/refresh/absorb (a join-backed view checks BOTH
+    * sides — a dimension update invalidates the rollup too). */
   def isFresh(spark: SparkSession, name: String): Boolean =
     catalog.get(name).exists(d =>
-      fingerprint(spark, d.basePath) == d.baseFingerprint)
+      fingerprint(spark, d.basePath) == d.baseFingerprint &&
+        d.join.forall(jn =>
+          fingerprint(spark, jn.rightPath) == d.rightFingerprint))
 }

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -48,7 +49,7 @@ import graft.operators.MaterializedView.{MvAgg, MvDef}
   * scanning a |groups|-row table; the staleness probe is one base file
   * listing (O(1) manifest read when the base is snapshot-versioned).
   */
-object MaterializedViewRule extends Rule[LogicalPlan] {
+object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val ConfKey = "spark.graft.rewriteMaterializedViews"
 
@@ -78,20 +79,21 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
         (if (views.isEmpty) Seq("no materialized views registered") else Nil) ++
         (if (aggs.isEmpty) Seq("no aggregate in the plan") else Nil)
     val rows = for (agg <- aggs; d <- views) yield {
-      val verdict = baseScanOf(agg.child) match {
+      val verdict = coreOf(agg.child) match {
         case None =>
-          "no clean base scan under the aggregate (non-Project/Filter operator in between)"
-        case Some((scan, env, filters)) =>
-          if (!samePath(spark, d.basePath, scan))
-            s"base path differs (view is over ${d.basePath})"
-          else if (!filters.forall(groupOnlyPredicate(_, d, env)))
+          "no servable scan/join under the aggregate (non-Project/Filter operator in between)"
+        case Some(core) =>
+          if (!coreMatches(spark, d, core))
+            s"input shape differs (view is over ${d.basePath}" +
+              d.join.map(j => s" ⋈ ${j.rightPath}").getOrElse("") + ")"
+          else if (!core.filters.forall(groupOnlyPredicate(_, d, core.env)))
             "a pre-aggregation filter touches a non-grouping column"
-          else if (!groupingMatches(agg, d, scan, env))
+          else if (!groupingMatches(agg, d, core.left, core.env))
             "grouping differs from the view's declared dimensions"
-          else if (!aggregatesMatch(agg, d, scan, env))
+          else if (!aggregatesMatch(agg, d, core.left, core.env))
             "an aggregate expression is not served by the view's stored columns"
           else if (!MaterializedView.isFresh(spark, d.name))
-            "view is STALE: the base changed since the last create/refresh/absorb"
+            "view is STALE: an input changed since the last create/refresh/absorb"
           else "routable"
       }
       s"view '${d.name}': $verdict"
@@ -102,16 +104,91 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val spark = SparkSession.active
     for {
-      (scan, env, filters) <- baseScanOf(agg.child)
+      core <- coreOf(agg.child)
       mv <- MaterializedView.registered.values.find(d =>
-        samePath(spark, d.basePath, scan) &&
-          filters.forall(groupOnlyPredicate(_, d, env)) &&
-          groupingMatches(agg, d, scan, env) &&
-          aggregatesMatch(agg, d, scan, env) &&
+        coreMatches(spark, d, core) &&
+          core.filters.forall(groupOnlyPredicate(_, d, core.env)) &&
+          groupingMatches(agg, d, core.left, core.env) &&
+          aggregatesMatch(agg, d, core.left, core.env) &&
           MaterializedView.isFresh(spark, d.name))
-      routed <- route(agg, mv, scan, env, filters)
+      routed <- route(agg, mv, core.left, core.env, core.filters)
     } yield routed
   }
+
+  /** The servable sub-plan under the aggregate: a base scan, or an
+    * INNER equi-join of two base scans (the star-rollup shape a
+    * join-backed view stores), with the alias environment and the
+    * collected pre-aggregation filters from every layer. `conds` holds
+    * the join's equi-pairs as (left-scan column, right-scan column). */
+  private case class Core(left: LogicalRelation,
+                          right: Option[LogicalRelation],
+                          env: Map[ExprId, Expression],
+                          filters: Seq[Expression],
+                          conds: Seq[(String, String)])
+
+  private def coreOf(plan: LogicalPlan): Option[Core] =
+    unwrapOps(plan).flatMap { case (stop, env, filters) =>
+      stop match {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          Some(Core(lr, None, env, filters, Nil))
+        case j: Join if j.joinType == Inner && j.condition.isDefined =>
+          for {
+            (ls, lenv, lf) <- unwrapOps(j.left)
+            lscan <- asScan(ls)
+            (rs, renv, rf) <- unwrapOps(j.right)
+            rscan <- asScan(rs)
+            fullEnv = env ++ lenv ++ renv
+            conds <- equiConds(resolveThrough(j.condition.get, fullEnv),
+              lscan, rscan)
+          } yield Core(lscan, Some(rscan), fullEnv,
+            (filters ++ lf ++ rf).map(resolveThrough(_, fullEnv)), conds)
+        case _ => None
+      }
+    }
+
+  private def asScan(plan: LogicalPlan): Option[LogicalRelation] =
+    plan match {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        Some(lr)
+      case _ => None
+    }
+
+  /** Conjunction of attribute equalities across the two scans, oriented
+    * (left column, right column); anything else disqualifies. */
+  private def equiConds(cond: Expression, l: LogicalRelation,
+                        r: LogicalRelation): Option[Seq[(String, String)]] = {
+    val pairs = splitConjunctivePredicates(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (l.outputSet.contains(a) && r.outputSet.contains(b))
+          Some((a.name, b.name))
+        else if (l.outputSet.contains(b) && r.outputSet.contains(a))
+          Some((b.name, a.name))
+        else None
+      case _ => None
+    }
+    if (pairs.nonEmpty && pairs.forall(_.isDefined)) Some(pairs.flatten)
+    else None
+  }
+
+  /** Does the core's input shape equal the view's declared inputs?
+    * Join-backed views accept either join orientation (fact ⋈ dim or
+    * dim ⋈ fact — the key pairs swap with it). */
+  private def coreMatches(spark: SparkSession, d: MvDef,
+                          core: Core): Boolean =
+    d.join match {
+      case None =>
+        core.right.isEmpty && samePath(spark, d.basePath, core.left)
+      case Some(jn) => core.right.exists { rscan =>
+        val declared = jn.leftKeys.zip(jn.rightKeys).toSet
+        val fwd = samePath(spark, d.basePath, core.left) &&
+          samePath(spark, jn.rightPath, rscan) &&
+          core.conds.toSet == declared
+        val rev = samePath(spark, d.basePath, rscan) &&
+          samePath(spark, jn.rightPath, core.left) &&
+          core.conds.map(_.swap).toSet == declared
+        fwd || rev
+      }
+    }
 
   /** A pre-aggregation filter is servable from the view iff it touches
     * ONLY bare grouping columns (after alias substitution): such a
@@ -164,39 +241,33 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
         name
     }
 
-  /** The base file scan under the aggregate, looking through Projects
-    * that only pass attributes through or alias DETERMINISTIC
-    * expressions of them (column pruning and the optimizer's
-    * pulled-out grouping expressions). Returns the scan, the alias
-    * environment accumulated on the way down — every aliased expression
-    * fully substituted to scan attributes — and every Filter predicate
-    * encountered (substituted likewise; servable only if group-only,
-    * judged later against the matched view by [[groupOnlyPredicate]]).
-    * Any OTHER operator means the aggregate sees a population the view
-    * cannot reproduce: no match. */
-  private def baseScanOf(plan: LogicalPlan)
-      : Option[(LogicalRelation, Map[ExprId, Expression], Seq[Expression])] =
+  /** Walk down through Projects that only pass attributes or alias
+    * DETERMINISTIC expressions (column pruning and the optimizer's
+    * pulled-out grouping expressions) and Filters (collected, judged
+    * against the matched view later by [[groupOnlyPredicate]]),
+    * accumulating the alias environment — every aliased expression
+    * fully substituted toward the layer below. Stops at the first
+    * other node, which [[coreOf]] then requires to be a scan or an
+    * inner equi-join of scans. */
+  private def unwrapOps(plan: LogicalPlan)
+      : Option[(LogicalPlan, Map[ExprId, Expression], Seq[Expression])] =
     plan match {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        Some((lr, Map.empty, Nil))
       case Project(projList, child) if projList.forall {
             case _: AttributeReference => true
             case a: Alias => a.child.deterministic
             case _ => false
           } =>
-        baseScanOf(child).map { case (scan, childEnv, filters) =>
+        unwrapOps(child).map { case (stop, childEnv, filters) =>
           val here = projList.collect {
             case a: Alias => a.exprId -> resolveThrough(a.child, childEnv)
           }.toMap
-          (scan, childEnv ++ here, filters)
+          (stop, childEnv ++ here, filters)
         }
       case Filter(cond, child) =>
-        // collected, judged against the matched view later (servable
-        // only when it selects whole groups — see groupOnlyPredicate)
-        baseScanOf(child).map { case (scan, childEnv, filters) =>
-          (scan, childEnv, resolveThrough(cond, childEnv) +: filters)
+        unwrapOps(child).map { case (stop, childEnv, filters) =>
+          (stop, childEnv, resolveThrough(cond, childEnv) +: filters)
         }
-      case _ => None
+      case other => Some((other, Map.empty, Nil))
     }
 
   private def samePath(spark: SparkSession, basePath: String,

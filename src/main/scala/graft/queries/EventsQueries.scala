@@ -545,5 +545,56 @@ object EventsQueries {
           |  true AS served_from_mv
           |FROM events GROUP BY 1, 2
           |ORDER BY event_type, hour_us""".stripMargin)),
+
+    // ---- join-backed MV routing (the star rollup served) ---------------
+    // The q04 shape as a VIEW: orders ⋈ customer on custkey, grouped by
+    // market segment. A user writing the naive fact-⋈-dim aggregate —
+    // in either join orientation — reads the |segments|-row view
+    // instead of joining the fact table; freshness covers BOTH inputs
+    // (a dimension update invalidates the rollup, spec-pinned), and
+    // absorb is refused with a pointer to the q59 delta algebra.
+    "q66_mv_join" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        import graft.operators.MaterializedView.{MvAgg, MvJoin}
+        val fact = s"$dir/orders.parquet"
+        val dimP = s"$dir/customer.parquet"
+        val mvPath =
+          s"target/mv/orders_by_segment_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        MaterializedView.create(s, "orders_by_segment", fact,
+          groupCols = Seq("c_mktsegment"),
+          aggs = Seq(
+            MvAgg("count_star", outCol = "n_orders"),
+            MvAgg("sum", "o_totalprice", Some("decimal(18,2)"),
+              outCol = "revenue")),
+          mvPath = mvPath,
+          join = Some(MvJoin(dimP, Seq("o_custkey"), Seq("c_custkey"))))
+        s.conf.set(graft.plans.MaterializedViewRule.ConfKey, "true")
+        val o = s.read.parquet(fact); val c = s.read.parquet(dimP)
+        val q = o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
+        val routed = q.queryExecution.optimizedPlan.collectLeaves().exists {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains(mvPath))
+              case _ => false
+            }
+          case _ => false
+        }
+        q.select(col("c_mktsegment"), col("n_orders"),
+            col("revenue").cast(DoubleType).as("revenue"),
+            lit(routed).as("served_from_mv"))
+          .orderBy("c_mktsegment")
+      },
+      Some(
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue,
+          |  true AS served_from_mv
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
   )
 }

@@ -394,6 +394,64 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_diag")
   }
 
+  test("a join-backed view routes the star rollup in either join orientation") {
+    import MaterializedView.MvJoin
+    val fact = freshDir("join/fact"); val dim = freshDir("join/dim")
+    val mv = freshDir("join/mv")
+    Seq((1L, 10L, 2.0), (2L, 10L, 3.0), (3L, 20L, 5.0), (4L, 30L, 7.0))
+      .toDF("o_id", "o_cust", "o_amt").write.mode("overwrite").parquet(fact)
+    Seq((10L, "gold"), (20L, "iron"), (30L, "gold"))
+      .toDF("c_id", "c_tier").write.mode("overwrite").parquet(dim)
+    MaterializedView.create(spark, "mv_join", fact,
+      groupCols = Seq("c_tier"),
+      aggs = Seq(MvAgg("count_star", outCol = "n"),
+        MvAgg("sum", "o_amt", Some("decimal(18,6)"), outCol = "amt")),
+      mvPath = mv,
+      join = Some(MvJoin(dim, Seq("o_cust"), Seq("c_id"))))
+    val factDf = spark.read.parquet(fact)
+    val dimDf = spark.read.parquet(dim)
+    def agg(df: DataFrame) = df.groupBy("c_tier")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_amt").cast(DecimalType(18, 6))).as("amt"))
+    def canon(df: DataFrame) = df.orderBy("c_tier").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).toSeq
+    val want = Seq(("gold", 3L, "12.000000"), ("iron", 1L, "5.000000"))
+    try withRouting {
+      val fwd = agg(factDf.join(dimDf, factDf("o_cust") === dimDf("c_id")))
+      assert(readsPath(fwd, mv), "fact ⋈ dim must route")
+      assert(canon(fwd) == want)
+      // reversed orientation routes too
+      val rev = agg(dimDf.join(factDf, factDf("o_cust") === dimDf("c_id")))
+      assert(readsPath(rev, mv), "dim ⋈ fact must route")
+      assert(canon(rev) == want)
+      // wrong key pair stands down
+      val wrongKeys = agg(factDf.join(dimDf, factDf("o_id") === dimDf("c_id")))
+      assert(!readsPath(wrongKeys, mv))
+      // group-column filter on the dim side still routes (whole groups)
+      val filtered = agg(factDf.join(
+        dimDf.where(col("c_tier") === "gold"),
+        factDf("o_cust") === dimDf("c_id")))
+      assert(readsPath(filtered, mv))
+      assert(canon(filtered) == Seq(("gold", 3L, "12.000000")))
+      // a dimension UPDATE invalidates the rollup (right-side staleness)
+      Seq((40L, "iron")).toDF("c_id", "c_tier")
+        .write.mode("append").parquet(dim)
+      val stale = agg(factDf.join(dimDf, factDf("o_cust") === dimDf("c_id")))
+      assert(!readsPath(stale, mv), "dim change must stop routing")
+      // absorb is refused on join views with a pointer to the delta algebra
+      val e = intercept[IllegalArgumentException] {
+        MaterializedView.absorb(spark, "mv_join",
+          Seq((9L, 10L, 1.0)).toDF("o_id", "o_cust", "o_amt"))
+      }
+      assert(e.getMessage.contains("IncrementalJoin"))
+      // refresh re-arms
+      MaterializedView.refresh(spark, "mv_join")
+      assert(readsPath(agg(factDf.join(dimDf,
+        factDf("o_cust") === dimDf("c_id"))), mv))
+    } finally MaterializedView.drop("mv_join")
+  }
+
   test("SQL text gets the same routing as the DataFrame API") {
     val base = freshDir("sql/base"); val mv = freshDir("sql/mv")
     writeBase(base, rows)
