@@ -227,16 +227,6 @@ object Clustering {
         .as("pc1"))
   }
 
-  /** x_i - s·v_i with s = r·v — one deflation step: subtract the
-    * residual's projection onto `v`. Same per-element op order as the
-    * SQL replay. */
-  private def deflate(r: Column, v: Seq[Double]): Column = {
-    val s = aggregate(
-      zip_with(r, typedlit(v), (a, b) => a * b),
-      lit(0.0), (acc, p) => acc + p)
-    zip_with(r, typedlit(v), (ri, vi) => ri - s * vi)
-  }
-
   /** Top-`k` principal directions by power iteration WITH DEFLATION:
     * component j is fit on the residual left after subtracting every
     * earlier component's projection (r_j = r_{j-1} − (r_{j-1}·v_{j-1})
@@ -270,24 +260,52 @@ object Clustering {
     val m = (0 until dim).map(meanRow.getDouble).toArray
     val centered = zip_with(col("__v"), typedlit(m.toSeq),
       (a, b) => a.cast(DoubleType) - b)
+    def gram(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def dotC(v: Array[Double]): Column = aggregate(
+      zip_with(col("__c"), typedlit(v.toSeq), (a, b) => a * b),
+      lit(0.0), (acc, p) => acc + p)
     var components = Seq.empty[Array[Double]]
     for (_ <- 0 until k) {
-      val resid = components.foldLeft(centered)((r, v) => deflate(r, v.toSeq))
-      val withR = c0.withColumn("__r", resid)
+      // The residual never materializes: with prior scores
+      // s_l = (c·v_l) − Σ_{p<l} s_p (v_p·v_l) as flat per-row columns,
+      //   round score  s = (c·v) − Σ_l s_l (v_l·v)
+      //   w_i          = Σ_r s·c_i − Σ_l v_l,i · Σ_r s·s_l
+      // i.e. ONE aggregate of dim + |priors| flat sums per round, and
+      // the driver combines with the component literals. (The explicit
+      // residual-column form re-evaluated inner dot products per
+      // element through the HOF lambdas — measured 4× slower with k=2
+      // and growing with k.) Float order differs from the explicit
+      // form by ~1 ulp per term; the 5-decimal w rounding absorbs it —
+      // the same margin the distributed-sum nondeterminism already
+      // rides.
+      val priors = components
+      val base0 = c0.select(centered.as("__c"))
+      val withP = priors.indices.foldLeft(base0) { (f, l) =>
+        val corrected = (0 until l).foldLeft(dotC(priors(l))) { (e, p) =>
+          e - col(s"__p$p") * lit(gram(priors(p), priors(l)))
+        }
+        f.withColumn(s"__p$l", corrected)
+      }
       var v = Array.fill(dim)(roundTo(1.0 / math.sqrt(dim), vDecimals))
       for (_ <- 0 until iters) {
-        val s = aggregate(
-          zip_with(col("__r"), typedlit(v.toSeq), (a, b) => a * b),
-          lit(0.0), (acc, p) => acc + p)
-        val wRow = withR.withColumn("__s", s).agg(
-          round(sum(col("__s") * element_at(col("__r"), 1)), wDecimals)
-            .as("__w1"),
-          (2 to dim).map(i =>
-            round(sum(col("__s") * element_at(col("__r"), i)), wDecimals)
-              .as(s"__w$i")): _*)
-          .collect()(0)
-        val w = (0 until dim).map(i =>
-          if (wRow.isNullAt(i)) 0.0 else wRow.getDouble(i)).toArray
+        val s = priors.indices.foldLeft(dotC(v)) { (e, l) =>
+          e - col(s"__p$l") * lit(gram(priors(l), v))
+        }
+        val aggCols =
+          (1 to dim).map(i =>
+            sum(col("__s") * element_at(col("__c"), i)).as(s"__a$i")) ++
+            priors.indices.map(l =>
+              sum(col("__s") * col(s"__p$l")).as(s"__b$l"))
+        val row = withP.withColumn("__s", s)
+          .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+        def cell(i: Int): Double = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+        val b = priors.indices.map(l => cell(dim + l))
+        val w = (0 until dim).map { i =>
+          val a = cell(i)
+          roundTo(priors.indices.foldLeft(a)((e, l) =>
+            e - priors(l)(i) * b(l)), wDecimals)
+        }.toArray
         val norm = math.sqrt(w.map(x => x * x).sum)
         v = if (norm == 0.0) Array.fill(dim)(0.0)
             else w.map(x => roundTo(x / norm, vDecimals))
@@ -295,6 +313,54 @@ object Clustering {
       components :+= v
     }
     (m, components)
+  }
+
+  /** Per-row PCA reconstruction error `(idCol, err)`: the squared norm
+    * of the residual AFTER removing all `k` fitted components — what
+    * the low-rank model could NOT explain. The complement of
+    * [[centroidDistances]]' outlier signal: a row can sit near its
+    * cluster centroid yet be structurally unlike the corpus (high
+    * residual), and vice versa.
+    *
+    * Computed ALGEBRAICALLY, not by materializing the residual chain:
+    * with s_j the j-th residual's projection,
+    *   s_j  = (c·v_j) − Σ_{l<j} s_l (v_l·v_j)
+    *   err  = ‖c‖² − Σ_j s_j² (2 − ‖v_j‖²)
+    * (exact: ‖r − s v‖² = ‖r‖² − s²(2 − ‖v‖²) because r·v = s by
+    * definition; the Gram terms correct for the rounded components not
+    * being exactly orthonormal). The per-row cost is k flat dot
+    * products over the centered vector + scalar algebra — the nested
+    * residual-expression form re-evaluated inner dot products PER
+    * ELEMENT through the HOF lambdas and blew both codegen size and
+    * runtime (measured 47→158 s across SFs before the rewrite; ~1 s
+    * after). Float order differs from the oracle's explicit residual
+    * lists by ~1 ulp; the 6-decimal rounding both sides publish
+    * absorbs it (the same margin every rounded-iteration gate rides). */
+  def pcaReconstructionError(df: DataFrame, idCol: String, vecCol: String,
+                             k: Int, iters: Int = 8,
+                             errDecimals: Int = 6): DataFrame = {
+    val (m, vs) = pcaFitK(df, vecCol, k, iters)
+    if (m.isEmpty)
+      return df.select(col(idCol), lit(0.0).as("err")).limit(0)
+    val centered = zip_with(col(vecCol), typedlit(m.toSeq),
+      (a, b) => a.cast(DoubleType) - b)
+    val r0sq = aggregate(transform(centered, e => e * e),
+      lit(0.0), (acc, p) => acc + p)
+    def dot0(v: Array[Double]): Column = aggregate(
+      zip_with(centered, typedlit(v.toSeq), (a, b) => a * b),
+      lit(0.0), (acc, p) => acc + p)
+    def gram(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val sCols = vs.indices.foldLeft(Seq.empty[Column]) { (acc, j) =>
+      val corrected = acc.zipWithIndex.foldLeft(dot0(vs(j))) {
+        case (e, (sl, l)) => e - sl * lit(gram(vs(l), vs(j)))
+      }
+      acc :+ corrected
+    }
+    val err = vs.indices.foldLeft(r0sq) { (e, j) =>
+      e - sCols(j) * sCols(j) * lit(2.0 - gram(vs(j), vs(j)))
+    }
+    df.select(col(idCol), round(err, errDecimals).as("err"))
   }
 
   /** Per-row scores `(idCol, pc1 … pck)` where pc_j is the j-th
@@ -312,13 +378,20 @@ object Clustering {
     }
     val centered = zip_with(col(vecCol), typedlit(m.toSeq),
       (a, b) => a.cast(DoubleType) - b)
-    val resids = vs.indices.map(j =>
-      vs.take(j).foldLeft(centered)((r, v) => deflate(r, v.toSeq)))
-    val scores = vs.indices.map { j =>
-      round(aggregate(
-        zip_with(resids(j), typedlit(vs(j).toSeq), (a, b) => a * b),
-        lit(0.0), (acc, p) => acc + p), scoreDecimals).as(s"pc${j + 1}")
+    def dot0(v: Array[Double]): Column = aggregate(
+      zip_with(centered, typedlit(v.toSeq), (a, b) => a * b),
+      lit(0.0), (acc, p) => acc + p)
+    def gram(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // flat Gram-corrected residual projections (see pcaFitK's scaladoc
+    // note on why the explicit residual chain is avoided)
+    val sCols = vs.indices.foldLeft(Seq.empty[Column]) { (acc, j) =>
+      acc :+ acc.zipWithIndex.foldLeft(dot0(vs(j))) {
+        case (e, (sl, l)) => e - sl * lit(gram(vs(l), vs(j)))
+      }
     }
+    val scores = vs.indices.map(j =>
+      round(sCols(j), scoreDecimals).as(s"pc${j + 1}"))
     df.select(col(idCol) +: scores: _*)
   }
 }

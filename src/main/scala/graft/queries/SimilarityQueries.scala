@@ -710,6 +710,21 @@ object SimilarityQueries {
       },
       Some(pcaKOracleSql(k = 2, iters = 8, dim = 64))),
 
+    // ---- PCA reconstruction-error outlier scoring ----------------------
+    // The residual squared norm after removing the 2 fitted components:
+    // the structural-anomaly complement of s20's centroid distance (a
+    // row can sit near its centroid yet be unlike the corpus's low-rank
+    // structure). Same deterministic fit as s22; the oracle extends the
+    // deflation chain one residual further and sums its squares.
+    "s23_pca_error" -> Q(
+      (s, dir) => {
+        import graft.operators.Clustering
+        Clustering.pcaReconstructionError(Lake(s, dir).embeddings,
+            "vec_id", "embedding", k = 2, iters = 8)
+          .orderBy("vec_id")
+      },
+      Some(pcaErrorOracleSql(k = 2, iters = 8, dim = 64))),
+
     // ---- cluster-balanced deterministic sample -------------------------
     // Diversity subsampling: exactly 10 vectors per learned k-means
     // cluster, drawn as the smallest portable md5 hashes (t25's
@@ -810,6 +825,29 @@ object SimilarityQueries {
     * Scores are each residual's projection onto its component —
     * exactly the quantity the fit iterated on. */
   private def pcaKOracleSql(k: Int, iters: Int, dim: Int): String = {
+    val scoreCols = (1 to k).map(c =>
+      s"""round(list_sum([rv$c.r[i] * p$c.pv[i]
+         |    for i in generate_series(1, len(rv$c.r))]), 6) AS pc$c""".stripMargin)
+    val joins = (2 to k).map(c => s"JOIN rv$c USING (vec_id)").mkString(" ")
+    val ps = (1 to k).map(c => s"p${c}_$iters p$c").mkString(", ")
+    pcaKCtes(k, iters, dim, tailResidual = false) +
+      s"""
+         |SELECT rv1.vec_id, ${scoreCols.mkString(",\n  ")}
+         |FROM rv1 $joins, $ps ORDER BY rv1.vec_id""".stripMargin
+  }
+
+  /** s23's oracle: the residual AFTER the last component (rv<k+1>) is
+    * what PCA could not explain; its squared norm is the per-row
+    * reconstruction error. */
+  private def pcaErrorOracleSql(k: Int, iters: Int, dim: Int): String =
+    pcaKCtes(k, iters, dim, tailResidual = true) +
+      s"""
+         |SELECT vec_id,
+         |  round(list_sum([e * e for e in r]), 6) AS err
+         |FROM rv${k + 1} ORDER BY vec_id""".stripMargin
+
+  private def pcaKCtes(k: Int, iters: Int, dim: Int,
+                       tailResidual: Boolean): String = {
     val sb = new StringBuilder
     sb ++=
       s"""WITH v AS (SELECT vec_id, embedding AS x FROM embeddings),
@@ -845,7 +883,7 @@ object SimilarityQueries {
              |                for w in wv]
              |        END AS pv FROM w${c}_$r)""".stripMargin
       }
-      if (c < k) {
+      if (c < k || tailResidual) {
         sb ++=
           s""",
              |rv${c + 1} AS MATERIALIZED (SELECT t.vec_id,
@@ -857,15 +895,6 @@ object SimilarityQueries {
              |             FROM rv$c rv, p${c}_$iters p2) t, p${c}_$iters p)""".stripMargin
       }
     }
-    val scoreCols = (1 to k).map(c =>
-      s"""round(list_sum([rv$c.r[i] * p$c.pv[i]
-         |    for i in generate_series(1, len(rv$c.r))]), 6) AS pc$c""".stripMargin)
-    val joins = (2 to k).map(c => s"JOIN rv$c USING (vec_id)").mkString(" ")
-    val ps = (1 to k).map(c => s"p${c}_$iters p$c").mkString(", ")
-    sb ++=
-      s"""
-         |SELECT rv1.vec_id, ${scoreCols.mkString(",\n  ")}
-         |FROM rv1 $joins, $ps ORDER BY rv1.vec_id""".stripMargin
     sb.result()
   }
 
