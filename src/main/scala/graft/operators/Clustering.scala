@@ -131,8 +131,19 @@ object Clustering {
       meanDecimals, distDecimals)
     if (cents.isEmpty)
       return df.select(col(idCol), lit(0L).as("cluster")).limit(0)
+    assignTo(df, idCol, vecCol, cents, distDecimals)
+  }
+
+  /** Assignment against an already-trained centroid seq — the
+    * frozen-model serving path ([[graft.streaming.ClusterStream]]'s
+    * batch/streaming-shared expression; works on streaming frames
+    * because it is a bare projection). */
+  def assignTo(df: DataFrame, idCol: String, vecCol: String,
+               centroids: Seq[Array[Double]],
+               distDecimals: Int = 9): DataFrame = {
+    require(centroids.nonEmpty, "assignTo needs at least one centroid")
     df.select(col(idCol),
-      nearest(col(vecCol), cents, distDecimals).as("cluster"))
+      nearest(col(vecCol), centroids, distDecimals).as("cluster"))
   }
 
   /** Per-row distance diagnostics `(idCol, cluster, dist)` against the

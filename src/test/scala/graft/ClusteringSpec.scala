@@ -171,6 +171,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(ortho < 0.01, s"components not orthogonal: $ortho")
   }
 
+  test("streamed cluster routing equals the batch assignment") {
+    val cents = Clustering.kmeansCentroids(blobs, "vec_id", "vec",
+      k = 3, iters = 4)
+    val feed = java.nio.file.Files.createTempDirectory("cluster_feed").toString
+    blobs.coalesce(2).write.mode("overwrite").parquet(feed)
+    val out = java.nio.file.Files.createTempDirectory("cluster_out").toString
+    val q = graft.streaming.ClusterStream.assignStream(
+        spark.readStream.schema(blobs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed),
+        "vec_id", "vec", cents)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cluster_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = Clustering.kmeansAssign(blobs, "vec_id", "vec",
+        k = 3, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("pca on zero-variance data publishes the zero direction") {
     val flat = (0 until 10).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "vec")
