@@ -621,7 +621,8 @@ object SimilarityQueries {
             "vec_id", "embedding", k = 8, iters = 3)
           .orderBy("vec_id")
       },
-      Some(kmeansOracleSql(k = 8, iters = 3, dim = 64))),
+      Some(kmeansOracleSql(k = 8, iters = 3, dim = 64)),
+      headline = true),
 
     // ---- PCA-1 by matrix-free power iteration --------------------------
     // Top principal direction of the mean-centered embeddings via 8
@@ -641,7 +642,8 @@ object SimilarityQueries {
             "vec_id", "embedding", iters = 8)
           .orderBy("vec_id")
       },
-      Some(pcaOracleSql(iters = 8, dim = 64))),
+      Some(pcaOracleSql(iters = 8, dim = 64)),
+      headline = true),
 
     // ---- serving-path latency for the persisted IVF index --------------
     // s14 gates the FULL lifecycle (fresh build + served-vs-inline
