@@ -171,6 +171,52 @@ object Clustering {
         array_min(col("__d")).as("dist"))
   }
 
+  /** Per-dimension z-score standardization summary `(idCol, z_min,
+    * z_max, z_norm)`: each coordinate scaled by the corpus's
+    * per-dimension mean and population stddev — the whitening
+    * diagnostic a feature pipeline runs before distance-based
+    * processing (a |z| far outside its peers flags a broken dimension
+    * or a corrupt row). The moments publish ROUNDED (mean and
+    * mean-of-squares at `momentDecimals`, sd composed from the rounded
+    * pieces), so both engines scale with identical constants; a
+    * zero-variance dimension standardizes to 0. One aggregate of
+    * 2·dim cells, then one narrow pass. */
+  def standardize(df: DataFrame, idCol: String, vecCol: String,
+                  momentDecimals: Int = 6,
+                  outDecimals: Int = 6): DataFrame = {
+    val c0 = Parallelism.ensure(df)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val dim = dimOf(c0, "__v")
+    if (dim == 0)
+      return df.select(col(idCol), lit(0.0).as("z_min"),
+        lit(0.0).as("z_max"), lit(0.0).as("z_norm")).limit(0)
+    val aggCols =
+      (1 to dim).map(i =>
+        round(avg(element_at(col("__v"), i).cast(DoubleType)),
+          momentDecimals).as(s"__m$i")) ++
+        (1 to dim).map(i =>
+          round(avg(element_at(col("__v"), i).cast(DoubleType) *
+            element_at(col("__v"), i).cast(DoubleType)),
+            momentDecimals).as(s"__q$i"))
+    val row = c0.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val m = (0 until dim).map(row.getDouble).toArray
+    val sd = (0 until dim).map { i =>
+      val q = row.getDouble(dim + i)
+      roundTo(math.sqrt(math.max(0.0, q - m(i) * m(i))), momentDecimals)
+    }.toArray
+    // z_i = (x_i − m_i)/sd_i (0 where sd_i = 0), folded left-to-right
+    val z = zip_with(
+      zip_with(col(vecCol), typedlit(m.toSeq),
+        (a, b) => a.cast(DoubleType) - b),
+      typedlit(sd.toSeq),
+      (c, s) => when(s === 0.0, 0.0).otherwise(c / s))
+    df.select(col(idCol),
+      round(array_min(z), outDecimals).as("z_min"),
+      round(array_max(z), outDecimals).as("z_max"),
+      round(sqrt(aggregate(transform(z, e => e * e),
+        lit(0.0), (acc, p) => acc + p)), outDecimals).as("z_norm"))
+  }
+
   /** Uncentered-data-safe PCA-1 by power iteration: the top principal
     * direction of the MEAN-CENTERED data, fit matrix-free.
     *

@@ -727,6 +727,43 @@ object SimilarityQueries {
       },
       Some(pcaErrorOracleSql(k = 2, iters = 8, dim = 64))),
 
+    // ---- per-dimension z-score standardization -------------------------
+    // The whitening diagnostic before distance-based processing: each
+    // coordinate scaled by the corpus's per-dim mean and population
+    // stddev (moments rounded, sd composed from the rounded pieces so
+    // both engines scale with identical constants), summarized per row
+    // as (z_min, z_max, z_norm). A |z| far outside its peers flags a
+    // broken dimension or a corrupt row.
+    "s24_standardize" -> Q(
+      (s, dir) => {
+        import graft.operators.Clustering
+        Clustering.standardize(Lake(s, dir).embeddings,
+            "vec_id", "embedding")
+          .orderBy("vec_id")
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, embedding AS x FROM embeddings),
+          |dims AS (SELECT i FROM generate_series(1, 64) t(i)),
+          |mo AS (SELECT t.i, round(avg(v.x[t.i]::DOUBLE), 6) AS m,
+          |         round(avg(v.x[t.i]::DOUBLE * v.x[t.i]::DOUBLE), 6) AS q
+          |       FROM v CROSS JOIN dims t GROUP BY t.i),
+          |sdl AS (SELECT i, m,
+          |         round(sqrt(CASE WHEN q - m * m > 0
+          |                    THEN q - m * m ELSE 0 END), 6) AS sd
+          |        FROM mo),
+          |ml AS (SELECT list(m ORDER BY i) AS mv,
+          |              list(sd ORDER BY i) AS sv FROM sdl),
+          |z AS (SELECT vec_id,
+          |        [CASE WHEN sv[i] = 0 THEN 0.0
+          |              ELSE (x[i]::DOUBLE - mv[i]) / sv[i] END
+          |         for i in generate_series(1, len(x))] AS z
+          |      FROM v, ml)
+          |SELECT vec_id,
+          |  round(list_aggregate(z, 'min'), 6) AS z_min,
+          |  round(list_aggregate(z, 'max'), 6) AS z_max,
+          |  round(sqrt(list_sum([e * e for e in z])), 6) AS z_norm
+          |FROM z ORDER BY vec_id""".stripMargin)),
+
     // ---- cluster-balanced deterministic sample -------------------------
     // Diversity subsampling: exactly 10 vectors per learned k-means
     // cluster, drawn as the smallest portable md5 hashes (t25's
