@@ -196,6 +196,26 @@ class ClusteringSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("standardize is partition-invariant, zero-mean-unit-scale per dim, zero on flat dims") {
+    def run(parts: Int) =
+      Clustering.standardize(blobs.repartition(parts), "vec_id", "vec")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+    val base = run(1)
+    assert(run(32) == base)
+    // a constant dimension standardizes to exactly zero everywhere
+    val withFlat = (0 until 40)
+      .map(i => (i.toLong, Seq(i.toFloat, 7.5f)))
+      .toDF("vec_id", "vec")
+    val z = Clustering.standardize(withFlat, "vec_id", "vec").collect()
+    // dim 2 is flat -> contributes 0; all z come from dim 1, whose
+    // population z-scores are bounded and sum-of-squares ≈ n
+    val norms = z.map(r => r.getDouble(3))
+    val sumSq = norms.map(x => x * x).sum
+    assert(math.abs(sumSq - 40.0) < 0.1,
+      s"z-norms' sum of squares $sumSq !~ n (unit-variance law)")
+  }
+
   test("pca on zero-variance data publishes the zero direction") {
     val flat = (0 until 10).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "vec")

@@ -452,6 +452,42 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_join")
   }
 
+  test("two views over one base: the shape-matching one serves; a same-shaped view over ANOTHER base never does") {
+    val base = freshDir("multi/base"); val other = freshDir("multi/other")
+    val mvA = freshDir("multi/mvA"); val mvB = freshDir("multi/mvB")
+    val mvO = freshDir("multi/mvO")
+    writeBase(base, rows)
+    writeBase(other, Seq(("x", 1L, 9.0))) // same schema, different data
+    // view A: count by k; view B: max(n) by k — both over `base`
+    MaterializedView.create(spark, "mv_multi_a", base, Seq("k"),
+      Seq(MvAgg("count_star", outCol = "cnt")), mvA)
+    MaterializedView.create(spark, "mv_multi_b", base, Seq("k"),
+      Seq(MvAgg("max", "n", outCol = "mx")), mvB)
+    // same shape as A but over the OTHER base
+    MaterializedView.create(spark, "mv_multi_o", other, Seq("k"),
+      Seq(MvAgg("count_star", outCol = "cnt")), mvO)
+    try withRouting {
+      val qa = spark.read.parquet(base).groupBy("k")
+        .agg(count(lit(1)).as("cnt"))
+      assert(readsPath(qa, mvA) && !readsPath(qa, mvB) && !readsPath(qa, mvO),
+        "count query must pick view A only")
+      assert(qa.orderBy("k").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+      val qb = spark.read.parquet(base).groupBy("k")
+        .agg(max(col("n")).as("mx"))
+      assert(readsPath(qb, mvB) && !readsPath(qb, mvA),
+        "max query must pick view B only")
+      // the other-base query routes to ITS view, not base's
+      val qo = spark.read.parquet(other).groupBy("k")
+        .agg(count(lit(1)).as("cnt"))
+      assert(readsPath(qo, mvO) && !readsPath(qo, mvA))
+      assert(qo.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("x", 1L)))
+    } finally Seq("mv_multi_a", "mv_multi_b", "mv_multi_o")
+      .foreach(MaterializedView.drop)
+  }
+
   test("SQL text gets the same routing as the DataFrame API") {
     val base = freshDir("sql/base"); val mv = freshDir("sql/mv")
     writeBase(base, rows)
