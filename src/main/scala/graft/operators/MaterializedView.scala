@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import scala.collection.concurrent.TrieMap
 
 /** Materialized-view registry + builder: the declarative end of the
@@ -17,24 +17,23 @@ import scala.collection.concurrent.TrieMap
   * does that rewrite; this object owns the catalog it consults:
   *
   *  - [[MvAgg]]/[[create]] declare a view as (base path, group columns,
-  *    aggregate list). `create` computes the aggregate ONCE, writes it
-  *    to `mvPath`, snapshots the base's file-level fingerprint, and
-  *    registers the definition.
+  *    aggregate list, optional star-join chain). `create` computes the
+  *    aggregate ONCE, writes it to `mvPath`, snapshots every input's
+  *    file-level fingerprint, and registers the definition.
   *  - The rule rewrites a matching `Aggregate` over the base scan into a
-  *    scan of `mvPath` — but only while the CURRENT base fingerprint
-  *    equals the snapshot, so a mutated base silently falls back to the
+  *    scan of `mvPath` — but only while the QUERY'S OWN scan listing
+  *    matches the snapshot, so a mutated base silently falls back to the
   *    direct scan (correctness is never conditional on freshness
-  *    bookkeeping; the view just stops being used until [[refresh]]).
+  *    bookkeeping; the view just stops being used until
+  *    [[refresh]]/[[absorb]] catches up).
   *
-  * Scale notes: the staleness probe is one file listing of the base per
-  * optimization — the right call for a plain parquet dir at test scale,
-  * and the scaladoc'd swap at 100 TB is a snapshot-versioned base
-  * ([[LakeMaintenance.writeSnapshotVersion]]), where "has the base
-  * changed" is one manifest read, O(1) in table size. The listing
-  * fingerprint subsumes that case automatically (a new version writes
-  * new manifest + data files). The REWRITE is where the scale win
-  * lives: a grouped aggregate over a 100 TB base becomes a scan of a
-  * |groups|-row table.
+  * Scale notes: the rule's staleness probe costs ZERO filesystem calls —
+  * it fingerprints the query's own already-materialized file index
+  * ([[fingerprintOfFiles]]), i.e. exactly the files the direct scan
+  * would read. The full [[fingerprint]] walk runs only on the WRITE
+  * path (create/refresh/absorb — once per maintenance event, not per
+  * optimizer pass). The REWRITE is where the scale win lives: a grouped
+  * aggregate over a 100 TB base becomes a scan of a |groups|-row table.
   */
 object MaterializedView {
 
@@ -42,7 +41,9 @@ object MaterializedView {
     * (optionally pre-cast to `castTo`, e.g. "decimal(18,6)" — the exact
     * shape the engine's decimal-sum convention produces), written as
     * `outCol`. Supported funcs: count_star, count, sum, min, max —
-    * the self-maintainable aggregates (q41's merge family). */
+    * the self-maintainable aggregates (q41's merge family). A stored
+    * (sum, count) pair over the same input additionally serves the
+    * query-side `avg` — the rule derives it from the partials. */
   final case class MvAgg(func: String, inputCol: String = "",
                          castTo: Option[String] = None, outCol: String) {
     require(Set("count_star", "count", "sum", "min", "max")(func),
@@ -57,11 +58,14 @@ object MaterializedView {
     * routes without the query naming the view. */
   final case class MvGroupExpr(name: String, sql: String)
 
-  /** A join-backed view's second input: the base (fact) path INNER
-    * equi-joins `rightPath` (dimension) on pairwise
-    * `leftKeys(i) = rightKeys(i)`. Column names across the two inputs
-    * must be disjoint (the star-schema convention — prefixed columns);
-    * grouping/aggregate columns may come from either side. */
+  /** One link of a join-backed view's star chain: the accumulated frame
+    * (base, then base ⋈ earlier links) INNER equi-joins `rightPath` on
+    * pairwise `leftKeys(i) = rightKeys(i)`, where each leftKey names a
+    * column of ANY already-joined input. Column names across all inputs
+    * must be disjoint (validated at [[create]] — the star-schema
+    * prefix convention), which is what lets the routing rule match join
+    * trees by unordered column-name pairs, independent of join
+    * orientation or association order. */
   final case class MvJoin(rightPath: String,
                           leftKeys: Seq[String], rightKeys: Seq[String]) {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
@@ -80,11 +84,27 @@ object MaterializedView {
                            * rule remaps its attribute refs by NAME onto
                            * the query's scan before comparing. */
                          groupTemplates: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
-                         join: Option[MvJoin] = None,
-                         rightFingerprint: String = "")
+                         joins: Seq[MvJoin] = Nil,
+                         joinFingerprints: Seq[String] = Nil,
+                         /** base data files (absolute paths, no scheme)
+                           * at the last create/refresh/absorb — the
+                           * expected-set ledger that lets [[absorb]]
+                           * detect base files it has NOT been fed
+                           * (split micro-batches) and park routing
+                           * until the feed catches up. */
+                         baseFiles: Seq[String] = Nil) {
+    /** Every input path with its snapshotted fingerprint. */
+    def inputFingerprints: Seq[(String, String)] =
+      (basePath -> baseFingerprint) +:
+        joins.map(_.rightPath).zip(joinFingerprints)
+  }
 
   /** name -> definition; process-wide (sessions share the JVM). */
   private val catalog = TrieMap.empty[String, MvDef]
+
+  /** Full-walk fingerprints taken (diagnostics: the optimizer rule's
+    * freshness probes must not show up here — spec-pinned at zero). */
+  private[graft] val walkCount = new java.util.concurrent.atomic.AtomicLong
 
   def registered: Map[String, MvDef] = catalog.toMap
 
@@ -107,28 +127,66 @@ object MaterializedView {
     c.as(a.outCol)
   }
 
-  /** File-level content fingerprint of a base path: every data file's
-    * (relative path, length, modification time), sorted, hashed. Any
-    * append/overwrite/compaction changes it; a snapshot-versioned base
-    * changes it through its manifest + data files. */
-  def fingerprint(spark: SparkSession, path: String): String = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return "absent"
-    val parts = Seq.newBuilder[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile) {
-        val full = f.getPath.toUri.getPath
-        parts += s"$full:${f.getLen}:${f.getModificationTime}"
-      }
-    }
-    val joined = parts.result().sorted.mkString("\n")
+  /** Scheme-free absolute path — the one spelling file identities use
+    * everywhere here (walked listings, file indexes, stream batch
+    * input files). */
+  private[graft] def normalizePath(p: String): String =
+    new Path(p).toUri.getPath
+
+  private def digestOf(parts: Seq[String]): String = {
+    val joined = parts.sorted.mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest(joined.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
+
+  private def entryOf(f: FileStatus): String =
+    s"${normalizePath(f.getPath.toString)}:${f.getLen}:${f.getModificationTime}"
+
+  /** Fingerprint of an ALREADY-LISTED file set — zero filesystem calls.
+    * The routing rule feeds it the query's own materialized file index,
+    * so freshness is judged against exactly the files the direct scan
+    * would read (snapshot-consistent, and free at plan time). */
+  def fingerprintOfFiles(files: Seq[FileStatus]): String =
+    digestOf(files.filter(_.isFile).map(entryOf))
+
+  /** Full file listing of a base path: every DATA file's (path, length,
+    * modification time). Hidden entries (`_`- or `.`-prefixed segments,
+    * Spark's own convention — `_SUCCESS`, staged temporaries) are
+    * excluded so this walk and a scan's file index fingerprint the SAME
+    * set. The WRITE-path primitive — create/refresh/absorb each take
+    * one; the optimizer rule never does. */
+  private def listBase(spark: SparkSession, path: String): Option[Seq[FileStatus]] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    walkCount.incrementAndGet()
+    val baseNorm = normalizePath(fs.makeQualified(p).toString)
+    def hiddenUnderBase(f: Path): Boolean = {
+      var cur = f
+      while (cur != null && normalizePath(cur.toString) != baseNorm) {
+        val n = cur.getName
+        if ((n.startsWith("_") && !n.contains("=")) || n.startsWith("."))
+          return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val parts = Seq.newBuilder[FileStatus]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !hiddenUnderBase(f.getPath)) parts += f
+    }
+    Some(parts.result())
+  }
+
+  /** File-level content fingerprint of a base path: every data file's
+    * (path, length, modification time), sorted, hashed. Any
+    * append/overwrite/compaction changes it; a snapshot-versioned base
+    * changes it through its manifest + data files. */
+  def fingerprint(spark: SparkSession, path: String): String =
+    listBase(spark, path).fold("absent")(fingerprintOfFiles)
 
   private def aggregateOf(df: DataFrame, groupings: Seq[Column],
                           aggCols: Seq[Column]): DataFrame =
@@ -139,25 +197,27 @@ object MaterializedView {
                               groupExprs: Seq[MvGroupExpr]): Seq[Column] =
     groupCols.map(col) ++ groupExprs.map(g => expr(g.sql).as(g.name))
 
+  /** `frame` (base or a delta with the base's schema) joined through the
+    * declared star chain — each link resolves its leftKeys against the
+    * accumulated columns by name (disjointness is validated at create). */
+  private def joinChain(spark: SparkSession, frame: DataFrame,
+                        joins: Seq[MvJoin]): DataFrame =
+    joins.foldLeft(frame) { (acc, j) =>
+      val right = spark.read.parquet(j.rightPath)
+      acc.join(right,
+        j.leftKeys.zip(j.rightKeys)
+          .map { case (l, r) => acc(l) === right(r) }
+          .reduce(_ && _), "inner")
+    }
+
   /** The defining aggregate as a DataFrame (what the view stores, and
     * what a routed query's answer must equal). */
   def definingQuery(spark: SparkSession, basePath: String,
                     groupCols: Seq[String], aggs: Seq[MvAgg],
                     groupExprs: Seq[MvGroupExpr] = Nil,
-                    join: Option[MvJoin] = None): DataFrame = {
-    val base = spark.read.parquet(basePath)
-    val frame = join match {
-      case None => base
-      case Some(j) =>
-        val right = spark.read.parquet(j.rightPath)
-        base.join(right,
-          j.leftKeys.zip(j.rightKeys)
-            .map { case (l, r) => base(l) === right(r) }
-            .reduce(_ && _), "inner")
-    }
-    aggregateOf(frame, groupingColumns(groupCols, groupExprs),
-      aggs.map(aggColumn))
-  }
+                    joins: Seq[MvJoin] = Nil): DataFrame =
+    aggregateOf(joinChain(spark, spark.read.parquet(basePath), joins),
+      groupingColumns(groupCols, groupExprs), aggs.map(aggColumn))
 
   /** Resolve each groupExpr against a base scan ONCE; the rule compares
     * these templates (attribute refs remapped by name) against query
@@ -183,9 +243,8 @@ object MaterializedView {
       }
     }
 
-  /** Next `gen-<n>` dir under the view root plus the generations that
-    * preceded it (for post-publish vacuum). */
-  private def nextGen(spark: SparkSession, mvPath: String): (String, Seq[Long]) = {
+  /** Next `gen-<n>` dir under the view root. */
+  private def nextGen(spark: SparkSession, mvPath: String): String = {
     val root = new Path(mvPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val gens: Seq[Long] =
@@ -194,21 +253,47 @@ object MaterializedView {
         .map(_.getPath.getName)
         .collect { case s if s.startsWith("gen-") => s.drop(4).toLong }
         .sorted
-    (s"$mvPath/gen-${gens.lastOption.getOrElse(0L) + 1}", gens)
+    s"$mvPath/gen-${gens.lastOption.getOrElse(0L) + 1}"
+  }
+
+  /** The dataDir the on-disk `_mvdef.json` currently points at, if any —
+    * what a recovered process (or an already-optimized plan built from
+    * it) may still be reading. */
+  private def persistedDataDir(spark: SparkSession, mvPath: String): Option[String] = {
+    val p = new Path(s"$mvPath/_mvdef.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(text) \ "dataDir" match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+    }
   }
 
   /** Write `content` as a fresh generation, persist the definition as
     * `_mvdef.json` (temp + atomic rename — [[load]]'s recovery record),
     * register it (the pointer swap IS the in-process commit), then
-    * best-effort-vacuum generations older than the previous one (plans
-    * optimized before this publish may still read it). */
+    * best-effort-vacuum every OTHER generation except the one the
+    * PREVIOUSLY-persisted `_mvdef.json` pointed at (plans optimized
+    * before this publish may still read it). Vacuuming by exclusion —
+    * not by numeric adjacency — means an orphan generation left by a
+    * crash between data write and definition rename can never shift
+    * the window onto the generation a recovered definition serves. */
   private def publish(spark: SparkSession, name: String, basePath: String,
                       groupCols: Seq[String], aggs: Seq[MvAgg],
                       mvPath: String, baseFp: String,
                       content: DataFrame, lastBatchId: Long,
                       groupExprs: Seq[MvGroupExpr],
-                      join: Option[MvJoin], rightFp: String): MvDef = {
-    val (dataDir, gens) = nextGen(spark, mvPath)
+                      joins: Seq[MvJoin], joinFps: Seq[String],
+                      baseFiles: Seq[String]): MvDef = {
+    val priorDir = persistedDataDir(spark, mvPath)
+    val dataDir = nextGen(spark, mvPath)
     content.write.mode("errorifexists").parquet(dataDir)
     val rel = spark.read.parquet(dataDir).queryExecution.analyzed
       .collectFirst { case lr: LogicalRelation => lr }
@@ -216,12 +301,22 @@ object MaterializedView {
         s"materialized view at $dataDir did not analyze to a file relation"))
     val d = MvDef(name, basePath, groupCols, aggs, mvPath, dataDir, baseFp,
       rel, lastBatchId, groupExprs,
-      resolveTemplates(spark, basePath, groupExprs), join, rightFp)
+      resolveTemplates(spark, basePath, groupExprs), joins, joinFps,
+      baseFiles)
     writeDefJson(spark, d)
     catalog.put(name, d)
     val fs = new Path(mvPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    gens.dropRight(1).foreach(g => fs.delete(new Path(s"$mvPath/gen-$g"), true))
+    // qualify both sides: registered dirs may be relative, listed ones
+    // are absolute — a naive compare would vacuum the LIVE generation
+    def qualifiedNorm(p: String): String =
+      normalizePath(fs.makeQualified(new Path(p)).toString)
+    val keep = (Seq(dataDir) ++ priorDir).map(qualifiedNorm).toSet
+    fs.listStatus(new Path(mvPath)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .map(_.getPath)
+      .filterNot(p => keep(qualifiedNorm(p.toString)))
+      .foreach(p => fs.delete(p, true))
     d
   }
 
@@ -242,18 +337,19 @@ object MaterializedView {
     val groupExprsJson = d.groupExprs.map(g =>
       s"""{"name":${jsonStr(g.name)},"sql":${jsonStr(g.sql)}}""")
       .mkString("[", ",", "]")
-    val joinJson = d.join.map(j =>
+    val joinsJson = d.joins.map(j =>
       s"""{"rightPath":${jsonStr(j.rightPath)},""" +
         s""""leftKeys":${j.leftKeys.map(jsonStr).mkString("[", ",", "]")},""" +
         s""""rightKeys":${j.rightKeys.map(jsonStr).mkString("[", ",", "]")}}""")
-      .getOrElse("null")
+      .mkString("[", ",", "]")
     val body =
       s"""{"name":${jsonStr(d.name)},"basePath":${jsonStr(d.basePath)},""" +
         s""""groupCols":${d.groupCols.map(jsonStr).mkString("[", ",", "]")},""" +
-        s""""groupExprs":$groupExprsJson,"join":$joinJson,""" +
-        s""""rightFingerprint":${jsonStr(d.rightFingerprint)},""" +
+        s""""groupExprs":$groupExprsJson,"joins":$joinsJson,""" +
+        s""""joinFingerprints":${d.joinFingerprints.map(jsonStr).mkString("[", ",", "]")},""" +
         s""""aggs":$aggsJson,"dataDir":${jsonStr(d.dataDir)},""" +
         s""""baseFingerprint":${jsonStr(d.baseFingerprint)},""" +
+        s""""baseFiles":${d.baseFiles.map(jsonStr).mkString("[", ",", "]")},""" +
         s""""lastBatchId":${d.lastBatchId}}"""
     val root = new Path(d.mvPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -286,6 +382,10 @@ object MaterializedView {
       case JString(s) => s
       case other => throw new java.io.IOException(s"bad _mvdef.json $f: $other")
     }
+    def strList(v: JValue): Seq[String] = v match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
     val groupCols = j \ "groupCols" match {
       case JArray(xs) => xs.map { case JString(s) => s
         case other => throw new java.io.IOException(s"bad groupCol: $other") }
@@ -313,21 +413,25 @@ object MaterializedView {
       }
       case _ => Nil // pre-groupExprs definition records
     }
-    def strList(v: JValue): Seq[String] = v match {
-      case JArray(xs) => xs.collect { case JString(s) => s }
-      case _ => Nil
+    def parseJoin(v: JValue): MvJoin = MvJoin(
+      v \ "rightPath" match { case JString(s) => s; case _ => "?" },
+      strList(v \ "leftKeys"),
+      strList(v \ "rightKeys"))
+    val joins = j \ "joins" match {
+      case JArray(xs) => xs.map(parseJoin)
+      case _ => j \ "join" match { // pre-chain single-join records
+        case o: JObject => Seq(parseJoin(o))
+        case _ => Nil
+      }
     }
-    val join = j \ "join" match {
-      case JObject(_) => Some(MvJoin(
-        j \ "join" \ "rightPath" match { case JString(s) => s; case _ => "?" },
-        strList(j \ "join" \ "leftKeys"),
-        strList(j \ "join" \ "rightKeys")))
-      case _ => None
+    val joinFps = strList(j \ "joinFingerprints") match {
+      case Nil => j \ "rightFingerprint" match {
+        case JString(s) if s.nonEmpty => Seq(s)
+        case _ => Nil
+      }
+      case fps => fps
     }
-    val rightFp = j \ "rightFingerprint" match {
-      case JString(s) => s
-      case _ => ""
-    }
+    val baseFiles = strList(j \ "baseFiles")
     val dataDir = str("dataDir")
     val rel = spark.read.parquet(dataDir).queryExecution.analyzed
       .collectFirst { case lr: LogicalRelation => lr }
@@ -336,7 +440,8 @@ object MaterializedView {
     val basePath = str("basePath")
     val d = MvDef(str("name"), basePath, groupCols, aggs, mvPath,
       dataDir, str("baseFingerprint"), rel, lastBatchId, groupExprs,
-      resolveTemplates(spark, basePath, groupExprs), join, rightFp)
+      resolveTemplates(spark, basePath, groupExprs), joins, joinFps,
+      baseFiles)
     catalog.put(d.name, d)
     d
   }
@@ -353,32 +458,72 @@ object MaterializedView {
     *    the overwrite deletes them (FILE_NOT_EXIST mid-write; caught by
     *    RegistrySpec the first time). The registration is dropped for
     *    the duration of the recompute, and the write lands in a
-    *    directory no reader has ever seen.
+    *    directory no reader has ever seen. If the recompute or write
+    *    FAILS, the prior registration is restored — a failed refresh
+    *    must not silently un-register a still-servable view.
     *  - reader safety: an already-optimized plan holds the PREVIOUS
     *    generation's file list; in-place overwrite would break it at
     *    execution time. Generations make recreate publish-by-pointer —
     *    the catalog swaps to the new dir, existing plans keep reading
     *    the old one (the snapshot-family protocol, minus the manifest:
     *    this catalog is in-memory, so the pointer swap IS the commit).
-    * Older generations beyond the previous one are vacuumed best-effort. */
+    * Other generations are vacuumed best-effort, keeping the one the
+    * previously-persisted definition pointed at. */
   def create(spark: SparkSession, name: String, basePath: String,
              groupCols: Seq[String], aggs: Seq[MvAgg],
              mvPath: String, groupExprs: Seq[MvGroupExpr] = Nil,
-             join: Option[MvJoin] = None): MvDef = {
+             joins: Seq[MvJoin] = Nil): MvDef = {
     require(aggs.nonEmpty, "a view needs at least one aggregate column")
-    require(join.isEmpty || groupExprs.isEmpty,
+    require(joins.isEmpty || groupExprs.isEmpty,
       "join-backed views with derived grouping dimensions are not supported")
+    if (joins.nonEmpty) validateJoinChain(spark, basePath, joins)
     // a refresh carries the replay guard forward: the recomputed view
     // already CONTAINS every absorbed batch's rows (they are in the
     // base), so a crash-replayed batch arriving after the refresh must
     // still be recognized as absorbed
-    val carried = catalog.get(name).map(_.lastBatchId).getOrElse(-1L)
+    val prior = catalog.get(name)
     catalog.remove(name) // the defining query must never route to itself
-    val fp = fingerprint(spark, basePath)
-    val rightFp = join.map(jn => fingerprint(spark, jn.rightPath)).getOrElse("")
-    publish(spark, name, basePath, groupCols, aggs, mvPath, fp,
-      definingQuery(spark, basePath, groupCols, aggs, groupExprs, join),
-      carried, groupExprs, join, rightFp)
+    try {
+      val baseListing = listBase(spark, basePath).getOrElse(
+        throw new java.io.FileNotFoundException(s"MV base absent: $basePath"))
+      val fp = fingerprintOfFiles(baseListing)
+      val files = baseListing.map(f => normalizePath(f.getPath.toString))
+      val joinFps = joins.map(jn => fingerprint(spark, jn.rightPath))
+      publish(spark, name, basePath, groupCols, aggs, mvPath, fp,
+        definingQuery(spark, basePath, groupCols, aggs, groupExprs, joins),
+        prior.map(_.lastBatchId).getOrElse(-1L), groupExprs, joins, joinFps,
+        files)
+    } catch {
+      case t: Throwable =>
+        // restore the prior (still-servable) generation's registration
+        prior.foreach(p => catalog.put(name, p))
+        throw t
+    }
+  }
+
+  /** The star-schema convention the routing rule's name-based matching
+    * leans on, made a fail-fast contract: every input's column names
+    * disjoint from every other's, and each chain link's leftKeys
+    * resolvable among the columns joined so far. */
+  private def validateJoinChain(spark: SparkSession, basePath: String,
+                                joins: Seq[MvJoin]): Unit = {
+    var seen = spark.read.parquet(basePath).columns.toSeq
+    joins.foreach { j =>
+      val right = spark.read.parquet(j.rightPath).columns.toSeq
+      val shared = seen.toSet.intersect(right.toSet)
+      require(shared.isEmpty,
+        s"join input ${j.rightPath} shares column names ${shared.mkString(", ")} " +
+          "with an earlier input — name-based view matching would be " +
+          "ambiguous; prefix the columns (star-schema convention)")
+      val unresolved = j.leftKeys.filterNot(seen.contains)
+      require(unresolved.isEmpty,
+        s"leftKeys ${unresolved.mkString(", ")} not found among the " +
+          s"columns joined before ${j.rightPath}")
+      val missingRight = j.rightKeys.filterNot(right.contains)
+      require(missingRight.isEmpty,
+        s"rightKeys ${missingRight.mkString(", ")} not in ${j.rightPath}")
+      seen = seen ++ right
+    }
   }
 
   /** Delta-cost maintenance — q41's merge family wired to routing. The
@@ -393,10 +538,27 @@ object MaterializedView {
     * widens the precision, and the stored type is the routing
     * contract. merge ≡ recompute is law-pinned in MaterializedViewSpec.
     *
-    * The contract is the caller's to honor: `delta` must be exactly the
-    * rows appended since the last create/refresh/absorb. (With a
-    * snapshot-versioned base the delta IS the version diff — q42's
-    * change feed; with a raw dir it is the batch just written.)
+    * JOIN-BACKED views absorb a BASE-side (fact) delta via the q59
+    * delta algebra ([[IncrementalJoin.joinDelta]] with ΔR = ∅): with
+    * every dimension side unchanged — verified against the snapshotted
+    * fingerprints — the joined view's delta is exactly
+    * `Δfact ⋈ dims`, aggregated and merged like any other partials, at
+    * |Δ| ⋈ |dims| cost (Catalyst broadcasts small dims). A CHANGED
+    * dimension cannot be absorbed from a fact delta (it rewrites
+    * already-stored groups) — absorb refuses and [[refresh]] is the
+    * remedy.
+    *
+    * `deltaFiles`, when provided (the streaming path passes the
+    * micro-batch's actual input files), closes the split-batch
+    * freshness hole: the post-absorb base listing is compared against
+    * the EXPECTED set — the files snapshotted at the last
+    * create/refresh/absorb plus this delta's files. Base files outside
+    * that set (a later batch's rows, already on disk but not yet fed)
+    * make the published fingerprint DELIBERATELY STALE — computed over
+    * the expected subset only, so it cannot equal any live listing —
+    * and routing stays off until the feed catches up. Without
+    * `deltaFiles` the caller's exactly-the-appended-rows contract is
+    * trusted as before.
     *
     * `batchId >= 0` makes a SUCCESSFUL absorb replay-safe for streaming
     * maintenance ([[graft.streaming.MvStream]]): the id persists with
@@ -405,55 +567,81 @@ object MaterializedView {
     * guard is what makes exactly-once hold across crash-replays. Leave
     * -1 for one-shot batch use. */
   def absorb(spark: SparkSession, name: String, delta: DataFrame,
-             batchId: Long = -1L): MvDef = {
+             batchId: Long = -1L,
+             deltaFiles: Option[Seq[String]] = None): MvDef = {
     val d = catalog.getOrElse(name,
       throw new NoSuchElementException(s"no materialized view named $name"))
-    require(d.join.isEmpty,
-      s"absorb on join-backed view '$name' is not supported: a base delta " +
-        "changes JOINED groups (the q59 IncrementalJoin delta algebra is " +
-        "the right primitive) — use refresh")
     if (batchId >= 0 && d.lastBatchId >= batchId) return d // replayed
-    val fp = fingerprint(spark, d.basePath)
-    catalog.remove(name) // no routing against the view mid-republish
-    val storedTypes = d.relation.output.map(a => a.name -> a.dataType).toMap
-    val stored = spark.read.parquet(d.dataDir)
-    val deltaAgg = aggregateOf(delta,
-      groupingColumns(d.groupCols, d.groupExprs), d.aggs.map(aggColumn))
-    val mergeCols = d.aggs.map { a =>
-      val c = a.func match {
-        case "count_star" | "count" | "sum" => sum(col(a.outCol))
-        case "min"                          => min(col(a.outCol))
-        case "max"                          => max(col(a.outCol))
-      }
-      c.cast(storedTypes(a.outCol)).as(a.outCol)
+    // a join-backed view's dimension sides must be exactly as
+    // snapshotted — a fact delta cannot repair a changed dimension
+    val joinFps = d.joins.map(jn => fingerprint(spark, jn.rightPath))
+    if (joinFps != d.joinFingerprints)
+      throw new IllegalStateException(
+        s"absorb on join-backed view '$name': a dimension input changed " +
+          "since the last create/refresh — the fact-delta algebra cannot " +
+          "absorb dimension updates; use refresh")
+    val live = listBase(spark, d.basePath).getOrElse(Seq.empty)
+    val (fp, files) = deltaFiles match {
+      case None =>
+        (fingerprintOfFiles(live), live.map(f => normalizePath(f.getPath.toString)))
+      case Some(dfs) =>
+        val expected = d.baseFiles.toSet ++ dfs.map(normalizePath)
+        val (known, extras) = live.partition(f =>
+          expected(normalizePath(f.getPath.toString)))
+        if (extras.isEmpty)
+          (fingerprintOfFiles(live), live.map(f => normalizePath(f.getPath.toString)))
+        else // park routing: fingerprint over the absorbed subset only
+          (fingerprintOfFiles(known), known.map(f => normalizePath(f.getPath.toString)))
     }
-    // the stored table holds every grouping DIMENSION as a plain
-    // column (groupCols and groupExpr names alike), so the merge
-    // re-groups on names — no expression re-evaluation
-    val mergeKeys = (d.groupCols ++ d.groupExprs.map(_.name)).map(col)
-    val merged = aggregateOf(stored.unionByName(deltaAgg),
-      mergeKeys, mergeCols)
-    publish(spark, name, d.basePath, d.groupCols, d.aggs, d.mvPath, fp,
-      merged, math.max(d.lastBatchId, batchId), d.groupExprs, None, "")
+    catalog.remove(name) // no routing against the view mid-republish
+    try {
+      val storedTypes = d.relation.output.map(a => a.name -> a.dataType).toMap
+      val stored = spark.read.parquet(d.dataDir)
+      val deltaAgg = aggregateOf(joinChain(spark, delta, d.joins),
+        groupingColumns(d.groupCols, d.groupExprs), d.aggs.map(aggColumn))
+      val mergeCols = d.aggs.map { a =>
+        val c = a.func match {
+          case "count_star" | "count" | "sum" => sum(col(a.outCol))
+          case "min"                          => min(col(a.outCol))
+          case "max"                          => max(col(a.outCol))
+        }
+        c.cast(storedTypes(a.outCol)).as(a.outCol)
+      }
+      // the stored table holds every grouping DIMENSION as a plain
+      // column (groupCols and groupExpr names alike), so the merge
+      // re-groups on names — no expression re-evaluation
+      val mergeKeys = (d.groupCols ++ d.groupExprs.map(_.name)).map(col)
+      val merged = aggregateOf(stored.unionByName(deltaAgg),
+        mergeKeys, mergeCols)
+      publish(spark, name, d.basePath, d.groupCols, d.aggs, d.mvPath, fp,
+        merged, math.max(d.lastBatchId, batchId), d.groupExprs, d.joins,
+        joinFps, files)
+    } catch {
+      case t: Throwable =>
+        catalog.put(name, d) // failed absorb keeps serving the old gen
+        throw t
+    }
   }
 
   /** Recompute the view against the CURRENT base and re-arm routing
     * (fresh fingerprint). Full recompute — the incremental path is
-    * q41's merge applied to a delta feed; composing the two is the
+    * [[absorb]] applied to a delta feed; composing the two is the
     * maintenance pipeline's job, not the catalog's. */
   def refresh(spark: SparkSession, name: String): MvDef = {
     val d = catalog.getOrElse(name,
       throw new NoSuchElementException(s"no materialized view named $name"))
     create(spark, name, d.basePath, d.groupCols, d.aggs, d.mvPath,
-      d.groupExprs, d.join)
+      d.groupExprs, d.joins)
   }
 
   /** True while routing to `name` is sound: every input unchanged since
-    * the last create/refresh/absorb (a join-backed view checks BOTH
-    * sides — a dimension update invalidates the rollup too). */
+    * the last create/refresh/absorb (a join-backed view checks EVERY
+    * side — a dimension update invalidates the rollup too). This is the
+    * WALKING probe for diagnostics and direct callers; the optimizer
+    * rule instead fingerprints the query's own file index
+    * ([[fingerprintOfFiles]]) at zero filesystem cost. */
   def isFresh(spark: SparkSession, name: String): Boolean =
-    catalog.get(name).exists(d =>
-      fingerprint(spark, d.basePath) == d.baseFingerprint &&
-        d.join.forall(jn =>
-          fingerprint(spark, jn.rightPath) == d.rightFingerprint))
+    catalog.get(name).exists(_.inputFingerprints.forall {
+      case (path, fp) => fingerprint(spark, path) == fp
+    })
 }

@@ -6,49 +6,64 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
 import org.apache.spark.sql.types.DataType
 import org.apache.hadoop.fs.Path
 import graft.operators.MaterializedView
 import graft.operators.MaterializedView.{MvAgg, MvDef}
 
 /** Optimizer rule: route a grouped aggregate over a registered view's
-  * base scan to the persisted view table.
+  * base scan (or star-join of scans) to the persisted view table.
   *
-  *   Aggregate(G, [G..., f1(c1), f2(c2)...], Scan(basePath))
+  *   Aggregate(G, [G..., f1(c1), f2(c2)...], Scan ⋈ ... ⋈ Scan)
   *     =>  Project(outputs re-aliased to the ORIGINAL expr ids,
   *                 Scan(mvPath))
   *
-  * when a registered [[MaterializedView.MvDef]] has the same base path,
-  * the same grouping column set, and every aggregate expression matches
-  * one of the view's declared [[MvAgg]] shapes (count_star / count /
-  * sum / min / max over a bare column, with at most one cast — the
-  * self-maintainable family). The rewrite preserves the query's own
-  * output names and expression ids, so parents resolve unchanged; the
-  * view relation is `newInstance()`d per rewrite so two routed
-  * aggregates in one plan never share attribute ids.
+  * when a registered [[MaterializedView.MvDef]] has the same input path
+  * SET, the same inner-equi-join key pairs (matched as unordered
+  * column-name pairs, so any join orientation or association order of
+  * the same star routes), the same grouping column set, and every
+  * aggregate expression is servable from the view's stored columns:
+  * count_star / count / sum / min / max over a bare column (with at
+  * most one cast — the self-maintainable family) map to their stored
+  * partial directly, and `avg` is DERIVED from a stored (sum, count)
+  * pair over the same input — the rewrite reuses `Average`'s own
+  * `evaluateExpression` with the buffer attributes substituted by the
+  * view's columns, so the served value is computed by exactly the
+  * arithmetic (decimal precision, null-on-empty division) the direct
+  * plan would run over its final buffer. The rewrite preserves the
+  * query's own output names and expression ids, so parents resolve
+  * unchanged; the view relation is `newInstance()`d per rewrite so two
+  * routed aggregates in one plan never share attribute ids.
   *
   * Soundness gates, all of which fall back to the un-rewritten plan:
   *  - routing is opt-in (`spark.graft.rewriteMaterializedViews`);
-  *  - the base's CURRENT file fingerprint must equal the one snapshotted
-  *    at create/refresh (a mutated base silently stops routing — results
-  *    are never a function of freshness bookkeeping);
+  *  - every input's fingerprint must equal the one snapshotted at
+  *    create/refresh/absorb — computed from the QUERY'S OWN
+  *    already-materialized file index, so the probe costs zero
+  *    filesystem calls at plan time and judges freshness against
+  *    exactly the files the direct scan would read (a mutated base
+  *    silently stops routing — results are never a function of
+  *    freshness bookkeeping);
   *  - aggregate expressions must be non-distinct, unfiltered, and typed
   *    identically to the stored view column (a distinct or filtered
   *    aggregate is NOT derivable from stored partials);
-  *  - between the aggregate and the scan: Projects that pass attributes
-  *    or alias deterministic expressions (column pruning and the
-  *    optimizer's pulled-out grouping expressions), plus Filters whose
-  *    predicates touch ONLY bare grouping columns — those select whole
-  *    groups, so they re-apply to the view's rows verbatim
+  *  - between the aggregate and the scans: Projects that pass
+  *    attributes or alias deterministic expressions (column pruning and
+  *    the optimizer's pulled-out grouping expressions), plus Filters
+  *    whose predicates touch ONLY bare grouping columns — those select
+  *    whole groups, so they re-apply to the view's rows verbatim
   *    (`WHERE event_type = 'click' ... GROUP BY event_type` routes; a
   *    predicate over any aggregated column, or over a derived grouping
   *    dimension's input, stands down).
   *
+  * When SEVERAL registered views pass every gate, the SMALLEST stored
+  * table serves (by the relation's sizeInBytes, name-tiebroken for
+  * determinism) — the cost-based half of view selection.
+  *
   * At 100 TB this is the difference between scanning the base and
-  * scanning a |groups|-row table; the staleness probe is one base file
-  * listing (O(1) manifest read when the base is snapshot-versioned).
-  */
+  * scanning a |groups|-row table; the staleness probe adds no I/O at
+  * all. */
 object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val ConfKey = "spark.graft.rewriteMaterializedViews"
@@ -85,12 +100,12 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
         case Some(core) =>
           if (!coreMatches(spark, d, core))
             s"input shape differs (view is over ${d.basePath}" +
-              d.join.map(j => s" ⋈ ${j.rightPath}").getOrElse("") + ")"
+              d.joins.map(j => s" ⋈ ${j.rightPath}").mkString + ")"
           else if (!core.filters.forall(groupOnlyPredicate(_, d, core.env)))
             "a pre-aggregation filter touches a non-grouping column"
-          else if (!groupingMatches(agg, d, core.left, core.env))
+          else if (!groupingMatches(agg, d, core))
             "grouping differs from the view's declared dimensions"
-          else if (!aggregatesMatch(agg, d, core.left, core.env))
+          else if (!aggregatesMatch(agg, d, core))
             "an aggregate expression is not served by the view's stored columns"
           else if (!MaterializedView.isFresh(spark, d.name))
             "view is STALE: an input changed since the last create/refresh/absorb"
@@ -105,90 +120,85 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     val spark = SparkSession.active
     for {
       core <- coreOf(agg.child)
-      mv <- MaterializedView.registered.values.find(d =>
-        coreMatches(spark, d, core) &&
-          core.filters.forall(groupOnlyPredicate(_, d, core.env)) &&
-          groupingMatches(agg, d, core.left, core.env) &&
-          aggregatesMatch(agg, d, core.left, core.env) &&
-          MaterializedView.isFresh(spark, d.name))
-      routed <- route(agg, mv, core.left, core.env, core.filters)
+      mv <- MaterializedView.registered.values.toSeq
+        .filter(d =>
+          coreMatches(spark, d, core) &&
+            core.filters.forall(groupOnlyPredicate(_, d, core.env)) &&
+            groupingMatches(agg, d, core) &&
+            aggregatesMatch(agg, d, core) &&
+            freshFromPlan(spark, d, core))
+        // several servable views: the smallest stored table wins
+        .sortBy(d => (d.relation.relation.sizeInBytes, d.name))
+        .headOption
+      routed <- route(agg, mv, core)
     } yield routed
   }
 
-  /** The servable sub-plan under the aggregate: a base scan, or an
-    * INNER equi-join of two base scans (the star-rollup shape a
-    * join-backed view stores), with the alias environment and the
-    * collected pre-aggregation filters from every layer. `conds` holds
-    * the join's equi-pairs as (left-scan column, right-scan column). */
-  private case class Core(left: LogicalRelation,
-                          right: Option[LogicalRelation],
+  /** The servable sub-plan under the aggregate: a tree of INNER
+    * equi-joins over file scans (a single scan is the 1-input case),
+    * with the alias environment, the collected pre-aggregation filters
+    * from every layer, and the join's equi-pairs as UNORDERED
+    * column-name pairs (inputs have disjoint names by the create-time
+    * contract, so names identify sides). */
+  private case class Core(scans: Seq[LogicalRelation],
                           env: Map[ExprId, Expression],
                           filters: Seq[Expression],
-                          conds: Seq[(String, String)])
+                          pairs: Set[(String, String)])
+
+  private def orderPair(a: String, b: String): (String, String) =
+    if (a <= b) (a, b) else (b, a)
 
   private def coreOf(plan: LogicalPlan): Option[Core] =
     unwrapOps(plan).flatMap { case (stop, env, filters) =>
       stop match {
         case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-          Some(Core(lr, None, env, filters, Nil))
+          Some(Core(Seq(lr), env, filters, Set.empty))
         case j: Join if j.joinType == Inner && j.condition.isDefined =>
           for {
-            (ls, lenv, lf) <- unwrapOps(j.left)
-            lscan <- asScan(ls)
-            (rs, renv, rf) <- unwrapOps(j.right)
-            rscan <- asScan(rs)
-            fullEnv = env ++ lenv ++ renv
-            conds <- equiConds(resolveThrough(j.condition.get, fullEnv),
-              lscan, rscan)
-          } yield Core(lscan, Some(rscan), fullEnv,
-            (filters ++ lf ++ rf).map(resolveThrough(_, fullEnv)), conds)
+            l <- coreOf(j.left)
+            r <- coreOf(j.right)
+            env2 = env ++ l.env ++ r.env
+            ps <- equiPairs(resolveThrough(j.condition.get, env2),
+              l.scans, r.scans)
+          } yield Core(l.scans ++ r.scans, env2,
+            (filters ++ l.filters ++ r.filters).map(resolveThrough(_, env2)),
+            l.pairs ++ r.pairs ++ ps)
         case _ => None
       }
     }
 
-  private def asScan(plan: LogicalPlan): Option[LogicalRelation] =
-    plan match {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        Some(lr)
-      case _ => None
-    }
-
-  /** Conjunction of attribute equalities across the two scans, oriented
-    * (left column, right column); anything else disqualifies. */
-  private def equiConds(cond: Expression, l: LogicalRelation,
-                        r: LogicalRelation): Option[Seq[(String, String)]] = {
+  /** Conjunction of attribute equalities across the two scan groups, as
+    * unordered name pairs; anything else disqualifies. */
+  private def equiPairs(cond: Expression, l: Seq[LogicalRelation],
+                        r: Seq[LogicalRelation]): Option[Set[(String, String)]] = {
+    val lOut = AttributeSet(l.flatMap(_.output))
+    val rOut = AttributeSet(r.flatMap(_.output))
     val pairs = splitConjunctivePredicates(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        if (l.outputSet.contains(a) && r.outputSet.contains(b))
-          Some((a.name, b.name))
-        else if (l.outputSet.contains(b) && r.outputSet.contains(a))
-          Some((b.name, a.name))
-        else None
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if (lOut.contains(a) && rOut.contains(b)) ||
+            (lOut.contains(b) && rOut.contains(a)) =>
+        Some(orderPair(a.name, b.name))
       case _ => None
     }
-    if (pairs.nonEmpty && pairs.forall(_.isDefined)) Some(pairs.flatten)
+    if (pairs.nonEmpty && pairs.forall(_.isDefined)) Some(pairs.flatten.toSet)
     else None
   }
 
   /** Does the core's input shape equal the view's declared inputs?
-    * Join-backed views accept either join orientation (fact ⋈ dim or
-    * dim ⋈ fact — the key pairs swap with it). */
+    * Path SET plus unordered join-key pair set — orientation- and
+    * association-free, which is what makes `dim ⋈ fact` and any
+    * parenthesization of a 3-way star route to the same view. */
   private def coreMatches(spark: SparkSession, d: MvDef,
-                          core: Core): Boolean =
-    d.join match {
-      case None =>
-        core.right.isEmpty && samePath(spark, d.basePath, core.left)
-      case Some(jn) => core.right.exists { rscan =>
-        val declared = jn.leftKeys.zip(jn.rightKeys).toSet
-        val fwd = samePath(spark, d.basePath, core.left) &&
-          samePath(spark, jn.rightPath, rscan) &&
-          core.conds.toSet == declared
-        val rev = samePath(spark, d.basePath, rscan) &&
-          samePath(spark, jn.rightPath, core.left) &&
-          core.conds.map(_.swap).toSet == declared
-        fwd || rev
-      }
-    }
+                          core: Core): Boolean = {
+    val declaredPaths = d.basePath +: d.joins.map(_.rightPath)
+    if (core.scans.size != declaredPaths.size) return false
+    val declaredPairs = d.joins
+      .flatMap(j => j.leftKeys.zip(j.rightKeys).map((orderPair _).tupled))
+      .toSet
+    core.pairs == declaredPairs &&
+      declaredPaths.forall(p => core.scans.exists(samePath(spark, p, _))) &&
+      core.scans.forall(s => declaredPaths.exists(samePath(spark, _, s)))
+  }
 
   /** A pre-aggregation filter is servable from the view iff it touches
     * ONLY bare grouping columns (after alias substitution): such a
@@ -217,11 +227,11 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   /** The def's resolved group-expression template with its attribute
-    * references re-bound BY NAME onto the query's own scan, so
+    * references re-bound BY NAME onto the query's own scans, so
     * semantic comparison sees one attribute id space. */
   private def remappedTemplate(template: Expression,
-                               scan: LogicalRelation): Option[Expression] = {
-    val byName = scan.output.map(a => a.name -> a).toMap
+                               scans: Seq[LogicalRelation]): Option[Expression] = {
+    val byName = scans.flatMap(_.output).map(a => a.name -> a).toMap
     var ok = true
     val r = template.transform {
       case a: AttributeReference =>
@@ -235,9 +245,9 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The stored column name of the group TEMPLATE `e` matches, if any. */
   private def templateFor(e: Expression, d: MvDef,
-                          scan: LogicalRelation): Option[String] =
+                          scans: Seq[LogicalRelation]): Option[String] =
     d.groupTemplates.collectFirst {
-      case (name, t) if remappedTemplate(t, scan).exists(_.semanticEquals(e)) =>
+      case (name, t) if remappedTemplate(t, scans).exists(_.semanticEquals(e)) =>
         name
     }
 
@@ -248,7 +258,7 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     * accumulating the alias environment — every aliased expression
     * fully substituted toward the layer below. Stops at the first
     * other node, which [[coreOf]] then requires to be a scan or an
-    * inner equi-join of scans. */
+    * inner equi-join tree of scans. */
   private def unwrapOps(plan: LogicalPlan)
       : Option[(LogicalPlan, Map[ExprId, Expression], Seq[Expression])] =
     plan match {
@@ -283,16 +293,33 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     got == Seq(want)
   }
 
+  /** Freshness judged from the QUERY'S OWN file indexes — every
+    * declared input's scan has already listed its files when the
+    * DataFrame was built, so fingerprinting that listing costs zero
+    * filesystem calls and is snapshot-consistent with what the direct
+    * plan would read. Falls back to the walking probe only for
+    * non-standard FileIndex implementations. */
+  private def freshFromPlan(spark: SparkSession, d: MvDef,
+                            core: Core): Boolean =
+    d.inputFingerprints.forall { case (path, want) =>
+      core.scans.find(samePath(spark, path, _)).exists { scan =>
+        scan.relation.asInstanceOf[HadoopFsRelation].location match {
+          case idx: PartitioningAwareFileIndex =>
+            MaterializedView.fingerprintOfFiles(idx.allFiles()) == want
+          case _ => MaterializedView.fingerprint(spark, path) == want
+        }
+      }
+    }
+
   /** Every query grouping is either a bare declared column or matches a
     * declared group-expression template, and together they cover the
     * view's full grouping set exactly once — a query grouping COARSER
     * or FINER than the stored one is not servable. */
   private def groupingMatches(agg: Aggregate, d: MvDef,
-                              scan: LogicalRelation,
-                              env: Map[ExprId, Expression]): Boolean = {
-    val matched = agg.groupingExpressions.map(resolveThrough(_, env)).map {
+                              core: Core): Boolean = {
+    val matched = agg.groupingExpressions.map(resolveThrough(_, core.env)).map {
       case a: AttributeReference if d.groupCols.contains(a.name) => Some(a.name)
-      case e => templateFor(e, d, scan)
+      case e => templateFor(e, d, core.scans)
     }
     val want = d.groupCols ++ d.groupExprs.map(_.name)
     matched.forall(_.isDefined) &&
@@ -300,17 +327,19 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
       matched.size == matched.flatten.toSet.size
   }
 
-  /** (func, inputCol, castTo) of a supported aggregate call, or None. */
-  private def shapeOf(fn: AggregateFunction): Option[(String, String, Option[DataType])] = {
-    def strip(e: Expression): Option[(String, Option[DataType])] = e match {
-      case a: AttributeReference => Some((a.name, None))
-      case c: Cast =>
-        c.child match {
-          case a: AttributeReference => Some((a.name, Some(c.dataType)))
-          case _ => None
-        }
-      case _ => None
-    }
+  /** (column, cast-to) of a bare or once-cast column reference. */
+  private def strip(e: Expression): Option[(String, Option[DataType])] = e match {
+    case a: AttributeReference => Some((a.name, None))
+    case c: Cast =>
+      c.child match {
+        case a: AttributeReference => Some((a.name, Some(c.dataType)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** (func, inputCol, castTo) of a directly-stored aggregate call. */
+  private def shapeOf(fn: AggregateFunction): Option[(String, String, Option[DataType])] =
     fn match {
       case s: Sum => strip(s.child).map { case (c, t) => ("sum", c, t) }
       case m: Min => strip(m.child).map { case (c, t) => ("min", c, t) }
@@ -322,35 +351,76 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
       }
       case _ => None
     }
-  }
 
   private def declaredShape(a: MvAgg): (String, String, Option[DataType]) =
     (a.func, a.inputCol, a.castTo.map(DataType.fromDDL))
 
-  /** The view's outCol serving this aggregate expression, if any. */
-  private def servedBy(e: AggregateExpression, d: MvDef): Option[String] =
-    e match {
+  /** `avg(x)` served from stored (sum, count) partials over the same
+    * input: reuse Average's OWN `evaluateExpression` — the exact
+    * resolved arithmetic (decimal promotion, null-on-empty-group
+    * division) the direct plan runs over its final buffer — with the
+    * buffer attributes substituted by the view's columns. The stored
+    * sum must carry the buffer's exact type (Sum over the same cast
+    * yields it by construction; an integral avg whose buffer is DOUBLE
+    * does NOT match a long stored sum and stands down — bit-exactness
+    * over derivability). The count must be over the same column: a
+    * count_star only matches when the scanned column is non-nullable,
+    * where the two are provably equal. */
+  private def serveAverage(avgFn: Average, d: MvDef, core: Core,
+                           byName: Map[String, Attribute]): Option[Expression] =
+    strip(avgFn.child).flatMap { case (c, castT) =>
+      val nonNullable = core.scans.flatMap(_.output)
+        .exists(a => a.name == c && !a.nullable)
+      val sumAttr = d.aggs.find(a => a.func == "sum" && a.inputCol == c &&
+          a.castTo.map(DataType.fromDDL) == castT)
+        .flatMap(a => byName.get(a.outCol))
+      val cntAttr = d.aggs.find(a => a.func == "count" && a.inputCol == c &&
+          (a.castTo.isEmpty || a.castTo.map(DataType.fromDDL) == castT))
+        .orElse(if (nonNullable && castT.isEmpty)
+          d.aggs.find(_.func == "count_star") else None)
+        .flatMap(a => byName.get(a.outCol))
+      (sumAttr, cntAttr, avgFn.aggBufferAttributes) match {
+        case (Some(s), Some(n), Seq(sumBuf, cntBuf))
+            if s.dataType == sumBuf.dataType && n.dataType == cntBuf.dataType =>
+          Some(avgFn.evaluateExpression.transform {
+            case a: AttributeReference if a.exprId == sumBuf.exprId => s
+            case a: AttributeReference if a.exprId == cntBuf.exprId => n
+          })
+        case _ => None
+      }
+    }
+
+  /** The view-side expression serving aggregate expression `ae`, bound
+    * against `byName` (the view relation's output attributes). */
+  private def serveAggExpr(ae: AggregateExpression, d: MvDef, core: Core,
+                           byName: Map[String, Attribute]): Option[Expression] =
+    ae match {
+      case AggregateExpression(avgFn: Average, _, false, None, _) =>
+        serveAverage(avgFn, d, core, byName)
       case AggregateExpression(fn, _, false, None, _) =>
         shapeOf(fn).flatMap { got =>
-          d.aggs.find(a => declaredShape(a) == got).map(_.outCol)
+          d.aggs.find(a => declaredShape(a) == got)
+            .flatMap(a => byName.get(a.outCol))
         }
       case _ => None
     }
 
   private def aggregatesMatch(agg: Aggregate, d: MvDef,
-                              scan: LogicalRelation,
-                              env: Map[ExprId, Expression]): Boolean =
+                              core: Core): Boolean = {
+    val byName = d.relation.output.map(a => a.name -> a).toMap
     agg.aggregateExpressions.forall {
-      case a: AttributeReference if !env.contains(a.exprId) =>
+      case a: AttributeReference if !core.env.contains(a.exprId) =>
         d.groupCols.contains(a.name)
-      case Alias(ae: AggregateExpression, _) =>
-        servedBy(mapAggChildren(ae, env), d).isDefined
+      case al @ Alias(ae: AggregateExpression, _) =>
+        serveAggExpr(mapAggChildren(ae, core.env), d, core, byName)
+          .exists(_.dataType == al.dataType)
       case al: Alias =>
-        templateFor(resolveThrough(al.child, env), d, scan).isDefined
+        templateFor(resolveThrough(al.child, core.env), d, core.scans).isDefined
       case a: AttributeReference => // a pulled-out grouping expression
-        templateFor(resolveThrough(a, env), d, scan).isDefined
+        templateFor(resolveThrough(a, core.env), d, core.scans).isDefined
       case _ => false
     }
+  }
 
   /** Resolve projected aliases inside an aggregate call's ARGUMENTS
     * (not the call itself). */
@@ -360,18 +430,18 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     else ae.copy(aggregateFunction = ae.aggregateFunction
       .mapChildren(resolveThrough(_, env)).asInstanceOf[AggregateFunction])
 
-  private def route(agg: Aggregate, d: MvDef, scan: LogicalRelation,
-                    env: Map[ExprId, Expression],
-                    filters: Seq[Expression]): Option[LogicalPlan] = {
+  private def route(agg: Aggregate, d: MvDef,
+                    core: Core): Option[LogicalPlan] = {
+    val env = core.env
     val inst = d.relation.newInstance()
     val byName = inst.output.map(a => a.name -> a).toMap
     // group-only predicates select whole groups, so they re-apply to
     // the view's rows verbatim — references re-bound by name
     val filtered: Option[LogicalPlan] =
-      if (filters.isEmpty) Some(inst)
+      if (core.filters.isEmpty) Some(inst)
       else {
         var ok = true
-        val rebound = filters.map(_.transform {
+        val rebound = core.filters.map(_.transform {
           case a: AttributeReference =>
             byName.get(a.name) match {
               case Some(mv) if mv.dataType == a.dataType => mv
@@ -386,16 +456,16 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
         byName.get(a.name).filter(_.dataType == a.dataType)
           .map(mv => Alias(mv, a.name)(exprId = a.exprId))
       case al @ Alias(ae: AggregateExpression, name) =>
-        servedBy(mapAggChildren(ae, env), d).flatMap(byName.get)
+        serveAggExpr(mapAggChildren(ae, env), d, core, byName)
           .filter(_.dataType == al.dataType)
-          .map(mv => Alias(mv, name)(exprId = al.exprId))
+          .map(e => Alias(e, name)(exprId = al.exprId))
       case al: Alias =>
-        templateFor(resolveThrough(al.child, env), d, scan)
+        templateFor(resolveThrough(al.child, env), d, core.scans)
           .flatMap(byName.get)
           .filter(_.dataType == al.dataType)
           .map(mv => Alias(mv, al.name)(exprId = al.exprId))
       case a: AttributeReference => // pulled-out grouping expression
-        templateFor(resolveThrough(a, env), d, scan)
+        templateFor(resolveThrough(a, env), d, core.scans)
           .flatMap(byName.get)
           .filter(_.dataType == a.dataType)
           .map(mv => Alias(mv, a.name)(exprId = a.exprId))

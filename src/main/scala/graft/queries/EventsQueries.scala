@@ -455,37 +455,30 @@ object EventsQueries {
     // decorative; value correctness is the usual oracle compare (the
     // routed answer must equal the direct aggregate DuckDB computes).
     // Fallback soundness (stale base, distinct/filter shapes, disabled
-    // flag) is law-pinned in MaterializedViewSpec.
+    // flag) is law-pinned in MaterializedViewSpec. The routing flag
+    // lives on a CHILD session (mvSession) so the shared bench/verify
+    // session never optimizes any OTHER query with routing armed.
     "q63_mv_rewrite" -> Q(
       (s, dir) => {
         import graft.operators.MaterializedView
         import graft.operators.MaterializedView.MvAgg
+        val sess = mvSession(s)
         val base = s"$dir/events.parquet"
         val mvPath =
           s"target/mv/events_by_type_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        MaterializedView.create(s, "events_by_type", base,
+        MaterializedView.create(sess, "events_by_type", base,
           groupCols = Seq("event_type"),
           aggs = Seq(
             MvAgg("count_star", outCol = "n_events"),
             MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
           mvPath = mvPath)
-        s.conf.set(graft.plans.MaterializedViewRule.ConfKey, "true")
-        val q = s.read.parquet(base)
+        val q = sess.read.parquet(base)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(18, 6))).as("sv"))
-        val routed = q.queryExecution.optimizedPlan.collectLeaves().exists {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation match {
-              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                fs.location.rootPaths.exists(_.toString.contains(mvPath))
-              case _ => false
-            }
-          case _ => false
-        }
         q.select(col("event_type"), col("n_events"),
             col("sv").cast(DoubleType).as("total_value"),
-            lit(routed).as("served_from_mv"))
+            lit(readsMv(q, mvPath)).as("served_from_mv"))
           .orderBy("event_type")
       },
       Some(
@@ -495,6 +488,47 @@ object EventsQueries {
           |FROM events
           |GROUP BY event_type ORDER BY event_type""".stripMargin),
       headline = true),
+
+    // ---- avg served from stored partials --------------------------------
+    // The most common rollup aggregate a user writes: AVG over the view's
+    // (sum, count) pair. The rule substitutes the stored partials into
+    // Average's OWN evaluateExpression, so the routed value is computed by
+    // exactly the arithmetic (decimal promotion, null-on-empty division)
+    // the direct plan would run — bit-exact, hash-gated here plus the
+    // routed≡direct law in MaterializedViewSpec. The decimal cast keeps
+    // the sum exact and order-independent (the engine's double-sum
+    // discipline), so Spark's and DuckDB's independently-computed
+    // averages agree at round-6.
+    "q67_mv_avg" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        import graft.operators.MaterializedView.MvAgg
+        val sess = mvSession(s)
+        val base = s"$dir/events.parquet"
+        val mvPath =
+          s"target/mv/events_avg_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        MaterializedView.create(sess, "events_avg", base,
+          groupCols = Seq("event_type"),
+          aggs = Seq(
+            MvAgg("count", "value", outCol = "n_vals"),
+            MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
+          mvPath = mvPath)
+        val q = sess.read.parquet(base)
+          .groupBy("event_type")
+          .agg(count(col("value")).as("n_vals"),
+            avg(col("value").cast(DecimalType(18, 6))).as("avg_dec"))
+        q.select(col("event_type"), col("n_vals"),
+            round(col("avg_dec").cast(DoubleType), 6).as("avg_value"),
+            lit(readsMv(q, mvPath)).as("served_from_mv"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, count(value) AS n_vals,
+          |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+          |        / COUNT(value), 6) AS avg_value,
+          |  true AS served_from_mv
+          |FROM events
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ---- time-bucketed MV routing (expression grouping) ----------------
     // The classic hourly rollup, served automatically: the view declares
@@ -509,33 +543,24 @@ object EventsQueries {
       (s, dir) => {
         import graft.operators.MaterializedView
         import graft.operators.MaterializedView.{MvAgg, MvGroupExpr}
+        val sess = mvSession(s)
         val base = s"$dir/events.parquet"
         val mvPath =
           s"target/mv/events_hourly_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        MaterializedView.create(s, "events_hourly", base,
+        MaterializedView.create(sess, "events_hourly", base,
           groupCols = Seq("event_type"),
           aggs = Seq(
             MvAgg("count_star", outCol = "n_events"),
             MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
           mvPath = mvPath,
           groupExprs = Seq(MvGroupExpr("h", "date_trunc('hour', ts)")))
-        s.conf.set(graft.plans.MaterializedViewRule.ConfKey, "true")
-        val q = s.read.parquet(base)
+        val q = sess.read.parquet(base)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(18, 6))).as("sv"))
-        val routed = q.queryExecution.optimizedPlan.collectLeaves().exists {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation match {
-              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                fs.location.rootPaths.exists(_.toString.contains(mvPath))
-              case _ => false
-            }
-          case _ => false
-        }
         q.select(col("event_type"), unix_micros(col("h")).as("hour_us"),
             col("n_events"), col("sv").cast(DoubleType).as("total_value"),
-            lit(routed).as("served_from_mv"))
+            lit(readsMv(q, mvPath)).as("served_from_mv"))
           .orderBy("event_type", "hour_us")
       },
       Some(
@@ -557,36 +582,27 @@ object EventsQueries {
       (s, dir) => {
         import graft.operators.MaterializedView
         import graft.operators.MaterializedView.{MvAgg, MvJoin}
+        val sess = mvSession(s)
         val fact = s"$dir/orders.parquet"
         val dimP = s"$dir/customer.parquet"
         val mvPath =
           s"target/mv/orders_by_segment_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        MaterializedView.create(s, "orders_by_segment", fact,
+        MaterializedView.create(sess, "orders_by_segment", fact,
           groupCols = Seq("c_mktsegment"),
           aggs = Seq(
             MvAgg("count_star", outCol = "n_orders"),
             MvAgg("sum", "o_totalprice", Some("decimal(18,2)"),
               outCol = "revenue")),
           mvPath = mvPath,
-          join = Some(MvJoin(dimP, Seq("o_custkey"), Seq("c_custkey"))))
-        s.conf.set(graft.plans.MaterializedViewRule.ConfKey, "true")
-        val o = s.read.parquet(fact); val c = s.read.parquet(dimP)
+          joins = Seq(MvJoin(dimP, Seq("o_custkey"), Seq("c_custkey"))))
+        val o = sess.read.parquet(fact); val c = sess.read.parquet(dimP)
         val q = o.join(c, o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
             sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
-        val routed = q.queryExecution.optimizedPlan.collectLeaves().exists {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation match {
-              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                fs.location.rootPaths.exists(_.toString.contains(mvPath))
-              case _ => false
-            }
-          case _ => false
-        }
         q.select(col("c_mktsegment"), col("n_orders"),
             col("revenue").cast(DoubleType).as("revenue"),
-            lit(routed).as("served_from_mv"))
+            lit(readsMv(q, mvPath)).as("served_from_mv"))
           .orderBy("c_mktsegment")
       },
       Some(
@@ -596,5 +612,82 @@ object EventsQueries {
           |  true AS served_from_mv
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- 3-table star rollup served (N-ary chain matching) -------------
+    // The TPC-H-shaped lineitem ⋈ orders ⋈ customer revenue rollup as a
+    // VIEW: the rule matches the query's whole inner-equi-join TREE by
+    // input-path set + unordered key-pair set, so ANY association order
+    // or orientation of the same star routes to the |segments|-row
+    // table. Absorb folds a lineitem (fact) delta through the dimension
+    // chain at |Δ| cost (spec-pinned absorb ≡ refresh law); a changed
+    // dimension parks routing until refresh.
+    "q68_mv_star3" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        import graft.operators.MaterializedView.{MvAgg, MvJoin}
+        val sess = mvSession(s)
+        val factP = s"$dir/lineitem.parquet"
+        val ordP = s"$dir/orders.parquet"
+        val custP = s"$dir/customer.parquet"
+        val mvPath =
+          s"target/mv/rev_by_segment_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        MaterializedView.create(sess, "rev_by_segment", factP,
+          groupCols = Seq("c_mktsegment"),
+          aggs = Seq(
+            MvAgg("count_star", outCol = "n_items"),
+            MvAgg("sum", "l_extendedprice", Some("decimal(18,2)"),
+              outCol = "revenue")),
+          mvPath = mvPath,
+          joins = Seq(
+            MvJoin(ordP, Seq("l_orderkey"), Seq("o_orderkey")),
+            MvJoin(custP, Seq("o_custkey"), Seq("c_custkey"))))
+        val l = sess.read.parquet(factP)
+        val o = sess.read.parquet(ordP)
+        val c = sess.read.parquet(custP)
+        val q = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .as("revenue"))
+        q.select(col("c_mktsegment"), col("n_items"),
+            col("revenue").cast(DoubleType).as("revenue"),
+            lit(readsMv(q, mvPath)).as("served_from_mv"))
+          .orderBy("c_mktsegment")
+      },
+      Some(
+        """SELECT c_mktsegment, count(*) AS n_items,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue,
+          |  true AS served_from_mv
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
   )
+
+  /** MV queries run on a CHILD session (`newSession()`: its own SQLConf,
+    * shared SparkContext/extensions/catalog) with routing enabled THERE
+    * only — the process-wide session the bench/verify harness shares
+    * never optimizes any other query with routing armed, even though the
+    * views stay registered in the process-wide MV catalog. */
+  private def mvSession(s: SparkSession): SparkSession = {
+    val child = s.newSession()
+    child.conf.set(graft.plans.MaterializedViewRule.ConfKey, "true")
+    child
+  }
+
+  /** Does the optimized plan read the view table at `mvPath`? Forced at
+    * build time and emitted as the hash-gated `served_from_mv` literal,
+    * so the rewrite firing is load-bearing in the correctness gate. */
+  private def readsMv(df: DataFrame, mvPath: String): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains(mvPath))
+          case _ => false
+        }
+      case _ => false
+    }
 }

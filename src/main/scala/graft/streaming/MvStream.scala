@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import graft.operators.MaterializedView
 
@@ -10,30 +11,60 @@ import graft.operators.MaterializedView
   * index, the skipping manifest — and now the routed view catalog).
   *
   * Each micro-batch's rows are folded into the stored view at
-  * |batch| + |groups| cost; the post-absorb fingerprint snapshots the
-  * fed base, so [[graft.plans.MaterializedViewRule]] routes queries to
-  * the view exactly while the view has caught up with the base — a base
-  * that has received files the stream hasn't absorbed yet silently
-  * reads direct until the next batch lands (correct in both states, by
-  * the rule's freshness gate).
+  * |batch| + |groups| cost. Freshness is FILE-SET-VERIFIED, not
+  * trusted: every absorb passes the batch's actual input files, and
+  * [[MaterializedView.absorb]] compares the post-absorb base listing
+  * against the expected set (snapshotted files + this batch's files).
+  * A base that already holds files the stream has NOT yet fed — a
+  * multi-file append split across micro-batches by
+  * `maxFilesPerTrigger`, or rows landed after this batch was planned —
+  * yields a deliberately-stale fingerprint, so
+  * [[graft.plans.MaterializedViewRule]] keeps reading direct until the
+  * feed catches up (correct in both states, by the rule's freshness
+  * gate; the view routes exactly while it has absorbed every base
+  * file).
+  *
+  * Feed the stream FROM THE BASE DIRECTORY itself: rows read from
+  * files already in the view's snapshotted ledger (the seed content
+  * aggregated at [[MaterializedView.create]]) are dropped here by
+  * input-file name, so the file source's replay-everything semantics
+  * cannot double-count the seed. A detached feed directory also works,
+  * but then the absorbed files never appear in the base listing, so the
+  * expected-set check keeps routing parked — with a detached feed, pair
+  * the stream with periodic [[MaterializedView.refresh]] instead.
   *
   * Exactly-once: the batch id persists with the definition
   * (`_mvdef.json`, republished each absorb), so a crash-replayed batch
   * is folded ONCE — absorb alone would double-count it. The view must
-  * exist ([[MaterializedView.create]] over the feed dir) before the
+  * exist ([[MaterializedView.create]] over the base dir) before the
   * stream starts; a new JVM re-registers it with
   * [[MaterializedView.load]] and resumes from the persisted guard. */
 object MvStream {
 
-  /** Maintain registered view `name` from an unbounded frame whose rows
-    * are the base's append feed (typically
-    * [[ZoneMapStream.readFeed]] over the base directory itself). */
+  /** Maintain registered view `name` from an unbounded frame over the
+    * view's base directory (`spark.readStream...parquet(basePath)`). */
   def maintain(rows: DataFrame, name: String,
                checkpoint: String): DataStreamWriter[Row] =
     rows.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        MaterializedView.absorb(batch.sparkSession, name, batch, batchId)
+        val d = MaterializedView.registered.getOrElse(name,
+          throw new NoSuchElementException(s"no materialized view named $name"))
+        val known = d.baseFiles.toSet
+        // scheme-stripped input_file_name: same normalization as the
+        // ledger's scheme-free absolute paths. (A streaming batch's
+        // `inputFiles` is empty — the file set comes from the rows.)
+        val fileCol =
+          regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/")
+        val files = batch.select(fileCol.as("f")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val fresh = files.filterNot(known)
+        if (fresh.nonEmpty) {
+          val rows = batch.where(
+            fileCol.isin(fresh.map(f => f: Any): _*))
+          MaterializedView.absorb(batch.sparkSession, name, rows, batchId,
+            deltaFiles = Some(fresh))
+        }
         ()
       }
 }

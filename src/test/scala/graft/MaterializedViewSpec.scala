@@ -246,25 +246,22 @@ class MaterializedViewSpec extends AnyFunSuite {
   }
 
   test("streamed MV maintenance: routed answers track the feed exactly once") {
-    // the ZoneMapStream convention: the BASE is the maintained table's
-    // source dir, the FEED is a separate dir that carries only the
-    // appended batches (a file-source stream replays every file in its
-    // dir, so feeding the base itself would re-absorb the seed rows the
-    // view already holds)
+    // feed = THE BASE DIR itself (the verified-freshness convention):
+    // the file source replays every file including the seed rows the
+    // view already aggregated at create — MvStream drops those by the
+    // snapshotted file ledger, so nothing double-counts, and each
+    // absorb's expected-set check re-arms routing only once every base
+    // file has been fed
     val base = freshDir("stream/base"); val mv = freshDir("stream/mv")
-    val feed = freshDir("stream/feed")
     writeBase(base, rows)
     define("mv_stream", base, mv)
     val d1 = Seq(("a", 30L, 1.0)); val d2 = Seq(("d", 31L, 2.0))
     try withRouting {
-      // two appended batches land in the base AND in the feed
-      for (d <- Seq(d1, d2)) {
-        d.toDF("k", "n", "v").write.mode("append").parquet(base)
-        d.toDF("k", "n", "v").coalesce(1).write.mode("append").parquet(feed)
-      }
+      for (d <- Seq(d1, d2))
+        d.toDF("k", "n", "v").coalesce(1).write.mode("append").parquet(base)
       val q = graft.streaming.MvStream.maintain(
-          spark.readStream.schema(spark.read.parquet(feed).schema)
-            .option("maxFilesPerTrigger", "1").parquet(feed),
+          spark.readStream.schema(spark.read.parquet(base).schema)
+            .option("maxFilesPerTrigger", "1").parquet(base),
           "mv_stream",
           checkpoint = freshDir("stream/ckpt"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -285,6 +282,50 @@ class MaterializedViewSpec extends AnyFunSuite {
       // the replay guard advanced with the stream's batch ids
       assert(MaterializedView.get("mv_stream").get.lastBatchId >= 0L)
     } finally MaterializedView.drop("mv_stream")
+  }
+
+  test("split-batch absorb parks routing until the feed catches up") {
+    // the round-11 freshness hole, closed: the base already holds a
+    // LATER batch's files while an earlier batch is absorbed — the
+    // published fingerprint must NOT match the live base (a routed
+    // query would silently miss the unabsorbed rows), and must match
+    // again exactly when the last file's rows land
+    val base = freshDir("split/base"); val mv = freshDir("split/mv")
+    writeBase(base, rows)
+    define("mv_split", base, mv)
+    def newFiles(before: Set[String]): Seq[String] =
+      new java.io.File(base).listFiles().toSeq
+        .map(_.getAbsolutePath)
+        .filter(p => p.endsWith(".parquet") && !before(p))
+    try withRouting {
+      val before1 = newFiles(Set.empty).toSet
+      val d1 = Seq(("a", 50L, 1.0)); val d2 = Seq(("e", 51L, 2.0))
+      d1.toDF("k", "n", "v").coalesce(1).write.mode("append").parquet(base)
+      val f1 = newFiles(before1)
+      d2.toDF("k", "n", "v").coalesce(1).write.mode("append").parquet(base)
+      val f2 = newFiles(before1 ++ f1)
+      assert(f1.nonEmpty && f2.nonEmpty)
+      // absorb batch 1 while batch 2's files are already on disk
+      MaterializedView.absorb(spark, "mv_split", d1.toDF("k", "n", "v"),
+        batchId = 0L, deltaFiles = Some(f1))
+      assert(!MaterializedView.isFresh(spark, "mv_split"),
+        "view absorbed only batch 1 — must not claim freshness")
+      val parked = query(base)
+      assert(!readsPath(parked, mv), "un-caught-up view must read direct")
+      assert(collectQ(parked).map(_._1).contains("e")) // answer is fresh
+      // absorb batch 2: caught up, routing re-arms
+      MaterializedView.absorb(spark, "mv_split", d2.toDF("k", "n", "v"),
+        batchId = 1L, deltaFiles = Some(f2))
+      assert(MaterializedView.isFresh(spark, "mv_split"))
+      val served = query(base)
+      assert(readsPath(served, mv), "caught-up view must route")
+      val direct = {
+        spark.conf.set(MaterializedViewRule.ConfKey, "false")
+        try collectQ(query(base))
+        finally spark.conf.set(MaterializedViewRule.ConfKey, "true")
+      }
+      assert(collectQ(served) == direct)
+    } finally MaterializedView.drop("mv_split")
   }
 
   test("expression grouping: an hourly rollup routes on a date_trunc match") {
@@ -407,7 +448,7 @@ class MaterializedViewSpec extends AnyFunSuite {
       aggs = Seq(MvAgg("count_star", outCol = "n"),
         MvAgg("sum", "o_amt", Some("decimal(18,6)"), outCol = "amt")),
       mvPath = mv,
-      join = Some(MvJoin(dim, Seq("o_cust"), Seq("c_id"))))
+      joins = Seq(MvJoin(dim, Seq("o_cust"), Seq("c_id"))))
     val factDf = spark.read.parquet(fact)
     val dimDf = spark.read.parquet(dim)
     def agg(df: DataFrame) = df.groupBy("c_tier")
@@ -434,22 +475,85 @@ class MaterializedViewSpec extends AnyFunSuite {
         factDf("o_cust") === dimDf("c_id")))
       assert(readsPath(filtered, mv))
       assert(canon(filtered) == Seq(("gold", 3L, "12.000000")))
-      // a dimension UPDATE invalidates the rollup (right-side staleness)
+      // a dimension UPDATE invalidates the rollup (right-side staleness).
+      // Freshness is judged against the QUERY'S OWN file listing, so the
+      // probe needs a re-read: the pre-append `dimDf` still routes —
+      // soundly, its frozen index would scan the pre-append files either
+      // way — while any NEW read of the dim sees the append and falls
+      // back to the direct join.
       Seq((40L, "iron")).toDF("c_id", "c_tier")
         .write.mode("append").parquet(dim)
-      val stale = agg(factDf.join(dimDf, factDf("o_cust") === dimDf("c_id")))
+      val preAppend = agg(factDf.join(dimDf, factDf("o_cust") === dimDf("c_id")))
+      assert(readsPath(preAppend, mv),
+        "a scan listed before the append may keep routing (snapshot-consistent)")
+      val dimDf2 = spark.read.parquet(dim)
+      val stale = agg(factDf.join(dimDf2, factDf("o_cust") === dimDf2("c_id")))
       assert(!readsPath(stale, mv), "dim change must stop routing")
-      // absorb is refused on join views with a pointer to the delta algebra
-      val e = intercept[IllegalArgumentException] {
+      // a fact-delta absorb cannot repair a CHANGED dimension — refused
+      // with a pointer to refresh (the q59 algebra needs dims as
+      // snapshotted)
+      val e = intercept[IllegalStateException] {
         MaterializedView.absorb(spark, "mv_join",
           Seq((9L, 10L, 1.0)).toDF("o_id", "o_cust", "o_amt"))
       }
-      assert(e.getMessage.contains("IncrementalJoin"))
-      // refresh re-arms
+      assert(e.getMessage.contains("refresh"))
+      // refresh re-arms (probed with a post-append dim read — the
+      // refreshed snapshot is of the LIVE dim)
       MaterializedView.refresh(spark, "mv_join")
-      assert(readsPath(agg(factDf.join(dimDf,
-        factDf("o_cust") === dimDf("c_id"))), mv))
+      assert(readsPath(agg(factDf.join(dimDf2,
+        factDf("o_cust") === dimDf2("c_id"))), mv))
     } finally MaterializedView.drop("mv_join")
+  }
+
+  test("join-backed absorb law: fact-delta merge equals a full refresh") {
+    import MaterializedView.MvJoin
+    val fact = freshDir("jabsorb/fact"); val dim = freshDir("jabsorb/dim")
+    val mv = freshDir("jabsorb/mv"); val mv2 = freshDir("jabsorb/mv2")
+    Seq((1L, 10L, 2.0), (2L, 20L, 3.0), (3L, 10L, 5.0))
+      .toDF("o_id", "o_cust", "o_amt").write.mode("overwrite").parquet(fact)
+    Seq((10L, "gold"), (20L, "iron"), (30L, "gold"))
+      .toDF("c_id", "c_tier").write.mode("overwrite").parquet(dim)
+    def defineJ(name: String, path: String) =
+      MaterializedView.create(spark, name, fact,
+        groupCols = Seq("c_tier"),
+        aggs = Seq(MvAgg("count_star", outCol = "n"),
+          MvAgg("sum", "o_amt", Some("decimal(18,6)"), outCol = "amt")),
+        mvPath = path,
+        joins = Seq(MvJoin(dim, Seq("o_cust"), Seq("c_id"))))
+    defineJ("mv_jabsorb", mv)
+    // fact delta: existing group (gold via 10), NEW group (gold via 30,
+    // same tier — merge) and an unmatched key (99: joins to nothing)
+    val delta = Seq((4L, 10L, 7.0), (5L, 30L, 11.0), (6L, 99L, 13.0))
+    try withRouting {
+      delta.toDF("o_id", "o_cust", "o_amt")
+        .write.mode("append").parquet(fact)
+      MaterializedView.absorb(spark, "mv_jabsorb",
+        delta.toDF("o_id", "o_cust", "o_amt"), batchId = 7L)
+      // routing re-armed against the grown fact
+      val factDf = spark.read.parquet(fact); val dimDf = spark.read.parquet(dim)
+      val q = factDf.join(dimDf, factDf("o_cust") === dimDf("c_id"))
+        .groupBy("c_tier")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_amt").cast(DecimalType(18, 6))).as("amt"))
+      assert(readsPath(q, mv), "join absorb must re-arm routing")
+      // stored content and schema equal a from-scratch recompute
+      val recomputed = defineJ("mv_jabsorb_recompute", mv2)
+      try {
+        val gotDf = spark.read.parquet(
+          MaterializedView.get("mv_jabsorb").get.dataDir)
+        val wantDf = spark.read.parquet(recomputed.dataDir)
+        assert(gotDf.schema == wantDf.schema)
+        val got = gotDf.orderBy("c_tier").collect().map(_.toSeq).toSeq
+        val want = wantDf.orderBy("c_tier").collect().map(_.toSeq).toSeq
+        assert(got == want, s"join merge != recompute:\n  $got\n  $want")
+      } finally MaterializedView.drop("mv_jabsorb_recompute")
+      // the replay guard holds for join views too
+      MaterializedView.absorb(spark, "mv_jabsorb",
+        delta.toDF("o_id", "o_cust", "o_amt"), batchId = 7L)
+      val n = spark.read.parquet(MaterializedView.get("mv_jabsorb").get.dataDir)
+        .agg(sum("n")).collect().head.getLong(0)
+      assert(n == 5L, s"replayed join delta must not double-count (n=$n)")
+    } finally MaterializedView.drop("mv_jabsorb")
   }
 
   test("two views over one base: the shape-matching one serves; a same-shaped view over ANOTHER base never does") {
@@ -486,6 +590,216 @@ class MaterializedViewSpec extends AnyFunSuite {
         Seq(("x", 1L)))
     } finally Seq("mv_multi_a", "mv_multi_b", "mv_multi_o")
       .foreach(MaterializedView.drop)
+  }
+
+  test("avg is served from stored (sum, count) partials, bit-exactly") {
+    val base = freshDir("avg/base"); val mv = freshDir("avg/mv")
+    writeBase(base, rows)
+    MaterializedView.create(spark, "mv_avg", base,
+      groupCols = Seq("k"),
+      aggs = Seq(
+        MvAgg("count", "v", outCol = "cnt_v"),
+        MvAgg("sum", "v", Some("decimal(18,6)"), outCol = "sv_dec"),
+        MvAgg("sum", "v", outCol = "sv_dbl")),
+      mvPath = mv)
+    try withRouting {
+      // decimal avg: Average's own evaluateExpression over the stored
+      // decimal sum + count — exact precision/scale preserved
+      val qDec = spark.read.parquet(base).groupBy("k")
+        .agg(avg(col("v").cast(DecimalType(18, 6))).as("m"))
+      assert(readsPath(qDec, mv), "decimal avg must route")
+      val direct = {
+        spark.conf.set(MaterializedViewRule.ConfKey, "false")
+        try spark.read.parquet(base).groupBy("k")
+          .agg(avg(col("v").cast(DecimalType(18, 6))).as("m"))
+          .orderBy("k").collect()
+          .map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toSeq
+        finally spark.conf.set(MaterializedViewRule.ConfKey, "true")
+      }
+      val got = qDec.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toSeq
+      assert(got == direct, s"routed decimal avg diverged:\n $got\n $direct")
+      assert(qDec.schema("m").dataType == DecimalType(22, 10))
+      // double avg routes off the double sum partial
+      val qDbl = spark.read.parquet(base).groupBy("k")
+        .agg(avg(col("v")).as("m"))
+      assert(readsPath(qDbl, mv), "double avg must route")
+      assert(qDbl.orderBy("k").collect().map(_.getDouble(1)).toSeq ==
+        Seq(2.0, 10.0, -1.0))
+      // avg over a column with NO stored sum/count pair stands down
+      val qOther = spark.read.parquet(base).groupBy("k")
+        .agg(avg(col("n")).as("m"))
+      assert(!readsPath(qOther, mv), "unserved avg input must stand down")
+      // distinct avg is not derivable from partials
+      val qDistinct = spark.read.parquet(base).groupBy("k")
+        .agg(expr("avg(DISTINCT v)").as("m"))
+      assert(!readsPath(qDistinct, mv))
+      // avg mixes with directly-stored aggregates in one query
+      val qMixed = spark.read.parquet(base).groupBy("k")
+        .agg(count(col("v")).as("cnt_v"), avg(col("v")).as("m"))
+      assert(readsPath(qMixed, mv))
+    } finally MaterializedView.drop("mv_avg")
+  }
+
+  test("the routing rule's freshness probe does zero filesystem walks") {
+    val base = freshDir("nowalk/base"); val mv = freshDir("nowalk/mv")
+    val mv2 = freshDir("nowalk/mv2")
+    writeBase(base, rows)
+    define("mv_nowalk_a", base, mv)
+    MaterializedView.create(spark, "mv_nowalk_b", base, Seq("k"),
+      Seq(MvAgg("count_star", outCol = "cnt")), mv2)
+    try withRouting {
+      val q = query(base) // builds the scan: its index lists the base here
+      val before = MaterializedView.walkCount.get()
+      assert(readsPath(q, mv), "query must route")   // forces optimization
+      val after = MaterializedView.walkCount.get()
+      assert(after == before,
+        s"optimizer freshness probe walked the filesystem ${after - before} " +
+          "times — it must fingerprint the query's own file index instead")
+    } finally {
+      MaterializedView.drop("mv_nowalk_a")
+      MaterializedView.drop("mv_nowalk_b")
+    }
+  }
+
+  test("a 3-table star chain routes under any orientation or association") {
+    import MaterializedView.MvJoin
+    val fact = freshDir("star3/fact"); val d1 = freshDir("star3/d1")
+    val d2 = freshDir("star3/d2"); val mv = freshDir("star3/mv")
+    // lineitem-shaped chain: item -> order -> customer
+    Seq((1L, 100L, 2.0), (2L, 100L, 3.0), (3L, 200L, 5.0))
+      .toDF("l_id", "l_ord", "l_amt").write.mode("overwrite").parquet(fact)
+    Seq((100L, 77L), (200L, 88L))
+      .toDF("o_id", "o_cust").write.mode("overwrite").parquet(d1)
+    Seq((77L, "gold"), (88L, "iron"))
+      .toDF("c_id", "c_tier").write.mode("overwrite").parquet(d2)
+    MaterializedView.create(spark, "mv_star3", fact,
+      groupCols = Seq("c_tier"),
+      aggs = Seq(MvAgg("count_star", outCol = "n"),
+        MvAgg("sum", "l_amt", Some("decimal(18,6)"), outCol = "amt")),
+      mvPath = mv,
+      joins = Seq(
+        MvJoin(d1, Seq("l_ord"), Seq("o_id")),
+        MvJoin(d2, Seq("o_cust"), Seq("c_id"))))
+    val f = spark.read.parquet(fact)
+    val o = spark.read.parquet(d1)
+    val c = spark.read.parquet(d2)
+    def agg(df: DataFrame) = df.groupBy("c_tier")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_amt").cast(DecimalType(18, 6))).as("amt"))
+    def canon(df: DataFrame) = df.orderBy("c_tier").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).toSeq
+    val want = Seq(("gold", 2L, "5.000000"), ("iron", 1L, "5.000000"))
+    try withRouting {
+      // left-deep, the declared order
+      val q1 = agg(f.join(o, f("l_ord") === o("o_id"))
+        .join(c, o("o_cust") === c("c_id")))
+      assert(readsPath(q1, mv), "left-deep star must route")
+      assert(canon(q1) == want)
+      // right-deep association: f ⋈ (o ⋈ c)
+      val q2 = agg(f.join(o.join(c, o("o_cust") === c("c_id")),
+        f("l_ord") === o("o_id")))
+      assert(readsPath(q2, mv), "right-deep star must route")
+      assert(canon(q2) == want)
+      // reversed orientation: c ⋈ o ⋈ f
+      val q3 = agg(c.join(o, o("o_cust") === c("c_id"))
+        .join(f, f("l_ord") === o("o_id")))
+      assert(readsPath(q3, mv), "reversed star must route")
+      assert(canon(q3) == want)
+      // a DIFFERENT key pairing stands down
+      val q4 = agg(f.join(o, f("l_id") === o("o_id"))
+        .join(c, o("o_cust") === c("c_id")))
+      assert(!readsPath(q4, mv))
+      // a 2-table prefix of the 3-table view stands down (shape differs)
+      val q5 = f.join(o, f("l_ord") === o("o_id"))
+        .groupBy("o_cust").agg(count(lit(1)).as("n"))
+      assert(!readsPath(q5, mv))
+    } finally MaterializedView.drop("mv_star3")
+  }
+
+  test("cost-based selection: the smallest servable view wins") {
+    val base = freshDir("cost/base")
+    val mvWide = freshDir("cost/mv_wide"); val mvSmall = freshDir("cost/mv_small")
+    // many (k2) groups vs few (k) groups over the same base
+    (1 to 512).map(i => (s"g${i % 4}", s"s$i", i.toLong))
+      .toDF("k", "k2", "n").write.mode("overwrite").parquet(base)
+    // WIDE view: grouped by (k, k2) — 512 rows; declared groupCols must
+    // cover the query grouping exactly, so give both views the same
+    // single grouping column but different stored widths: the wide one
+    // carries an extra fat aggregate column
+    MaterializedView.create(spark, "mv_cost_wide", base, Seq("k"),
+      Seq(MvAgg("count_star", outCol = "cnt"),
+        MvAgg("min", "k2", outCol = "mn2"),
+        MvAgg("max", "k2", outCol = "mx2"),
+        MvAgg("sum", "n", outCol = "sn"),
+        MvAgg("min", "n", outCol = "mnn"),
+        MvAgg("max", "n", outCol = "mxn")), mvWide)
+    MaterializedView.create(spark, "mv_cost_small", base, Seq("k"),
+      Seq(MvAgg("count_star", outCol = "cnt")), mvSmall)
+    try withRouting {
+      val sizeOf = (n: String) =>
+        MaterializedView.get(n).get.relation.relation.sizeInBytes
+      assert(sizeOf("mv_cost_small") < sizeOf("mv_cost_wide"))
+      val q = spark.read.parquet(base).groupBy("k")
+        .agg(count(lit(1)).as("cnt"))
+      assert(readsPath(q, mvSmall) && !readsPath(q, mvWide),
+        "both views serve count(*) — the smaller stored table must win")
+      // a query needing the wide view's columns still routes there
+      val qw = spark.read.parquet(base).groupBy("k")
+        .agg(sum(col("n")).as("sn"))
+      assert(readsPath(qw, mvWide))
+    } finally {
+      MaterializedView.drop("mv_cost_wide")
+      MaterializedView.drop("mv_cost_small")
+    }
+  }
+
+  test("a failed recompute keeps the prior registration serving") {
+    val base = freshDir("restore/base"); val mv = freshDir("restore/mv")
+    writeBase(base, rows)
+    define("mv_restore", base, mv)
+    val before = MaterializedView.get("mv_restore").get
+    try {
+      // recompute against a column the base does not have: the defining
+      // query fails, and the catalog must still hold the old generation
+      intercept[Exception] {
+        MaterializedView.create(spark, "mv_restore", base, Seq("k"),
+          Seq(MvAgg("sum", "no_such_column", None, outCol = "s")), mv)
+      }
+      val after = MaterializedView.get("mv_restore")
+      assert(after.map(_.dataDir).contains(before.dataDir),
+        "failed create must restore the prior registration")
+      withRouting(assert(readsPath(query(base), mv),
+        "prior generation must keep routing after a failed recompute"))
+    } finally MaterializedView.drop("mv_restore")
+  }
+
+  test("vacuum keeps the generation the persisted definition points at") {
+    val base = freshDir("vac/base"); val mv = freshDir("vac/mv")
+    writeBase(base, rows)
+    define("mv_vac", base, mv) // gen-1, _mvdef -> gen-1
+    val gen1 = MaterializedView.get("mv_vac").get.dataDir
+    try {
+      // orphan: a crashed writer's data directory with no definition
+      // rename — occupies gen-2 but nothing points at it
+      val orphan = new java.io.File(s"$mv/gen-2")
+      orphan.mkdirs()
+      new java.io.FileOutputStream(new java.io.File(orphan, "junk.bin"))
+        .close()
+      MaterializedView.refresh(spark, "mv_vac") // publishes gen-3
+      val gen3 = MaterializedView.get("mv_vac").get.dataDir
+      assert(gen3 != gen1)
+      // the orphan is vacuumed; gen-1 (what the pre-refresh _mvdef.json
+      // pointed at — and any plan optimized against it) survives
+      assert(!orphan.exists(), "orphan generation must be vacuumed")
+      assert(new java.io.File(gen1).exists(),
+        "the previously-persisted generation must survive the vacuum")
+      // a second refresh retires gen-1 (the ledger now points past it)
+      MaterializedView.refresh(spark, "mv_vac")
+      assert(!new java.io.File(gen1).exists())
+      assert(new java.io.File(gen3).exists())
+    } finally MaterializedView.drop("mv_vac")
   }
 
   test("SQL text gets the same routing as the DataFrame API") {
