@@ -42,6 +42,63 @@ object IntervalJoin {
   private def binOf(c: Column, w: Long): Column =
     call_function("div", c - pmod(c, lit(w)), lit(w))
 
+  private case class ProbeResult(rows: Array[org.apache.spark.sql.Row],
+                                 overflow: Boolean)
+
+  /** Session-lifetime memo of outlier-probe results. The probe is a
+    * bounded `take` over the long-interval filter — one full pass over
+    * its input — and repeated invocations of the SAME overlap join (a
+    * bench rep, a dashboard refresh) would otherwise pay it every time.
+    * The key is the probed plan's canonicalized form plus the
+    * file-level identity (path, length, mtime) of every scanned
+    * relation, so the cached verdict is exactly as fresh as the
+    * listing the query itself would read: new/changed files change the
+    * key and the probe re-runs. Plans with leaves the key cannot
+    * identify (anything but file scans and local relations) are never
+    * cached. Entries are LRU-bounded and only row sets small enough to
+    * re-broadcast locally are kept. */
+  private val probeCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, ProbeResult](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ProbeResult]): Boolean = size > 32
+    })
+
+  private val MaxCachedRows = 4096
+
+  /** Probe invocations that actually ran a Spark job (observability +
+    * the cache-hit spec). */
+  private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicLong
+
+  private def cacheKey(df: DataFrame, limit: Int): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val analyzed = df.queryExecution.analyzed
+    val idents = analyzed.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case idx: PartitioningAwareFileIndex =>
+            Some(idx.allFiles()
+              .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+              .sorted.mkString(","))
+          case _ => None
+        }
+        case _ => None
+      }
+      // a LocalRelation's canonicalized form does NOT show its rows —
+      // hash the data so two in-memory frames never share a key
+      case l: LocalRelation =>
+        Some(s"local:${l.data.map(_.hashCode()).hashCode()}")
+      case _ => None
+    }
+    if (idents.exists(_.isEmpty)) None
+    else {
+      val base = analyzed.canonicalized.toString + "|" + limit + "|" +
+        idents.flatten.mkString(";")
+      Some(java.security.MessageDigest.getInstance("MD5")
+        .digest(base.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+  }
+
   /** Interval columns are exact integers (epoch-micros longs — same
     * convention as the engine's event-time arithmetic); `keys` may be
     * empty for an unkeyed overlap join (global time axis). Output keeps
@@ -79,16 +136,29 @@ object IntervalJoin {
       bin(col(e) - 1) - bin(col(s)) + 1
     val lBulk = lv.where(spanBins(lStart, lEnd) <= maxBins)
     val rBulk = rv.where(spanBins(rStart, rEnd) <= maxBins)
-    // one bounded probe per side: empty / local-broadcast / lazy
+    // one bounded probe per side — memoized across invocations of the
+    // same plan over the same files: empty / local-broadcast / lazy
     def longSide(df: DataFrame, s: String, e: String): Option[DataFrame] = {
       val longDf = df.where(spanBins(s, e) > maxBins)
-      val probed = longDf.take(maxCollectedLong + 1)
-      if (probed.isEmpty) None
-      else if (probed.length <= maxCollectedLong) {
+      val key = cacheKey(longDf, maxCollectedLong)
+      val result = key.flatMap(k => Option(probeCache.get(k))).getOrElse {
+        probeRuns.incrementAndGet()
+        val probed = longDf.take(maxCollectedLong + 1)
+        val r =
+          if (probed.length > maxCollectedLong)
+            ProbeResult(Array.empty, overflow = true)
+          else ProbeResult(probed, overflow = false)
+        if (r.overflow || r.rows.length <= MaxCachedRows)
+          key.foreach(k => probeCache.put(k, r))
+        r
+      }
+      if (result.overflow) Some(longDf)
+      else if (result.rows.isEmpty) None
+      else {
         import scala.jdk.CollectionConverters._
         Some(df.sparkSession.createDataFrame(
-          probed.toSeq.asJava, longDf.schema))
-      } else Some(longDf)
+          result.rows.toSeq.asJava, longDf.schema))
+      }
     }
 
     val overlapPred: (DataFrame, DataFrame) => Column = (l, r) =>

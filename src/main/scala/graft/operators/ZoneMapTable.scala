@@ -147,27 +147,36 @@ object ZoneMapTable {
   }
 
   /** Per-file `(file, n_rows, min_c, max_c …)` stats — from parquet
-    * FOOTERS when every stats column supports it (metadata-only: zero
+    * FOOTERS when the column types support it (metadata-only: zero
     * data bytes read, the path Delta/Iceberg stats collection takes),
-    * else one column-pruned scan of `paths`. Footer eligibility is
-    * all-or-nothing per manifest so a manifest never mixes two stats
-    * provenances for one column. */
+    * else a column-pruned scan. The fallback is PER-FILE: a file whose
+    * footer cannot yield exact bounds (a NaN-poisoned double chunk, a
+    * dropped oversized string stat) is scanned alone while every clean
+    * file stays metadata-only — at 100 TB one NaN row in one batch must
+    * not demote the whole table's stats collection to a scan. */
   private def statsOf(spark: SparkSession, paths: Seq[String],
                       statsCols: Seq[String],
-                      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    footerStats(spark, paths, statsCols, schema).getOrElse {
+                      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    def scanStats(scanPaths: Seq[String]): DataFrame = {
       val aggs = count(lit(1)).as("n_rows") +: statsCols.flatMap(c => Seq(
         min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      if (paths.isEmpty)
-        spark.range(0).select(
-          (lit("").as("file") +: lit(0L).as("n_rows") +:
-            statsCols.flatMap(c => Seq(
-              lit(null).cast(schema(c).dataType).as(s"min_$c"),
-              lit(null).cast(schema(c).dataType).as(s"max_$c")))): _*)
-      else spark.read.parquet(paths: _*)
+      spark.read.parquet(scanPaths: _*)
         .groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
     }
+    if (paths.isEmpty)
+      spark.range(0).select(
+        (lit("").as("file") +: lit(0L).as("n_rows") +:
+          statsCols.flatMap(c => Seq(
+            lit(null).cast(schema(c).dataType).as(s"min_$c"),
+            lit(null).cast(schema(c).dataType).as(s"max_$c")))): _*)
+    else footerStats(spark, paths, statsCols, schema) match {
+      case None => scanStats(paths) // a column type footers never serve
+      case Some((footerDf, scanThese)) =>
+        if (scanThese.isEmpty) footerDf
+        else footerDf.unionByName(scanStats(scanThese))
+    }
+  }
 
   /** Above this file count the footer parse fans out as a Spark job
     * (one task per ~64 footers) instead of a driver loop — the loop is
@@ -178,11 +187,11 @@ object ZoneMapTable {
 
   /** One file's footer parse — pure and executor-safe.
     * Left(()) = this footer can't yield EXACT bounds (missing/unusable
-    * chunk stats, physical-type mismatch) and the CALLER must fall back
-    * to the scan path for the whole manifest; Right(None) = a 0-row
-    * file (contributes no manifest row — the scan path's groupBy(file)
-    * semantics); Right(Some(values)) = the manifest row's values,
-    * already materialized to Spark externals. */
+    * chunk stats, physical-type mismatch, NaN-discarded or ±0-widened
+    * float/double bounds) and the CALLER scans THIS file instead;
+    * Right(None) = a 0-row file (contributes no manifest row — the
+    * scan path's groupBy(file) semantics); Right(Some(values)) = the
+    * manifest row's values, already materialized to Spark externals. */
   private def parseFooter(path: String,
                           conf: org.apache.hadoop.conf.Configuration,
                           statsCols: Seq[String],
@@ -197,6 +206,8 @@ object ZoneMapTable {
       case (n: Number, ShortType)   => n.shortValue
       case (n: Number, IntegerType) => n.intValue
       case (n: Number, LongType)    => n.longValue
+      case (n: Number, FloatType)   => n.floatValue
+      case (n: Number, DoubleType)  => n.doubleValue
       case _ => v
     }
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -223,9 +234,29 @@ object ZoneMapTable {
               case (ByteType | ShortType | IntegerType, INT32) => true
               case (LongType, INT64)                           => true
               case (StringType, BINARY)                        => true
+              case (FloatType, FLOAT)                          => true
+              case (DoubleType, DOUBLE)                        => true
               case _                                           => false
             }
             if (!ok) return Left(())
+            // NaN-poisoned float/double chunk stats are DISCARDED by the
+            // parquet reader (min/max absent while values exist), which
+            // the hasNonNullValue/all-null checks below turn into the
+            // per-file scan fallback — a footer cannot witness NaN, and
+            // Spark's max() orders NaN above everything. A ±0.0 bound is
+            // also unusable: the reader widens +0.0 minima to -0.0 (and
+            // -0.0 maxima to +0.0), so the exact scan bound is
+            // unknowable from the footer (exactness first).
+            val zeroBound = (t == FloatType || t == DoubleType) &&
+              st.hasNonNullValue && {
+                def isZero(v: Any): Boolean = v match {
+                  case f: java.lang.Float  => f.floatValue == 0.0f
+                  case d: java.lang.Double => d.doubleValue == 0.0d
+                  case _ => false
+                }
+                isZero(st.genericGetMin) || isZero(st.genericGetMax)
+              }
+            if (zeroBound) return Left(())
             if (st.hasNonNullValue) {
               // the column type's own comparator IS its stats order:
               // signed for ints, unsigned-lexicographic for strings —
@@ -252,24 +283,27 @@ object ZoneMapTable {
     } finally reader.close()
   }
 
-  /** Footer-only stats, or None when any column/file lacks EXACT footer
-    * bounds. Supported: integral and string columns — parquet chunk
-    * statistics are exact for them (string chunk stats are dropped, not
-    * truncated, past the 4 KB cap, which lands in the None fallback).
-    * Float/double columns always fall back: a footer cannot witness NaN
-    * presence, and Spark's max() orders NaN above every value, so a
-    * footer bound could disagree with the scan the rest of the engine
-    * treats as truth. Small file lists parse on the driver (a ~KB
-    * metadata read per file); past [[DriverFooterBatch]] the parse fans
-    * out over executors and only the manifest-sized results come back. */
+  /** Footer-derived stats: the manifest rows for every file whose
+    * footer yields EXACT bounds, plus the list of files that need the
+    * scan fallback (NaN-poisoned or ±0.0 float/double chunk stats,
+    * string chunk stats dropped past the 4 KB cap — per-file, so one
+    * bad file never demotes the whole manifest). None when a column's
+    * TYPE is never footer-servable (timestamps, decimals…). Supported:
+    * integral, string, float and double columns — parquet chunk
+    * statistics are exact for them, with the float/double NaN/±0 cases
+    * detected per chunk in [[parseFooter]]. Small file lists parse on
+    * the driver (a ~KB metadata read per file); past
+    * [[DriverFooterBatch]] the parse fans out over executors and only
+    * the manifest-sized results come back. */
   private def footerStats(spark: SparkSession, paths: Seq[String],
                           statsCols: Seq[String],
                           schema: org.apache.spark.sql.types.StructType)
-      : Option[DataFrame] = {
+      : Option[(DataFrame, Seq[String])] = {
     import org.apache.spark.sql.types._
     val types = statsCols.map(c => schema(c).dataType)
     if (!types.forall {
       case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case FloatType | DoubleType => true
       case _ => false
     }) return None
     val conf = spark.sessionState.newHadoopConf()
@@ -292,15 +326,15 @@ object ZoneMapTable {
           }
           .collect().toSeq
       }
-    if (parsed.exists(_.isLeft)) return None
+    val scanThese = paths.zip(parsed).collect { case (p, Left(_)) => p }
     val rows = parsed.collect { case Right(Some(vs)) =>
       org.apache.spark.sql.Row.fromSeq(vs) }
     val outSchema = StructType(
       StructField("file", StringType) +: StructField("n_rows", LongType) +:
         statsCols.zip(types).flatMap { case (c, t) =>
           Seq(StructField(s"min_$c", t), StructField(s"max_$c", t)) })
-    Some(spark.createDataFrame(
-      new java.util.ArrayList(rows.asJava), outSchema))
+    Some((spark.createDataFrame(
+      new java.util.ArrayList(rows.asJava), outSchema), scanThese))
   }
 
   /** Incremental maintenance: cluster ONLY the delta into new files and

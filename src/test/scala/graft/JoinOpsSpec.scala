@@ -258,6 +258,44 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(gotN === Seq((10L, 20L)))
   }
 
+  test("outlier probes are memoized per (plan, files) and invalidated by new data") {
+    import spark.implicits._
+    val dirL = "target/ij_probe/l"; val dirR = "target/ij_probe/r"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("target/ij_probe"))
+    val minUs = 60L * 1000000
+    (0 until 20).map(i => (i.toLong % 3, i.toLong, i * 10 * minUs, i * 10 * minUs + minUs))
+      .toDF("k", "lid", "ls", "le").write.parquet(dirL)
+    (0 until 20).map(i => (i.toLong % 3, i.toLong, i * 7 * minUs, i * 7 * minUs + 2 * minUs))
+      .toDF("k", "rid", "rs", "re").write.parquet(dirR)
+    def run(): Seq[(Long, Long)] = {
+      val l = spark.read.parquet(dirL); val r = spark.read.parquet(dirR)
+      IntervalJoin.overlaps(l, r, Seq("k"), "ls", "le", "rs", "re",
+          binWidth = minUs, maxBins = 4)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    }
+    val first = run()
+    val runsAfterFirst = IntervalJoin.probeRuns.get()
+    val second = run()
+    assert(second === first)
+    assert(IntervalJoin.probeRuns.get() == runsAfterFirst,
+      "identical plan over identical files must reuse the cached probes")
+    // new data invalidates: an appended day-long outlier must surface
+    Seq((1L, 99L, 0L, 1440 * minUs)).toDF("k", "lid", "ls", "le")
+      .write.mode("append").parquet(dirL)
+    val third = run()
+    assert(IntervalJoin.probeRuns.get() > runsAfterFirst,
+      "changed files must re-probe")
+    assert(third.count(_._1 == 99L) > 0,
+      "the appended outlier's pairs must appear (cache must not serve stale)")
+    val l3 = spark.read.parquet(dirL); val r3 = spark.read.parquet(dirR)
+    val naive3 = l3.join(r3, l3("k") === r3("k") &&
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(third === naive3)
+  }
+
   test("plannedJoin executes the sketch advice and stays multiset-equal to the manual join") {
     import graft.operators.JoinPlanner
     import spark.implicits._

@@ -545,6 +545,57 @@ class LakeMaintenanceSpec extends AnyFunSuite {
       canon(li.where(col("l_orderkey").between(200L, 300L))))
   }
 
+  test("double zone maps: footers serve clean files, NaN files scan per-file, reads stay exact") {
+    import graft.operators.ZoneMapTable
+    import spark.implicits._
+    // doubles incl. negatives and +Inf are footer-servable; the NaN
+    // slice (ids 900–999, one clustered file) has its chunk stats
+    // DISCARDED by parquet's reader, so exactly that file takes the
+    // per-file scan fallback — and its manifest row must carry Spark's
+    // NaN-is-max semantics, which a footer could never witness
+    val rows = (0 until 1000).map { i =>
+      val v =
+        if (i >= 900 && i % 7 == 0) Double.NaN
+        else if (i == 500) Double.PositiveInfinity
+        else i * 1.5 - 700.25
+      (i.toLong, v)
+    }
+    val dir = Files.createTempDirectory("zm_nan").toString + "/t"
+    ZoneMapTable.write(rows.toDF("id", "v"), dir, "id",
+      Seq("id", "v"), files = 4)
+    def scanManifest() = {
+      val aggs = count(lit(1)).as("n_rows") +:
+        Seq("id", "v").flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      spark.read.parquet(s"$dir/data")
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    def zones(df: org.apache.spark.sql.DataFrame) =
+      df.drop("file").collect().map(_.toString).sorted.toSeq
+    assert(zones(ZoneMapTable.manifest(spark, dir)) === zones(scanManifest()),
+      "write-side double zones diverged from a full scan's (NaN fixture)")
+    val m = ZoneMapTable.manifest(spark, dir).collect()
+    assert(m.exists(r => r.getDouble(r.fieldIndex("max_v")).isNaN),
+      "the NaN file's manifest row must carry Spark's NaN-is-max bound")
+    assert(m.exists(r => r.getDouble(r.fieldIndex("max_v"))
+      .isPosInfinity), "+Inf must stay an exact footer bound")
+    // value-range pruned read over the DOUBLE column: NaN rows fail any
+    // range predicate, zones are bounding boxes — result equals the
+    // direct filter exactly
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(ZoneMapTable.prunedRead(spark, dir, "v",
+        lit(-100.0), lit(50.0))) ===
+      canon(rows.toDF("id", "v")
+        .where(col("v") >= -100.0 && col("v") <= 50.0)))
+    // and the double column no longer forces a whole-manifest scan:
+    // clean files must prune on their footer-derived id zones
+    val (kept, total) = ZoneMapTable.survivingFiles(spark, dir, "id",
+      lit(0L), lit(100L))
+    assert(total == 4L && kept.size < 4, s"expected id pruning, kept $kept")
+  }
+
   test("streamed zone-map ingest reads like batch, absorbs each batch exactly once") {
     import graft.operators.ZoneMapTable
     val li = Lake(spark, sf0001).lineitem
