@@ -134,6 +134,22 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     } yield routed
   }
 
+  /** Is the query's grouping an EXACT match of the view's dimensions
+    * (serve by projection) or a proper SUBSET (serve by re-aggregating
+    * the view — the rollup rewrite)? None = not servable. */
+  private def groupingModeOf(agg: Aggregate, d: MvDef,
+                             core: Core): Option[Boolean] = {
+    val matched = agg.groupingExpressions.map(resolveThrough(_, core.env)).map {
+      case a: AttributeReference if d.groupCols.contains(a.name) => Some(a.name)
+      case e => templateFor(e, d, core.scans)
+    }
+    val want = (d.groupCols ++ d.groupExprs.map(_.name)).toSet
+    if (!matched.forall(_.isDefined)) return None
+    val names = matched.flatten
+    if (names.toSet.size != names.size || !names.toSet.subsetOf(want)) None
+    else Some(names.toSet == want)
+  }
+
   /** The servable sub-plan under the aggregate: a tree of INNER
     * equi-joins over file scans (a single scan is the 1-input case),
     * with the alias environment, the collected pre-aggregation filters
@@ -312,20 +328,15 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   /** Every query grouping is either a bare declared column or matches a
-    * declared group-expression template, and together they cover the
-    * view's full grouping set exactly once — a query grouping COARSER
-    * or FINER than the stored one is not servable. */
+    * declared group-expression template, each dimension used at most
+    * once. Full coverage serves by projection; a PROPER SUBSET serves by
+    * re-aggregating the view (the stored rows partition the base's, so
+    * rolling a dimension up re-merges disjoint partials — q41's merge
+    * algebra applied at read time). A grouping FINER than the stored one
+    * is never servable. */
   private def groupingMatches(agg: Aggregate, d: MvDef,
-                              core: Core): Boolean = {
-    val matched = agg.groupingExpressions.map(resolveThrough(_, core.env)).map {
-      case a: AttributeReference if d.groupCols.contains(a.name) => Some(a.name)
-      case e => templateFor(e, d, core.scans)
-    }
-    val want = d.groupCols ++ d.groupExprs.map(_.name)
-    matched.forall(_.isDefined) &&
-      matched.flatten.toSet == want.toSet &&
-      matched.size == matched.flatten.toSet.size
-  }
+                              core: Core): Boolean =
+    groupingModeOf(agg, d, core).isDefined
 
   /** (column, cast-to) of a bare or once-cast column reference. */
   private def strip(e: Expression): Option[(String, Option[DataType])] = e match {
@@ -405,22 +416,82 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  private def aggregatesMatch(agg: Aggregate, d: MvDef,
-                              core: Core): Boolean = {
-    val byName = d.relation.output.map(a => a.name -> a).toMap
-    agg.aggregateExpressions.forall {
-      case a: AttributeReference if !core.env.contains(a.exprId) =>
-        d.groupCols.contains(a.name)
-      case al @ Alias(ae: AggregateExpression, _) =>
-        serveAggExpr(mapAggChildren(ae, core.env), d, core, byName)
-          .exists(_.dataType == al.dataType)
-      case al: Alias =>
-        templateFor(resolveThrough(al.child, core.env), d, core.scans).isDefined
-      case a: AttributeReference => // a pulled-out grouping expression
-        templateFor(resolveThrough(a, core.env), d, core.scans).isDefined
-      case _ => false
+  /** The ROLLUP form of serving: the query groups by a proper subset of
+    * the view's dimensions, so each of its groups merges several stored
+    * rows — counts and sums re-sum, min/max re-min/max (q41's merge
+    * family as read-time expressions), and avg divides the re-summed
+    * (sum, count) pair through Average's own evaluateExpression. A
+    * re-aggregated decimal sum widens (Sum over decimal(p,s) yields
+    * p+10) and is cast back to the query's type — the absorb cast
+    * discipline at read time; overflow behaves as the direct plan
+    * would, because a total too wide for the original sum type
+    * overflows there too. */
+  private def rollupAggExpr(ae: AggregateExpression, d: MvDef, core: Core,
+                            byName: Map[String, Attribute]): Option[Expression] = {
+    def reSum(stored: Attribute, outType: DataType): Expression = {
+      val s = Sum(stored).toAggregateExpression()
+      if (s.dataType == outType) s else Cast(s, outType)
+    }
+    ae match {
+      case AggregateExpression(avgFn: Average, _, false, None, _) =>
+        strip(avgFn.child).flatMap { case (c, castT) =>
+          val nonNullable = core.scans.flatMap(_.output)
+            .exists(a => a.name == c && !a.nullable)
+          val sumA = d.aggs.find(a => a.func == "sum" && a.inputCol == c &&
+              a.castTo.map(DataType.fromDDL) == castT)
+            .flatMap(a => byName.get(a.outCol))
+          val cntA = d.aggs.find(a => a.func == "count" && a.inputCol == c &&
+              (a.castTo.isEmpty || a.castTo.map(DataType.fromDDL) == castT))
+            .orElse(if (nonNullable && castT.isEmpty)
+              d.aggs.find(_.func == "count_star") else None)
+            .flatMap(a => byName.get(a.outCol))
+          (sumA, cntA, avgFn.aggBufferAttributes) match {
+            case (Some(s), Some(n), Seq(sumBuf, cntBuf))
+                if s.dataType == sumBuf.dataType &&
+                  n.dataType == cntBuf.dataType =>
+              val totalSum = reSum(s, sumBuf.dataType)
+              val totalCnt = reSum(n, cntBuf.dataType)
+              Some(avgFn.evaluateExpression.transform {
+                case a: AttributeReference if a.exprId == sumBuf.exprId => totalSum
+                case a: AttributeReference if a.exprId == cntBuf.exprId => totalCnt
+              })
+            case _ => None
+          }
+        }
+      case AggregateExpression(fn, _, false, None, _) =>
+        shapeOf(fn).flatMap { got =>
+          d.aggs.find(a => declaredShape(a) == got)
+            .flatMap(a => byName.get(a.outCol)).map { stored =>
+              got._1 match {
+                case "count_star" | "count" | "sum" => reSum(stored, fn.dataType)
+                case "min" => Min(stored).toAggregateExpression()
+                case "max" => Max(stored).toAggregateExpression()
+              }
+            }
+        }
+      case _ => None
     }
   }
+
+  private def aggregatesMatch(agg: Aggregate, d: MvDef,
+                              core: Core): Boolean =
+    groupingModeOf(agg, d, core).exists { exact =>
+      val byName = d.relation.output.map(a => a.name -> a).toMap
+      agg.aggregateExpressions.forall {
+        case a: AttributeReference if !core.env.contains(a.exprId) =>
+          d.groupCols.contains(a.name)
+        case al @ Alias(ae: AggregateExpression, _) =>
+          val served =
+            if (exact) serveAggExpr(mapAggChildren(ae, core.env), d, core, byName)
+            else rollupAggExpr(mapAggChildren(ae, core.env), d, core, byName)
+          served.exists(_.dataType == al.dataType)
+        case al: Alias =>
+          templateFor(resolveThrough(al.child, core.env), d, core.scans).isDefined
+        case a: AttributeReference => // a pulled-out grouping expression
+          templateFor(resolveThrough(a, core.env), d, core.scans).isDefined
+        case _ => false
+      }
+    }
 
   /** Resolve projected aliases inside an aggregate call's ARGUMENTS
     * (not the call itself). */
@@ -432,6 +503,10 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def route(agg: Aggregate, d: MvDef,
                     core: Core): Option[LogicalPlan] = {
+    val exact = groupingModeOf(agg, d, core) match {
+      case Some(e) => e
+      case None => return None
+    }
     val env = core.env
     val inst = d.relation.newInstance()
     val byName = inst.output.map(a => a.name -> a).toMap
@@ -451,27 +526,60 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
         if (!ok) None
         else Some(Filter(rebound.reduce(And), inst))
       }
-    val projected = agg.aggregateExpressions.map {
-      case a: AttributeReference if !env.contains(a.exprId) =>
-        byName.get(a.name).filter(_.dataType == a.dataType)
-          .map(mv => Alias(mv, a.name)(exprId = a.exprId))
-      case al @ Alias(ae: AggregateExpression, name) =>
-        serveAggExpr(mapAggChildren(ae, env), d, core, byName)
-          .filter(_.dataType == al.dataType)
-          .map(e => Alias(e, name)(exprId = al.exprId))
-      case al: Alias =>
-        templateFor(resolveThrough(al.child, env), d, core.scans)
-          .flatMap(byName.get)
-          .filter(_.dataType == al.dataType)
-          .map(mv => Alias(mv, al.name)(exprId = al.exprId))
-      case a: AttributeReference => // pulled-out grouping expression
-        templateFor(resolveThrough(a, env), d, core.scans)
-          .flatMap(byName.get)
-          .filter(_.dataType == a.dataType)
-          .map(mv => Alias(mv, a.name)(exprId = a.exprId))
-      case _ => None
+    // the view attribute a query grouping expression maps to
+    def dimAttr(e: Expression): Option[Attribute] = {
+      val resolved = resolveThrough(e, env)
+      val name = resolved match {
+        case a: AttributeReference if d.groupCols.contains(a.name) => Some(a.name)
+        case ex => templateFor(ex, d, core.scans)
+      }
+      name.flatMap(byName.get)
     }
-    if (projected.exists(_.isEmpty)) None // a type mismatch: stand down
-    else filtered.map(child => Project(projected.flatten, child))
+    if (exact) {
+      val projected = agg.aggregateExpressions.map {
+        case a: AttributeReference if !env.contains(a.exprId) =>
+          byName.get(a.name).filter(_.dataType == a.dataType)
+            .map(mv => Alias(mv, a.name)(exprId = a.exprId))
+        case al @ Alias(ae: AggregateExpression, name) =>
+          serveAggExpr(mapAggChildren(ae, env), d, core, byName)
+            .filter(_.dataType == al.dataType)
+            .map(e => Alias(e, name)(exprId = al.exprId))
+        case al: Alias =>
+          dimAttr(al.child)
+            .filter(_.dataType == al.dataType)
+            .map(mv => Alias(mv, al.name)(exprId = al.exprId))
+        case a: AttributeReference => // pulled-out grouping expression
+          dimAttr(a)
+            .filter(_.dataType == a.dataType)
+            .map(mv => Alias(mv, a.name)(exprId = a.exprId))
+        case _ => None
+      }
+      if (projected.exists(_.isEmpty)) None // a type mismatch: stand down
+      else filtered.map(child => Project(projected.flatten, child))
+    } else {
+      // rollup: re-aggregate the view on the query's mapped dimensions —
+      // a grouped aggregate over a |view-groups|-row table, still never
+      // the base
+      val groupAttrs = agg.groupingExpressions.map(dimAttr)
+      val outExprs = agg.aggregateExpressions.map {
+        case a: AttributeReference if !env.contains(a.exprId) =>
+          byName.get(a.name).filter(_.dataType == a.dataType)
+            .map(mv => Alias(mv, a.name)(exprId = a.exprId))
+        case al @ Alias(ae: AggregateExpression, name) =>
+          rollupAggExpr(mapAggChildren(ae, env), d, core, byName)
+            .filter(_.dataType == al.dataType)
+            .map(e => Alias(e, name)(exprId = al.exprId))
+        case al: Alias =>
+          dimAttr(al.child).filter(_.dataType == al.dataType)
+            .map(mv => Alias(mv, al.name)(exprId = al.exprId))
+        case a: AttributeReference =>
+          dimAttr(a).filter(_.dataType == a.dataType)
+            .map(mv => Alias(mv, a.name)(exprId = a.exprId))
+        case _ => None
+      }
+      if (groupAttrs.exists(_.isEmpty) || outExprs.exists(_.isEmpty)) None
+      else filtered.map(child =>
+        Aggregate(groupAttrs.flatten, outExprs.flatten, child))
+    }
   }
 }

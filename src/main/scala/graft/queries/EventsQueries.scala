@@ -664,6 +664,51 @@ object EventsQueries {
           |JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+    // ---- rollup routing (coarser grouping served by re-aggregation) ----
+    // The Calcite-style MV rewrite the exact matcher can't do: the query
+    // groups by a PROPER SUBSET of the view's dimensions (here: per-type
+    // totals from the type×hour rollup), so the rule re-aggregates the
+    // |type×hour|-row view — counts/sums re-sum, avg divides the
+    // re-summed (sum, count) pair through Average's own arithmetic —
+    // instead of scanning the event log. At 100 TB every coarsening of
+    // one stored rollup is served from the same tiny table. Exactness
+    // (decimal re-widening cast discipline, avg bit-parity) is law-pinned
+    // in MaterializedViewSpec; this gates it end-to-end vs DuckDB.
+    "q69_mv_rollup" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        import graft.operators.MaterializedView.{MvAgg, MvGroupExpr}
+        val sess = mvSession(s)
+        val base = s"$dir/events.parquet"
+        val mvPath =
+          s"target/mv/events_rollup_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        MaterializedView.create(sess, "events_rollup", base,
+          groupCols = Seq("event_type"),
+          aggs = Seq(
+            MvAgg("count_star", outCol = "n_events"),
+            MvAgg("count", "value", outCol = "n_vals"),
+            MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
+          mvPath = mvPath,
+          groupExprs = Seq(MvGroupExpr("h", "date_trunc('hour', ts)")))
+        val q = sess.read.parquet(base)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            avg(col("value").cast(DecimalType(18, 6))).as("avg_dec"),
+            sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+        q.select(col("event_type"), col("n_events"),
+            round(col("avg_dec").cast(DoubleType), 6).as("avg_value"),
+            col("sv").cast(DoubleType).as("total_value"),
+            lit(readsMv(q, mvPath)).as("served_from_mv"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, count(*) AS n_events,
+          |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+          |        / COUNT(value), 6) AS avg_value,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+          |  true AS served_from_mv
+          |FROM events
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 
   /** MV queries run on a CHILD session (`newSession()`: its own SQLConf,

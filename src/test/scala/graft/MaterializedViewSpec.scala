@@ -718,6 +718,108 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_star3")
   }
 
+  test("rollup routing: a coarser grouping re-aggregates the view, never the base") {
+    val base = freshDir("rollup/base"); val mv = freshDir("rollup/mv")
+    Seq(
+      ("a", "x", 1L, 1.5), ("a", "x", 2L, 2.5), ("a", "y", 3L, 4.5),
+      ("b", "x", 4L, 10.0), ("b", "y", 5L, -1.0), ("c", "y", 6L, 0.25))
+      .toDF("k", "k2", "n", "v").write.mode("overwrite").parquet(base)
+    MaterializedView.create(spark, "mv_rollup", base,
+      groupCols = Seq("k", "k2"),
+      aggs = Seq(
+        MvAgg("count_star", outCol = "cnt"),
+        MvAgg("count", "v", outCol = "cnt_v"),
+        MvAgg("sum", "v", Some("decimal(18,6)"), outCol = "sv"),
+        MvAgg("min", "n", outCol = "mn"),
+        MvAgg("max", "n", outCol = "mx")),
+      mvPath = mv)
+    def direct[A](f: => A): A = {
+      spark.conf.set(MaterializedViewRule.ConfKey, "false")
+      try f finally spark.conf.set(MaterializedViewRule.ConfKey, "true")
+    }
+    try withRouting {
+      // subset grouping (k only): counts/sums re-sum, min/max re-merge
+      def coarse() = spark.read.parquet(base).groupBy("k")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("v").cast(DecimalType(18, 6))).as("sv"),
+          min(col("n")).as("mn"), max(col("n")).as("mx"))
+      val q = coarse()
+      assert(readsPath(q, mv) && !readsPath(q, base),
+        "coarser grouping must re-aggregate the view")
+      def canon(df: DataFrame) = df.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).toPlainString, r.getLong(3), r.getLong(4))).toSeq
+      assert(canon(q) == direct(canon(coarse())))
+      // the OTHER dimension alone also rolls up
+      val q2 = spark.read.parquet(base).groupBy("k2")
+        .agg(count(col("v")).as("cnt_v"))
+      assert(readsPath(q2, mv) && !readsPath(q2, base))
+      assert(q2.orderBy("k2").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("x", 3L), ("y", 3L)))
+      // GLOBAL aggregate (no grouping): the full-table rollup
+      val qg = spark.read.parquet(base)
+        .agg(count(lit(1)).as("cnt"), max(col("n")).as("mx"))
+      assert(readsPath(qg, mv) && !readsPath(qg, base),
+        "a global aggregate must roll the whole view up")
+      assert(qg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((6L, 6L)))
+      // avg rolls up through the re-summed (sum, count) pair, bit-exact
+      def avgQ() = spark.read.parquet(base).groupBy("k")
+        .agg(avg(col("v").cast(DecimalType(18, 6))).as("m"))
+      val qa = avgQ()
+      assert(readsPath(qa, mv) && !readsPath(qa, base), "avg must roll up")
+      def canonA(df: DataFrame) = df.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toSeq
+      assert(canonA(qa) == direct(canonA(avgQ())))
+      // an aggregate the view cannot derive stands the rollup down
+      val qBad = spark.read.parquet(base).groupBy("k")
+        .agg(count(col("n")).as("c")) // count(n) is not stored
+      assert(!readsPath(qBad, mv))
+      // group-column filters compose with the rollup (whole view rows)
+      val qf = spark.read.parquet(base).where(col("k2") === "x")
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+      assert(readsPath(qf, mv) && !readsPath(qf, base))
+      assert(qf.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 2L), ("b", 1L)))
+    } finally MaterializedView.drop("mv_rollup")
+  }
+
+  test("rollup routing rolls a time-bucketed dimension away") {
+    import MaterializedView.MvGroupExpr
+    val base = freshDir("rollup2/base"); val mv = freshDir("rollup2/mv")
+    Seq(
+      ("a", java.sql.Timestamp.valueOf("2026-01-01 10:15:00"), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2026-01-01 11:45:00"), 2.0),
+      ("b", java.sql.Timestamp.valueOf("2026-01-01 10:59:00"), 8.0))
+      .toDF("k", "ts", "v").write.mode("overwrite").parquet(base)
+    MaterializedView.create(spark, "mv_rollup_h", base,
+      groupCols = Seq("k"),
+      aggs = Seq(MvAgg("count_star", outCol = "cnt"),
+        MvAgg("sum", "v", Some("decimal(18,6)"), outCol = "sv")),
+      mvPath = mv,
+      groupExprs = Seq(MvGroupExpr("h", "date_trunc('hour', ts)")))
+    try withRouting {
+      // the hour dimension rolled away: per-key totals from the hourly view
+      val q = spark.read.parquet(base).groupBy("k")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("v").cast(DecimalType(18, 6))).as("sv"))
+      assert(readsPath(q, mv) && !readsPath(q, base),
+        "per-key totals must come from the hourly view")
+      assert(q.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).toPlainString)).toSeq ==
+        Seq(("a", 2L, "3.000000"), ("b", 1L, "8.000000")))
+      // grouping by the hour template alone (key rolled away) also serves
+      val qh = spark.read.parquet(base)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(readsPath(qh, mv) && !readsPath(qh, base))
+      assert(qh.orderBy("h").collect().map(_.getLong(1)).toSeq == Seq(2L, 1L))
+    } finally MaterializedView.drop("mv_rollup_h")
+  }
+
   test("cost-based selection: the smallest servable view wins") {
     val base = freshDir("cost/base")
     val mvWide = freshDir("cost/mv_wide"); val mvSmall = freshDir("cost/mv_small")
