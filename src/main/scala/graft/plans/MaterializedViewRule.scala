@@ -134,20 +134,87 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     } yield routed
   }
 
+  /** How a query grouping expression is served by a view dimension:
+    * as the stored column itself, or — for `date_trunc` hierarchies —
+    * by re-truncating the stored (finer) bucket to the query's coarser
+    * one at read time. */
+  private sealed trait DimMatch { def name: String }
+  private case class ExactDim(name: String) extends DimMatch
+  private case class CoarsenedDim(name: String,
+                                  rebuild: Attribute => Expression) extends DimMatch
+
+  /** Does `date_trunc(q, x)` equal `date_trunc(q, date_trunc(v, x))` —
+    * i.e. is the stored level `v` strictly finer than the asked level
+    * `q` along a nesting chain? Sub-day levels nest into everything
+    * (week and month boundaries are day-aligned); month nests into
+    * quarter/year; WEEK nests into nothing coarser (a week straddles
+    * month and year boundaries). */
+  private def truncCoarsens(q: String, v: String): Boolean = {
+    val rank = Map(
+      "microsecond" -> 0, "millisecond" -> 1, "second" -> 2,
+      "minute" -> 3, "hour" -> 4, "day" -> 5, "dd" -> 5,
+      "week" -> 6,
+      "month" -> 7, "mon" -> 7, "mm" -> 7,
+      "quarter" -> 8,
+      "year" -> 9, "yyyy" -> 9, "yy" -> 9)
+    (rank.get(q.toLowerCase), rank.get(v.toLowerCase)) match {
+      case (Some(rq), Some(rv)) =>
+        if (rv <= 5) rq > rv
+        else if (rv == 6) false
+        else rq > rv && rq >= 7
+      case _ => false
+    }
+  }
+
+  /** A query `date_trunc` grouping served by RE-TRUNCATING a stored
+    * finer bucket: matches when the view has a `date_trunc` template
+    * over the semantically-same input at a strictly finer level. */
+  private def coarsenedTemplate(e: Expression, d: MvDef,
+                                scans: Seq[LogicalRelation]): Option[CoarsenedDim] =
+    e match {
+      case tq: TruncTimestamp =>
+        tq.format match {
+          case Literal(fq: org.apache.spark.unsafe.types.UTF8String, _) =>
+            d.groupTemplates.collectFirst {
+              case (name, tv: TruncTimestamp)
+                  if (tv.format match {
+                    case Literal(fv: org.apache.spark.unsafe.types.UTF8String, _) =>
+                      truncCoarsens(fq.toString, fv.toString) &&
+                        remappedTemplate(tv.timestamp, scans)
+                          .exists(_.semanticEquals(tq.timestamp))
+                    case _ => false
+                  }) =>
+                CoarsenedDim(name, attr => tq.copy(timestamp = attr))
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** The view dimension serving query grouping `e`, if any. */
+  private def dimMatchOf(e: Expression, d: MvDef,
+                         scans: Seq[LogicalRelation]): Option[DimMatch] =
+    e match {
+      case a: AttributeReference if d.groupCols.contains(a.name) =>
+        Some(ExactDim(a.name))
+      case ex => templateFor(ex, d, scans).map(ExactDim.apply)
+        .orElse(coarsenedTemplate(ex, d, scans))
+    }
+
   /** Is the query's grouping an EXACT match of the view's dimensions
-    * (serve by projection) or a proper SUBSET (serve by re-aggregating
-    * the view — the rollup rewrite)? None = not servable. */
+    * (serve by projection) or a coarsening — a proper subset and/or a
+    * re-truncated time bucket (serve by re-aggregating the view — the
+    * rollup rewrite)? None = not servable. */
   private def groupingModeOf(agg: Aggregate, d: MvDef,
                              core: Core): Option[Boolean] = {
-    val matched = agg.groupingExpressions.map(resolveThrough(_, core.env)).map {
-      case a: AttributeReference if d.groupCols.contains(a.name) => Some(a.name)
-      case e => templateFor(e, d, core.scans)
-    }
+    val matched = agg.groupingExpressions.map(resolveThrough(_, core.env))
+      .map(dimMatchOf(_, d, core.scans))
     val want = (d.groupCols ++ d.groupExprs.map(_.name)).toSet
     if (!matched.forall(_.isDefined)) return None
-    val names = matched.flatten
+    val dims = matched.flatten
+    val names = dims.map(_.name)
     if (names.toSet.size != names.size || !names.toSet.subsetOf(want)) None
-    else Some(names.toSet == want)
+    else Some(names.toSet == want && dims.forall(_.isInstanceOf[ExactDim]))
   }
 
   /** The servable sub-plan under the aggregate: a tree of INNER
@@ -486,9 +553,11 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
             else rollupAggExpr(mapAggChildren(ae, core.env), d, core, byName)
           served.exists(_.dataType == al.dataType)
         case al: Alias =>
-          templateFor(resolveThrough(al.child, core.env), d, core.scans).isDefined
+          dimMatchOf(resolveThrough(al.child, core.env), d, core.scans)
+            .exists(_.isInstanceOf[ExactDim] || !exact)
         case a: AttributeReference => // a pulled-out grouping expression
-          templateFor(resolveThrough(a, core.env), d, core.scans).isDefined
+          dimMatchOf(resolveThrough(a, core.env), d, core.scans)
+            .exists(_.isInstanceOf[ExactDim] || !exact)
         case _ => false
       }
     }
@@ -559,8 +628,19 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     } else {
       // rollup: re-aggregate the view on the query's mapped dimensions —
       // a grouped aggregate over a |view-groups|-row table, still never
-      // the base
-      val groupAttrs = agg.groupingExpressions.map(dimAttr)
+      // the base. A coarsened time bucket is computed ONCE in a
+      // projection under the aggregate (one shared alias per dimension,
+      // referenced by grouping and output alike).
+      val coarsened = scala.collection.mutable.LinkedHashMap.empty[String, Alias]
+      def servedDim(e: Expression): Option[Expression] =
+        dimMatchOf(resolveThrough(e, env), d, core.scans).flatMap {
+          case ExactDim(n) => byName.get(n)
+          case CoarsenedDim(n, rebuild) => byName.get(n).map { a =>
+            coarsened.getOrElseUpdate(n,
+              Alias(rebuild(a), s"_mvcoarse_$n")()).toAttribute
+          }
+        }
+      val groupAttrs = agg.groupingExpressions.map(servedDim)
       val outExprs = agg.aggregateExpressions.map {
         case a: AttributeReference if !env.contains(a.exprId) =>
           byName.get(a.name).filter(_.dataType == a.dataType)
@@ -570,16 +650,20 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
             .filter(_.dataType == al.dataType)
             .map(e => Alias(e, name)(exprId = al.exprId))
         case al: Alias =>
-          dimAttr(al.child).filter(_.dataType == al.dataType)
+          servedDim(al.child).filter(_.dataType == al.dataType)
             .map(mv => Alias(mv, al.name)(exprId = al.exprId))
         case a: AttributeReference =>
-          dimAttr(a).filter(_.dataType == a.dataType)
+          servedDim(a).filter(_.dataType == a.dataType)
             .map(mv => Alias(mv, a.name)(exprId = a.exprId))
         case _ => None
       }
       if (groupAttrs.exists(_.isEmpty) || outExprs.exists(_.isEmpty)) None
-      else filtered.map(child =>
-        Aggregate(groupAttrs.flatten, outExprs.flatten, child))
+      else filtered.map { child =>
+        val withCoarse =
+          if (coarsened.isEmpty) child
+          else Project(child.output ++ coarsened.values, child)
+        Aggregate(groupAttrs.flatten, outExprs.flatten, withCoarse)
+      }
     }
   }
 }

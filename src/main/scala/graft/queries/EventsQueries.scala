@@ -709,6 +709,44 @@ object EventsQueries {
           |  true AS served_from_mv
           |FROM events
           |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    // ---- time-grain coarsening (daily served from the hourly view) -----
+    // The rollup hierarchy's second axis: the query asks for DAILY
+    // buckets, the view stores HOURLY ones — hour nests into day, so
+    // the rule re-truncates the stored bucket (`date_trunc('day', h)`)
+    // and re-aggregates, still reading the |type×hour|-row table. Unit
+    // nesting is validated (week never serves month/year; finer-than-
+    // stored stands down) — law-pinned in MaterializedViewSpec.
+    "q70_mv_timegrain" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        import graft.operators.MaterializedView.{MvAgg, MvGroupExpr}
+        val sess = mvSession(s)
+        val base = s"$dir/events.parquet"
+        val mvPath =
+          s"target/mv/events_grain_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        MaterializedView.create(sess, "events_grain", base,
+          groupCols = Seq("event_type"),
+          aggs = Seq(
+            MvAgg("count_star", outCol = "n_events"),
+            MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
+          mvPath = mvPath,
+          groupExprs = Seq(MvGroupExpr("h", "date_trunc('hour', ts)")))
+        val q = sess.read.parquet(base)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+        q.select(col("event_type"), unix_micros(col("d")).as("day_us"),
+            col("n_events"), col("sv").cast(DoubleType).as("total_value"),
+            lit(readsMv(q, mvPath)).as("served_from_mv"))
+          .orderBy("event_type", "day_us")
+      },
+      Some(
+        """SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+          |  count(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+          |  true AS served_from_mv
+          |FROM events GROUP BY 1, 2
+          |ORDER BY event_type, day_us""".stripMargin)),
   )
 
   /** MV queries run on a CHILD session (`newSession()`: its own SQLConf,

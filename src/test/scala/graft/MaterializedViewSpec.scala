@@ -817,6 +817,44 @@ class MaterializedViewSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("cnt"))
       assert(readsPath(qh, mv) && !readsPath(qh, base))
       assert(qh.orderBy("h").collect().map(_.getLong(1)).toSeq == Seq(2L, 1L))
+      // COARSER time bucket: daily totals re-truncate the stored hour —
+      // date_trunc('day', h) ≡ date_trunc('day', ts) because hour nests
+      // into day — so the hourly view serves the daily rollup too
+      val qd = spark.read.parquet(base)
+        .groupBy(col("k"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("v").cast(DecimalType(18, 6))).as("sv"))
+      assert(readsPath(qd, mv) && !readsPath(qd, base),
+        "a daily rollup must re-truncate the hourly view")
+      assert(qd.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDecimal(3).toPlainString)).toSeq ==
+        Seq(("a", "2026-01-01 00:00:00.0", 2L, "3.000000"),
+          ("b", "2026-01-01 00:00:00.0", 1L, "8.000000")))
+      // monthly from hourly also nests; a week query over a MONTH view
+      // would not — pin the nesting guard at the unit level instead: a
+      // view storing WEEK buckets must refuse a monthly query
+      val mvW = freshDir("rollup2/mvW")
+      MaterializedView.create(spark, "mv_rollup_w", base,
+        groupCols = Seq("k"),
+        aggs = Seq(MvAgg("count_star", outCol = "cnt")),
+        mvPath = mvW,
+        groupExprs = Seq(MvGroupExpr("w", "date_trunc('week', ts)")))
+      try {
+        val qm = spark.read.parquet(base)
+          .groupBy(date_trunc("month", col("ts")).as("m"))
+          .agg(count(lit(1)).as("cnt"))
+        assert(!readsPath(qm, mvW),
+          "weeks straddle month boundaries — month-from-week must stand down")
+        // but a month query still routes from the HOURLY view
+        assert(readsPath(qm, mv) && !readsPath(qm, base))
+        assert(qm.collect().map(_.getLong(1)).toSeq == Seq(3L))
+      } finally MaterializedView.drop("mv_rollup_w")
+      // finer-than-stored stands down outright (minute from hourly)
+      val qMin = spark.read.parquet(base)
+        .groupBy(date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(!readsPath(qMin, mv))
     } finally MaterializedView.drop("mv_rollup_h")
   }
 
