@@ -41,13 +41,22 @@ object MaterializedView {
     * (optionally pre-cast to `castTo`, e.g. "decimal(18,6)" — the exact
     * shape the engine's decimal-sum convention produces), written as
     * `outCol`. Supported funcs: count_star, count, sum, min, max —
-    * the self-maintainable aggregates (q41's merge family). A stored
-    * (sum, count) pair over the same input additionally serves the
-    * query-side `avg` — the rule derives it from the partials. */
+    * the self-maintainable aggregates (q41's merge family) — plus
+    * `hll_sketch`, a mergeable DataSketches HLL over `inputCol` at
+    * `lgK` (the [[Sketches]] family as STORED view state): the one way
+    * a distinct-count rollup becomes algebraic, so the rule can serve
+    * `hll_sketch_agg`/`hll_sketch_estimate` queries — including
+    * re-unions across rolled-up dimensions — from a few KB per group
+    * instead of a 100 TB re-scan. A stored (sum, count) pair over the
+    * same input additionally serves the query-side `avg` — the rule
+    * derives it from the partials. */
   final case class MvAgg(func: String, inputCol: String = "",
-                         castTo: Option[String] = None, outCol: String) {
-    require(Set("count_star", "count", "sum", "min", "max")(func),
-      s"unsupported MV aggregate: $func")
+                         castTo: Option[String] = None, outCol: String,
+                         lgK: Option[Int] = None) {
+    require(Set("count_star", "count", "sum", "min", "max",
+      "hll_sketch")(func), s"unsupported MV aggregate: $func")
+    require(lgK.isEmpty || func == "hll_sketch",
+      "lgK only applies to hll_sketch aggregates")
   }
 
   /** A derived grouping dimension: `sql` evaluated over the base (e.g.
@@ -114,6 +123,9 @@ object MaterializedView {
 
   def dropAll(): Unit = catalog.clear()
 
+  /** The default lgK `hll_sketch_agg` uses when none is given. */
+  val DefaultLgK = 12
+
   private def aggColumn(a: MvAgg): Column = {
     val in = a.castTo.map(t => col(a.inputCol).cast(t))
       .getOrElse(col(a.inputCol))
@@ -123,6 +135,8 @@ object MaterializedView {
       case "sum"        => sum(in)
       case "min"        => min(in)
       case "max"        => max(in)
+      case "hll_sketch" =>
+        hll_sketch_agg(in, lit(a.lgK.getOrElse(DefaultLgK)))
     }
     c.as(a.outCol)
   }
@@ -333,6 +347,7 @@ object MaterializedView {
     val aggsJson = d.aggs.map(a =>
       s"""{"func":${jsonStr(a.func)},"inputCol":${jsonStr(a.inputCol)},""" +
         s""""castTo":${a.castTo.map(jsonStr).getOrElse("null")},""" +
+        s""""lgK":${a.lgK.map(_.toString).getOrElse("null")},""" +
         s""""outCol":${jsonStr(a.outCol)}}""").mkString("[", ",", "]")
     val groupExprsJson = d.groupExprs.map(g =>
       s"""{"name":${jsonStr(g.name)},"sql":${jsonStr(g.sql)}}""")
@@ -397,7 +412,8 @@ object MaterializedView {
           a \ "func" match { case JString(s) => s; case _ => "?" },
           a \ "inputCol" match { case JString(s) => s; case _ => "" },
           a \ "castTo" match { case JString(s) => Some(s); case _ => None },
-          outCol = a \ "outCol" match { case JString(s) => s; case _ => "?" })
+          outCol = a \ "outCol" match { case JString(s) => s; case _ => "?" },
+          lgK = a \ "lgK" match { case JInt(v) => Some(v.toInt); case _ => None })
       }
       case other => throw new java.io.IOException(s"bad aggs: $other")
     }
@@ -604,6 +620,9 @@ object MaterializedView {
           case "count_star" | "count" | "sum" => sum(col(a.outCol))
           case "min"                          => min(col(a.outCol))
           case "max"                          => max(col(a.outCol))
+          // idempotent register-max union: a replayed partial is a
+          // state-level no-op, same-lgK enforced (false = fail loud)
+          case "hll_sketch" => hll_union_agg(col(a.outCol), lit(false))
         }
         c.cast(storedTypes(a.outCol)).as(a.outCol)
       }

@@ -468,6 +468,19 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
+  /** The stored sketch column serving an `hll_sketch_agg` call — the
+    * input column and lgK must both match the declaration (a silent
+    * lgK drift would change the error bound). */
+  private def servedSketch(h: HllSketchAgg, d: MvDef,
+                           byName: Map[String, Attribute]): Option[Attribute] =
+    h.left match {
+      case a: AttributeReference =>
+        d.aggs.find(x => x.func == "hll_sketch" && x.inputCol == a.name &&
+            x.lgK.getOrElse(MaterializedView.DefaultLgK) == h.lgConfigK)
+          .flatMap(x => byName.get(x.outCol))
+      case _ => None
+    }
+
   /** The view-side expression serving aggregate expression `ae`, bound
     * against `byName` (the view relation's output attributes). */
   private def serveAggExpr(ae: AggregateExpression, d: MvDef, core: Core,
@@ -475,6 +488,8 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     ae match {
       case AggregateExpression(avgFn: Average, _, false, None, _) =>
         serveAverage(avgFn, d, core, byName)
+      case AggregateExpression(h: HllSketchAgg, _, false, None, _) =>
+        servedSketch(h, d, byName)
       case AggregateExpression(fn, _, false, None, _) =>
         shapeOf(fn).flatMap { got =>
           d.aggs.find(a => declaredShape(a) == got)
@@ -525,6 +540,12 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
             case _ => None
           }
         }
+      case AggregateExpression(h: HllSketchAgg, _, false, None, _) =>
+        // merging rolled-up groups' sketches: register-max union — the
+        // same final registers as a direct build under ANY merge
+        // schedule (q49's schedule-independence law as a rewrite)
+        servedSketch(h, d, byName).map(stored =>
+          new HllUnionAgg(stored, Literal(false)).toAggregateExpression())
       case AggregateExpression(fn, _, false, None, _) =>
         shapeOf(fn).flatMap { got =>
           d.aggs.find(a => declaredShape(a) == got)
@@ -540,35 +561,54 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Serve an entire OUTPUT expression: every aggregate call inside it
+    * replaced by its view-served form (a stored partial's column in
+    * exact mode, a re-aggregation of partials in rollup mode), every
+    * grouping reference by its view column, and the deterministic
+    * scalar structure around them — `hll_sketch_estimate(...)`,
+    * arithmetic over sums and counts — preserved verbatim. None = some
+    * piece is not servable and the caller stands down. */
+  private def serveOutput(e: Expression, d: MvDef, core: Core,
+                          byName: Map[String, Attribute], exact: Boolean,
+                          dimExpr: DimMatch => Option[Expression]): Option[Expression] = {
+    def go(x: Expression): Option[Expression] = x match {
+      case ae: AggregateExpression =>
+        if (exact) serveAggExpr(ae, d, core, byName)
+        else rollupAggExpr(ae, d, core, byName)
+      case other =>
+        dimMatchOf(other, d, core.scans).flatMap(dimExpr).orElse {
+          other match {
+            case _: AttributeReference => None // a leaf the view cannot name
+            case _ if !other.deterministic => None
+            case _ =>
+              val kids = other.children.map(go)
+              if (kids.exists(_.isEmpty)) None
+              else Some(other.withNewChildren(kids.flatten))
+          }
+        }
+    }
+    go(resolveThrough(e, core.env))
+  }
+
   private def aggregatesMatch(agg: Aggregate, d: MvDef,
                               core: Core): Boolean =
     groupingModeOf(agg, d, core).exists { exact =>
       val byName = d.relation.output.map(a => a.name -> a).toMap
+      val dimExpr: DimMatch => Option[Expression] = {
+        case ExactDim(n) => byName.get(n)
+        case CoarsenedDim(n, rebuild) if !exact => byName.get(n).map(rebuild)
+        case _ => None
+      }
       agg.aggregateExpressions.forall {
-        case a: AttributeReference if !core.env.contains(a.exprId) =>
-          d.groupCols.contains(a.name)
-        case al @ Alias(ae: AggregateExpression, _) =>
-          val served =
-            if (exact) serveAggExpr(mapAggChildren(ae, core.env), d, core, byName)
-            else rollupAggExpr(mapAggChildren(ae, core.env), d, core, byName)
-          served.exists(_.dataType == al.dataType)
         case al: Alias =>
-          dimMatchOf(resolveThrough(al.child, core.env), d, core.scans)
-            .exists(_.isInstanceOf[ExactDim] || !exact)
-        case a: AttributeReference => // a pulled-out grouping expression
-          dimMatchOf(resolveThrough(a, core.env), d, core.scans)
-            .exists(_.isInstanceOf[ExactDim] || !exact)
+          serveOutput(al.child, d, core, byName, exact, dimExpr)
+            .exists(_.dataType == al.dataType)
+        case a: AttributeReference =>
+          serveOutput(a, d, core, byName, exact, dimExpr)
+            .exists(_.dataType == a.dataType)
         case _ => false
       }
     }
-
-  /** Resolve projected aliases inside an aggregate call's ARGUMENTS
-    * (not the call itself). */
-  private def mapAggChildren(ae: AggregateExpression,
-                             env: Map[ExprId, Expression]): AggregateExpression =
-    if (env.isEmpty) ae
-    else ae.copy(aggregateFunction = ae.aggregateFunction
-      .mapChildren(resolveThrough(_, env)).asInstanceOf[AggregateFunction])
 
   private def route(agg: Aggregate, d: MvDef,
                     core: Core): Option[LogicalPlan] = {
@@ -595,36 +635,30 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
         if (!ok) None
         else Some(Filter(rebound.reduce(And), inst))
       }
-    // the view attribute a query grouping expression maps to
-    def dimAttr(e: Expression): Option[Attribute] = {
-      val resolved = resolveThrough(e, env)
-      val name = resolved match {
-        case a: AttributeReference if d.groupCols.contains(a.name) => Some(a.name)
-        case ex => templateFor(ex, d, core.scans)
-      }
-      name.flatMap(byName.get)
-    }
-    if (exact) {
-      val projected = agg.aggregateExpressions.map {
-        case a: AttributeReference if !env.contains(a.exprId) =>
-          byName.get(a.name).filter(_.dataType == a.dataType)
-            .map(mv => Alias(mv, a.name)(exprId = a.exprId))
-        case al @ Alias(ae: AggregateExpression, name) =>
-          serveAggExpr(mapAggChildren(ae, env), d, core, byName)
-            .filter(_.dataType == al.dataType)
-            .map(e => Alias(e, name)(exprId = al.exprId))
+    def servedOutputs(exactMode: Boolean,
+                      dimExpr: DimMatch => Option[Expression]): Option[Seq[NamedExpression]] = {
+      val mapped = agg.aggregateExpressions.map {
         case al: Alias =>
-          dimAttr(al.child)
+          serveOutput(al.child, d, core, byName, exactMode, dimExpr)
             .filter(_.dataType == al.dataType)
-            .map(mv => Alias(mv, al.name)(exprId = al.exprId))
-        case a: AttributeReference => // pulled-out grouping expression
-          dimAttr(a)
+            .map(e => Alias(e, al.name)(exprId = al.exprId))
+        case a: AttributeReference =>
+          serveOutput(a, d, core, byName, exactMode, dimExpr)
             .filter(_.dataType == a.dataType)
-            .map(mv => Alias(mv, a.name)(exprId = a.exprId))
+            .map(e => Alias(e, a.name)(exprId = a.exprId))
         case _ => None
       }
-      if (projected.exists(_.isEmpty)) None // a type mismatch: stand down
-      else filtered.map(child => Project(projected.flatten, child))
+      if (mapped.exists(_.isEmpty)) None else Some(mapped.flatten)
+    }
+    if (exact) {
+      val dimExpr: DimMatch => Option[Expression] = {
+        case ExactDim(n) => byName.get(n)
+        case _ => None
+      }
+      for {
+        outs <- servedOutputs(exactMode = true, dimExpr)
+        child <- filtered
+      } yield Project(outs, child)
     } else {
       // rollup: re-aggregate the view on the query's mapped dimensions —
       // a grouped aggregate over a |view-groups|-row table, still never
@@ -632,37 +666,22 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
       // projection under the aggregate (one shared alias per dimension,
       // referenced by grouping and output alike).
       val coarsened = scala.collection.mutable.LinkedHashMap.empty[String, Alias]
-      def servedDim(e: Expression): Option[Expression] =
-        dimMatchOf(resolveThrough(e, env), d, core.scans).flatMap {
-          case ExactDim(n) => byName.get(n)
-          case CoarsenedDim(n, rebuild) => byName.get(n).map { a =>
-            coarsened.getOrElseUpdate(n,
-              Alias(rebuild(a), s"_mvcoarse_$n")()).toAttribute
-          }
+      val dimExpr: DimMatch => Option[Expression] = {
+        case ExactDim(n) => byName.get(n)
+        case CoarsenedDim(n, rebuild) => byName.get(n).map { a =>
+          coarsened.getOrElseUpdate(n,
+            Alias(rebuild(a), s"_mvcoarse_$n")()).toAttribute
         }
-      val groupAttrs = agg.groupingExpressions.map(servedDim)
-      val outExprs = agg.aggregateExpressions.map {
-        case a: AttributeReference if !env.contains(a.exprId) =>
-          byName.get(a.name).filter(_.dataType == a.dataType)
-            .map(mv => Alias(mv, a.name)(exprId = a.exprId))
-        case al @ Alias(ae: AggregateExpression, name) =>
-          rollupAggExpr(mapAggChildren(ae, env), d, core, byName)
-            .filter(_.dataType == al.dataType)
-            .map(e => Alias(e, name)(exprId = al.exprId))
-        case al: Alias =>
-          servedDim(al.child).filter(_.dataType == al.dataType)
-            .map(mv => Alias(mv, al.name)(exprId = al.exprId))
-        case a: AttributeReference =>
-          servedDim(a).filter(_.dataType == a.dataType)
-            .map(mv => Alias(mv, a.name)(exprId = a.exprId))
-        case _ => None
       }
-      if (groupAttrs.exists(_.isEmpty) || outExprs.exists(_.isEmpty)) None
+      val groupAttrs = agg.groupingExpressions.map(g =>
+        dimMatchOf(resolveThrough(g, env), d, core.scans).flatMap(dimExpr))
+      val outs = servedOutputs(exactMode = false, dimExpr)
+      if (groupAttrs.exists(_.isEmpty) || outs.isEmpty) None
       else filtered.map { child =>
         val withCoarse =
           if (coarsened.isEmpty) child
           else Project(child.output ++ coarsened.values, child)
-        Aggregate(groupAttrs.flatten, outExprs.flatten, withCoarse)
+        Aggregate(groupAttrs.flatten, outs.get, withCoarse)
       }
     }
   }

@@ -478,7 +478,7 @@ object EventsQueries {
             sum(col("value").cast(DecimalType(18, 6))).as("sv"))
         q.select(col("event_type"), col("n_events"),
             col("sv").cast(DoubleType).as("total_value"),
-            lit(readsMv(q, mvPath)).as("served_from_mv"))
+            lit(servedFromMv(q, base)).as("served_from_mv"))
           .orderBy("event_type")
       },
       Some(
@@ -519,7 +519,7 @@ object EventsQueries {
             avg(col("value").cast(DecimalType(18, 6))).as("avg_dec"))
         q.select(col("event_type"), col("n_vals"),
             round(col("avg_dec").cast(DoubleType), 6).as("avg_value"),
-            lit(readsMv(q, mvPath)).as("served_from_mv"))
+            lit(servedFromMv(q, base)).as("served_from_mv"))
           .orderBy("event_type")
       },
       Some(
@@ -560,7 +560,7 @@ object EventsQueries {
             sum(col("value").cast(DecimalType(18, 6))).as("sv"))
         q.select(col("event_type"), unix_micros(col("h")).as("hour_us"),
             col("n_events"), col("sv").cast(DoubleType).as("total_value"),
-            lit(readsMv(q, mvPath)).as("served_from_mv"))
+            lit(servedFromMv(q, base)).as("served_from_mv"))
           .orderBy("event_type", "hour_us")
       },
       Some(
@@ -602,7 +602,7 @@ object EventsQueries {
             sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
         q.select(col("c_mktsegment"), col("n_orders"),
             col("revenue").cast(DoubleType).as("revenue"),
-            lit(readsMv(q, mvPath)).as("served_from_mv"))
+            lit(servedFromMv(q, fact, dimP)).as("served_from_mv"))
           .orderBy("c_mktsegment")
       },
       Some(
@@ -652,7 +652,7 @@ object EventsQueries {
               .as("revenue"))
         q.select(col("c_mktsegment"), col("n_items"),
             col("revenue").cast(DoubleType).as("revenue"),
-            lit(readsMv(q, mvPath)).as("served_from_mv"))
+            lit(servedFromMv(q, factP, ordP, custP)).as("served_from_mv"))
           .orderBy("c_mktsegment")
       },
       Some(
@@ -698,7 +698,7 @@ object EventsQueries {
         q.select(col("event_type"), col("n_events"),
             round(col("avg_dec").cast(DoubleType), 6).as("avg_value"),
             col("sv").cast(DoubleType).as("total_value"),
-            lit(readsMv(q, mvPath)).as("served_from_mv"))
+            lit(servedFromMv(q, base)).as("served_from_mv"))
           .orderBy("event_type")
       },
       Some(
@@ -737,7 +737,7 @@ object EventsQueries {
             sum(col("value").cast(DecimalType(18, 6))).as("sv"))
         q.select(col("event_type"), unix_micros(col("d")).as("day_us"),
             col("n_events"), col("sv").cast(DoubleType).as("total_value"),
-            lit(readsMv(q, mvPath)).as("served_from_mv"))
+            lit(servedFromMv(q, base)).as("served_from_mv"))
           .orderBy("event_type", "day_us")
       },
       Some(
@@ -747,6 +747,58 @@ object EventsQueries {
           |  true AS served_from_mv
           |FROM events GROUP BY 1, 2
           |ORDER BY event_type, day_us""".stripMargin)),
+    // ---- sketch-backed MV (distinct-count rollups served) --------------
+    // COUNT DISTINCT is the canonical aggregate a rollup CANNOT store
+    // (per-day distinct users don't sum to monthly distinct users). The
+    // view stores a mergeable HLL sketch per (type, day); the rule
+    // serves the per-type distinct-user query by RE-UNIONING the stored
+    // sketches — register-max merge, schedule-independent (the q49 law
+    // as a rewrite), deduplicating users across the rolled-up days. The
+    // q49 gate pattern: DuckDB pins the exact counts; the engine-side
+    // booleans pin that the ROUTED estimate equals the direct sketch
+    // computation exactly and lands within the error bound of truth —
+    // and served_from_mv pins that the rewrite actually fired.
+    "q71_mv_sketch" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        import graft.operators.MaterializedView.{MvAgg, MvGroupExpr}
+        val sess = mvSession(s)
+        val base = s"$dir/events.parquet"
+        val mvPath =
+          s"target/mv/events_sketch_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        MaterializedView.create(sess, "events_sketch", base,
+          groupCols = Seq("event_type"),
+          aggs = Seq(
+            MvAgg("count_star", outCol = "n_events"),
+            MvAgg("hll_sketch", "user_id", outCol = "uhll", lgK = Some(14))),
+          mvPath = mvPath,
+          groupExprs = Seq(MvGroupExpr("d", "date_trunc('day', ts)")))
+        def sketchQ(ss: SparkSession) = ss.read.parquet(base)
+          .groupBy("event_type")
+          .agg(hll_sketch_estimate(
+            hll_sketch_agg(col("user_id"), lit(14))).as("est"))
+        val routed = sketchQ(sess)
+        val mvServed = servedFromMv(routed, base)
+        val directEst = sketchQ(s) // main session: routing never enabled
+          .withColumnRenamed("est", "direct_est")
+        val exact = s.read.parquet(base).groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("n_exact"))
+        routed.join(directEst, Seq("event_type"))
+          .join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"),
+            (col("est") === col("direct_est")).as("routed_matches_direct"),
+            (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.02)
+              .as("err_within_2pct"),
+            lit(mvServed).as("served_from_mv"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+          |  TRUE AS routed_matches_direct,
+          |  TRUE AS err_within_2pct,
+          |  TRUE AS served_from_mv
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 
   /** MV queries run on a CHILD session (`newSession()`: its own SQLConf,
@@ -760,17 +812,25 @@ object EventsQueries {
     child
   }
 
-  /** Does the optimized plan read the view table at `mvPath`? Forced at
-    * build time and emitted as the hash-gated `served_from_mv` literal,
-    * so the rewrite firing is load-bearing in the correctness gate. */
-  private def readsMv(df: DataFrame, mvPath: String): Boolean =
-    df.queryExecution.optimizedPlan.collectLeaves().exists {
+  /** Does the optimized plan read a MATERIALIZED-VIEW table instead of
+    * any of the query's base inputs? Forced at build time and emitted
+    * as the hash-gated `served_from_mv` literal, so the rewrite firing
+    * is load-bearing in the correctness gate. Several registered views
+    * can legally serve one shape (the rule picks the smallest stored
+    * table, name-tiebroken) — the gated claim is "the rewrite fired and
+    * the base was never scanned", not that one specific view won a
+    * size tie against an equivalent twin. */
+  private def servedFromMv(df: DataFrame, basePaths: String*): Boolean = {
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    def reads(path: String): Boolean = leaves.exists {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.exists(_.toString.contains(mvPath))
+            fs.location.rootPaths.exists(_.toString.contains(path))
           case _ => false
         }
       case _ => false
     }
+    !basePaths.exists(reads) && reads("target/mv/")
+  }
 }

@@ -83,6 +83,11 @@ object Relational {
           .where(col("o_orderdate") < lit("1999-01-01").cast(TimestampNTZType))
           .join(lk.lineitem, col("o_orderkey") === col("l_orderkey"))
           .where(col("l_shipdate") > lit("1999-01-01").cast(TimestampNTZType))
+          // NTZ output (the registry convention): value-preserving under
+          // the UTC session; with INT64-micros parquet output the dumped
+          // type otherwise reads back tz-aware and breaks the oracle
+          // compare (INT96 used to mask this)
+          .withColumn("o_orderdate", col("o_orderdate").cast(TimestampNTZType))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
             .cast(DoubleType).as("revenue"))
@@ -277,6 +282,9 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Lake(s, dir).lineitem
           .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast(DoubleType))
+          // NTZ output convention (see q03) — cast AFTER the window; the
+          // order is identical micros either way
+          .withColumn("l_shipdate", col("l_shipdate").cast(TimestampNTZType))
           .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
           .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
       },
@@ -435,7 +443,10 @@ object Relational {
     // date_format(..,'EEEE') replacing the reference's Python weekday UDF.
     "q16_date_dim" -> Q(
       (s, dir) => Lake(s, dir).orders
-        .select(col("o_orderdate").as("start_time")).distinct()
+        // NTZ output convention (see q03); the derivations below read
+        // the same wall-clock fields under the UTC session either way
+        .select(col("o_orderdate").cast(TimestampNTZType).as("start_time"))
+        .distinct()
         .select(
           col("start_time"),
           hour(col("start_time")).as("hour"),

@@ -923,6 +923,10 @@ object SurfaceQueries {
         .withColumn("prunable",
           col("max_ship") < lit("1994-01-01").cast(TimestampNTZType) ||
             col("min_ship") >= lit("1995-01-01").cast(TimestampNTZType))
+        // NTZ output convention (q03's note): value-preserving under the
+        // UTC session, keeps the dumped type naive for the oracle compare
+        .withColumn("min_ship", col("min_ship").cast(TimestampNTZType))
+        .withColumn("max_ship", col("max_ship").cast(TimestampNTZType))
         .orderBy("shard"),
       Some(
         """SELECT l_orderkey // 3000 AS shard, count(*) AS n_rows,

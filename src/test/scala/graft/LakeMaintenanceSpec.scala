@@ -596,6 +596,52 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(total == 4L && kept.size < 4, s"expected id pruning, kept $kept")
   }
 
+  test("timestamp/date zone maps are footer-served and prune calendar ranges exactly") {
+    import graft.operators.ZoneMapTable
+    import spark.implicits._
+    val li = Lake(spark, sf0001).lineitem
+    val dir = Files.createTempDirectory("zm_time").toString + "/t"
+    // cluster BY the ship date — the canonical time-partitioned lake
+    // layout; both the long key and the timestamp column keep stats
+    ZoneMapTable.write(li, dir, "l_shipdate",
+      Seq("l_shipdate", "l_orderkey"), files = 6)
+    def scanManifest() = {
+      val aggs = count(lit(1)).as("n_rows") +:
+        Seq("l_shipdate", "l_orderkey").flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      spark.read.parquet(s"$dir/data")
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    def zones(df: org.apache.spark.sql.DataFrame) =
+      df.drop("file").collect().map(_.toString).sorted.toSeq
+    assert(zones(ZoneMapTable.manifest(spark, dir)) === zones(scanManifest()),
+      "timestamp zones diverged from a full scan's")
+    // the footer path actually served every file (no scan fallback):
+    // the write used Spark's own MICROS annotation, which the parser
+    // validates before trusting INT64 stats
+    val dataFiles = new java.io.File(s"$dir/data").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getAbsolutePath).toSeq
+    val Some((served, scanned)) = ZoneMapTable.footerStats(spark, dataFiles,
+      Seq("l_shipdate", "l_orderkey"),
+      spark.read.parquet(s"$dir/data").schema)
+    assert(scanned.isEmpty,
+      s"timestamp stats must come from footers, still scanning: $scanned")
+    assert(served.count() == dataFiles.size)
+    // calendar-range pruned read: clustered by date, a one-year slice
+    // opens a file subset and equals the direct predicate exactly
+    val lo = lit("1994-01-01").cast(org.apache.spark.sql.types.TimestampNTZType)
+    val hi = lit("1994-12-31 23:59:59").cast(org.apache.spark.sql.types.TimestampNTZType)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(ZoneMapTable.prunedRead(spark, dir, "l_shipdate", lo, hi)) ===
+      canon(li.where(col("l_shipdate") >= lo && col("l_shipdate") <= hi)))
+    val (kept, total) = ZoneMapTable.survivingFiles(spark, dir, "l_shipdate", lo, hi)
+    assert(total == 6L && kept.size < 6,
+      s"date clustering must let the calendar slice skip files, kept $kept")
+  }
+
   test("streamed zone-map ingest reads like batch, absorbs each batch exactly once") {
     import graft.operators.ZoneMapTable
     val li = Lake(spark, sf0001).lineitem

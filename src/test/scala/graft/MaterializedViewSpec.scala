@@ -858,6 +858,82 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_rollup_h")
   }
 
+  test("hll-sketch views serve distinct-count rollups from stored partials") {
+    val base = freshDir("sketch/base"); val mv = freshDir("sketch/mv")
+    // 3 keys × 2 subkeys, overlapping user sets across subkeys — the
+    // rollup union must DEDUPLICATE across merged groups, which a
+    // stored count-distinct never could (the sketch makes it algebraic)
+    (0 until 600).map(i => (s"k${i % 3}", s"s${i % 2}", (i % 50).toLong))
+      .toDF("k", "k2", "u").write.mode("overwrite").parquet(base)
+    MaterializedView.create(spark, "mv_sketch", base,
+      groupCols = Seq("k", "k2"),
+      aggs = Seq(
+        MvAgg("count_star", outCol = "cnt"),
+        MvAgg("hll_sketch", "u", outCol = "uhll", lgK = Some(12))),
+      mvPath = mv)
+    def direct[A](f: => A): A = {
+      spark.conf.set(MaterializedViewRule.ConfKey, "false")
+      try f finally spark.conf.set(MaterializedViewRule.ConfKey, "true")
+    }
+    try withRouting {
+      // exact grouping: the estimate wraps the STORED sketch column
+      def exactQ() = spark.read.parquet(base).groupBy("k", "k2")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("u"), lit(12))).as("nd"))
+      val qe = exactQ()
+      assert(readsPath(qe, mv) && !readsPath(qe, base),
+        "sketch estimate over the exact grouping must route")
+      def canon2(df: DataFrame) = df.orderBy("k", "k2").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(canon2(qe) == direct(canon2(exactQ())))
+      // coupon-exact fixture: the estimate IS the true distinct count
+      assert(canon2(qe) == direct(
+        spark.read.parquet(base).groupBy("k", "k2")
+          .agg(countDistinct(col("u")).as("nd")).orderBy("k", "k2").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq))
+      // ROLLUP: per-k distinct users re-union the stored sketches —
+      // user sets overlap across k2, so a sum of counts would be WRONG;
+      // the union deduplicates
+      def rollQ() = spark.read.parquet(base).groupBy("k")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("u"), lit(12))).as("nd"))
+      val qr = rollQ()
+      assert(readsPath(qr, mv) && !readsPath(qr, base),
+        "sketch rollup must route")
+      def canon1(df: DataFrame) = df.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(canon1(qr) == direct(canon1(rollQ())))
+      assert(canon1(qr) == direct(
+        spark.read.parquet(base).groupBy("k")
+          .agg(countDistinct(col("u")).as("nd")).orderBy("k").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq))
+      // global distinct: the whole-table union
+      val qg = spark.read.parquet(base)
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("u"), lit(12))).as("nd"))
+      assert(readsPath(qg, mv) && !readsPath(qg, base))
+      assert(qg.collect().head.getLong(0) == 50L)
+      // a different lgK is a different error bound: stand down
+      val qBad = spark.read.parquet(base).groupBy("k")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("u"), lit(13))).as("nd"))
+      assert(!readsPath(qBad, mv))
+      // compound scalar structure around served aggregates routes too
+      val qc = spark.read.parquet(base).groupBy("k")
+        .agg((count(lit(1)) * lit(10L)).as("c10"))
+      assert(readsPath(qc, mv) && !readsPath(qc, base),
+        "arithmetic over served aggregates must route")
+      assert(canon1(qc) == Seq(("k0", 2000L), ("k1", 2000L), ("k2", 2000L)))
+      // absorb folds a delta's sketch partials by idempotent union
+      val delta = (600 until 700).map(i => (s"k${i % 3}", s"s${i % 2}", (i % 80).toLong))
+      delta.toDF("k", "k2", "u").write.mode("append").parquet(base)
+      MaterializedView.absorb(spark, "mv_sketch", delta.toDF("k", "k2", "u"))
+      val qAfter = rollQ()
+      assert(readsPath(qAfter, mv), "absorb must re-arm sketch routing")
+      assert(canon1(qAfter) == direct(
+        spark.read.parquet(base).groupBy("k")
+          .agg(countDistinct(col("u")).as("nd")).orderBy("k").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq),
+        "absorbed sketch estimates must stay coupon-exact")
+    } finally MaterializedView.drop("mv_sketch")
+  }
+
   test("cost-based selection: the smallest servable view wins") {
     val base = freshDir("cost/base")
     val mvWide = freshDir("cost/mv_wide"); val mvSmall = freshDir("cost/mv_small")
