@@ -79,8 +79,12 @@ object ZoneMapTable {
   private def publishManifest(spark: SparkSession, dir: String,
                               manifest: DataFrame,
                               batchId: Long = -1L): Unit = {
-    val next = manifestGens(spark, dir, committedOnly = false)
-      .lastOption.getOrElse(0L) + 1
+    // ONE generation listing serves both allocation and the
+    // post-publish prune — commit metadata round trips stay O(1) in
+    // table size and generation count (a concurrent writer's new dir
+    // simply survives until its own publish prunes)
+    val known = manifestGens(spark, dir, committedOnly = false)
+    val next = known.lastOption.getOrElse(0L) + 1
     manifest.write.mode("errorifexists").parquet(s"$dir/_zonemap/g=$next")
     val fs = zfsOf(spark, new org.apache.hadoop.fs.Path(dir))
     if (batchId >= 0)
@@ -88,8 +92,7 @@ object ZoneMapTable {
         s"$dir/_zonemap/g=$next/_batch-$batchId"), false).close()
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_zonemap/g=$next/$Marker")
     fs.create(marker, false).close() // publish
-    manifestGens(spark, dir, committedOnly = false)
-      .filter(_ < next)
+    known.filter(_ < next)
       .foreach(g => fs.delete(
         new org.apache.hadoop.fs.Path(s"$dir/_zonemap/g=$g"), true))
   }
@@ -198,7 +201,9 @@ object ZoneMapTable {
                           types: Seq[org.apache.spark.sql.types.DataType])
       : Either[Unit, Option[Seq[Any]]] = {
     import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.io.api.Binary
     def materialize(v: Any, t: DataType): Any = (v, t) match {
       case (b: Binary, StringType)  => b.toStringUsingUTF8
@@ -208,8 +213,26 @@ object ZoneMapTable {
       case (n: Number, LongType)    => n.longValue
       case (n: Number, FloatType)   => n.floatValue
       case (n: Number, DoubleType)  => n.doubleValue
+      case (n: Number, TimestampType) =>
+        DateTimeUtils.toJavaTimestamp(n.longValue)
+      case (n: Number, TimestampNTZType) =>
+        DateTimeUtils.microsToLocalDateTime(n.longValue)
+      case (n: Number, DateType) => DateTimeUtils.toJavaDate(n.intValue)
       case _ => v
     }
+    // time columns ride INT64/INT32 stats only under the MICROS/DATE
+    // logical annotations Spark itself writes — an INT96 legacy file or
+    // a millis-unit writer falls to the per-file scan
+    def timeAnnotationOk(t: DataType,
+                         pt: org.apache.parquet.schema.PrimitiveType): Boolean =
+      (t, pt.getLogicalTypeAnnotation) match {
+        case (TimestampType, a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+          a.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS && a.isAdjustedToUTC
+        case (TimestampNTZType, a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+          a.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS && !a.isAdjustedToUTC
+        case (DateType, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) => true
+        case _ => false
+      }
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(path), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -236,6 +259,10 @@ object ZoneMapTable {
               case (StringType, BINARY)                        => true
               case (FloatType, FLOAT)                          => true
               case (DoubleType, DOUBLE)                        => true
+              case (TimestampType | TimestampNTZType, INT64) =>
+                timeAnnotationOk(t, chunk.getPrimitiveType)
+              case (DateType, INT32) =>
+                timeAnnotationOk(t, chunk.getPrimitiveType)
               case _                                           => false
             }
             if (!ok) return Left(())
@@ -295,15 +322,16 @@ object ZoneMapTable {
     * the driver (a ~KB metadata read per file); past
     * [[DriverFooterBatch]] the parse fans out over executors and only
     * the manifest-sized results come back. */
-  private def footerStats(spark: SparkSession, paths: Seq[String],
-                          statsCols: Seq[String],
-                          schema: org.apache.spark.sql.types.StructType)
+  private[graft] def footerStats(spark: SparkSession, paths: Seq[String],
+                                 statsCols: Seq[String],
+                                 schema: org.apache.spark.sql.types.StructType)
       : Option[(DataFrame, Seq[String])] = {
     import org.apache.spark.sql.types._
     val types = statsCols.map(c => schema(c).dataType)
     if (!types.forall {
       case ByteType | ShortType | IntegerType | LongType | StringType => true
       case FloatType | DoubleType => true
+      case TimestampType | TimestampNTZType | DateType => true
       case _ => false
     }) return None
     val conf = spark.sessionState.newHadoopConf()
@@ -362,7 +390,8 @@ object ZoneMapTable {
              batchId: Long = -1L): Unit = {
     require(statsCols.nonEmpty, "zone map needs at least one stats column")
     val spark = df.sparkSession
-    if (batchId >= 0 && lastBatchId(spark, dir) >= batchId)
+    val lastAbsorbed = lastBatchId(spark, dir)
+    if (batchId >= 0 && lastAbsorbed >= batchId)
       return // replay: already absorbed
     val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
     val fs = dataPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -389,7 +418,7 @@ object ZoneMapTable {
     // without regressing the guard.
     publishManifest(spark, dir,
       readManifest(spark, dir).unionByName(freshStats),
-      math.max(lastBatchId(spark, dir), batchId))
+      math.max(lastAbsorbed, batchId))
   }
 
   /** Data-layout compaction for an append-grown table: rewrite the

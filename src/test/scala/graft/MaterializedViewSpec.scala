@@ -284,6 +284,56 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_stream")
   }
 
+  test("streamed maintenance of a join-backed view folds fact deltas through the dims") {
+    import MaterializedView.MvJoin
+    val fact = freshDir("jstream/fact"); val dim = freshDir("jstream/dim")
+    val mv = freshDir("jstream/mv")
+    Seq((1L, 10L, 2.0), (2L, 20L, 3.0))
+      .toDF("o_id", "o_cust", "o_amt").write.mode("overwrite").parquet(fact)
+    Seq((10L, "gold"), (20L, "iron"), (30L, "gold"))
+      .toDF("c_id", "c_tier").write.mode("overwrite").parquet(dim)
+    MaterializedView.create(spark, "mv_jstream", fact,
+      groupCols = Seq("c_tier"),
+      aggs = Seq(MvAgg("count_star", outCol = "n"),
+        MvAgg("sum", "o_amt", Some("decimal(18,6)"), outCol = "amt")),
+      mvPath = mv,
+      joins = Seq(MvJoin(dim, Seq("o_cust"), Seq("c_id"))))
+    try withRouting {
+      // two appended fact batches; the stream feeds from the FACT dir
+      // and each absorb joins the delta through the (unchanged) dim
+      for (d <- Seq(Seq((3L, 30L, 5.0)), Seq((4L, 10L, 7.0), (5L, 99L, 11.0))))
+        d.toDF("o_id", "o_cust", "o_amt").coalesce(1)
+          .write.mode("append").parquet(fact)
+      val q = graft.streaming.MvStream.maintain(
+          spark.readStream.schema(spark.read.parquet(fact).schema)
+            .option("maxFilesPerTrigger", "1").parquet(fact),
+          "mv_jstream",
+          checkpoint = freshDir("jstream/ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val factDf = spark.read.parquet(fact); val dimDf = spark.read.parquet(dim)
+      def agg(df: DataFrame) = df.groupBy("c_tier")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_amt").cast(DecimalType(18, 6))).as("amt"))
+      val routed = agg(factDf.join(dimDf, factDf("o_cust") === dimDf("c_id")))
+      assert(readsPath(routed, mv), "caught-up join view must route")
+      def canon(df: DataFrame) = df.orderBy("c_tier").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).toPlainString)).toSeq
+      val direct = {
+        spark.conf.set(MaterializedViewRule.ConfKey, "false")
+        try canon(agg(factDf.join(dimDf, factDf("o_cust") === dimDf("c_id"))))
+        finally spark.conf.set(MaterializedViewRule.ConfKey, "true")
+      }
+      assert(canon(routed) == direct,
+        s"streamed join view diverged:\n  ${canon(routed)}\n  $direct")
+      // the unmatched-key delta row (o_cust=99) correctly joined nothing
+      assert(canon(routed) ==
+        Seq(("gold", 3L, "14.000000"), ("iron", 1L, "3.000000")))
+    } finally MaterializedView.drop("mv_jstream")
+  }
+
   test("split-batch absorb parks routing until the feed catches up") {
     // the round-11 freshness hole, closed: the base already holds a
     // LATER batch's files while an earlier batch is absorbed — the
