@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the validation gate a
+  * training-data pipeline runs before anything downstream trusts a
+  * table (the Deequ/Great-Expectations idea, engine-native).
+  *
+  * Design for 100 TB: the COST of a constraint suite is what decides
+  * whether teams run it, so checks compile by cost class:
+  *
+  *  - ROW-LOCAL checks (not-null, range, set membership, regex, custom
+  *    predicate) all fold into ONE partial+final aggregate over a
+  *    single scan — adding a check adds a counter, never a pass.
+  *    Violation counts come back as one row of sums.
+  *  - UNIQUENESS is one hash aggregate on the key (count minus distinct
+  *    groups; the shuffle every exact-duplicate question costs —
+  *    [[Dedup]]'s exact family at metric granularity).
+  *  - REFERENTIAL integrity (every fact key resolves in a dimension) is
+  *    one LEFT join against the distinct reference keys — Catalyst
+  *    broadcasts the dimension side when it fits, and NULL keys are not
+  *    violations (SQL FK semantics; add a [[NotNull]] check to forbid
+  *    them).
+  *
+  * The report is one tiny DataFrame — (check_name, violations, n_rows,
+  * passed) per declared expectation — so it composes with the rest of
+  * the engine: persist it beside a snapshot version, gate a
+  * [[Curation]] run on `passed`, or diff it across ingest batches. */
+object Expectations {
+
+  sealed trait Check { def name: String }
+
+  /** `col` is never null. */
+  final case class NotNull(col: String) extends Check {
+    def name = s"not_null($col)"
+  }
+  /** `col` ∈ [lo, hi] (nulls are not violations — pair with NotNull). */
+  final case class InRange(col: String, lo: Column, hi: Column) extends Check {
+    def name = s"in_range($col)"
+  }
+  /** `col` ∈ `values`. */
+  final case class InSet(col: String, values: Seq[Any]) extends Check {
+    def name = s"in_set($col)"
+  }
+  /** String `col` contains a match of `regex` (rlike semantics). */
+  final case class MatchesRegex(col: String, regex: String) extends Check {
+    def name = s"matches_regex($col)"
+  }
+  /** Arbitrary row-local predicate (named by the caller). */
+  final case class Satisfies(label: String, predicate: Column) extends Check {
+    def name = s"satisfies($label)"
+  }
+  /** The tuple `cols` appears at most once; `violations` counts every
+    * row belonging to a duplicated tuple. */
+  final case class Unique(cols: Seq[String]) extends Check {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+  /** Every non-null `col` value exists in `refCol` of `ref`. */
+  final case class RefersTo(col: String, ref: DataFrame, refCol: String)
+      extends Check {
+    def name = s"refers_to($col)"
+  }
+
+  /** A row-local check's VIOLATION predicate (null-safe: only definite
+    * violations count, per SQL constraint semantics). */
+  private def violation(c: Check): Option[Column] = c match {
+    case NotNull(col)         => Some(org.apache.spark.sql.functions.col(col).isNull)
+    case InRange(col, lo, hi) =>
+      val x = org.apache.spark.sql.functions.col(col)
+      Some(x.isNotNull && !(x >= lo && x <= hi))
+    case InSet(col, vs)       =>
+      val x = org.apache.spark.sql.functions.col(col)
+      Some(x.isNotNull && !x.isin(vs: _*))
+    case MatchesRegex(col, re) =>
+      val x = org.apache.spark.sql.functions.col(col)
+      Some(x.isNotNull && !x.rlike(re))
+    case Satisfies(_, p)      => Some(p.isNull || !p)
+    case _                    => None
+  }
+
+  /** Run every check and return one report row per check:
+    * `(check_name, violations, n_rows, passed)`, ordered by check name
+    * (`check` itself is an SQL reserved word — the column name keeps
+    * the report queryable everywhere).
+    * Row-local checks share one aggregate pass over `df`; each Unique
+    * adds one keyed aggregate; each RefersTo one anti join. */
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "declare at least one expectation")
+    val rowLocal = checks.flatMap(c => violation(c).map(c.name -> _))
+    val localReport: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val aggs = count(lit(1)).as("n_rows") +: rowLocal.map {
+          case (name, bad) =>
+            sum(when(bad, 1L).otherwise(0L)).as(name)
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        // one aggregate row unpivoted to (check, violations, n_rows) —
+        // |checks| columns to |checks| rows, driver-free
+        Some(row.select(
+          explode(map(rowLocal.flatMap { case (name, _) =>
+            Seq(lit(name), coalesce(col(s"`$name`"), lit(0L)))
+          }: _*)).as(Seq("check_name", "violations")),
+          col("n_rows")))
+      }
+    val uniqueReports = checks.collect { case u @ Unique(cols) =>
+      df.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .agg(
+          lit(u.name).as("check_name"),
+          coalesce(sum(when(col("__n") > 1, col("__n"))), lit(0L))
+            .as("violations"),
+          coalesce(sum(col("__n")), lit(0L)).as("n_rows"))
+    }
+    val refReports = checks.collect { case r @ RefersTo(c, ref, refCol) =>
+      // distinct reference keys LEFT-join the fact keys (no fanout),
+      // then one aggregate counts the dangling non-null keys — a
+      // broadcast hash join when the dimension fits, never a loop
+      val keys = ref.select(col(refCol).as(c)).where(col(c).isNotNull)
+        .distinct().withColumn("__resolved", lit(1L))
+      df.select(col(c)).join(keys, Seq(c), "left_outer")
+        .agg(
+          lit(r.name).as("check_name"),
+          sum(when(col(c).isNotNull && col("__resolved").isNull, 1L)
+            .otherwise(0L)).as("violations"),
+          count(lit(1)).as("n_rows"))
+    }
+    (localReport.toSeq ++ uniqueReports ++ refReports)
+      .reduce(_ unionByName _)
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy("check_name")
+  }
+}

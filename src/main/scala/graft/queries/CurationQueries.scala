@@ -565,5 +565,83 @@ object CurationQueries {
           |       WHEN md5(fp) >= '8' THEN 'sampled_out'
           |       ELSE 'kept' END AS reason
           |FROM windowed ORDER BY doc_id""".stripMargin)),
+
+    // ---- declarative data-quality expectations (validation gate) -------
+    // The pre-training validation suite as ONE tiny report: five
+    // row-local checks share a single aggregate scan of lineitem,
+    // uniqueness adds one keyed aggregate, referential integrity one
+    // broadcast join against the distinct order keys. The fixture is
+    // deliberately mixed: the discount bound FAILS (TPC-H discounts run
+    // to 0.10) and the famous (l_orderkey, l_linenumber) non-uniqueness
+    // of the driver's testdata is pinned as a counted violation, while
+    // the true key and the FK pass — so the gate proves both polarities
+    // and the exact violation arithmetic against DuckDB.
+    "c15_expectations" -> Q(
+      (s, dir) => {
+        import graft.operators.Expectations
+        import graft.operators.Expectations._
+        val lk = Lake(s, dir)
+        Expectations.validate(lk.lineitem, Seq(
+          NotNull("l_orderkey"),
+          InRange("l_quantity", lit(1.0), lit(50.0)),
+          InRange("l_discount", lit(0.0), lit(0.05)),
+          InSet("l_returnflag", Seq("A", "N", "R")),
+          MatchesRegex("l_linestatus", "^[FO]$"),
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          Unique(Seq("l_suppkey", "l_shipdate", "l_orderkey",
+            "l_linenumber", "l_quantity")),
+          RefersTo("l_orderkey", lk.orders, "o_orderkey")))
+      },
+      Some(
+        """WITH rl AS (
+          |  SELECT count(*) AS n_rows,
+          |    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+          |    SUM(CASE WHEN l_quantity IS NOT NULL
+          |             AND NOT (l_quantity BETWEEN 1.0 AND 50.0)
+          |             THEN 1 ELSE 0 END) AS v_qty,
+          |    SUM(CASE WHEN l_discount IS NOT NULL
+          |             AND NOT (l_discount BETWEEN 0.0 AND 0.05)
+          |             THEN 1 ELSE 0 END) AS v_disc,
+          |    SUM(CASE WHEN l_returnflag IS NOT NULL
+          |             AND l_returnflag NOT IN ('A','N','R')
+          |             THEN 1 ELSE 0 END) AS v_flag,
+          |    SUM(CASE WHEN l_linestatus IS NOT NULL
+          |             AND NOT regexp_matches(l_linestatus, '^[FO]$')
+          |             THEN 1 ELSE 0 END) AS v_ls
+          |  FROM lineitem),
+          |u1 AS (
+          |  SELECT COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS v,
+          |         COALESCE(SUM(n), 0) AS n_rows
+          |  FROM (SELECT count(*) AS n FROM lineitem
+          |        GROUP BY l_orderkey, l_linenumber)),
+          |u2 AS (
+          |  SELECT COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS v,
+          |         COALESCE(SUM(n), 0) AS n_rows
+          |  FROM (SELECT count(*) AS n FROM lineitem
+          |        GROUP BY l_suppkey, l_shipdate, l_orderkey,
+          |                 l_linenumber, l_quantity)),
+          |fk AS (
+          |  SELECT SUM(CASE WHEN l.l_orderkey IS NOT NULL
+          |                  AND o.o_orderkey IS NULL
+          |                  THEN 1 ELSE 0 END) AS v,
+          |         count(*) AS n_rows
+          |  FROM lineitem l LEFT JOIN
+          |    (SELECT DISTINCT o_orderkey FROM orders) o
+          |    ON l.l_orderkey = o.o_orderkey)
+          |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+          |  CAST(n_rows AS BIGINT) AS n_rows, violations = 0 AS passed
+          |FROM (
+          |  SELECT 'not_null(l_orderkey)' AS check_name, v_nn AS violations,
+          |         n_rows FROM rl
+          |  UNION ALL SELECT 'in_range(l_quantity)', v_qty, n_rows FROM rl
+          |  UNION ALL SELECT 'in_range(l_discount)', v_disc, n_rows FROM rl
+          |  UNION ALL SELECT 'in_set(l_returnflag)', v_flag, n_rows FROM rl
+          |  UNION ALL SELECT 'matches_regex(l_linestatus)', v_ls, n_rows FROM rl
+          |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v, n_rows FROM u1
+          |  UNION ALL SELECT
+          |    'unique(l_suppkey,l_shipdate,l_orderkey,l_linenumber,l_quantity)',
+          |    v, n_rows FROM u2
+          |  UNION ALL SELECT 'refers_to(l_orderkey)', v, n_rows FROM fk)
+          |ORDER BY check_name""".stripMargin)),
   )
 }
