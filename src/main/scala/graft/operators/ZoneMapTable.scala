@@ -492,12 +492,56 @@ object ZoneMapTable {
     * bounding boxes, not membership proofs). An empty survivor set
     * degrades to an empty frame of the table's schema, not an error. */
   def prunedRead(spark: SparkSession, dir: String, statsCol: String,
-                 lo: Column, hi: Column): DataFrame = {
-    val (kept, _) = survivingFiles(spark, dir, statsCol, lo, hi)
+                 lo: Column, hi: Column): DataFrame =
+    prunedReadMulti(spark, dir, Seq((statsCol, lo, hi)))
+
+  /** Multi-column zone intersection: a file survives only if EVERY
+    * predicate's `[lo, hi]` intersects that column's zone — the read
+    * half of [[LakeMaintenance.zOrderBy]], where locality exists in
+    * every clustered dimension at once, so a conjunctive range filter
+    * multiplies the per-column skip rates instead of leaning on one
+    * leading column. Works over any manifest whose statsCols cover the
+    * queried columns (a [[writeZOrdered]] table, or a linear
+    * [[write]]'s secondary column — correct either way, selective only
+    * where the layout gives the column locality). */
+  def survivingFilesMulti(spark: SparkSession, dir: String,
+                          preds: Seq[(String, Column, Column)]): (Seq[String], Long) = {
+    require(preds.nonEmpty, "give at least one (column, lo, hi) predicate")
+    val manifest = readManifest(spark, dir)
+    val total = manifest.count()
+    val keep = preds.map { case (c, lo, hi) =>
+      !(col(s"max_$c") < lo || col(s"min_$c") > hi)
+    }.reduce(_ && _)
+    val kept = manifest.where(keep)
+      .select("file").collect().map(_.getString(0)).toSeq
+    (kept, total)
+  }
+
+  /** Conjunctive range read: open only files whose zones intersect ALL
+    * predicates, then re-apply the exact conjunction. */
+  def prunedReadMulti(spark: SparkSession, dir: String,
+                      preds: Seq[(String, Column, Column)]): DataFrame = {
+    val (kept, _) = survivingFilesMulti(spark, dir, preds)
     val all = spark.read.parquet(s"$dir/data")
     val base = if (kept.isEmpty) all.limit(0)
                else spark.read.parquet(kept: _*)
-    base.where(col(statsCol) >= lo && col(statsCol) <= hi)
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.where(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** Z-order the table across `clusterCols` (locality in EVERY listed
+    * dimension — [[LakeMaintenance.zOrderBy]]) and persist per-file
+    * zones for `statsCols`, so [[prunedReadMulti]] skips files on any
+    * conjunction of the clustered columns. Fresh-directory form (the
+    * multi-dimensional counterpart of [[write]]'s else-branch). */
+  def writeZOrdered(df: DataFrame, dir: String, clusterCols: Seq[String],
+                    statsCols: Seq[String], files: Int): Unit = {
+    require(statsCols.nonEmpty, "zone map needs at least one stats column")
+    val spark = df.sparkSession
+    LakeMaintenance.zOrderBy(df, s"$dir/data", clusterCols, files)
+    publishManifest(spark, dir,
+      statsOf(spark, listDataFiles(spark, dir), statsCols, df.schema))
   }
 
   // ---- versioned zone-mapped tables: time travel × data skipping ------

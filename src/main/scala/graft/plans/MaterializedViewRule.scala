@@ -17,24 +17,40 @@ import graft.operators.MaterializedView.{MvAgg, MvDef}
   *
   *   Aggregate(G, [G..., f1(c1), f2(c2)...], Scan ⋈ ... ⋈ Scan)
   *     =>  Project(outputs re-aliased to the ORIGINAL expr ids,
-  *                 Scan(mvPath))
+  *                 Scan(mvPath))                      — exact grouping
+  *     =>  Aggregate(G', served outputs, Scan(mvPath)) — rollup
   *
   * when a registered [[MaterializedView.MvDef]] has the same input path
   * SET, the same inner-equi-join key pairs (matched as unordered
   * column-name pairs, so any join orientation or association order of
-  * the same star routes), the same grouping column set, and every
-  * aggregate expression is servable from the view's stored columns:
-  * count_star / count / sum / min / max over a bare column (with at
-  * most one cast — the self-maintainable family) map to their stored
-  * partial directly, and `avg` is DERIVED from a stored (sum, count)
-  * pair over the same input — the rewrite reuses `Average`'s own
-  * `evaluateExpression` with the buffer attributes substituted by the
-  * view's columns, so the served value is computed by exactly the
-  * arithmetic (decimal precision, null-on-empty division) the direct
-  * plan would run over its final buffer. The rewrite preserves the
-  * query's own output names and expression ids, so parents resolve
-  * unchanged; the view relation is `newInstance()`d per rewrite so two
-  * routed aggregates in one plan never share attribute ids.
+  * the same star routes), a grouping the view's dimensions COVER, and
+  * every aggregate expression is servable from the view's stored
+  * columns. Serving forms, composable per output expression:
+  *
+  *  - count_star / count / sum / min / max over a bare column (with at
+  *    most one cast — the self-maintainable family) map to their stored
+  *    partial directly;
+  *  - `avg` is DERIVED from a stored (sum, count) pair over the same
+  *    input — the rewrite reuses `Average`'s own `evaluateExpression`
+  *    with the buffer attributes substituted by the view's columns, so
+  *    the served value is computed by exactly the arithmetic (decimal
+  *    precision, null-on-empty division) the direct plan would run;
+  *  - `hll_sketch_agg` maps to a stored same-lgK sketch column, so a
+  *    distinct-count query is served from KBs of mergeable state;
+  *  - deterministic SCALAR structure around served aggregates —
+  *    `hll_sketch_estimate(...)`, arithmetic over sums and counts — is
+  *    preserved verbatim ([[serveOutput]]);
+  *  - a grouping that is a PROPER SUBSET of the view's dimensions (or
+  *    a COARSER `date_trunc` grain along a validated nesting chain)
+  *    re-aggregates the view: counts/sums re-sum (decimal widening
+  *    cast back — the absorb discipline at read time), min/max
+  *    re-merge, avg divides the re-summed pair, sketches re-union with
+  *    cross-group deduplication — still a |view-groups|-row read.
+  *
+  * The rewrite preserves the query's own output names and expression
+  * ids, so parents resolve unchanged; the view relation is
+  * `newInstance()`d per rewrite so two routed aggregates in one plan
+  * never share attribute ids.
   *
   * Soundness gates, all of which fall back to the un-rewritten plan:
   *  - routing is opt-in (`spark.graft.rewriteMaterializedViews`);
@@ -109,7 +125,8 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
             "an aggregate expression is not served by the view's stored columns"
           else if (!MaterializedView.isFresh(spark, d.name))
             "view is STALE: an input changed since the last create/refresh/absorb"
-          else "routable"
+          else if (groupingModeOf(agg, d, core).contains(true)) "routable"
+          else "routable (rollup re-aggregation)"
       }
       s"view '${d.name}': $verdict"
     }

@@ -642,6 +642,7 @@ object CurationQueries {
           |    'unique(l_suppkey,l_shipdate,l_orderkey,l_linenumber,l_quantity)',
           |    v, n_rows FROM u2
           |  UNION ALL SELECT 'refers_to(l_orderkey)', v, n_rows FROM fk)
-          |ORDER BY check_name""".stripMargin)),
+          |ORDER BY check_name""".stripMargin),
+      headline = true),
   )
 }

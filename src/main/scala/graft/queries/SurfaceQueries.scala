@@ -1000,6 +1000,43 @@ object SurfaceQueries {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       headline = true),
 
+    // ---- z-ordered multi-column skipping (conjunctive pruned read) ------
+    // The read half of zOrderBy: lineitem z-ordered across
+    // (l_orderkey, l_partkey) gives every file locality in BOTH
+    // dimensions, so a conjunctive range filter intersects the
+    // per-column zones and multiplies the skip rates — where a linear
+    // clustering only ever skips on its leading column. Serve-path
+    // convention (build once if absent, like q64); the oracle replays
+    // the plain conjunction, so a zone that skipped a needed file or
+    // double-opened one shifts the aggregate and fails the hash gate.
+    // Per-dimension skip counts are law-pinned in LakeMaintenanceSpec.
+    "q72_zonemap_zorder" -> Q(
+      (s, dir) => {
+        import graft.operators.ZoneMapTable
+        val stage = s"target/zm_stage/zorder_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val zm = new org.apache.hadoop.fs.Path(s"$stage/_zonemap")
+        val fs = zm.getFileSystem(s.sessionState.newHadoopConf())
+        if (!fs.exists(zm))
+          ZoneMapTable.writeZOrdered(Lake(s, dir).lineitem, stage,
+            Seq("l_orderkey", "l_partkey"),
+            Seq("l_orderkey", "l_partkey"), files = 16)
+        ZoneMapTable.prunedReadMulti(s, stage, Seq(
+            ("l_orderkey", lit(200L), lit(900L)),
+            ("l_partkey", lit(20L), lit(120L))))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("qty"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 200 AND 900
+        |  AND l_partkey BETWEEN 20 AND 120
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      headline = true),
+
     // ---- zone maps × time travel (versioned zone-mapped table) ---------
     // Two committed versions (v1 = even order keys, v2 = the full
     // table); the query range-reads BOTH the pinned v1 and the latest

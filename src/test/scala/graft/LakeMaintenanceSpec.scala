@@ -642,6 +642,34 @@ class LakeMaintenanceSpec extends AnyFunSuite {
       s"date clustering must let the calendar slice skip files, kept $kept")
   }
 
+  test("z-ordered zone maps prune on every clustered dimension at once") {
+    import graft.operators.ZoneMapTable
+    val li = Lake(spark, sf0001).lineitem
+    val dir = Files.createTempDirectory("zm_zorder").toString + "/t"
+    ZoneMapTable.writeZOrdered(li, dir, Seq("l_orderkey", "l_partkey"),
+      Seq("l_orderkey", "l_partkey"), files = 16)
+    val ok = ("l_orderkey", lit(200L), lit(600L))
+    val pk = ("l_partkey", lit(20L), lit(60L))
+    val (k1, total) = ZoneMapTable.survivingFilesMulti(spark, dir, Seq(ok))
+    val (k2, _) = ZoneMapTable.survivingFilesMulti(spark, dir, Seq(pk))
+    val (k12, _) = ZoneMapTable.survivingFilesMulti(spark, dir, Seq(ok, pk))
+    assert(total == 16L)
+    assert(k1.size < 16, s"orderkey range must skip files, kept ${k1.size}")
+    assert(k2.size < 16, s"partkey range must skip files, kept ${k2.size}")
+    assert(k12.size <= math.min(k1.size, k2.size),
+      "the conjunction must never open more files than either predicate")
+    assert(k12.toSet.subsetOf(k1.toSet.intersect(k2.toSet)))
+    // exactness: the multi-pruned read equals the direct conjunction
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(ZoneMapTable.prunedReadMulti(spark, dir, Seq(ok, pk))) ===
+      canon(li.where(col("l_orderkey").between(200L, 600L) &&
+        col("l_partkey").between(20L, 60L))))
+    // empty intersection degrades to an empty frame, not an error
+    assert(ZoneMapTable.prunedReadMulti(spark, dir, Seq(
+      ("l_orderkey", lit(-10L), lit(-1L)), pk)).count() == 0L)
+  }
+
   test("streamed zone-map ingest reads like batch, absorbs each batch exactly once") {
     import graft.operators.ZoneMapTable
     val li = Lake(spark, sf0001).lineitem

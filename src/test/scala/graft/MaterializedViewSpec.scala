@@ -765,6 +765,16 @@ class MaterializedViewSpec extends AnyFunSuite {
       val q5 = f.join(o, f("l_ord") === o("o_id"))
         .groupBy("o_cust").agg(count(lit(1)).as("n"))
       assert(!readsPath(q5, mv))
+      // rollup composes with the star: the GLOBAL total re-aggregates
+      // the 2-row view instead of re-running the 3-way join
+      val q6 = f.join(o, f("l_ord") === o("o_id"))
+        .join(c, o("o_cust") === c("c_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_amt").cast(DecimalType(18, 6))).as("amt"))
+      assert(readsPath(q6, mv), "global star rollup must route")
+      assert(q6.collect().map(r =>
+        (r.getLong(0), r.getDecimal(1).toPlainString)).toSeq ==
+        Seq((3L, "10.000000")))
     } finally MaterializedView.drop("mv_star3")
   }
 
