@@ -708,7 +708,8 @@ object EventsQueries {
           |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
           |  true AS served_from_mv
           |FROM events
-          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+          |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      headline = true),
     // ---- time-grain coarsening (daily served from the hourly view) -----
     // The rollup hierarchy's second axis: the query asks for DAILY
     // buckets, the view stores HOURLY ones — hour nests into day, so
