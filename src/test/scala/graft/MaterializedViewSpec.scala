@@ -1091,9 +1091,62 @@ class MaterializedViewSpec extends AnyFunSuite {
       assert(q.orderBy("k").collect().map(r =>
         (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
         Seq(("a", 2L, 2L), ("b", 1L, 3L), ("c", 1L, 4L)))
+      // the GLOBAL rollup through SQL text re-aggregates the view
+      val qg = spark.sql("SELECT count(1) AS cnt FROM mv_sql_base")
+      assert(readsPath(qg, mv) && !readsPath(qg, base),
+        "SQL global aggregate must roll the view up")
+      assert(qg.collect().head.getLong(0) == 4L)
+      // HAVING filters sit ABOVE the rewritten aggregate and keep
+      // resolving against the preserved output ids
+      val qh = spark.sql(
+        """SELECT k, count(1) AS cnt FROM mv_sql_base
+          |GROUP BY k HAVING count(1) > 1""".stripMargin)
+      assert(readsPath(qh, mv) && !readsPath(qh, base),
+        "a HAVING query must route through the preserved expr ids")
+      assert(qh.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 2L)))
     } finally {
       MaterializedView.drop("mv_sql")
       spark.catalog.dropTempView("mv_sql_base")
     }
+  }
+
+  test("streamed maintenance keeps sketch views serving exact distincts") {
+    val base = freshDir("skstream/base"); val mv = freshDir("skstream/mv")
+    (0 until 200).map(i => (s"k${i % 2}", (i % 40).toLong))
+      .toDF("k", "u").write.mode("overwrite").parquet(base)
+    MaterializedView.create(spark, "mv_skstream", base,
+      groupCols = Seq("k"),
+      aggs = Seq(MvAgg("count_star", outCol = "cnt"),
+        MvAgg("hll_sketch", "u", outCol = "uhll", lgK = Some(12))),
+      mvPath = mv)
+    try withRouting {
+      // two appended batches extend the user range; union absorb must
+      // track the growing distinct set exactly (coupon mode)
+      for (d <- Seq((200 until 260), (260 until 330)))
+        d.map(i => (s"k${i % 2}", (i % 90).toLong)).toDF("k", "u")
+          .coalesce(1).write.mode("append").parquet(base)
+      val q = graft.streaming.MvStream.maintain(
+          spark.readStream.schema(spark.read.parquet(base).schema)
+            .option("maxFilesPerTrigger", "1").parquet(base),
+          "mv_skstream",
+          checkpoint = freshDir("skstream/ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val routed = spark.read.parquet(base).groupBy("k")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("u"), lit(12))).as("nd"))
+      assert(readsPath(routed, mv), "caught-up sketch view must route")
+      val got = routed.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val want = {
+        spark.conf.set(MaterializedViewRule.ConfKey, "false")
+        try spark.read.parquet(base).groupBy("k")
+          .agg(countDistinct(col("u")).as("nd")).orderBy("k").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        finally spark.conf.set(MaterializedViewRule.ConfKey, "true")
+      }
+      assert(got == want, s"streamed sketch view diverged:\n  $got\n  $want")
+    } finally MaterializedView.drop("mv_skstream")
   }
 }
