@@ -653,6 +653,57 @@ object MaterializedView {
       d.groupExprs, d.joins)
   }
 
+  /** One advisor recommendation: a single view definition whose
+    * dimensions are the UNION of the clustered queries' groupings —
+    * rollup routing serves every subset/coarser grouping from it — and
+    * whose aggregates are the union of their servable shapes (an avg
+    * contributes its (sum, count) pair; a distinct-count its sketch).
+    * `nQueries` = workload aggregates this one view would serve;
+    * `viewRows` = EXACT stored group count; `baseRows` = input rows —
+    * their ratio is the scan-reduction factor routing buys. */
+  final case class Advice(basePath: String, joins: Seq[MvJoin],
+                          groupCols: Seq[String],
+                          groupExprs: Seq[MvGroupExpr],
+                          aggs: Seq[MvAgg],
+                          nQueries: Int, viewRows: Long, baseRows: Long)
+
+  /** Recommend materialized views for a WORKLOAD: extract each query's
+    * servable aggregate shape ([[graft.plans.MaterializedViewRule
+    * .workloadShapes]]), cluster by input (path set + join keys), union
+    * each cluster's dimensions and aggregates into one definition, and
+    * score it with exact counts (one distinct-count aggregate per
+    * recommendation — run once at advice time, not per query). The
+    * output is directly feedable to [[create]]; the
+    * advise→create→routes loop is law-pinned in MaterializedViewSpec.
+    * Queries the rule could never serve (distinct/filtered aggregates,
+    * non-declarable groupings, pre-aggregation filters) contribute
+    * nothing rather than poisoning the cluster. Single-input shapes
+    * only for now — star-join advice needs join-cardinality modeling
+    * to be honest about `viewRows`. */
+  def advise(spark: SparkSession,
+             workload: Seq[DataFrame]): Seq[Advice] = {
+    import graft.plans.MaterializedViewRule
+    val shapes = workload.flatMap(MaterializedViewRule.workloadShapes)
+      .filter(_.paths.size == 1)
+    shapes.groupBy(_.paths.head).toSeq.sortBy(_._1).map {
+      case (path, ss) =>
+        val groupCols = ss.flatMap(_.groupCols).distinct
+        val groupExprs = ss.flatMap(_.groupExprs).distinct
+        val aggs = ss.flatMap(_.aggs).distinct
+        val base = spark.read.parquet(path)
+        val dims = groupCols.map(col) ++
+          groupExprs.map(g => expr(g.sql).as(g.name))
+        val counts =
+          (if (dims.isEmpty) base.agg(lit(1L).as("view_rows"),
+            count(lit(1)).as("base_rows"))
+          else base.agg(
+            count_distinct(struct(dims: _*)).as("view_rows"),
+            count(lit(1)).as("base_rows"))).head()
+        Advice(path, Nil, groupCols, groupExprs, aggs, ss.size,
+          counts.getLong(0), counts.getLong(1))
+    }
+  }
+
   /** True while routing to `name` is sound: every input unchanged since
     * the last create/refresh/absorb (a join-backed view checks EVERY
     * side — a dimension update invalidates the rollup too). This is the

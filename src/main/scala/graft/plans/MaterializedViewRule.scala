@@ -133,6 +133,112 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     header ++ rows
   }
 
+  /** One query aggregate's VIEW-SERVABLE shape, as the advisor consumes
+    * it: the input paths (base first) with their join key pairs, the
+    * grouping dimensions in declarable form, and the stored aggregates
+    * that would serve every output. Only shapes [[MaterializedView
+    * .advise]] can turn back into a `create(...)` call are returned —
+    * bare-column or `date_trunc('unit', col)` groupings, the
+    * self-maintainable aggregate family (avg contributes its (sum,
+    * count) pair; `hll_sketch_agg` its sketch column). */
+  final case class WorkloadShape(paths: Seq[String],
+                                 joinPairs: Set[(String, String)],
+                                 groupCols: Seq[String],
+                                 groupExprs: Seq[MaterializedView.MvGroupExpr],
+                                 aggs: Seq[MvAgg])
+
+  /** Extract every advisable aggregate shape from a query's ANALYZED
+    * plan (pre-optimization — advice must not depend on which rules
+    * fired). Queries whose grouping or aggregates the rule could never
+    * serve yield nothing. */
+  def workloadShapes(df: org.apache.spark.sql.Dataset[_]): Seq[WorkloadShape] = {
+    val spark = df.sparkSession
+    df.queryExecution.analyzed.collect { case agg: Aggregate =>
+      for {
+        core <- coreOf(agg.child)
+        if core.filters.isEmpty // filtered populations need their own view
+        dims <- declarableDims(agg, core)
+        aggs <- declarableAggs(agg, core)
+        paths = core.scans.map(scanPath(spark, _))
+        if paths.forall(_.nonEmpty)
+      } yield WorkloadShape(paths.map(_.get), core.pairs,
+        dims.collect { case scala.util.Left(c) => c },
+        dims.collect { case scala.util.Right(g) => g },
+        aggs)
+    }.flatten
+  }
+
+  private def scanPath(spark: SparkSession,
+                       scan: LogicalRelation): Option[String] =
+    scan.relation.asInstanceOf[HadoopFsRelation]
+      .location.rootPaths match {
+      case Seq(p) => Some(p.toString)
+      case _ => None
+    }
+
+  /** Query groupings in re-declarable form: Left(bare column) or
+    * Right(date_trunc template). */
+  private def declarableDims(agg: Aggregate, core: Core)
+      : Option[Seq[scala.util.Either[String, MaterializedView.MvGroupExpr]]] = {
+    val dims = agg.groupingExpressions.map(resolveThrough(_, core.env)).map {
+      case a: AttributeReference => Some(scala.util.Left(a.name))
+      case t: TruncTimestamp => (t.format, t.timestamp) match {
+        case (Literal(u: org.apache.spark.unsafe.types.UTF8String, _),
+              ts: AttributeReference) =>
+          Some(scala.util.Right(MaterializedView.MvGroupExpr(
+            s"${ts.name}_${u.toString.toLowerCase}",
+            s"date_trunc('${u.toString.toLowerCase}', ${ts.name})")))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (dims.forall(_.isDefined)) Some(dims.flatten) else None
+  }
+
+  /** The stored aggregates that would serve the query's outputs —
+    * every aggregate CALL anywhere in the output expressions (scalar
+    * structure around them is served verbatim at rewrite time). */
+  private def declarableAggs(agg: Aggregate, core: Core): Option[Seq[MvAgg]] = {
+    var ok = true
+    val found = scala.collection.mutable.ArrayBuffer.empty[MvAgg]
+    def outCol(func: String, col: String, cast: Option[DataType]): String =
+      (s"${func}_$col" + cast.map(t => "_" + t.simpleString).getOrElse(""))
+        .replaceAll("[^a-zA-Z0-9_]", "_")
+    def visit(e: Expression): Unit = e match {
+      case AggregateExpression(fn, _, false, None, _) => fn match {
+        case avgFn: Average => strip(avgFn.child) match {
+          case Some((c, castT)) =>
+            val castS = castT.map(_.sql.toLowerCase)
+            found += MvAgg("sum", c, castS, outCol("sum", c, castT))
+            found += MvAgg("count", c, None, outCol("count", c, None))
+          case None => ok = false
+        }
+        case h: HllSketchAgg => h.left match {
+          case a: AttributeReference =>
+            found += MvAgg("hll_sketch", a.name, None,
+              outCol("hll", a.name, None), lgK = Some(h.lgConfigK))
+          case _ => ok = false
+        }
+        case other => shapeOf(other) match {
+          case Some((func, c, castT)) =>
+            val castS = castT.map(_.sql.toLowerCase)
+            val name = if (func == "count_star") "n_rows"
+                       else outCol(func, c, castT)
+            found += MvAgg(func, c, castS, name)
+          case None => ok = false
+        }
+      }
+      case _: AggregateExpression => ok = false // distinct/filtered
+      case other => other.children.foreach(visit)
+    }
+    agg.aggregateExpressions.foreach {
+      case al: Alias => visit(resolveThrough(al.child, core.env))
+      case _: AttributeReference => () // grouping passthrough
+      case _ => ok = false
+    }
+    if (ok) Some(found.toSeq.distinct) else None
+  }
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val spark = SparkSession.active
     for {

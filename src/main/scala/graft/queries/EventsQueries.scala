@@ -800,6 +800,55 @@ object EventsQueries {
           |  TRUE AS err_within_2pct,
           |  TRUE AS served_from_mv
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    // ---- materialized-view ADVISOR (workload → view recommendation) ----
+    // The planning half of the MV story: given a workload of aggregate
+    // queries, extract each one's servable shape, cluster by input,
+    // union dimensions and aggregates into ONE definition (rollup
+    // routing serves every subset/coarser grouping from it), and score
+    // with exact counts. The gate feeds the recommendation straight
+    // back into create() and pins that the whole workload then routes —
+    // advice that didn't serve its own workload would flip
+    // served_from_mv. DuckDB independently recomputes the scoring
+    // (distinct dimension tuples vs base rows).
+    "q73_mv_advise" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        val sess = mvSession(s)
+        val base = s"$dir/events.parquet"
+        val mvPath =
+          s"target/mv/events_advised_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        def w1 = sess.read.parquet(base).groupBy("event_type")
+          .agg(sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+        def w2 = sess.read.parquet(base)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"),
+            avg(col("value").cast(DecimalType(18, 6))).as("m"))
+        def w3 = sess.read.parquet(base).agg(count(lit(1)).as("n"))
+        val advice = MaterializedView.advise(sess, Seq(w1, w2, w3))
+        require(advice.size == 1, s"expected one advice, got $advice")
+        val a = advice.head
+        MaterializedView.create(sess, "events_advised", a.basePath,
+          a.groupCols, a.aggs, mvPath, a.groupExprs, a.joins)
+        val served = Seq(w1, w2, w3).forall(servedFromMv(_, base))
+        sess.range(1).select(
+          lit("events").as("base_table"),
+          lit((a.groupCols ++ a.groupExprs.map(_.name)).mkString(","))
+            .as("dims"),
+          lit(a.aggs.size).as("n_aggs"),
+          lit(a.nQueries).as("n_queries"),
+          lit(a.viewRows).as("view_rows"),
+          lit(a.baseRows).as("base_rows"),
+          lit(served).as("served_from_mv"))
+      },
+      Some(
+        """SELECT 'events' AS base_table,
+          |  'event_type,ts_hour' AS dims,
+          |  3 AS n_aggs, 3 AS n_queries,
+          |  (SELECT count(*) FROM
+          |    (SELECT DISTINCT event_type, date_trunc('hour', ts)
+          |     FROM events)) AS view_rows,
+          |  (SELECT count(*) FROM events) AS base_rows,
+          |  TRUE AS served_from_mv""".stripMargin)),
   )
 
   /** MV queries run on a CHILD session (`newSession()`: its own SQLConf,

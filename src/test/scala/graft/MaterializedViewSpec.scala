@@ -994,6 +994,49 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_sketch")
   }
 
+  test("the advisor's one recommendation serves its whole workload") {
+    val base = freshDir("advise/base"); val mv = freshDir("advise/mv")
+    Seq(
+      ("a", java.sql.Timestamp.valueOf("2026-01-01 10:15:00"), 1.5),
+      ("a", java.sql.Timestamp.valueOf("2026-01-01 10:45:00"), 2.5),
+      ("a", java.sql.Timestamp.valueOf("2026-01-01 11:05:00"), 4.0),
+      ("b", java.sql.Timestamp.valueOf("2026-01-01 10:59:00"), 8.0))
+      .toDF("k", "ts", "v").write.mode("overwrite").parquet(base)
+    def w1 = spark.read.parquet(base).groupBy("k")
+      .agg(sum(col("v").cast(DecimalType(18, 6))).as("sv"))
+    def w2 = spark.read.parquet(base)
+      .groupBy(col("k"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("v").cast(DecimalType(18, 6))).as("m"))
+    def w3 = spark.read.parquet(base).agg(count(lit(1)).as("n"))
+    // an UNSERVABLE query (distinct agg) must not poison the cluster
+    val w4 = spark.read.parquet(base).groupBy("k")
+      .agg(countDistinct(col("v")).as("nd"))
+    val advice = MaterializedView.advise(spark, Seq(w1, w2, w3, w4))
+    assert(advice.size == 1, s"expected one clustered advice, got $advice")
+    val a = advice.head
+    assert(a.groupCols == Seq("k") && a.groupExprs.map(_.name) == Seq("ts_hour"))
+    assert(a.nQueries == 3, "the distinct-agg query is not servable")
+    assert(a.viewRows == 3L && a.baseRows == 4L) // (k × hour) groups
+    val aggFuncs = a.aggs.map(x => (x.func, x.inputCol)).toSet
+    assert(aggFuncs == Set(("sum", "v"), ("count", "v"), ("count_star", "")),
+      s"advice aggregates off: ${a.aggs}")
+    // the loop closes: create from the advice, the workload routes
+    MaterializedView.create(spark, "mv_advised", a.basePath, a.groupCols,
+      a.aggs, mv, a.groupExprs, a.joins)
+    try withRouting {
+      for ((q, label) <- Seq((w1, "w1"), (w2, "w2"), (w3, "w3")))
+        assert(readsPath(q, mv) && !readsPath(q, base),
+          s"advised view must serve $label")
+      assert(!readsPath(w4, mv), "the unservable query stays direct")
+      assert(w2.orderBy("k", "h").collect().map(r =>
+        (r.getString(0), r.getLong(2), r.getDecimal(3).toPlainString)).toSeq ==
+        Seq(("a", 2L, "2.0000000000"), ("a", 1L, "4.0000000000"),
+          ("b", 1L, "8.0000000000")))
+      assert(w3.collect().head.getLong(0) == 4L)
+    } finally MaterializedView.drop("mv_advised")
+  }
+
   test("cost-based selection: the smallest servable view wins") {
     val base = freshDir("cost/base")
     val mvWide = freshDir("cost/mv_wide"); val mvSmall = freshDir("cost/mv_small")
