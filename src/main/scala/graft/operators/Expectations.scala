@@ -87,6 +87,12 @@ object Expectations {
     * adds one keyed aggregate; each RefersTo one anti join. */
   def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "declare at least one expectation")
+    // names key the report (and the shared aggregate's columns): two
+    // same-named checks would alias silently — use Satisfies with
+    // distinct labels for e.g. a second range band on one column
+    val dup = checks.map(_.name).groupBy(identity)
+      .collect { case (n, xs) if xs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate expectation names: ${dup.mkString(", ")}")
     val rowLocal = checks.flatMap(c => violation(c).map(c.name -> _))
     val localReport: Option[DataFrame] =
       if (rowLocal.isEmpty) None
@@ -122,8 +128,8 @@ object Expectations {
       df.select(col(c)).join(keys, Seq(c), "left_outer")
         .agg(
           lit(r.name).as("check_name"),
-          sum(when(col(c).isNotNull && col("__resolved").isNull, 1L)
-            .otherwise(0L)).as("violations"),
+          coalesce(sum(when(col(c).isNotNull && col("__resolved").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("violations"),
           count(lit(1)).as("n_rows"))
     }
     (localReport.toSeq ++ uniqueReports ++ refReports)

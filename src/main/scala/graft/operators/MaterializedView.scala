@@ -178,10 +178,18 @@ object MaterializedView {
     val baseNorm = normalizePath(fs.makeQualified(p).toString)
     def hiddenUnderBase(f: Path): Boolean = {
       var cur = f
+      var leaf = true
       while (cur != null && normalizePath(cur.toString) != baseNorm) {
         val n = cur.getName
-        if ((n.startsWith("_") && !n.contains("=")) || n.startsWith("."))
+        // Spark's own file-index convention, incl. its exception: the
+        // parquet summary files `_metadata`/`_common_metadata` are KEPT
+        // by InMemoryFileIndex, so a base carrying them must
+        // fingerprint identically here and at plan time
+        val keptMeta = leaf && (n == "_metadata" || n == "_common_metadata")
+        if (!keptMeta &&
+            ((n.startsWith("_") && !n.contains("=")) || n.startsWith(".")))
           return true
+        leaf = false
         cur = cur.getParent
       }
       false
@@ -597,17 +605,31 @@ object MaterializedView {
           "since the last create/refresh — the fact-delta algebra cannot " +
           "absorb dimension updates; use refresh")
     val live = listBase(spark, d.basePath).getOrElse(Seq.empty)
+    val liveNames = live.map(f => normalizePath(f.getPath.toString))
     val (fp, files) = deltaFiles match {
       case None =>
-        (fingerprintOfFiles(live), live.map(f => normalizePath(f.getPath.toString)))
+        (fingerprintOfFiles(live), liveNames)
       case Some(dfs) =>
         val expected = d.baseFiles.toSet ++ dfs.map(normalizePath)
         val (known, extras) = live.partition(f =>
           expected(normalizePath(f.getPath.toString)))
-        if (extras.isEmpty)
-          (fingerprintOfFiles(live), live.map(f => normalizePath(f.getPath.toString)))
-        else // park routing: fingerprint over the absorbed subset only
-          (fingerprintOfFiles(known), known.map(f => normalizePath(f.getPath.toString)))
+        // files the view HAS absorbed but the base no longer holds — a
+        // deletion/compaction happened underneath; the stored
+        // aggregates still contain those rows, so routing must stay
+        // parked until a refresh recomputes against the live base
+        val missing = d.baseFiles.filterNot(liveNames.toSet)
+        if (extras.isEmpty && missing.isEmpty)
+          (fingerprintOfFiles(live), liveNames)
+        else
+          // PARK routing: the sentinel prefix can never equal a real
+          // listing digest, so the view reads direct no matter how the
+          // base evolves from here (an extras-only park that digested
+          // the known subset could collide with a future live listing
+          // after a deletion). The ledger keeps the missing files too —
+          // their rows are still IN the view, so every later absorb
+          // re-detects them and stays parked until a refresh.
+          ("parked-" + fingerprintOfFiles(known),
+            known.map(f => normalizePath(f.getPath.toString)) ++ missing)
     }
     catalog.remove(name) // no routing against the view mid-republish
     try {

@@ -208,9 +208,11 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
       case AggregateExpression(fn, _, false, None, _) => fn match {
         case avgFn: Average => strip(avgFn.child) match {
           case Some((c, castT)) =>
+            // the count carries the avg's cast: a cast can reject or
+            // null values, so count(cast(c)) is the exact denominator
             val castS = castT.map(_.sql.toLowerCase)
             found += MvAgg("sum", c, castS, outCol("sum", c, castT))
-            found += MvAgg("count", c, None, outCol("count", c, None))
+            found += MvAgg("count", c, castS, outCol("count", c, castT))
           case None => ok = false
         }
         case h: HllSketchAgg => h.left match {
@@ -556,19 +558,20 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
   private def declaredShape(a: MvAgg): (String, String, Option[DataType]) =
     (a.func, a.inputCol, a.castTo.map(DataType.fromDDL))
 
-  /** `avg(x)` served from stored (sum, count) partials over the same
-    * input: reuse Average's OWN `evaluateExpression` — the exact
-    * resolved arithmetic (decimal promotion, null-on-empty-group
-    * division) the direct plan runs over its final buffer — with the
-    * buffer attributes substituted by the view's columns. The stored
-    * sum must carry the buffer's exact type (Sum over the same cast
-    * yields it by construction; an integral avg whose buffer is DOUBLE
-    * does NOT match a long stored sum and stands down — bit-exactness
-    * over derivability). The count must be over the same column: a
-    * count_star only matches when the scanned column is non-nullable,
-    * where the two are provably equal. */
-  private def serveAverage(avgFn: Average, d: MvDef, core: Core,
-                           byName: Map[String, Attribute]): Option[Expression] =
+  /** The stored (sum, count) pair serving `avg(x)`, with Average's
+    * buffer attributes — shared by the exact and rollup paths so the
+    * matching rules cannot drift. The stored sum must carry the
+    * buffer's exact type (Sum over the same cast yields it by
+    * construction; an integral avg whose buffer is DOUBLE does NOT
+    * match a long stored sum — bit-exactness over derivability). The
+    * count's cast must match the avg's EXACTLY: a cast can null out or
+    * reject values (NaN/overflow to decimal), so `count(cast(c))` and
+    * `count(c)` are different denominators in non-ANSI sessions —
+    * count_star substitutes only for a cast-free avg over a
+    * non-nullable column, where the two are provably equal. */
+  private def avgPartials(avgFn: Average, d: MvDef, core: Core,
+                          byName: Map[String, Attribute])
+      : Option[(Attribute, Attribute, Attribute, Attribute)] =
     strip(avgFn.child).flatMap { case (c, castT) =>
       val nonNullable = core.scans.flatMap(_.output)
         .exists(a => a.name == c && !a.nullable)
@@ -576,18 +579,29 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
           a.castTo.map(DataType.fromDDL) == castT)
         .flatMap(a => byName.get(a.outCol))
       val cntAttr = d.aggs.find(a => a.func == "count" && a.inputCol == c &&
-          (a.castTo.isEmpty || a.castTo.map(DataType.fromDDL) == castT))
+          a.castTo.map(DataType.fromDDL) == castT)
         .orElse(if (nonNullable && castT.isEmpty)
           d.aggs.find(_.func == "count_star") else None)
         .flatMap(a => byName.get(a.outCol))
       (sumAttr, cntAttr, avgFn.aggBufferAttributes) match {
         case (Some(s), Some(n), Seq(sumBuf, cntBuf))
             if s.dataType == sumBuf.dataType && n.dataType == cntBuf.dataType =>
-          Some(avgFn.evaluateExpression.transform {
-            case a: AttributeReference if a.exprId == sumBuf.exprId => s
-            case a: AttributeReference if a.exprId == cntBuf.exprId => n
-          })
+          Some((s, n, sumBuf, cntBuf))
         case _ => None
+      }
+    }
+
+  /** `avg(x)` served from stored (sum, count) partials over the same
+    * input: reuse Average's OWN `evaluateExpression` — the exact
+    * resolved arithmetic (decimal promotion, null-on-empty-group
+    * division) the direct plan runs over its final buffer — with the
+    * buffer attributes substituted by the view's columns. */
+  private def serveAverage(avgFn: Average, d: MvDef, core: Core,
+                           byName: Map[String, Attribute]): Option[Expression] =
+    avgPartials(avgFn, d, core, byName).map { case (s, n, sumBuf, cntBuf) =>
+      avgFn.evaluateExpression.transform {
+        case a: AttributeReference if a.exprId == sumBuf.exprId => s
+        case a: AttributeReference if a.exprId == cntBuf.exprId => n
       }
     }
 
@@ -639,28 +653,12 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
     }
     ae match {
       case AggregateExpression(avgFn: Average, _, false, None, _) =>
-        strip(avgFn.child).flatMap { case (c, castT) =>
-          val nonNullable = core.scans.flatMap(_.output)
-            .exists(a => a.name == c && !a.nullable)
-          val sumA = d.aggs.find(a => a.func == "sum" && a.inputCol == c &&
-              a.castTo.map(DataType.fromDDL) == castT)
-            .flatMap(a => byName.get(a.outCol))
-          val cntA = d.aggs.find(a => a.func == "count" && a.inputCol == c &&
-              (a.castTo.isEmpty || a.castTo.map(DataType.fromDDL) == castT))
-            .orElse(if (nonNullable && castT.isEmpty)
-              d.aggs.find(_.func == "count_star") else None)
-            .flatMap(a => byName.get(a.outCol))
-          (sumA, cntA, avgFn.aggBufferAttributes) match {
-            case (Some(s), Some(n), Seq(sumBuf, cntBuf))
-                if s.dataType == sumBuf.dataType &&
-                  n.dataType == cntBuf.dataType =>
-              val totalSum = reSum(s, sumBuf.dataType)
-              val totalCnt = reSum(n, cntBuf.dataType)
-              Some(avgFn.evaluateExpression.transform {
-                case a: AttributeReference if a.exprId == sumBuf.exprId => totalSum
-                case a: AttributeReference if a.exprId == cntBuf.exprId => totalCnt
-              })
-            case _ => None
+        avgPartials(avgFn, d, core, byName).map { case (s, n, sumBuf, cntBuf) =>
+          val totalSum = reSum(s, sumBuf.dataType)
+          val totalCnt = reSum(n, cntBuf.dataType)
+          avgFn.evaluateExpression.transform {
+            case a: AttributeReference if a.exprId == sumBuf.exprId => totalSum
+            case a: AttributeReference if a.exprId == cntBuf.exprId => totalCnt
           }
         }
       case AggregateExpression(h: HllSketchAgg, _, false, None, _) =>
@@ -674,7 +672,12 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
           d.aggs.find(a => declaredShape(a) == got)
             .flatMap(a => byName.get(a.outCol)).map { stored =>
               got._1 match {
-                case "count_star" | "count" | "sum" => reSum(stored, fn.dataType)
+                case "count_star" | "count" =>
+                  // a GLOBAL rollup over an empty selection must answer
+                  // 0 like the direct count, not Sum's NULL-on-empty
+                  Coalesce(Seq(reSum(stored, fn.dataType),
+                    Literal(0L, fn.dataType)))
+                case "sum" => reSum(stored, fn.dataType)
                 case "min" => Min(stored).toAggregateExpression()
                 case "max" => Max(stored).toAggregateExpression()
               }

@@ -511,6 +511,7 @@ object EventsQueries {
           groupCols = Seq("event_type"),
           aggs = Seq(
             MvAgg("count", "value", outCol = "n_vals"),
+            MvAgg("count", "value", Some("decimal(18,6)"), outCol = "n_vals_dec"),
             MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
           mvPath = mvPath)
         val q = sess.read.parquet(base)
@@ -686,7 +687,7 @@ object EventsQueries {
           groupCols = Seq("event_type"),
           aggs = Seq(
             MvAgg("count_star", outCol = "n_events"),
-            MvAgg("count", "value", outCol = "n_vals"),
+            MvAgg("count", "value", Some("decimal(18,6)"), outCol = "n_vals_dec"),
             MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
           mvPath = mvPath,
           groupExprs = Seq(MvGroupExpr("h", "date_trunc('hour', ts)")))

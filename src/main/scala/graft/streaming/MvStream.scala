@@ -51,19 +51,23 @@ object MvStream {
         val d = MaterializedView.registered.getOrElse(name,
           throw new NoSuchElementException(s"no materialized view named $name"))
         val known = d.baseFiles.toSet
-        // scheme-stripped input_file_name: same normalization as the
-        // ledger's scheme-free absolute paths. (A streaming batch's
-        // `inputFiles` is empty — the file set comes from the rows.)
-        val fileCol =
-          regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/")
-        val files = batch.select(fileCol.as("f")).distinct()
+        // `input_file_name()` returns URI-ENCODED strings (a streaming
+        // batch's `inputFiles` is empty — the file set comes from the
+        // rows). Collect the RAW spellings, decode them DRIVER-side
+        // into the ledger's scheme-free decoded form (a path with a
+        // space is `%20` in one world and ' ' in the other), and filter
+        // the batch by exact raw-to-raw comparison against the same
+        // function — no executor-side normalization to drift.
+        val raw = batch.select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).toSeq
-        val fresh = files.filterNot(known)
-        if (fresh.nonEmpty) {
+        val decodedOf = raw.map(r =>
+          r -> MaterializedView.normalizePath(r)).toMap
+        val freshRaw = raw.filterNot(r => known(decodedOf(r)))
+        if (freshRaw.nonEmpty) {
           val rows = batch.where(
-            fileCol.isin(fresh.map(f => f: Any): _*))
+            input_file_name().isin(freshRaw.map(f => f: Any): _*))
           MaterializedView.absorb(batch.sparkSession, name, rows, batchId,
-            deltaFiles = Some(fresh))
+            deltaFiles = Some(freshRaw.map(decodedOf)))
         }
         ()
       }

@@ -66,6 +66,28 @@ class ExpectationsSpec extends AnyFunSuite {
       == Seq(2L))
   }
 
+  test("duplicate check names are rejected; empty frames report 0/passed") {
+    // two same-named checks would silently alias one aggregate column —
+    // fail fast instead (a second band goes through Satisfies labels)
+    val e = intercept[IllegalArgumentException] {
+      Expectations.validate(df, Seq(
+        InRange("qty", lit(0.0), lit(10.0)),
+        InRange("qty", lit(5.0), lit(20.0))))
+    }
+    assert(e.getMessage.contains("in_range(qty)"))
+    // every check family must report (0 violations, passed=true) on an
+    // empty-but-valid frame — no NULL leaking out of empty aggregates
+    val empty = df.where(lit(false))
+    val rep = Expectations.validate(empty, Seq(
+      NotNull("id"), InRange("qty", lit(0.0), lit(100.0)),
+      Unique(Seq("id")), RefersTo("ref", refDf, "k"))).collect()
+    assert(rep.length == 4)
+    rep.foreach { r =>
+      assert(!r.isNullAt(1) && r.getLong(1) == 0L, s"violations null/off: $r")
+      assert(!r.isNullAt(3) && r.getBoolean(3), s"passed null/false: $r")
+    }
+  }
+
   test("row-local checks share one aggregate scan") {
     // all five row-local checks must live under a single Aggregate over
     // a single scan of the input — adding a check must not add a pass

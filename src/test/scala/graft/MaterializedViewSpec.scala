@@ -284,6 +284,54 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_stream")
   }
 
+  test("a base-file deletion parks absorb-armed routing until refresh") {
+    // the view still CONTAINS the deleted file's rows; a later absorb
+    // must not re-arm routing just because its expected set covers the
+    // post-delete listing — the stored aggregates and the live base
+    // have diverged, and only a refresh reconciles them
+    val base = freshDir("delete/base"); val mv = freshDir("delete/mv")
+    writeBase(base, rows)
+    define("mv_delete", base, mv)
+    def filesOf(): Seq[java.io.File] =
+      new java.io.File(base).listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet"))
+    try withRouting {
+      val seed = filesOf().map(_.getAbsolutePath).toSet
+      val d1 = Seq(("a", 60L, 1.0))
+      d1.toDF("k", "n", "v").coalesce(1).write.mode("append").parquet(base)
+      val f1 = filesOf().map(_.getAbsolutePath).filterNot(seed)
+      // a retention job removes one ABSORBED seed file
+      val victim = filesOf().find(f => seed(f.getAbsolutePath)).get
+      assert(victim.delete())
+      MaterializedView.absorb(spark, "mv_delete", d1.toDF("k", "n", "v"),
+        batchId = 0L, deltaFiles = Some(f1))
+      assert(!MaterializedView.isFresh(spark, "mv_delete"),
+        "view holding deleted rows must not claim freshness")
+      assert(!readsPath(query(base), mv), "diverged view must read direct")
+      // a later clean batch stays parked too (the divergence persists)
+      val d2 = Seq(("e", 61L, 2.0))
+      val before2 = filesOf().map(_.getAbsolutePath).toSet
+      d2.toDF("k", "n", "v").coalesce(1).write.mode("append").parquet(base)
+      val f2 = filesOf().map(_.getAbsolutePath).filterNot(before2)
+      MaterializedView.absorb(spark, "mv_delete", d2.toDF("k", "n", "v"),
+        batchId = 1L, deltaFiles = Some(f2))
+      assert(!MaterializedView.isFresh(spark, "mv_delete"),
+        "parking must persist across later absorbs")
+      assert(!readsPath(query(base), mv))
+      // refresh recomputes against the live base and re-arms
+      MaterializedView.refresh(spark, "mv_delete")
+      assert(MaterializedView.isFresh(spark, "mv_delete"))
+      val served = query(base)
+      assert(readsPath(served, mv))
+      val direct = {
+        spark.conf.set(MaterializedViewRule.ConfKey, "false")
+        try collectQ(query(base))
+        finally spark.conf.set(MaterializedViewRule.ConfKey, "true")
+      }
+      assert(collectQ(served) == direct)
+    } finally MaterializedView.drop("mv_delete")
+  }
+
   test("streamed maintenance of a join-backed view folds fact deltas through the dims") {
     import MaterializedView.MvJoin
     val fact = freshDir("jstream/fact"); val dim = freshDir("jstream/dim")
@@ -649,6 +697,7 @@ class MaterializedViewSpec extends AnyFunSuite {
       groupCols = Seq("k"),
       aggs = Seq(
         MvAgg("count", "v", outCol = "cnt_v"),
+        MvAgg("count", "v", Some("decimal(18,6)"), outCol = "cnt_dec"),
         MvAgg("sum", "v", Some("decimal(18,6)"), outCol = "sv_dec"),
         MvAgg("sum", "v", outCol = "sv_dbl")),
       mvPath = mv)
@@ -789,6 +838,7 @@ class MaterializedViewSpec extends AnyFunSuite {
       aggs = Seq(
         MvAgg("count_star", outCol = "cnt"),
         MvAgg("count", "v", outCol = "cnt_v"),
+        MvAgg("count", "v", Some("decimal(18,6)"), outCol = "cnt_v_dec"),
         MvAgg("sum", "v", Some("decimal(18,6)"), outCol = "sv"),
         MvAgg("min", "n", outCol = "mn"),
         MvAgg("max", "n", outCol = "mx")),
@@ -843,6 +893,14 @@ class MaterializedViewSpec extends AnyFunSuite {
       assert(qf.orderBy("k").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq ==
         Seq(("a", 2L), ("b", 1L)))
+      // a filter selecting NO groups: the global count must answer 0
+      // like the direct plan, not Sum-of-partials' null-on-empty
+      val qEmpty = spark.read.parquet(base).where(col("k") === "zzz")
+        .agg(count(lit(1)).as("cnt"))
+      assert(readsPath(qEmpty, mv) && !readsPath(qEmpty, base))
+      val gotEmpty = qEmpty.collect().head
+      assert(!gotEmpty.isNullAt(0) && gotEmpty.getLong(0) == 0L,
+        s"empty-selection rollup count must be 0, got $gotEmpty")
     } finally MaterializedView.drop("mv_rollup")
   }
 
