@@ -691,39 +691,38 @@ object MaterializedView {
 
   /** Recommend materialized views for a WORKLOAD: extract each query's
     * servable aggregate shape ([[graft.plans.MaterializedViewRule
-    * .workloadShapes]]), cluster by input (path set + join keys), union
-    * each cluster's dimensions and aggregates into one definition, and
-    * score it with exact counts (one distinct-count aggregate per
-    * recommendation — run once at advice time, not per query). The
-    * output is directly feedable to [[create]]; the
+    * .workloadShapes]]), cluster by input (base path + ordered star
+    * chain), union each cluster's dimensions and aggregates into one
+    * definition, and score it with exact counts (one distinct-count
+    * aggregate per recommendation over the base — joined through its
+    * chain for star shapes — run once at advice time, not per query).
+    * The output is directly feedable to [[create]]; the
     * advise→create→routes loop is law-pinned in MaterializedViewSpec.
     * Queries the rule could never serve (distinct/filtered aggregates,
     * non-declarable groupings, pre-aggregation filters) contribute
-    * nothing rather than poisoning the cluster. Single-input shapes
-    * only for now — star-join advice needs join-cardinality modeling
-    * to be honest about `viewRows`. */
+    * nothing rather than poisoning a cluster. */
   def advise(spark: SparkSession,
              workload: Seq[DataFrame]): Seq[Advice] = {
     import graft.plans.MaterializedViewRule
     val shapes = workload.flatMap(MaterializedViewRule.workloadShapes)
-      .filter(_.paths.size == 1)
-    shapes.groupBy(_.paths.head).toSeq.sortBy(_._1).map {
-      case (path, ss) =>
+    shapes.groupBy(s => (s.basePath, s.joins)).toSeq
+      .sortBy { case ((p, js), _) => (p, js.map(_.rightPath).mkString(",")) }
+      .map { case ((path, joins), ss) =>
         val groupCols = ss.flatMap(_.groupCols).distinct
         val groupExprs = ss.flatMap(_.groupExprs).distinct
         val aggs = ss.flatMap(_.aggs).distinct
-        val base = spark.read.parquet(path)
+        val frame = joinChain(spark, spark.read.parquet(path), joins)
         val dims = groupCols.map(col) ++
           groupExprs.map(g => expr(g.sql).as(g.name))
         val counts =
-          (if (dims.isEmpty) base.agg(lit(1L).as("view_rows"),
+          (if (dims.isEmpty) frame.agg(lit(1L).as("view_rows"),
             count(lit(1)).as("base_rows"))
-          else base.agg(
+          else frame.agg(
             count_distinct(struct(dims: _*)).as("view_rows"),
             count(lit(1)).as("base_rows"))).head()
-        Advice(path, Nil, groupCols, groupExprs, aggs, ss.size,
+        Advice(path, joins, groupCols, groupExprs, aggs, ss.size,
           counts.getLong(0), counts.getLong(1))
-    }
+      }
   }
 
   /** True while routing to `name` is sound: every input unchanged since

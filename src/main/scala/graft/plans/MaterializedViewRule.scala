@@ -134,15 +134,15 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** One query aggregate's VIEW-SERVABLE shape, as the advisor consumes
-    * it: the input paths (base first) with their join key pairs, the
-    * grouping dimensions in declarable form, and the stored aggregates
-    * that would serve every output. Only shapes [[MaterializedView
-    * .advise]] can turn back into a `create(...)` call are returned —
-    * bare-column or `date_trunc('unit', col)` groupings, the
-    * self-maintainable aggregate family (avg contributes its (sum,
-    * count) pair; `hll_sketch_agg` its sketch column). */
-  final case class WorkloadShape(paths: Seq[String],
-                                 joinPairs: Set[(String, String)],
+    * it: the base path with its ordered star chain (directly feedable
+    * to `create`), the grouping dimensions in declarable form, and the
+    * stored aggregates that would serve every output. Only shapes
+    * [[MaterializedView.advise]] can turn back into a `create(...)`
+    * call are returned — bare-column or `date_trunc('unit', col)`
+    * groupings, the self-maintainable aggregate family (avg contributes
+    * its (sum, count) pair; `hll_sketch_agg` its sketch column). */
+  final case class WorkloadShape(basePath: String,
+                                 joins: Seq[MaterializedView.MvJoin],
                                  groupCols: Seq[String],
                                  groupExprs: Seq[MaterializedView.MvGroupExpr],
                                  aggs: Seq[MvAgg])
@@ -159,13 +159,52 @@ object MaterializedViewRule extends Rule[LogicalPlan] with PredicateHelper {
         if core.filters.isEmpty // filtered populations need their own view
         dims <- declarableDims(agg, core)
         aggs <- declarableAggs(agg, core)
-        paths = core.scans.map(scanPath(spark, _))
-        if paths.forall(_.nonEmpty)
-      } yield WorkloadShape(paths.map(_.get), core.pairs,
+        chain <- chainOf(spark, core)
+      } yield WorkloadShape(chain._1, chain._2,
         dims.collect { case scala.util.Left(c) => c },
         dims.collect { case scala.util.Right(g) => g },
         aggs)
     }.flatten
+  }
+
+  /** Rebuild an ORDERED `MvJoin` chain from the core's scan set and
+    * unordered key pairs: the first scan is the base, and each further
+    * scan must connect to the already-covered columns (disjoint names
+    * orient each pair). Shapes whose pairs don't fit a chain — a pair
+    * between two not-yet-covered scans, a disconnected scan — yield
+    * None rather than a mis-declared view. */
+  private def chainOf(spark: SparkSession,
+                      core: Core): Option[(String, Seq[MaterializedView.MvJoin])] = {
+    val paths = core.scans.map(scanPath(spark, _))
+    if (paths.exists(_.isEmpty)) return None
+    if (core.scans.size == 1)
+      return if (core.pairs.isEmpty) Some((paths.head.get, Nil)) else None
+    val colsOf = core.scans.map(_.output.map(_.name).toSet)
+    var covered = colsOf.head
+    var remaining = core.scans.indices.drop(1).toSet
+    var used = Set.empty[(String, String)]
+    val joins = Seq.newBuilder[MaterializedView.MvJoin]
+    while (remaining.nonEmpty) {
+      val next = remaining.find(i => core.pairs.exists(p =>
+        (colsOf(i)(p._1) && covered(p._2)) ||
+          (colsOf(i)(p._2) && covered(p._1))))
+      next match {
+        case None => return None // disconnected scan
+        case Some(i) =>
+          val mine = core.pairs.filter(p =>
+            (colsOf(i)(p._1) && covered(p._2)) ||
+              (colsOf(i)(p._2) && covered(p._1)))
+          val (leftKeys, rightKeys) = mine.toSeq.sorted.map { p =>
+            if (colsOf(i)(p._1)) (p._2, p._1) else (p._1, p._2)
+          }.unzip
+          joins += MaterializedView.MvJoin(paths(i).get, leftKeys, rightKeys)
+          used ++= mine
+          covered = covered ++ colsOf(i)
+          remaining -= i
+      }
+    }
+    if (used != core.pairs) None // a pair outside the chain structure
+    else Some((paths.head.get, joins.result()))
   }
 
   private def scanPath(spark: SparkSession,

@@ -1095,6 +1095,42 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_advised")
   }
 
+  test("the advisor reconstructs a star chain and its advice serves the join workload") {
+    import MaterializedView.MvJoin
+    val fact = freshDir("advisej/fact"); val dim = freshDir("advisej/dim")
+    val mv = freshDir("advisej/mv")
+    Seq((1L, 10L, 2.0), (2L, 10L, 3.0), (3L, 20L, 5.0))
+      .toDF("o_id", "o_cust", "o_amt").write.mode("overwrite").parquet(fact)
+    Seq((10L, "gold"), (20L, "iron"))
+      .toDF("c_id", "c_tier").write.mode("overwrite").parquet(dim)
+    def star(df: DataFrame => DataFrame) = {
+      val f = spark.read.parquet(fact); val c = spark.read.parquet(dim)
+      df(f.join(c, f("o_cust") === c("c_id")))
+    }
+    def w1 = star(_.groupBy("c_tier")
+      .agg(sum(col("o_amt").cast(DecimalType(18, 6))).as("amt")))
+    def w2 = star(_.agg(count(lit(1)).as("n")))
+    val advice = MaterializedView.advise(spark, Seq(w1, w2))
+    assert(advice.size == 1, s"one star cluster expected, got $advice")
+    val a = advice.head
+    assert(a.joins.size == 1 && a.joins.head.rightPath.contains(dim),
+      s"chain must join the dim: ${a.joins}")
+    assert(a.joins.head.leftKeys == Seq("o_cust") &&
+      a.joins.head.rightKeys == Seq("c_id"),
+      s"chain orientation wrong: ${a.joins}")
+    assert(a.groupCols == Seq("c_tier") && a.viewRows == 2L && a.baseRows == 3L)
+    MaterializedView.create(spark, "mv_advised_star", a.basePath,
+      a.groupCols, a.aggs, mv, a.groupExprs, a.joins)
+    try withRouting {
+      assert(readsPath(w1, mv) && !readsPath(w1, fact), "star rollup must route")
+      assert(readsPath(w2, mv), "global star count must route")
+      assert(w2.collect().head.getLong(0) == 3L)
+      assert(w1.orderBy("c_tier").collect().map(r =>
+        (r.getString(0), r.getDecimal(1).toPlainString)).toSeq ==
+        Seq(("gold", "5.000000"), ("iron", "5.000000")))
+    } finally MaterializedView.drop("mv_advised_star")
+  }
+
   test("cost-based selection: the smallest servable view wins") {
     val base = freshDir("cost/base")
     val mvWide = freshDir("cost/mv_wide"); val mvSmall = freshDir("cost/mv_small")
