@@ -42,7 +42,14 @@ import graft.operators.MaterializedView
 object MvStream {
 
   /** Maintain registered view `name` from an unbounded frame over the
-    * view's base directory (`spark.readStream...parquet(basePath)`). */
+    * view's base directory (`spark.readStream...parquet(basePath)`).
+    *
+    * Scale note: each batch's input-file list rides through the driver
+    * (the per-batch ledger diff), so size `maxFilesPerTrigger` to keep
+    * per-batch file lists driver-friendly — the same bound the
+    * file-name ledger in `_mvdef.json` already implies for a plain
+    * parquet dir. A million-file base belongs behind a
+    * snapshot-versioned manifest, where the delta IS the version diff. */
   def maintain(rows: DataFrame, name: String,
                checkpoint: String): DataStreamWriter[Row] =
     rows.writeStream.outputMode("append")
