@@ -644,5 +644,64 @@ object CurationQueries {
           |  UNION ALL SELECT 'refers_to(l_orderkey)', v, n_rows FROM fk)
           |ORDER BY check_name""".stripMargin),
       headline = true),
+
+    // ---- corpus expectations (the LLM-table validation suite) ----------
+    // The same engine over the training-data tables: identity and
+    // metadata-consistency checks on `documents` (incl. a Satisfies
+    // predicate tying n_chars to the actual text length) plus the
+    // corpus↔embedding-store referential check. Polarity is exercised
+    // BY SCALE: the language whitelist fails everywhere (zh present),
+    // and sf0.1's embedding store covers only part of the corpus, so
+    // refers_to flips from pass to a counted violation at 10× — the
+    // oracle mirrors every count exactly.
+    "c16_doc_expectations" -> Q(
+      (s, dir) => {
+        import graft.operators.Expectations
+        import graft.operators.Expectations._
+        val lk = Lake(s, dir)
+        Expectations.validate(lk.documents, Seq(
+          NotNull("doc_id"),
+          Unique(Seq("doc_id")),
+          InSet("lang", Seq("en", "es", "de", "fr")),
+          InRange("n_chars", lit(1L), lit(10000L)),
+          Satisfies("n_chars_matches_text",
+            length(col("text")) === col("n_chars")),
+          RefersTo("doc_id", lk.embeddings, "vec_id")))
+      },
+      Some(
+        """WITH rl AS (
+          |  SELECT count(*) AS n_rows,
+          |    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_nn,
+          |    SUM(CASE WHEN lang IS NOT NULL
+          |             AND lang NOT IN ('en','es','de','fr')
+          |             THEN 1 ELSE 0 END) AS v_lang,
+          |    SUM(CASE WHEN n_chars IS NOT NULL
+          |             AND NOT (n_chars BETWEEN 1 AND 10000)
+          |             THEN 1 ELSE 0 END) AS v_len,
+          |    SUM(CASE WHEN length(text) = n_chars THEN 0 ELSE 1 END) AS v_sat
+          |  FROM documents),
+          |u AS (
+          |  SELECT COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS v,
+          |         COALESCE(SUM(n), 0) AS n_rows
+          |  FROM (SELECT count(*) AS n FROM documents GROUP BY doc_id)),
+          |fk AS (
+          |  SELECT SUM(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NULL
+          |                  THEN 1 ELSE 0 END) AS v,
+          |         count(*) AS n_rows
+          |  FROM documents d LEFT JOIN
+          |    (SELECT DISTINCT vec_id FROM embeddings) e
+          |    ON d.doc_id = e.vec_id)
+          |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+          |  CAST(n_rows AS BIGINT) AS n_rows, violations = 0 AS passed
+          |FROM (
+          |  SELECT 'in_range(n_chars)' AS check_name, v_len AS violations,
+          |         n_rows FROM rl
+          |  UNION ALL SELECT 'in_set(lang)', v_lang, n_rows FROM rl
+          |  UNION ALL SELECT 'not_null(doc_id)', v_nn, n_rows FROM rl
+          |  UNION ALL SELECT 'refers_to(doc_id)', v, n_rows FROM fk
+          |  UNION ALL SELECT 'satisfies(n_chars_matches_text)', v_sat,
+          |         n_rows FROM rl
+          |  UNION ALL SELECT 'unique(doc_id)', v, n_rows FROM u)
+          |ORDER BY check_name""".stripMargin)),
   )
 }
