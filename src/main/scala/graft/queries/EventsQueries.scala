@@ -850,6 +850,49 @@ object EventsQueries {
           |     FROM events)) AS view_rows,
           |  (SELECT count(*) FROM events) AS base_rows,
           |  TRUE AS served_from_mv""".stripMargin)),
+
+    // ---- MV serving path (steady-state routed read) ---------------------
+    // q63 measures the full lifecycle (create + route) per bench rep;
+    // this is the complementary steady-state signal — load the durable
+    // definition if one is already published, else create once — so the
+    // headline bench tracks the ROUTED READ latency separately from
+    // view-build cost (the s19/q64 serve-split convention applied to
+    // the MV family). Same hash-gated served_from_mv + oracle compare.
+    "q74_mv_serve" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        import graft.operators.MaterializedView.MvAgg
+        val sess = mvSession(s)
+        val base = s"$dir/events.parquet"
+        val mvPath =
+          s"target/mv/serve_by_type_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val hasDef = {
+          val p = new org.apache.hadoop.fs.Path(s"$mvPath/_mvdef.json")
+          p.getFileSystem(sess.sessionState.newHadoopConf()).exists(p)
+        }
+        if (hasDef) MaterializedView.load(sess, mvPath)
+        else MaterializedView.create(sess, "serve_by_type", base,
+          groupCols = Seq("event_type"),
+          aggs = Seq(
+            MvAgg("count_star", outCol = "n_events"),
+            MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
+          mvPath = mvPath)
+        val q = sess.read.parquet(base)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+        q.select(col("event_type"), col("n_events"),
+            col("sv").cast(DoubleType).as("total_value"),
+            lit(servedFromMv(q, base)).as("served_from_mv"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, count(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+          |  true AS served_from_mv
+          |FROM events
+          |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      headline = true),
   )
 
   /** MV queries run on a CHILD session (`newSession()`: its own SQLConf,
