@@ -52,11 +52,14 @@ object MaterializedView {
     * derives it from the partials. */
   final case class MvAgg(func: String, inputCol: String = "",
                          castTo: Option[String] = None, outCol: String,
+                         /** sketch parameter: HLL lgK, or KLL k */
                          lgK: Option[Int] = None) {
     require(Set("count_star", "count", "sum", "min", "max",
-      "hll_sketch")(func), s"unsupported MV aggregate: $func")
-    require(lgK.isEmpty || func == "hll_sketch",
-      "lgK only applies to hll_sketch aggregates")
+      "hll_sketch", "kll")(func), s"unsupported MV aggregate: $func")
+    require(lgK.isEmpty || func == "hll_sketch" || func == "kll",
+      "lgK only applies to sketch aggregates")
+    require(castTo.isEmpty || !Set("hll_sketch", "kll")(func),
+      "sketch aggregates take the column as-is")
   }
 
   /** A derived grouping dimension: `sql` evaluated over the base (e.g.
@@ -126,6 +129,9 @@ object MaterializedView {
   /** The default lgK `hll_sketch_agg` uses when none is given. */
   val DefaultLgK = 12
 
+  /** The default k `kll_agg` uses when none is given. */
+  val DefaultKllK = 200
+
   private def aggColumn(a: MvAgg): Column = {
     val in = a.castTo.map(t => col(a.inputCol).cast(t))
       .getOrElse(col(a.inputCol))
@@ -137,6 +143,8 @@ object MaterializedView {
       case "max"        => max(in)
       case "hll_sketch" =>
         hll_sketch_agg(in, lit(a.lgK.getOrElse(DefaultLgK)))
+      case "kll" =>
+        expr(s"kll_agg(${a.inputCol}, ${a.lgK.getOrElse(DefaultKllK)})")
     }
     c.as(a.outCol)
   }
@@ -645,6 +653,10 @@ object MaterializedView {
           // idempotent register-max union: a replayed partial is a
           // state-level no-op, same-lgK enforced (false = fail loud)
           case "hll_sketch" => hll_union_agg(col(a.outCol), lit(false))
+          // KLL merge is associative (quantiles stay within the rank
+          // bound under any schedule; exact below k retained values)
+          case "kll" =>
+            expr(s"kll_merge_agg(${a.outCol}, ${a.lgK.getOrElse(DefaultKllK)})")
         }
         c.cast(storedTypes(a.outCol)).as(a.outCol)
       }

@@ -893,6 +893,58 @@ object EventsQueries {
           |FROM events
           |GROUP BY event_type ORDER BY event_type""".stripMargin),
       headline = true),
+
+    // ---- KLL quantile views (percentile rollups served) -----------------
+    // The sketch trio's last MV member: per-(type, day) KLL sketches
+    // stored as view state, per-type p50/p95 served by MERGING them —
+    // the dashboard percentile query over a 100 TB log becomes a
+    // |type×day|-row read. k is sized so the fixture stays below the
+    // compaction bound (q52's exact-mode convention), making the served
+    // quantiles exact order statistics; the gate is q52-shaped — DuckDB
+    // pins the exact counts, booleans pin the measured rank of each
+    // served quantile, and served_from_mv pins the rewrite firing.
+    "q75_mv_kll" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        import graft.operators.MaterializedView.{MvAgg, MvGroupExpr}
+        import graft.plans.KllSketchExprs._
+        val sess = mvSession(s)
+        val base = s"$dir/events.parquet"
+        val mvPath =
+          s"target/mv/events_kll_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        MaterializedView.create(sess, "events_kll", base,
+          groupCols = Seq("event_type"),
+          aggs = Seq(
+            MvAgg("count", "value", outCol = "n_vals"),
+            MvAgg("kll", "value", outCol = "vkll", lgK = Some(32768))),
+          mvPath = mvPath,
+          groupExprs = Seq(MvGroupExpr("d", "date_trunc('day', ts)")))
+        val q = sess.read.parquet(base).groupBy("event_type")
+          .agg(count(col("value")).as("n_vals"),
+            kllQuantile(kllAgg(col("value"), 32768), lit(0.5)).as("p50"),
+            kllQuantile(kllAgg(col("value"), 32768), lit(0.95)).as("p95"))
+        val served = servedFromMv(q, base)
+        val ev = sess.read.parquet(base).where(col("value").isNotNull)
+          .select(col("event_type"), col("value"))
+        ev.join(q, Seq("event_type"))
+          .groupBy("event_type")
+          .agg(max(col("n_vals")).as("n_vals"),
+            (sum(when(col("value") <= col("p50"), 1L)).cast("double")
+              / max(col("n_vals"))).as("r50"),
+            (sum(when(col("value") <= col("p95"), 1L)).cast("double")
+              / max(col("n_vals"))).as("r95"))
+          .select(col("event_type"), col("n_vals"),
+            (col("r50") >= 0.5 && col("r50") <= 0.5 + 0.03).as("p50_rank_ok"),
+            (col("r95") >= 0.95 && col("r95") <= 0.95 + 0.03).as("p95_rank_ok"),
+            lit(served).as("served_from_mv"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, CAST(count(value) AS BIGINT) AS n_vals,
+          |  TRUE AS p50_rank_ok, TRUE AS p95_rank_ok,
+          |  TRUE AS served_from_mv
+          |FROM events
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 
   /** MV queries run on a CHILD session (`newSession()`: its own SQLConf,

@@ -1131,6 +1131,51 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_advised_star")
   }
 
+  test("kll views serve quantile rollups exactly below the k bound") {
+    import graft.plans.KllSketchExprs._
+    val base = freshDir("kll/base"); val mv = freshDir("kll/mv")
+    // ≤ 40 values per final group, default k=200: the sketch never
+    // compacts, so quantiles are exact order statistics and routed
+    // must equal direct bit-for-bit
+    (0 until 120).map(i => (s"k${i % 3}", s"s${i % 2}", (i * 7 % 100).toDouble))
+      .toDF("k", "k2", "v").write.mode("overwrite").parquet(base)
+    MaterializedView.create(spark, "mv_kll", base,
+      groupCols = Seq("k", "k2"),
+      aggs = Seq(
+        MvAgg("count_star", outCol = "cnt"),
+        MvAgg("kll", "v", outCol = "vkll")),
+      mvPath = mv)
+    def direct[A](f: => A): A = {
+      spark.conf.set(MaterializedViewRule.ConfKey, "false")
+      try f finally spark.conf.set(MaterializedViewRule.ConfKey, "true")
+    }
+    try withRouting {
+      def exactQ() = spark.read.parquet(base).groupBy("k", "k2")
+        .agg(kllQuantile(kllAgg(col("v")), lit(0.5)).as("p50"))
+      val qe = exactQ()
+      assert(readsPath(qe, mv) && !readsPath(qe, base),
+        "kll quantile over the exact grouping must route")
+      def canon2(df: DataFrame) = df.orderBy("k", "k2").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(canon2(qe) == direct(canon2(exactQ())))
+      // rollup: per-k quantiles from MERGED stored sketches
+      def rollQ() = spark.read.parquet(base).groupBy("k")
+        .agg(kllQuantile(kllAgg(col("v")), lit(0.5)).as("p50"),
+          kllQuantile(kllAgg(col("v")), lit(0.95)).as("p95"))
+      val qr = rollQ()
+      assert(readsPath(qr, mv) && !readsPath(qr, base),
+        "kll rollup must route")
+      def canon1(df: DataFrame) = df.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+      assert(canon1(qr) == direct(canon1(rollQ())),
+        "below-k merged quantiles must equal the direct build exactly")
+      // a different k is a different error bound: stand down
+      val qBad = spark.read.parquet(base).groupBy("k")
+        .agg(kllQuantile(kllAgg(col("v"), 400), lit(0.5)).as("p50"))
+      assert(!readsPath(qBad, mv))
+    } finally MaterializedView.drop("mv_kll")
+  }
+
   test("cost-based selection: the smallest servable view wins") {
     val base = freshDir("cost/base")
     val mvWide = freshDir("cost/mv_wide"); val mvSmall = freshDir("cost/mv_small")
