@@ -945,6 +945,59 @@ object EventsQueries {
           |  TRUE AS served_from_mv
           |FROM events
           |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- advisor over a STAR workload (chain reconstruction gated) -----
+    // q73 advises a single-base workload; this gates the join half: two
+    // orders⋈customer rollups cluster into ONE star recommendation —
+    // the ordered MvJoin chain rebuilt from the queries' unordered key
+    // pairs — which create() then turns into the view that serves both.
+    // DuckDB recomputes the scoring over the joined frame.
+    "q76_mv_advise_star" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        val sess = mvSession(s)
+        val fact = s"$dir/orders.parquet"
+        val dimP = s"$dir/customer.parquet"
+        val mvPath =
+          s"target/mv/advised_star_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        def star(f: DataFrame => DataFrame): DataFrame = {
+          val o = sess.read.parquet(fact); val c = sess.read.parquet(dimP)
+          f(o.join(c, o("o_custkey") === c("c_custkey")))
+        }
+        def w1 = star(_.groupBy("c_mktsegment")
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .as("revenue")))
+        def w2 = star(_.agg(count(lit(1)).as("n")))
+        val advice = MaterializedView.advise(sess, Seq(w1, w2))
+        require(advice.size == 1, s"expected one star advice, got $advice")
+        val a = advice.head
+        MaterializedView.create(sess, "advised_star", a.basePath,
+          a.groupCols, a.aggs, mvPath, a.groupExprs, a.joins)
+        val served = servedFromMv(w1, fact, dimP) &&
+          servedFromMv(w2, fact, dimP)
+        sess.range(1).select(
+          lit("orders").as("base_table"),
+          lit(a.joins.size).as("n_joins"),
+          lit(a.joins.head.leftKeys.mkString(",")).as("left_keys"),
+          lit(a.joins.head.rightKeys.mkString(",")).as("right_keys"),
+          lit(a.groupCols.mkString(",")).as("dims"),
+          lit(a.aggs.size).as("n_aggs"),
+          lit(a.nQueries).as("n_queries"),
+          lit(a.viewRows).as("view_rows"),
+          lit(a.baseRows).as("base_rows"),
+          lit(served).as("served_from_mv"))
+      },
+      Some(
+        """SELECT 'orders' AS base_table, 1 AS n_joins,
+          |  'o_custkey' AS left_keys, 'c_custkey' AS right_keys,
+          |  'c_mktsegment' AS dims, 2 AS n_aggs, 2 AS n_queries,
+          |  (SELECT count(DISTINCT c_mktsegment)
+          |   FROM orders JOIN customer ON o_custkey = c_custkey)
+          |    AS view_rows,
+          |  (SELECT count(*)
+          |   FROM orders JOIN customer ON o_custkey = c_custkey)
+          |    AS base_rows,
+          |  TRUE AS served_from_mv""".stripMargin)),
   )
 
   /** MV queries run on a CHILD session (`newSession()`: its own SQLConf,
