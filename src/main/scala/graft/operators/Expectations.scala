@@ -47,7 +47,13 @@ object Expectations {
   final case class MatchesRegex(col: String, regex: String) extends Check {
     def name = s"matches_regex($col)"
   }
-  /** Arbitrary row-local predicate (named by the caller). */
+  /** Arbitrary row-local predicate (named by the caller). STRICT null
+    * semantics, unlike the typed checks: the predicate must DEFINITELY
+    * hold — a NULL result counts as a violation. A custom predicate's
+    * null-acceptance is the author's call, and the strict default means
+    * a forgotten null guard surfaces as a violation count instead of
+    * silently passing; wrap in `coalesce(p, lit(true))` to opt into
+    * SQL-CHECK pass-on-null. */
   final case class Satisfies(label: String, predicate: Column) extends Check {
     def name = s"satisfies($label)"
   }
@@ -62,8 +68,11 @@ object Expectations {
     def name = s"refers_to($col)"
   }
 
-  /** A row-local check's VIOLATION predicate (null-safe: only definite
-    * violations count, per SQL constraint semantics). */
+  /** A row-local check's VIOLATION predicate. Typed checks (range, set,
+    * regex) are null-safe per SQL constraint semantics — a NULL input is
+    * not a violation (pair with [[NotNull]] to forbid nulls). The one
+    * exception is [[Satisfies]], which is deliberately strict: a NULL
+    * predicate result IS a violation (see its doc). */
   private def violation(c: Check): Option[Column] = c match {
     case NotNull(col)         => Some(org.apache.spark.sql.functions.col(col).isNull)
     case InRange(col, lo, hi) =>

@@ -43,7 +43,8 @@ object IntervalJoin {
     call_function("div", c - pmod(c, lit(w)), lit(w))
 
   private case class ProbeResult(rows: Array[org.apache.spark.sql.Row],
-                                 overflow: Boolean)
+                                 overflow: Boolean,
+                                 schemaJson: String)
 
   /** Session-lifetime memo of outlier-probe results. The probe is a
     * bounded `take` over the long-interval filter — one full pass over
@@ -85,14 +86,30 @@ object IntervalJoin {
         case _ => None
       }
       // a LocalRelation's canonicalized form does NOT show its rows —
-      // hash the data so two in-memory frames never share a key
+      // digest the data (128-bit MD5 over each row's full rendering, not
+      // a chain of 32-bit hashCodes) so two in-memory frames never share
+      // a key even across hashCode collisions
       case l: LocalRelation =>
-        Some(s"local:${l.data.map(_.hashCode()).hashCode()}")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(l.output
+          .map(a => a.name + ":" + a.dataType.catalogString)
+          .mkString(",").getBytes("UTF-8"))
+        l.data.foreach(r => md.update(r.toString.getBytes("UTF-8")))
+        Some(s"local:${l.data.length}:" +
+          md.digest().map("%02x".format(_)).mkString)
       case _ => None
     }
     if (idents.exists(_.isEmpty)) None
     else {
-      val base = analyzed.canonicalized.toString + "|" + limit + "|" +
+      // treeString with maxFields = MaxValue: the default rendering
+      // truncates expression/field lists past
+      // spark.sql.debug.maxToStringFields (25), so two different wide
+      // plans could share a key. The output schema is digested too —
+      // belt and braces against any remaining rendering ambiguity.
+      val planRepr = analyzed.canonicalized.treeString(
+        verbose = true, addSuffix = false, maxFields = Int.MaxValue,
+        printOperatorId = false)
+      val base = planRepr + "|" + df.schema.json + "|" + limit + "|" +
         idents.flatten.mkString(";")
       Some(java.security.MessageDigest.getInstance("MD5")
         .digest(base.getBytes("UTF-8")).map("%02x".format(_)).mkString)
@@ -140,14 +157,19 @@ object IntervalJoin {
     // same plan over the same files: empty / local-broadcast / lazy
     def longSide(df: DataFrame, s: String, e: String): Option[DataFrame] = {
       val longDf = df.where(spanBins(s, e) > maxBins)
+      val schemaJson = longDf.schema.json
       val key = cacheKey(longDf, maxCollectedLong)
-      val result = key.flatMap(k => Option(probeCache.get(k))).getOrElse {
+      // schema gate on hit: even if a future key regression let two
+      // plans collide, a foreign entry's rows must never bind to this
+      // plan's schema — a mismatched hit is treated as a miss
+      val result = key.flatMap(k => Option(probeCache.get(k)))
+        .filter(_.schemaJson == schemaJson).getOrElse {
         probeRuns.incrementAndGet()
         val probed = longDf.take(maxCollectedLong + 1)
         val r =
           if (probed.length > maxCollectedLong)
-            ProbeResult(Array.empty, overflow = true)
-          else ProbeResult(probed, overflow = false)
+            ProbeResult(Array.empty, overflow = true, schemaJson)
+          else ProbeResult(probed, overflow = false, schemaJson)
         if (r.overflow || r.rows.length <= MaxCachedRows)
           key.foreach(k => probeCache.put(k, r))
         r

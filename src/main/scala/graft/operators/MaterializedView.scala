@@ -323,6 +323,11 @@ object MaterializedView {
                       joins: Seq[MvJoin], joinFps: Seq[String],
                       baseFiles: Seq[String]): MvDef = {
     val priorDir = persistedDataDir(spark, mvPath)
+    // captured BEFORE catalog.put below swaps the pointer: the dir the
+    // in-memory registration serves right now, which can differ from
+    // the on-disk json's dir if a previous writeDefJson failed after
+    // its data write or another process republished concurrently
+    val registeredDir = catalog.get(name).map(_.dataDir)
     val dataDir = nextGen(spark, mvPath)
     content.write.mode("errorifexists").parquet(dataDir)
     val rel = spark.read.parquet(dataDir).queryExecution.analyzed
@@ -341,7 +346,13 @@ object MaterializedView {
     // are absolute — a naive compare would vacuum the LIVE generation
     def qualifiedNorm(p: String): String =
       normalizePath(fs.makeQualified(new Path(p)).toString)
-    val keep = (Seq(dataDir) ++ priorDir).map(qualifiedNorm).toSet
+    // keep set = {new gen, on-disk _mvdef.json's gen, previously
+    // registered in-memory gen}. The third matters when a previous
+    // writeDefJson failed after its data write (or another process
+    // republished): the registered definition can point at a generation
+    // NEITHER of the first two name, and a live plan may still read it.
+    val keep = (Seq(dataDir) ++ priorDir ++ registeredDir)
+      .map(qualifiedNorm).toSet
     fs.listStatus(new Path(mvPath)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
       .map(_.getPath)

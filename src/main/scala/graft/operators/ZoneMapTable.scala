@@ -163,8 +163,17 @@ object ZoneMapTable {
     def scanStats(scanPaths: Seq[String]): DataFrame = {
       val aggs = count(lit(1)).as("n_rows") +: statsCols.flatMap(c => Seq(
         min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      // input_file_name() renders the URI-ENCODED path spelling while
+      // footer rows carry the listing's decoded Path.toString form; a
+      // manifest mixing both would mis-compare basenames containing
+      // percent-encodable characters (spaces etc.) in compact/vacuum.
+      // Decode to ONE spelling: pre-escaping '+' makes url_decode (a
+      // form decoder that would turn '+' into space) a pure URI
+      // percent-decoder.
+      val decodedFile =
+        url_decode(regexp_replace(input_file_name(), "\\+", "%2B"))
       spark.read.parquet(scanPaths: _*)
-        .groupBy(input_file_name().as("file"))
+        .groupBy(decodedFile.as("file"))
         .agg(aggs.head, aggs.tail: _*)
     }
     if (paths.isEmpty)
@@ -315,10 +324,14 @@ object ZoneMapTable {
     * scan fallback (NaN-poisoned or ±0.0 float/double chunk stats,
     * string chunk stats dropped past the 4 KB cap — per-file, so one
     * bad file never demotes the whole manifest). None when a column's
-    * TYPE is never footer-servable (timestamps, decimals…). Supported:
-    * integral, string, float and double columns — parquet chunk
-    * statistics are exact for them, with the float/double NaN/±0 cases
-    * detected per chunk in [[parseFooter]]. Small file lists parse on
+    * TYPE is never footer-servable — decimals, binary, and nested
+    * types take the whole-manifest scan path. Supported: integral,
+    * string, float and double columns — parquet chunk statistics are
+    * exact for them, with the float/double NaN/±0 cases detected per
+    * chunk in [[parseFooter]] — plus timestamps and dates stored as
+    * INT64-micros / INT32-days annotated physical types (the engine's
+    * write convention since the INT96→INT64 switch; unannotated or
+    * INT96 files fall back to the per-file scan). Small file lists parse on
     * the driver (a ~KB metadata read per file); past
     * [[DriverFooterBatch]] the parse fans out over executors and only
     * the manifest-sized results come back. */
