@@ -70,11 +70,26 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Reps are interleaved ROUND-ROBIN across queries (rep 1 of every
+    // query, then rep 2, …), not run back-to-back per query: the bench
+    // shares one JVM, so transient session/GC/page-cache state drifts
+    // over the run — consecutive reps let that drift concentrate on
+    // whichever query is executing when it hits (the r12 rerun priced
+    // q04/q08 at 3x their isolated cost). Round-robin spreads any
+    // transient across the whole suite, so best-of-N per query sees at
+    // least one rep outside the disturbance. SPARK_GRAFT_BENCH_GC=1
+    // additionally forces a GC + settle before each measured run
+    // (off by default: it adds ~10s to a full suite).
+    val gcSettle = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
     def benchAt(dir: String): (Seq[(String, Seq[Double])], Double, Int) = {
       queries.foreach { case (n, f) => runOne(n, dir, f) }
-      val results = queries.map { case (name, fn) =>
-        name -> (0 until reps).flatMap(_ => runOne(name, dir, fn))
+      val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+        queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+      for (_ <- 0 until reps; (name, fn) <- queries) {
+        if (gcSettle) { System.gc(); Thread.sleep(50) }
+        runOne(name, dir, fn).foreach(t => acc(name) = acc(name) :+ t)
       }
+      val results = queries.map { case (name, _) => name -> (acc(name): Seq[Double]) }
       // failed sentinels are EXCLUDED from the total (a -1 must not make
       // a failing round look faster); they are counted separately
       val total = results.collect { case (_, v) if v.nonEmpty => v.min }.sum
@@ -86,6 +101,14 @@ object Bench {
     def fmtSpread(results: Seq[(String, Seq[Double])]): String =
       results.collect { case (k, v) if v.nonEmpty =>
         "\"" + k + "\":{\"min\":" + v.min + ",\"med\":" + med(v) + ",\"max\":" + v.max + "}"
+      }.mkString("{", ",", "}")
+    // raw per-rep times IN RUN ORDER (round-robin: element i = rep i's
+    // pass) — an outlier rep is visible in the artifact itself instead
+    // of being silently absorbed by best-of-N
+    def fmtReps(results: Seq[(String, Seq[Double])]): String =
+      results.collect { case (k, v) if v.nonEmpty =>
+        "\"" + k + "\":" + v.map(t => math.rint(t * 1000) / 1000)
+          .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     // Previous run's artifact (if any) — read BEFORE overwriting so this
     // round's record can carry per-query deltas against it. Parsed with
@@ -136,12 +159,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val deltaField = if (prevBest.nonEmpty) s""","delta_vs_prev":$deltas""" else ""
     val record =
-      s"""{"metric":"total","value":$total1,"unit":"sec","queries":${fmt(res1)},"spread":${fmtSpread(res1)},"failed":$failed1,"sf":"$sfDir"$deltaField$secondary}"""
+      s"""{"metric":"total","value":$total1,"unit":"sec","queries":${fmt(res1)},"spread":${fmtSpread(res1)},"reps":${fmtReps(res1)},"failed":$failed1,"sf":"$sfDir"$deltaField$secondary}"""
     println(record)
     // Durable whole-record copies: immune to any stdout capture window.
     // target/bench.json is the driver-visible path; bench_latest.json is
     // the clean-proof history the NEXT run's deltas read.
-    for (f <- Seq(benchFile, historyFile)) {
+    // A RESTRICTED run (SPARK_GRAFT_BENCH_ONLY) must not clobber the
+    // full-suite history baseline: deltas would then compare the next
+    // full run against a 3-query record and silently drop coverage.
+    val writeTargets =
+      if (only.isDefined) Seq(benchFile) else Seq(benchFile, historyFile)
+    for (f <- writeTargets) {
       try {
         Option(f.getParentFile).foreach(_.mkdirs())
         java.nio.file.Files.write(f.toPath, (record + "\n").getBytes("UTF-8"))

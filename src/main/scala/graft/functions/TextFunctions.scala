@@ -19,15 +19,13 @@ object TextFunctions {
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** Contiguous word n-gram shingles (space-joined), empty array when the
-    * text has fewer than n tokens. `sequence` would generate a DESCENDING
-    * range if stop < start, hence the explicit guard. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+    * text has fewer than n tokens. Served by the native
+    * [[graft.plans.WordShinglesExpr]] — the HOF form (`transform` +
+    * `slice` + `concat_ws` under a size guard) evaluates interpreted with
+    * a slice allocation per shingle, and shingling sits on the scan path
+    * of every near-dup signature and repetition score in the engine. */
+  def wordShingles(c: Column, n: Int): Column =
+    graft.plans.WordShinglesExpr.shingles(tokens(c), n)
 
   /** Distinct shingle set (the unit of Jaccard/MinHash similarity). */
   def shingleSet(c: Column, n: Int): Column = array_distinct(wordShingles(c, n))
@@ -96,35 +94,18 @@ object TextFunctions {
       regexp_replace(c, """[\w.+-]+@[\w-]+\.[\w.]+""", "<email>"),
       """\d{3,}""", "<num>")
 
-  /** Run-length statistics over a sorted array: sort once, fold adjacent
-    * runs — O(n log n) per row (the naive distinct×filter count is
-    * O(d·n) with an array allocation per distinct element; measured ~8×
-    * slower on the sf0.1 corpus) and still a narrow shuffle-free per-row
-    * map. Returns struct(mx, dup): the occurrence count of the most
-    * frequent element, and the total count of elements whose value occurs
-    * more than once. */
+  /** Occurrence statistics as struct(mx, dup): the occurrence count of
+    * the most frequent element, and the total count of elements whose
+    * value occurs more than once. Served by the native
+    * [[graft.plans.RunStatsExpr]] — one compiled O(n) hash pass per row,
+    * inlined into whole-stage codegen. (History: first a sort+fold HOF
+    * chain — O(n log n) with an interpreted lambda and a struct
+    * allocation PER ELEMENT — which benched ~4× slower at sf0.1; the
+    * naive distinct×filter form before that was ~8× slower again. The
+    * counters never needed the sort's ORDER, only its grouping, so a
+    * hash count is the right primitive.) */
   private def runStats(arr: Column): Column =
-    aggregate(
-      array_sort(arr),
-      struct(lit(null).cast(StringType).as("prev"), lit(0).as("run"),
-        lit(0).as("mx"), lit(0).as("dup")),
-      (acc, x) => {
-        val run = acc.getField("run")
-        val same = acc.getField("prev") === x // null prev -> otherwise branch
-        struct(x.as("prev"),
-          when(same, run + 1).otherwise(lit(1)).as("run"),
-          when(same, acc.getField("mx"))
-            .otherwise(greatest(acc.getField("mx"), run)).as("mx"),
-          when(same, acc.getField("dup"))
-            .otherwise(acc.getField("dup") +
-              when(run > 1, run).otherwise(lit(0))).as("dup"))
-      },
-      acc => {
-        val run = acc.getField("run")
-        struct(
-          greatest(acc.getField("mx"), run).as("mx"),
-          (acc.getField("dup") + when(run > 1, run).otherwise(lit(0))).as("dup"))
-      })
+    graft.plans.RunStatsExpr.runStats(arr)
 
   /** Both repetition counters from ONE sort+fold pass: struct(mx, dup).
     * Use when deriving multiple fractions from the same array —

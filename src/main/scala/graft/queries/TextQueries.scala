@@ -365,11 +365,18 @@ object TextQueries {
         def frac(cnt: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
           when(n > 0, cnt.cast(DoubleType) / n.cast(DoubleType)).otherwise(lit(0.0))
         docs(s, dir)
+          // stage the token and shingle ARRAYS once: each alias below is
+          // used twice (size + counts) and is non-cheap, so
+          // CollapseProject keeps the projection boundary and neither
+          // the split nor the shingle transform evaluates twice per row
           .select(col("doc_id"),
-            size(tokens(col("text"))).as("n_uni"),
-            repetitionCounts(tokens(col("text"))).as("uni"),
-            size(wordShingles(col("text"), 2)).as("n_bi"),
-            repetitionCounts(wordShingles(col("text"), 2)).as("bi"))
+            tokens(col("text")).as("toks"),
+            wordShingles(col("text"), 2).as("bis"))
+          .select(col("doc_id"),
+            size(col("toks")).as("n_uni"),
+            repetitionCounts(col("toks")).as("uni"),
+            size(col("bis")).as("n_bi"),
+            repetitionCounts(col("bis")).as("bi"))
           .select(col("doc_id"),
             frac(col("uni.mx"), col("n_uni")).as("top_unigram_frac"),
             frac(col("bi.mx"), col("n_bi")).as("top_bigram_frac"),
