@@ -81,34 +81,44 @@ object Bench {
     // additionally forces a GC + settle before each measured run
     // (off by default: it adds ~10s to a full suite).
     val gcSettle = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
-    def benchAt(dir: String): (Seq[(String, Seq[Double])], Double, Int) = {
+    // per-rep slots are Option[Double]: a failed rep keeps its SLOT (as
+    // None → JSON null) so `reps` element i is rep i's pass even after a
+    // failure — the positional claim the artifact makes must survive
+    // partial failure, not silently shift left
+    def benchAt(dir: String): (Seq[(String, Seq[Option[Double]])], Double, Int) = {
       queries.foreach { case (n, f) => runOne(n, dir, f) }
-      val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
-        queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+      val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Option[Double]]](
+        queries.map { case (n, _) => n -> Vector.empty[Option[Double]] }: _*)
       for (_ <- 0 until reps; (name, fn) <- queries) {
         if (gcSettle) { System.gc(); Thread.sleep(50) }
-        runOne(name, dir, fn).foreach(t => acc(name) = acc(name) :+ t)
+        acc(name) = acc(name) :+ runOne(name, dir, fn)
       }
-      val results = queries.map { case (name, _) => name -> (acc(name): Seq[Double]) }
+      val results = queries.map { case (name, _) => name -> (acc(name): Seq[Option[Double]]) }
       // failed sentinels are EXCLUDED from the total (a -1 must not make
       // a failing round look faster); they are counted separately
-      val total = results.collect { case (_, v) if v.nonEmpty => v.min }.sum
-      (results, total, results.count(_._2.isEmpty))
+      val total = results.collect { case (_, v) if v.flatten.nonEmpty => v.flatten.min }.sum
+      (results, total, results.count(_._2.flatten.isEmpty))
     }
-    def best(v: Seq[Double]): Double = if (v.isEmpty) -1.0 else v.min
-    def fmt(results: Seq[(String, Seq[Double])]): String =
+    def best(v: Seq[Option[Double]]): Double = {
+      val ok = v.flatten; if (ok.isEmpty) -1.0 else ok.min
+    }
+    def fmt(results: Seq[(String, Seq[Option[Double]])]): String =
       results.map { case (k, v) => "\"" + k + "\":" + best(v) }.mkString("{", ",", "}")
-    def fmtSpread(results: Seq[(String, Seq[Double])]): String =
-      results.collect { case (k, v) if v.nonEmpty =>
-        "\"" + k + "\":{\"min\":" + v.min + ",\"med\":" + med(v) + ",\"max\":" + v.max + "}"
+    def fmtSpread(results: Seq[(String, Seq[Option[Double]])]): String =
+      results.collect { case (k, v) if v.flatten.nonEmpty =>
+        val ok = v.flatten
+        "\"" + k + "\":{\"min\":" + ok.min + ",\"med\":" + med(ok) + ",\"max\":" + ok.max + "}"
       }.mkString("{", ",", "}")
     // raw per-rep times IN RUN ORDER (round-robin: element i = rep i's
-    // pass) — an outlier rep is visible in the artifact itself instead
-    // of being silently absorbed by best-of-N
-    def fmtReps(results: Seq[(String, Seq[Double])]): String =
-      results.collect { case (k, v) if v.nonEmpty =>
-        "\"" + k + "\":" + v.map(t => math.rint(t * 1000) / 1000)
-          .mkString("[", ",", "]")
+    // pass; null = that rep failed) — an outlier or failed rep is
+    // visible in the artifact itself instead of being silently absorbed
+    // by best-of-N
+    def fmtReps(results: Seq[(String, Seq[Option[Double]])]): String =
+      results.collect { case (k, v) if v.flatten.nonEmpty =>
+        "\"" + k + "\":" + v.map {
+          case Some(t) => (math.rint(t * 1000) / 1000).toString
+          case None    => "null"
+        }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     // Previous run's artifact (if any) — read BEFORE overwriting so this
     // round's record can carry per-query deltas against it. Parsed with
@@ -146,20 +156,28 @@ object Bench {
         val (res2, total2, failed2) = benchAt(sfDir2)
         val b2 = res2.toMap
         val ratios = res1.collect {
-          case (k, v1) if v1.nonEmpty && b2.get(k).exists(_.nonEmpty) && b2(k).min > 0 =>
-            "\"" + k + "\":" + (math.rint(v1.min / b2(k).min * 100) / 100)
+          case (k, v1) if v1.flatten.nonEmpty &&
+              b2.get(k).exists(_.flatten.nonEmpty) && b2(k).flatten.min > 0 =>
+            "\"" + k + "\":" + (math.rint(v1.flatten.min / b2(k).flatten.min * 100) / 100)
         }.mkString("{", ",", "}")
         s""","secondary":{"sf":"$sfDir2","total":$total2,"failed":$failed2,"queries":${fmt(res2)},"spread":${fmtSpread(res2)}},"ratios":$ratios"""
       } else ""
     // Per-query best-time delta vs the previous artifact (seconds; negative
     // = faster this round). Only queries present in both runs appear.
     val deltas = res1.collect {
-      case (k, v) if v.nonEmpty && prevBest.contains(k) =>
-        "\"" + k + "\":" + (math.rint((v.min - prevBest(k)) * 1000) / 1000)
+      case (k, v) if v.flatten.nonEmpty && prevBest.contains(k) =>
+        "\"" + k + "\":" + (math.rint((v.flatten.min - prevBest(k)) * 1000) / 1000)
     }.mkString("{", ",", "}")
     val deltaField = if (prevBest.nonEmpty) s""","delta_vs_prev":$deltas""" else ""
+    // Methodology marker (round 14): the r13 switch to round-robin rep
+    // interleaving redefined the measurement floor (~25% colder per-query
+    // page-cache/JIT state vs back-to-back reps), so cross-methodology
+    // delta_vs_prev is NOT like-for-like. The marker makes the boundary
+    // machine-detectable; bump it whenever the harness changes how reps
+    // are scheduled or timed.
+    val method = "interleaved-v2"
     val record =
-      s"""{"metric":"total","value":$total1,"unit":"sec","queries":${fmt(res1)},"spread":${fmtSpread(res1)},"reps":${fmtReps(res1)},"failed":$failed1,"sf":"$sfDir"$deltaField$secondary}"""
+      s"""{"metric":"total","value":$total1,"unit":"sec","method":"$method","queries":${fmt(res1)},"spread":${fmtSpread(res1)},"reps":${fmtReps(res1)},"failed":$failed1,"sf":"$sfDir"$deltaField$secondary}"""
     println(record)
     // Durable whole-record copies: immune to any stdout capture window.
     // target/bench.json is the driver-visible path; bench_latest.json is

@@ -86,15 +86,26 @@ object IntervalJoin {
         case _ => None
       }
       // a LocalRelation's canonicalized form does NOT show its rows —
-      // digest the data (128-bit MD5 over each row's full rendering, not
-      // a chain of 32-bit hashCodes) so two in-memory frames never share
-      // a key even across hashCode collisions
+      // digest the data. NOT row.toString: that joins fields with a bare
+      // ',' (("a,b","c") and ("a","b,c") would render identically) and
+      // renders binary fields by object identity. UnsafeProjection gives
+      // a length-prefixed, type-faithful byte encoding per row, so the
+      // digest is both unambiguous across field boundaries and stable
+      // across JVM object identities.
       case l: LocalRelation =>
         val md = java.security.MessageDigest.getInstance("MD5")
         md.update(l.output
           .map(a => a.name + ":" + a.dataType.catalogString)
           .mkString(",").getBytes("UTF-8"))
-        l.data.foreach(r => md.update(r.toString.getBytes("UTF-8")))
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(l.output.map(_.dataType).toArray)
+        l.data.foreach { r =>
+          val u = proj(r)
+          // row separator: the row's byte length, so two rows can never
+          // be re-segmented into a different row sequence
+          md.update(java.nio.ByteBuffer.allocate(4).putInt(u.getSizeInBytes).array())
+          md.update(u.getBytes)
+        }
         Some(s"local:${l.data.length}:" +
           md.digest().map("%02x".format(_)).mkString)
       case _ => None

@@ -170,8 +170,13 @@ object ZoneMapTable {
       // Decode to ONE spelling: pre-escaping '+' makes url_decode (a
       // form decoder that would turn '+' into space) a pure URI
       // percent-decoder.
-      val decodedFile =
-        url_decode(regexp_replace(input_file_name(), "\\+", "%2B"))
+      // try_url_decode, not url_decode: a malformed percent sequence in
+      // one oddly named file (a literal '%' not followed by two hex
+      // digits) must degrade to that file's raw spelling, not fail the
+      // whole manifest-publication job.
+      val decodedFile = coalesce(
+        try_url_decode(regexp_replace(input_file_name(), "\\+", "%2B")),
+        input_file_name())
       spark.read.parquet(scanPaths: _*)
         .groupBy(decodedFile.as("file"))
         .agg(aggs.head, aggs.tail: _*)
