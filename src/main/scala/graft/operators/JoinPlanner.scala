@@ -157,9 +157,15 @@ object JoinPlanner {
                   right: DataFrame, rKey: String,
                   broadcastMaxRows: Long = 1000000L,
                   skewShareThreshold: Double = 0.125,
-                  targetRatio: Double = 4.0, maxSalts: Int = 64): DataFrame = {
-    val plan = planFor(left, lKey, right, rKey, broadcastMaxRows,
-      skewShareThreshold, targetRatio, maxSalts)
+                  targetRatio: Double = 4.0, maxSalts: Int = 64): DataFrame =
+    executeJoin(planFor(left, lKey, right, rKey, broadcastMaxRows,
+      skewShareThreshold, targetRatio, maxSalts), left, lKey, right, rKey)
+
+  /** [[plannedJoin]]'s execution half with the decision passed IN —
+    * for callers that want to observe/emit the plan (q79 gates the
+    * strategy literal) without running the planning aggregates twice. */
+  def executeJoin(plan: JoinPlan, left: DataFrame, lKey: String,
+                  right: DataFrame, rKey: String): DataFrame = {
     def plain(l: DataFrame, r: DataFrame): DataFrame =
       l.join(r, l(lKey) === r(rKey)).drop(r(rKey))
     plan.strategy match {
@@ -173,6 +179,88 @@ object JoinPlanner {
           right.withColumnRenamed(rKey, lKey), lKey, plan.salts)
       case _ => plain(left, right)
     }
+  }
+
+  /** One dimension of a star chain to be ordered: `dim` joins the fact
+    * on `fact.factKey === dim.dimKey`. `name` labels the dim in the
+    * planned order (and must be unique across the chain). */
+  final case class StarDim(name: String, dim: DataFrame,
+                           factKey: String, dimKey: String)
+
+  /** The ordering decision for a star chain: dim names most-selective
+    * first, each dim's estimated survival fraction (share of the fact's
+    * distinct join keys the dim retains — under the uniform-multiplicity
+    * model, the share of fact ROWS surviving that join), and each dim's
+    * exact row count (the broadcast decision input). */
+  final case class StarPlan(order: Seq[String],
+                            survival: Map[String, Double],
+                            dimRows: Map[String, Long])
+
+  /** Sketch-driven join ORDERING for a 3+-table star chain — the
+    * System-R selectivity walk run from sketch state instead of
+    * statistics tables: written order is irrelevant, the most selective
+    * dim joins first so every later join sees the smallest surviving
+    * fact. Cost: ONE aggregate pass over the fact (a theta sketch per
+    * join key, all in the same 1-row agg) and one 1-row aggregate per
+    * dim (row count + key sketch) — never a trial join, never a second
+    * fact scan. Survival_i = est(|keys_fact_i ∩ keys_dim_i|) /
+    * est(|keys_fact_i|), exact below 2^lgK distinct keys per side (the
+    * theta exact-mode contract q51 pins); ties break on dim name so the
+    * order is deterministic. At 100 TB the fact pass is the same single
+    * scan a first join would pay anyway, and a mis-ordered chain that
+    * carries 25x the surviving rows through two more shuffles costs far
+    * more. */
+  def starOrder(fact: DataFrame, dims: Seq[StarDim],
+                lgK: Int = 18): StarPlan = {
+    import graft.plans.ThetaSketchExprs._
+    require(dims.nonEmpty, "star chain needs at least one dim")
+    require(dims.map(_.name).distinct.size == dims.size,
+      s"dim names must be unique, got ${dims.map(_.name)}")
+    val factCols = dims.map(d =>
+      thetaSketchAgg(col(d.factKey), lgK).as(s"fk_${d.name}"))
+    val factAgg = fact.agg(factCols.head, factCols.tail: _*)
+    val dimAggs = dims.map(d => d.dim.agg(
+      count(lit(1)).as(s"n_${d.name}"),
+      thetaSketchAgg(col(d.dimKey), lgK).as(s"dk_${d.name}")))
+    // 1-row × 1-row crosses: broadcast by construction, data-sized never
+    val crossed = dimAggs.foldLeft(factAgg)(
+      (acc, r) => acc.crossJoin(broadcast(r)))
+    val sel = dims.flatMap(d => Seq(
+      thetaEstimate(col(s"fk_${d.name}")).as(s"df_${d.name}"),
+      thetaEstimate(thetaIntersect(col(s"fk_${d.name}"),
+        col(s"dk_${d.name}"))).as(s"dc_${d.name}"),
+      col(s"n_${d.name}")))
+    val row = crossed.select(sel: _*).head()
+    val survival = dims.map { d =>
+      val dFact = row.getAs[Long](s"df_${d.name}")
+      val dCommon = row.getAs[Long](s"dc_${d.name}")
+      d.name -> (if (dFact == 0L) 0.0 else dCommon.toDouble / dFact)
+    }.toMap
+    val rows = dims.map(d => d.name -> row.getAs[Long](s"n_${d.name}")).toMap
+    StarPlan(dims.map(_.name).sortBy(n => (survival(n), n)),
+      survival, rows)
+  }
+
+  /** Execute the star chain under [[starOrder]]'s decision: inner
+    * equi-joins in most-selective-first order, each dim at or under
+    * `broadcastMaxRows` broadcast (the row count is already exact from
+    * the planning aggregate — no extra job). Inner equi-joins commute,
+    * so the output is multiset-identical to the same chain joined in
+    * WRITTEN order (the q78 equality law); only the cost moves. Each
+    * dim's key column is dropped after its join (the [[plannedJoin]]
+    * shape); all other columns of every input survive. */
+  def orderedStarJoin(fact: DataFrame, dims: Seq[StarDim],
+                      broadcastMaxRows: Long = 1000000L,
+                      lgK: Int = 18): (DataFrame, StarPlan) = {
+    val plan = starOrder(fact, dims, lgK)
+    val byName = dims.map(d => d.name -> d).toMap
+    val joined = plan.order.foldLeft(fact) { (acc, n) =>
+      val d = byName(n)
+      val r =
+        if (plan.dimRows(n) <= broadcastMaxRows) broadcast(d.dim) else d.dim
+      acc.join(r, acc(d.factKey) === r(d.dimKey)).drop(r(d.dimKey))
+    }
+    (joined, plan)
   }
 
   /** 1-row key-skew probe: the heaviest key of `df.keyCol` and its

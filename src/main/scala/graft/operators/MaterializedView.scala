@@ -748,6 +748,45 @@ object MaterializedView {
       }
   }
 
+  /** One [[advise]] recommendation placed under a storage budget:
+    * `rank` is 1-based priority order, `benefit` the integer score it
+    * ranked on, `selected` whether it fits the budget. */
+  final case class RankedAdvice(advice: Advice, rank: Int, benefit: Long,
+                                selected: Boolean)
+
+  /** Budgeted multi-view selection: rank every [[advise]]
+    * recommendation by modelled benefit and admit them in rank order
+    * while the CUMULATIVE stored size fits `budgetRows`.
+    *
+    * Benefit = nQueries · (baseRows − viewRows): the scan rows routing
+    * saves per workload pass — each served query reads viewRows stored
+    * rows instead of baseRows base rows. Integer arithmetic on exact
+    * counts, so an oracle recomputes it bit-for-bit; ties break on
+    * (basePath, chain) so the ranking is deterministic.
+    *
+    * Selection is PREFIX-budget, not knapsack-with-skips: the rank
+    * order is the priority order, and a recommendation is admitted iff
+    * every recommendation ranked at or above it fits together. A skip
+    * rule ("rank 1 is too big, take ranks 2+3 instead") would admit a
+    * strictly-lower-benefit set whenever the skipped view's benefit
+    * dominates — and its selected-set is not expressible as a running
+    * sum, so the oracle could not independently recompute it. The
+    * budget is STORED rows (the resource a view catalog meters), not
+    * bytes: row width is known to the caller, not the advisor. */
+  def adviseBudgeted(spark: SparkSession, workload: Seq[DataFrame],
+                     budgetRows: Long): Seq[RankedAdvice] = {
+    require(budgetRows >= 0, s"budgetRows must be >= 0, got $budgetRows")
+    val ranked = advise(spark, workload)
+      .map(a => (a, a.nQueries.toLong * (a.baseRows - a.viewRows)))
+      .sortBy { case (a, b) =>
+        (-b, a.basePath, a.joins.map(_.rightPath).mkString(",")) }
+    var cum = 0L
+    ranked.zipWithIndex.map { case ((a, b), i) =>
+      cum += a.viewRows
+      RankedAdvice(a, i + 1, b, cum <= budgetRows)
+    }
+  }
+
   /** True while routing to `name` is sound: every input unchanged since
     * the last create/refresh/absorb (a join-backed view checks EVERY
     * side — a dimension update invalidates the rollup too). This is the

@@ -998,6 +998,94 @@ object EventsQueries {
           |   FROM orders JOIN customer ON o_custkey = c_custkey)
           |    AS base_rows,
           |  TRUE AS served_from_mv""".stripMargin)),
+
+    // ---- BUDGETED advisor (ranked multi-view selection, q80) -----------
+    // The capacity-planning half: a 4-query workload spanning THREE
+    // clusters (events ×2 queries, an orders⋈customer star, lineitem),
+    // ranked by benefit = nQueries·(baseRows−viewRows) — the scan rows
+    // routing saves per workload pass — and admitted in rank order
+    // while the cumulative stored size fits an 8-row budget
+    // (prefix-budget selection: deliberately NOT knapsack-with-skips,
+    // see adviseBudgeted's scaladoc). Every score, rank, and selected
+    // flag is recomputed independently by DuckDB from the same exact
+    // counts; creating the rank-1 pick then pins that its whole
+    // cluster routes (top_served). Advisor cost: one counting
+    // aggregate per cluster — never a view build per candidate.
+    "q80_mv_advise_budget" -> Q(
+      (s, dir) => {
+        import graft.operators.MaterializedView
+        val sess = mvSession(s)
+        val evBase = s"$dir/events.parquet"
+        val liBase = s"$dir/lineitem.parquet"
+        val oBase = s"$dir/orders.parquet"
+        val cBase = s"$dir/customer.parquet"
+        val mvPath =
+          s"target/mv/advised_budget_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        def w1 = sess.read.parquet(evBase).groupBy("event_type")
+          .agg(sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+        def w2 = sess.read.parquet(evBase).agg(count(lit(1)).as("n"))
+        def w3 = {
+          val o = sess.read.parquet(oBase)
+          val c = sess.read.parquet(cBase)
+          o.join(c, o("o_custkey") === c("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .as("revenue"))
+        }
+        def w4 = sess.read.parquet(liBase).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"))
+        val ranked = MaterializedView.adviseBudgeted(
+          sess, Seq(w1, w2, w3, w4), budgetRows = 8L)
+        require(ranked.size == 3, s"expected three clusters, got $ranked")
+        val top = ranked.head.advice
+        MaterializedView.create(sess, "advised_budget_top", top.basePath,
+          top.groupCols, top.aggs, mvPath, top.groupExprs, top.joins)
+        val clusterQueries: Seq[DataFrame] =
+          if (top.basePath.endsWith("lineitem.parquet")) Seq(w4)
+          else if (top.basePath.endsWith("orders.parquet")) Seq(w3)
+          else Seq(w1, w2)
+        val topServed = clusterQueries.forall(
+          servedFromMv(_, top.basePath +: top.joins.map(_.rightPath): _*))
+        val rows = ranked.map { r =>
+          (new java.io.File(r.advice.basePath).getName
+             .stripSuffix(".parquet"),
+           r.advice.nQueries, r.advice.viewRows, r.advice.baseRows,
+           r.benefit, r.rank, r.selected, topServed)
+        }
+        sess.createDataFrame(rows)
+          .toDF("base_table", "n_queries", "view_rows", "base_rows",
+            "benefit", "rank", "selected", "top_served")
+          .orderBy("rank")
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT 'events' AS base_table, 2 AS n_queries,
+          |    (SELECT count(DISTINCT event_type) FROM events) AS view_rows,
+          |    (SELECT count(*) FROM events) AS base_rows
+          |  UNION ALL
+          |  SELECT 'orders', 1,
+          |    (SELECT count(DISTINCT c_mktsegment)
+          |     FROM orders JOIN customer ON o_custkey = c_custkey),
+          |    (SELECT count(*)
+          |     FROM orders JOIN customer ON o_custkey = c_custkey)
+          |  UNION ALL
+          |  SELECT 'lineitem', 1,
+          |    (SELECT count(DISTINCT l_returnflag) FROM lineitem),
+          |    (SELECT count(*) FROM lineitem)),
+          |r AS (
+          |  SELECT *, n_queries * (base_rows - view_rows) AS benefit,
+          |    ROW_NUMBER() OVER (
+          |      ORDER BY n_queries * (base_rows - view_rows) DESC,
+          |        base_table) AS rnk
+          |  FROM s)
+          |SELECT base_table, n_queries,
+          |  CAST(view_rows AS BIGINT) AS view_rows,
+          |  CAST(base_rows AS BIGINT) AS base_rows,
+          |  CAST(benefit AS BIGINT) AS benefit,
+          |  CAST(rnk AS INT) AS rank,
+          |  SUM(view_rows) OVER (ORDER BY rnk) <= 8 AS selected,
+          |  TRUE AS top_served
+          |FROM r ORDER BY rnk""".stripMargin)),
   )
 
   /** MV queries run on a CHILD session (`newSession()`: its own SQLConf,

@@ -344,6 +344,115 @@ object JoinQueries {
           |    ON l.hk = d.dk)
           |SELECT grp, n, val FROM bc
           |UNION ALL SELECT grp, n, val FROM sk
-          |ORDER BY grp""".stripMargin))
+          |ORDER BY grp""".stripMargin)),
+
+    // ---- sketch-driven star-chain ORDERING (q78) -----------------------
+    // The 3+-table half of the planning loop: the chain is WRITTEN in
+    // the worst order (supplier: survival 1.0 first, then orders at
+    // ~0.2, the Brand#11 part filter at ~0.05 last) and starOrder must
+    // invert it from sketch state alone — one theta-per-key aggregate
+    // over the fact, one 1-row aggregate per dim, never a trial join.
+    // The planned order is EMITTED as a gated literal ('part,orders,
+    // supplier'), so a mis-ranked survival estimate fails the hash
+    // compare, and the grouped aggregate pins the equality law: inner
+    // equi-joins commute, so whatever order executes, the rows match
+    // the written-order oracle join. Dims are broadcast off the
+    // planning aggregate's exact counts (no extra job) — at sf0.1
+    // that's three BroadcastHashJoins over one fact scan, the shape a
+    // 1000-executor chain wants.
+    "q78_star_order" -> Q(
+      (s, dir) => {
+        import graft.operators.JoinPlanner
+        import graft.operators.JoinPlanner.StarDim
+        val lk = Lake(s, dir)
+        val fact = lk.lineitem.select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+        // adversarial WRITTEN order: least selective dim first
+        val dims = Seq(
+          StarDim("supplier",
+            lk.supplier.select(col("s_suppkey"), col("s_nationkey")),
+            "l_suppkey", "s_suppkey"),
+          StarDim("orders",
+            lk.orders.where(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_orderkey")),
+            "l_orderkey", "o_orderkey"),
+          StarDim("part",
+            lk.part.where(col("p_brand") === "Brand#11")
+              .select(col("p_partkey")),
+            "l_partkey", "p_partkey"))
+        val (joined, plan) = JoinPlanner.orderedStarJoin(fact, dims)
+        joined.groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("revenue"))
+          .select(col("s_nationkey"), col("n"), col("revenue"),
+            lit(plan.order.mkString(",")).as("join_order"))
+          .orderBy("s_nationkey")
+      },
+      Some(
+        """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue,
+          |  'part,orders,supplier' AS join_order
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |  AND o_orderpriority = '1-URGENT'
+          |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#11'
+          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // ---- skew-stress headline (q79) ------------------------------------
+    // The SkewBench shape promoted to a GATED, BENCHED query: 90% of
+    // the fact's rows collapse onto one hot key (l_orderkey % 10 <> 0
+    // -> 0), the dim is too big for the tiny broadcast cap, so planFor
+    // must pick 'salted' off the frequency-sketch probe (share 0.9 >>
+    // 0.125) — the decision is emitted as gated literals (strategy,
+    // salted), and the aggregate pins output equality with the plain
+    // join the oracle runs. Without salting this plan stragglers on
+    // one reducer at any scale; with it the hot key spreads over the
+    // sketch-advised salt count (clamped to 64).
+    "q79_skew_join" -> Q(
+      (s, dir) => {
+        import graft.operators.JoinPlanner
+        val lk = Lake(s, dir)
+        val skewed = lk.lineitem.select(
+          when(col("l_orderkey") % 10 =!= 0, lit(0L))
+            .otherwise(col("l_orderkey")).as("hk"),
+          col("l_extendedprice"))
+        val dim = lk.orders.select(
+            when(col("o_orderkey") % 10 =!= 0, lit(0L))
+              .otherwise(col("o_orderkey")).as("dk"),
+            col("o_orderpriority"))
+          .groupBy("dk").agg(min("o_orderpriority").as("prio"))
+        val plan = JoinPlanner.planFor(skewed, "hk", dim, "dk",
+          broadcastMaxRows = 10L)
+        JoinPlanner.executeJoin(plan, skewed, "hk", dim, "dk")
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("val"))
+          .select(col("prio"), col("n"), col("val"),
+            lit(plan.strategy).as("strategy"),
+            lit(plan.salts >= 2).as("salted"))
+          .orderBy("prio")
+      },
+      Some(
+        """WITH f AS (
+          |  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+          |         ELSE l_orderkey END AS hk, l_extendedprice
+          |  FROM lineitem),
+          |d AS (
+          |  SELECT CASE WHEN o_orderkey % 10 <> 0 THEN 0
+          |         ELSE o_orderkey END AS dk,
+          |    min(o_orderpriority) AS prio
+          |  FROM orders GROUP BY 1)
+          |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS val,
+          |  'salted' AS strategy, TRUE AS salted
+          |FROM f JOIN d ON f.hk = d.dk
+          |GROUP BY prio ORDER BY prio""".stripMargin),
+      headline = true)
   )
 }

@@ -426,4 +426,65 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("top_rows") === 71L) // 70 heavy + key 7 itself
     assert(math.abs(row.getAs[Double]("top_share") - 0.71) < 1e-9)
   }
+
+  test("starOrder inverts an adversarial written order; join equals written order and broadcasts") {
+    import graft.operators.JoinPlanner
+    import graft.operators.JoinPlanner.StarDim
+    val lk = Lake(spark, sf0001)
+    val fact = lk.lineitem.select(col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_extendedprice"))
+    // written least-selective-first: supplier keeps every fact key,
+    // the URGENT orders filter ~1/5, the Brand#11 part filter ~1/20
+    val dims = Seq(
+      StarDim("supplier",
+        lk.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        "l_suppkey", "s_suppkey"),
+      StarDim("orders",
+        lk.orders.where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+        "l_orderkey", "o_orderkey"),
+      StarDim("part",
+        lk.part.where(col("p_brand") === "Brand#11")
+          .select(col("p_partkey")),
+        "l_partkey", "p_partkey"))
+    val (joined, plan) = JoinPlanner.orderedStarJoin(fact, dims)
+    assert(plan.order === Seq("part", "orders", "supplier"),
+      s"survival estimates mis-ranked: $plan")
+    assert(plan.survival("part") < plan.survival("orders") &&
+      plan.survival("orders") < plan.survival("supplier"))
+    assert(plan.survival("supplier") >= 0.99) // every suppkey resolves
+    // equality law: inner equi-joins commute — the planned order must
+    // return exactly the written-order join's rows
+    val written = dims.foldLeft(fact)((acc, d) =>
+      acc.join(d.dim, acc(d.factKey) === d.dim(d.dimKey)).drop(d.dim(d.dimKey)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(joined.select(written.columns.map(col).toIndexedSeq: _*))
+      === canon(written))
+    // every dim sits under the default broadcast cap -> three
+    // BroadcastHashJoins, zero shuffled joins
+    val phys = joined.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(phys).size === 3, phys)
+    assert(!phys.contains("SortMergeJoin"), phys)
+  }
+
+  test("starOrder: duplicate dim names and empty chains are rejected; empty fact is ordered not crashed") {
+    import graft.operators.JoinPlanner
+    import graft.operators.JoinPlanner.StarDim
+    import spark.implicits._
+    val f = Seq((1L, 2L)).toDF("a", "b")
+    val d = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      JoinPlanner.starOrder(f, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      JoinPlanner.starOrder(f, Seq(
+        StarDim("d", d, "a", "k"), StarDim("d", d, "b", "k")))
+    }
+    // empty fact: every survival is 0, order falls back to name order
+    val plan = JoinPlanner.starOrder(f.limit(0), Seq(
+      StarDim("z", d, "a", "k"), StarDim("y", d, "b", "k")))
+    assert(plan.order === Seq("y", "z"))
+    assert(plan.survival.values.forall(_ === 0.0))
+  }
 }

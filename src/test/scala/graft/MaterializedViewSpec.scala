@@ -1331,4 +1331,46 @@ class MaterializedViewSpec extends AnyFunSuite {
       assert(got == want, s"streamed sketch view diverged:\n  $got\n  $want")
     } finally MaterializedView.drop("mv_skstream")
   }
+
+  test("budgeted advisor: benefit ranking, prefix-budget selection, and the top pick routes") {
+    val b1 = freshDir("budget/small"); val b2 = freshDir("budget/big")
+    val mv = freshDir("budget/mv")
+    // cluster 1: 8 rows / 2 groups, TWO servable queries -> benefit 2·(8−2)=12
+    // cluster 2: 20 rows / 4 groups, one query            -> benefit 1·(20−4)=16
+    (1 to 8).map(i => ("g" + (i % 2), i.toDouble)).toDF("k", "v")
+      .write.mode("overwrite").parquet(b1)
+    (1 to 20).map(i => ("h" + (i % 4), i.toDouble)).toDF("k", "v")
+      .write.mode("overwrite").parquet(b2)
+    def w1 = spark.read.parquet(b1).groupBy("k")
+      .agg(sum(col("v").cast(DecimalType(18, 6))).as("sv"))
+    def w2 = spark.read.parquet(b1).agg(count(lit(1)).as("n"))
+    def w3 = spark.read.parquet(b2).groupBy("k").agg(count(lit(1)).as("n"))
+    def rankedAt(budget: Long) =
+      MaterializedView.adviseBudgeted(spark, Seq(w1, w2, w3), budget)
+    val ranked = rankedAt(5L)
+    assert(ranked.map(_.rank) == Seq(1, 2))
+    assert(ranked.map(_.benefit) == Seq(16L, 12L),
+      s"benefit = nQueries·(baseRows−viewRows): $ranked")
+    assert(ranked.head.advice.basePath.contains("budget/big"))
+    // budget 5: rank 1 fits (cum 4), rank 2 would overflow (cum 6)
+    assert(ranked.map(_.selected) == Seq(true, false))
+    // PREFIX rule: a budget rank 1 overflows blocks EVERYONE below it,
+    // even a later view that would fit alone — rank order is priority
+    // order, not a knapsack
+    assert(rankedAt(3L).map(_.selected) == Seq(false, false))
+    assert(rankedAt(0L).map(_.selected) == Seq(false, false))
+    assert(rankedAt(100L).map(_.selected) == Seq(true, true))
+    // the loop closes: create the top pick, its cluster routes
+    val top = ranked.head.advice
+    MaterializedView.create(spark, "mv_budget_top", top.basePath,
+      top.groupCols, top.aggs, mv, top.groupExprs, top.joins)
+    try withRouting {
+      assert(readsPath(w3, mv) && !readsPath(w3, b2),
+        "top pick must serve its cluster")
+      assert(readsPath(w1, b1), "the unselected cluster stays direct")
+      assert(w3.orderBy("k").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("h0", 5L), ("h1", 5L), ("h2", 5L), ("h3", 5L)))
+    } finally MaterializedView.drop("mv_budget_top")
+  }
 }
