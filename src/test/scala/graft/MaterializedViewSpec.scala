@@ -1332,6 +1332,99 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_skstream")
   }
 
+  test("exactly-once chaos: a kill in either half of the commit window never double-counts") {
+    // The streamed-maintenance commit sequence is: (1) write the new
+    // generation's parquet, (2) atomically rename _mvdef.json (the
+    // ledger commit, carrying lastBatchId), (3) the stream's checkpoint
+    // commits the batch. A kill between (1) and (2) leaves an orphan
+    // generation + the OLD ledger; a kill between (2) and (3) leaves
+    // the NEW ledger but a checkpoint that will REPLAY the batch. The
+    // view must equal the batch rebuild after recovery in BOTH cases.
+    val base = freshDir("chaos/base"); val mv = freshDir("chaos/mv")
+    writeBase(base, rows)
+    define("mv_chaos", base, mv)
+    def filesOf(): Seq[String] =
+      new java.io.File(base).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    def gensOf(): Set[String] =
+      new java.io.File(mv).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+        .map(_.getName).toSet
+    val defJson = new java.io.File(mv, "_mvdef.json")
+    try withRouting {
+      // batch 0 commits cleanly
+      val before0 = filesOf().toSet
+      Seq(("a", 50L, 3.0)).toDF("k", "n", "v")
+        .coalesce(1).write.mode("append").parquet(base)
+      val f0 = filesOf().filterNot(before0)
+      MaterializedView.absorb(spark, "mv_chaos",
+        spark.read.parquet(f0: _*), batchId = 0L, deltaFiles = Some(f0))
+      val committedLedger = java.nio.file.Files.readAllBytes(defJson.toPath)
+      val committedGens = gensOf()
+
+      // ---- leg 1: kill between generation write and ledger commit ----
+      // run the absorb, then restore the pre-absorb ledger: the disk
+      // now holds exactly what a kill after publish's parquet write but
+      // before writeDefJson leaves — an orphan generation, the old
+      // json, the old lastBatchId
+      val before1 = filesOf().toSet
+      Seq(("d", 51L, 4.0)).toDF("k", "n", "v")
+        .coalesce(1).write.mode("append").parquet(base)
+      val f1 = filesOf().filterNot(before1)
+      def delta1 = spark.read.parquet(f1: _*)
+      MaterializedView.absorb(spark, "mv_chaos", delta1,
+        batchId = 1L, deltaFiles = Some(f1))
+      java.nio.file.Files.write(defJson.toPath, committedLedger) // the kill
+      // drop the checksum sidecar the raw restore invalidated (test
+      // plumbing only: a real kill never rewrites the json at all)
+      new java.io.File(mv, "._mvdef.json.crc").delete()
+      val orphans = gensOf() -- committedGens
+      assert(orphans.nonEmpty, "the crashed publish must leave its generation")
+      MaterializedView.drop("mv_chaos") // the process dies
+      // restart: recovery sees batch 0's ledger, so the replay guard is
+      // BEHIND the orphan write — and the checkpoint, which also never
+      // committed, replays batch 1. It must fold exactly once.
+      assert(MaterializedView.load(spark, mv).lastBatchId == 0L)
+      MaterializedView.absorb(spark, "mv_chaos", delta1,
+        batchId = 1L, deltaFiles = Some(f1))
+      assert((gensOf() & orphans).isEmpty,
+        "recovery's publish must vacuum the crash orphan (keep-set by exclusion)")
+
+      // ---- leg 2: kill between ledger commit and checkpoint commit ----
+      // restart again; the ledger now carries batch 1, and the replayed
+      // batch must be a state-level no-op (no new generation, same id)
+      MaterializedView.drop("mv_chaos")
+      val recovered = MaterializedView.load(spark, mv)
+      assert(recovered.lastBatchId == 1L)
+      MaterializedView.absorb(spark, "mv_chaos", delta1,
+        batchId = 1L, deltaFiles = Some(f1))
+      val after = MaterializedView.get("mv_chaos").get
+      assert(after.dataDir == recovered.dataDir && after.lastBatchId == 1L,
+        "a replayed committed batch must not republish")
+
+      // view ≡ batch rebuild: the routed answer, the direct aggregate,
+      // and a from-scratch view built over the same base all agree
+      val routed = query(base)
+      assert(readsPath(routed, mv), "recovered view must route")
+      val direct = {
+        spark.conf.set(MaterializedViewRule.ConfKey, "false")
+        try collectQ(query(base))
+        finally spark.conf.set(MaterializedViewRule.ConfKey, "true")
+      }
+      assert(collectQ(routed) == direct,
+        s"chaos recovery diverged:\n  ${collectQ(routed)}\n  $direct")
+      val rebuilt = define("mv_chaos_rebuild", base, freshDir("chaos/rebuild"))
+      try {
+        def stored(dir: String) = spark.read.parquet(dir)
+          .orderBy("k").collect().map(_.toString).toSeq
+        assert(stored(after.dataDir) == stored(rebuilt.dataDir),
+          "recovered stored table must equal the batch rebuild row-for-row")
+      } finally MaterializedView.drop("mv_chaos_rebuild")
+      assert(collectQ(routed).find(_._1 == "a").get._4 == 50L)
+      assert(collectQ(routed).map(_._1).contains("d"))
+    } finally MaterializedView.drop("mv_chaos")
+  }
+
   test("budgeted advisor: benefit ranking, prefix-budget selection, and the top pick routes") {
     val b1 = freshDir("budget/small"); val b2 = freshDir("budget/big")
     val mv = freshDir("budget/mv")
