@@ -23,9 +23,26 @@ object TextFunctions {
     * [[graft.plans.WordShinglesExpr]] — the HOF form (`transform` +
     * `slice` + `concat_ws` under a size guard) evaluates interpreted with
     * a slice allocation per shingle, and shingling sits on the scan path
-    * of every near-dup signature and repetition score in the engine. */
+    * of every near-dup signature and repetition score in the engine.
+    *
+    * `SPARK_GRAFT_SHINGLE_HOF=1` restores the HOF form — a BENCH-ONLY
+    * lever so the native expression's win stays measurable like-for-like
+    * in one process (isolated numbers pinned in SURVEY §8, round 14);
+    * both forms share the same semantics, spec-pinned in TokenizerSpec. */
   def wordShingles(c: Column, n: Int): Column =
-    graft.plans.WordShinglesExpr.shingles(tokens(c), n)
+    if (sys.env.get("SPARK_GRAFT_SHINGLE_HOF").contains("1"))
+      hofShingles(tokens(c), n)
+    else graft.plans.WordShinglesExpr.shingles(tokens(c), n)
+
+  /** The composable form WordShinglesExpr replaced: `sequence` would
+    * generate a DESCENDING range if stop < start, hence the explicit
+    * guard. Kept as the comparison baseline behind the env lever;
+    * private[graft] so TokenizerSpec pins the two forms equal. */
+  private[graft] def hofShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
 
   /** Distinct shingle set (the unit of Jaccard/MinHash similarity). */
   def shingleSet(c: Column, n: Int): Column = array_distinct(wordShingles(c, n))

@@ -779,4 +779,26 @@ class OperatorLawsSpec extends AnyFunSuite {
     // above the rest on their own importance weight
     assert(byTarget(true) > byTarget(false))
   }
+
+  test("native word shingles are row-identical to the HOF form they replaced") {
+    import graft.functions.TextFunctions
+    // randomized short docs over a tiny vocab (forces repeats), plus the
+    // contract corners: null text, empty, single word, runs of spaces
+    val docGen = Gen.listOfN(40, Gen.option(
+      Gen.listOf(Gen.oneOf("aa", "b", "ccc", "Dd", " ")).map(_.mkString(" "))))
+    val prop = Prop.forAll(docGen) { docs =>
+      val all = docs ++ Seq(None, Some(""), Some("one"), Some("  x   y  "))
+      val df = all.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.orNull) }.toDF("id", "text")
+      (1 to 4).forall { n =>
+        val toks = TextFunctions.tokens(col("text"))
+        val got = df.select(col("id"),
+            TextFunctions.wordShingles(col("text"), n).as("s"),
+            TextFunctions.hofShingles(toks, n).as("h"))
+          .collect()
+        got.forall(r => r.getSeq[String](1) == r.getSeq[String](2))
+      }
+    }
+    check("shingle parity", prop)
+  }
 }
