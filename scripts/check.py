@@ -21,6 +21,14 @@ def canon(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Resource caps: at sf1-class inputs a single heavy oracle (the 4-round
+    # label-propagation CTE chain) can spill DuckDB temp until the DISK is
+    # full, killing the whole sweep. Cap memory and temp so the worst case
+    # is one ORACLE-ERR line, not a dead machine. Overridable via env.
+    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_CHECK_MEM', '48GB')}'")
+    con.sql(f"SET temp_directory='{out_dir}/.duckdb_tmp'")
+    con.sql("SET max_temp_directory_size='"
+            + os.environ.get("GRAFT_CHECK_TMP", "30GB") + "'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
@@ -29,6 +37,16 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
+    # Resume lever for long sf1-class sweeps: GRAFT_CHECK_START=<name>
+    # skips everything alphabetically before <name> (inclusive start);
+    # GRAFT_CHECK_ONLY=a,b restricts to a subset.
+    start = os.environ.get("GRAFT_CHECK_START")
+    if start:
+        names = [n for n in names if n >= start]
+    only = os.environ.get("GRAFT_CHECK_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
@@ -82,8 +100,15 @@ def main(sf_dir, out_dir):
     # A query that CRASHED inside Verify leaves no dump dir (Verify
     # catches per-query exceptions and continues) but its oracle entry
     # remains — silently skipping it would let a broken query read as a
-    # clean sweep. Count every oracle key without a dump as a failure.
-    for name in sorted(set(oracle) - set(names)):
+    # clean sweep. Count every oracle key without a dump as a failure —
+    # within the resume/subset window, if one is active (a filtered run
+    # must not flag the queries it deliberately skipped).
+    missing = set(oracle) - set(names)
+    if start:
+        missing = {n for n in missing if n >= start}
+    if only:
+        missing = {n for n in missing if n in keep}
+    for name in sorted(missing):
         n_fail += 1
         print(f"  MISSING    {name}: declared oracle but no result dump "
               f"(query crashed in Verify?)")

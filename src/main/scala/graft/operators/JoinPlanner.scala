@@ -267,7 +267,15 @@ object JoinPlanner {
     * share of all rows, read off a frequency sketch
     * (exact below the counter budget, NO_FALSE_POSITIVES above).
     * A share past ~1/shufflePartitions means one reducer owns that
-    * key's whole row set — feed [[SkewJoin]] salting. */
+    * key's whole row set — feed [[SkewJoin]] salting.
+    *
+    * The NO_FALSE_POSITIVES list is EMPTY when no key's count clears
+    * the sketch's error bound (~n/maxMapSize) — the uniform-keys case
+    * at scale (6M rows over 1.5M orderkeys ⇒ every count ≈ 4 ≪ the
+    * ~5.9k bound). That is a "no demonstrably heavy key" answer, not
+    * an error: report top_key null / top_rows 0 / top_share 0.0 so
+    * [[planFor]] falls through to the plain shuffle join. A bare
+    * element_at here threw under ANSI and killed q61 at sf1. */
   def skewProbe(df: DataFrame, keyCol: String,
                 maxMapSize: Int = 1024): DataFrame = {
     import graft.plans.FreqSketchExprs._
@@ -275,9 +283,10 @@ object JoinPlanner {
         freqTopItems(freqSketchAgg(col(keyCol).cast("string"), maxMapSize),
           lit(1)).as("top"))
       .select(col("n_rows"),
-        element_at(col("top"), 1).getField("item").as("top_key"),
-        element_at(col("top"), 1).getField("est").as("top_rows"))
+        try_element_at(col("top"), lit(1)).getField("item").as("top_key"),
+        coalesce(try_element_at(col("top"), lit(1)).getField("est"), lit(0L))
+          .as("top_rows"))
       .withColumn("top_share",
-        col("top_rows").cast("double") / col("n_rows"))
+        coalesce(col("top_rows").cast("double") / col("n_rows"), lit(0.0)))
   }
 }

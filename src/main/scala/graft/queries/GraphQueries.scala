@@ -142,19 +142,24 @@ object GraphQueries {
         Graph.labelPropagation(edges, "src", "dst", iterations = 4)
           .orderBy("id")
       },
+      // Every CTE is MATERIALIZED: l$i references l${i-1} TWICE (argmax
+      // source + tie-break fallback), so DuckDB's default CTE inlining
+      // re-expands the whole chain 2^rounds times — at sf1 (12M string
+      // edges) that spilled >70 GB of temp and OOMed; materialized, the
+      // same query runs in ~18 s. Semantics are unchanged (pure hint).
       Some {
         val head =
-          """WITH base AS (
+          """WITH base AS MATERIALIZED (
             |  SELECT 's' || l_suppkey::VARCHAR AS sup, 'c' || o_custkey::VARCHAR AS cust
             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-            |e AS (SELECT sup AS src, cust AS dst FROM base
+            |e AS MATERIALIZED (SELECT sup AS src, cust AS dst FROM base
             |      UNION SELECT cust, sup FROM base),
-            |nodes AS (SELECT DISTINCT src AS id FROM e),
-            |l0 AS (SELECT id, id AS label FROM nodes)""".stripMargin
+            |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+            |l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)""".stripMargin
         val rounds = (1 to 4).map { i =>
-          s"""c$i AS (SELECT e.dst AS id, l.label AS lbl, count(*) AS c
+          s"""c$i AS MATERIALIZED (SELECT e.dst AS id, l.label AS lbl, count(*) AS c
              |      FROM e JOIN l${i - 1} l ON l.id = e.src GROUP BY 1, 2),
-             |l$i AS (SELECT n.id, COALESCE(x.lbl, p.label) AS label
+             |l$i AS MATERIALIZED (SELECT n.id, COALESCE(x.lbl, p.label) AS label
              |      FROM nodes n
              |      LEFT JOIN (SELECT id, lbl FROM (
              |          SELECT id, lbl,
@@ -186,20 +191,23 @@ object GraphQueries {
         Graph.shortestHops(edges, "src", "dst", seeds, "seed", maxHops = 4)
           .orderBy("id")
       },
+      // MATERIALIZED for the same reason as g3: d$i references d${i-1}
+      // twice (relaxation source + carry-forward), so inlining is
+      // exponential in rounds; materialized, sf1 runs in ~6 s.
       Some {
         val head =
-          """WITH base AS (
+          """WITH base AS MATERIALIZED (
             |  SELECT 's' || l_suppkey::VARCHAR AS sup, 'c' || o_custkey::VARCHAR AS cust
             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-            |e AS (SELECT sup AS src, cust AS dst FROM base
+            |e AS MATERIALIZED (SELECT sup AS src, cust AS dst FROM base
             |      UNION SELECT cust, sup FROM base),
-            |nodes AS (SELECT DISTINCT src AS id FROM e),
-            |d0 AS (SELECT id, CASE WHEN id IN (
+            |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+            |d0 AS MATERIALIZED (SELECT id, CASE WHEN id IN (
             |         SELECT 's' || s_suppkey::VARCHAR FROM supplier
             |         WHERE s_nationkey = 0) THEN 0 END AS hops
             |       FROM nodes)""".stripMargin
         val rounds = (1 to 4).map { i =>
-          s"""d$i AS (SELECT n.id,
+          s"""d$i AS MATERIALIZED (SELECT n.id,
              |        CASE WHEN n.hops IS NULL THEN x.nd
              |             WHEN x.nd IS NULL THEN n.hops
              |             ELSE least(n.hops, x.nd) END AS hops

@@ -427,6 +427,27 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("top_share") - 0.71) < 1e-9)
   }
 
+  test("skewProbe reports no-skew (not an error) when no key clears the sketch bound") {
+    import graft.operators.JoinPlanner
+    import spark.implicits._
+    // Uniform keys, count 1 each, under a tiny counter budget: the
+    // NO_FALSE_POSITIVES frequent-items list is empty because no count
+    // clears the ~n/maxMapSize error bound — the sf1 q61 crash shape.
+    // The probe must answer "nothing demonstrably heavy", never throw.
+    val df = (0L until 2000L).toDF("k")
+    val row = JoinPlanner.skewProbe(df, "k", maxMapSize = 8).collect()(0)
+    assert(row.getAs[Long]("n_rows") === 2000L)
+    assert(row.getAs[String]("top_key") === null)
+    assert(row.getAs[Long]("top_rows") === 0L)
+    assert(row.getAs[Double]("top_share") === 0.0)
+    // and planFor on such a join must settle on the plain shuffle shape
+    val left = (0L until 2000L).toDF("k1")
+    val right = (0L until 1500L).toDF("k2")
+    val plan = JoinPlanner.planFor(left, "k1", right, "k2",
+      broadcastMaxRows = 100L)
+    assert(plan.strategy === "shuffle-hash")
+  }
+
   test("starOrder inverts an adversarial written order; join equals written order and broadcasts") {
     import graft.operators.JoinPlanner
     import graft.operators.JoinPlanner.StarDim
