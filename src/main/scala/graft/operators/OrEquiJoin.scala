@@ -55,4 +55,81 @@ object OrEquiJoin {
 
     (branches :+ nullRight).reduce(_ unionByName _)
   }
+
+  /** Eager aggregation through the OR-join: computes
+    * {{{
+    * leftOrJoin(left, right, preds: _*)
+    *   .groupBy(groupCol)
+    *   .agg(count(countCol).as(countOut), min(minCol).as(minOut))
+    * }}}
+    * WITHOUT materializing the joined multiset.
+    *
+    * Why it exists: the OR-join's OUTPUT is the quadratic object — a
+    * low-cardinality first predicate (q08's 25-value nationkey) emits
+    * |left|·|right|/|distinct keys| pairs, so at 10× the data the join
+    * produces 100× the rows (measured: 600k → 60M sf0.1 → sf1) and NO
+    * join algorithm can beat its own output size. When the consumer is
+    * a per-left-group aggregate, the branch decomposition makes the
+    * expansion avoidable:
+    *
+    *  - branch 0 carries no residual (it is "first satisfied predicate"
+    *    by construction), so the right side pre-aggregates to one
+    *    (cnt, min) row per distinct key — the exploding branch becomes
+    *    a |left|-row join against a |distinct keys|-row rollup;
+    *  - later branches keep their joins (their residuals reference left
+    *    columns), but they only stay large if a LATER predicate is the
+    *    low-selectivity one — order the exploding predicate FIRST;
+    *  - branch outputs partition the joined multiset (leftOrJoin's own
+    *    first-satisfied-predicate law), so group partials merge by SUM
+    *    for counts and LEAST for mins — no inclusion–exclusion, which
+    *    would break min/max.
+    *
+    * Equivalence to the materializing form is law-pinned in
+    * OrEquiJoinSpec (randomized fixtures incl. null keys, unmatched
+    * lefts, empty right); q81_or_join_rollup gates it against the q08
+    * oracle. Scale shape: every stage is |left|- or |right|-sized.
+    * count() counts non-null `countCol` per matched pair (the
+    * count(right.col) convention); unmatched groups report 0 / null. */
+  def leftOrJoinAgg(left: DataFrame, right: DataFrame, groupCol: String,
+                    countCol: String, countOut: String,
+                    minCol: String, minOut: String,
+                    preds: (String, String)*): DataFrame = {
+    require(preds.nonEmpty, "at least one equality predicate")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left and right column sets must be disjoint, overlap: ${overlap.mkString(", ")}")
+    def eq(p: (String, String)): Column = left(p._1) === right(p._2)
+    def notYet(k: Int): Column =
+      not(coalesce(preds.take(k).map(eq).reduce(_ || _), lit(false)))
+
+    // Branch 0: residual-free, so the right side collapses to one row
+    // per distinct join key BEFORE the join touches `left`.
+    val (l0, r0) = preds.head
+    val pre = right.groupBy(col(r0))
+      .agg(count(col(countCol)).as("__cnt0"), min(col(minCol)).as("__min0"))
+    val b0 = left.join(pre, left(l0) === pre(r0), "left")
+      .groupBy(col(groupCol))
+      .agg(sum(col("__cnt0")).as("__n0"), min(col("__min0")).as("__m0"))
+
+    // Branches 1..n-1: the residual references left columns, so these
+    // stay real joins — sized by their own predicate's selectivity.
+    val parts = preds.zipWithIndex.drop(1).map { case (p, k) =>
+      left.join(right, eq(p) && notYet(k), "inner")
+        .groupBy(col(groupCol))
+        .agg(count(col(countCol)).as(s"__n$k"), min(col(minCol)).as(s"__m$k"))
+    }
+    // b0's left join saw EVERY left row, so its group set is complete:
+    // later partials attach with null-safe left joins (a null group key
+    // is a group like any other, exactly as groupBy treats it).
+    val merged = parts.zipWithIndex.foldLeft(b0) { case (acc, (p, i)) =>
+      acc.join(p.withColumnRenamed(groupCol, s"__g$i"),
+          col(groupCol) <=> col(s"__g$i"), "left")
+        .drop(s"__g$i")
+    }
+    val nTotal = preds.indices
+      .map(k => coalesce(col(s"__n$k"), lit(0L))).reduce(_ + _)
+    val mCols = preds.indices.map(k => col(s"__m$k"))
+    val mBest = if (mCols.size == 1) mCols.head else least(mCols: _*)
+    merged.select(col(groupCol), nTotal.as(countOut), mBest.as(minOut))
+  }
 }

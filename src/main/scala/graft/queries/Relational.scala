@@ -214,6 +214,31 @@ object Relational {
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
       headline = true),
 
+    // ---- eager aggregation through the OR-join --------------------------
+    // Same answer as q08, NEVER materializing the joined multiset. q08's
+    // output is quadratic in SF by semantics (the 25-value nationkey
+    // branch emits |customer|·|supplier|/25 pairs: 600k at sf0.1, 60M at
+    // sf1 — measured 40.6× runtime at 10× data, sub-linear per OUTPUT
+    // row but super-linear per INPUT row). When the consumer aggregates
+    // per left group, branch 0 (residual-free by the first-satisfied-
+    // predicate construction) pre-aggregates the right side to one row
+    // per key, and branch partials merge by SUM/LEAST — every stage
+    // |left|- or |right|-sized, so THIS plan scales linearly where q08
+    // cannot. Gated against the identical oracle.
+    "q81_or_join_rollup" -> Q(
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        OrEquiJoin.leftOrJoinAgg(lk.customer, lk.supplier,
+            "c_custkey", "s_suppkey", "n_match", "s_name", "first_sup",
+            ("c_nationkey", "s_nationkey"), ("c_name", "s_name"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, COUNT(s_suppkey) AS n_match, MIN(s_name) AS first_sup
+        |FROM customer LEFT JOIN supplier
+        |  ON c_nationkey = s_nationkey OR c_name = s_name
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
     // ---- ranking window: per-nation top-3 by balance -------------------
     "q09_window_rank" -> Q(
       (s, dir) => {
