@@ -97,12 +97,53 @@ object Dedup {
 
   /** MinHash signatures: for each document, the element-wise minimum of
     * `numHashes` seeded hash values over its shingle set. One shuffle
-    * (groupBy id); the per-seed mins are partial-aggregated map-side. */
+    * (groupBy id); the per-seed mins are partial-aggregated map-side.
+    *
+    * Served by the native [[graft.plans.MinHashSigExpr]]: the whole
+    * signature is computed per input ROW inside the scan's codegen stage,
+    * and the groupBy merges one struct per document row (elementwise min,
+    * count sum) instead of aggregating one posting row per SHINGLE — the
+    * explode and the per-shingle agg-buffer machinery disappear, and the
+    * md5 family skips the hex-string/`conv` round trip entirely. Both
+    * forms are bit-identical (same XXH64/md5 bits; OperatorLawsSpec pins
+    * native ≡ aggregate across families, duplicate ids, and null/short
+    * docs). `SPARK_GRAFT_MINHASH_AGG=1` restores the aggregate form — a
+    * BENCH-ONLY lever so the win stays measurable like-for-like. */
   def minHashSignatures(df: DataFrame, id: String, text: String,
                         shingleN: Int = 3, numHashes: Int = 32,
                         family: MinHashFamily = XxMinHash): DataFrame = {
     require(family != Md5MinHash || numHashes < 128,
       "Md5MinHash overflow headroom caps seeds at 127")
+    if (sys.env.get("SPARK_GRAFT_MINHASH_AGG").contains("1"))
+      aggMinHashSignatures(df, id, text, shingleN, numHashes, family)
+    else nativeMinHashSignatures(df, id, text, shingleN, numHashes, family)
+  }
+
+  /** Native per-row path (see [[minHashSignatures]]). */
+  private[graft] def nativeMinHashSignatures(
+      df: DataFrame, id: String, text: String,
+      shingleN: Int, numHashes: Int, family: MinHashFamily): DataFrame = {
+    val sigCol = graft.plans.MinHashSigExpr.sig(
+      tokens(col(text)), shingleN, numHashes, family == Md5MinHash)
+    Parallelism.ensure(df)
+      .select(col(id), sigCol.as("__sig"))
+      // null = zero shingles: the aggregate form drops those documents
+      // (no postings reach the groupBy), so drop them here too
+      .where(col("__sig").isNotNull)
+      .groupBy(col(id))
+      .agg(
+        array((0 until numHashes).map(j =>
+          min(col("__sig").getField("signature").getItem(j))): _*)
+          .as("signature"),
+        sum(col("__sig").getField("n_shingles")).as("n_shingles"))
+  }
+
+  /** The explode + groupBy aggregate form [[minHashSignatures]] replaced;
+    * kept as the like-for-like comparison baseline behind the env lever
+    * and the law-spec anchor. */
+  private[graft] def aggMinHashSignatures(
+      df: DataFrame, id: String, text: String,
+      shingleN: Int, numHashes: Int, family: MinHashFamily): DataFrame =
     postings(df, id, text, shingleN)
       .withColumn("base", family.base(col("shingle")))
       .groupBy(col(id))
@@ -110,7 +151,6 @@ object Dedup {
         array((0 until numHashes).map(j =>
           min(family.seeded(col("base"), j))): _*).as("signature"),
         count(lit(1)).as("n_shingles"))
-  }
 
   /** LSH candidate pairs (idA < idB) from banded MinHash signatures, with
     * exact Jaccard computed on the candidates and filtered at

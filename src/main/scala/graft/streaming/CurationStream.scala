@@ -26,9 +26,12 @@ object CurationStream {
     StructField("arrival", TimestampType)))
 
   /** Unbounded read of a documents directory (arrival time defaults to
-    * ingestion time when the feed carries none). */
-  def readDocs(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(docSchema).parquet(dir)
+    * ingestion time when the feed carries none). `sourceOptions` reach
+    * the file SOURCE — e.g. `maxFilesPerTrigger`, which is silently
+    * ignored if set on the sink's DataStreamWriter instead. */
+  def readDocs(spark: SparkSession, dir: String,
+               sourceOptions: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(docSchema).options(sourceOptions).parquet(dir)
       .withColumn("arrival", coalesce(col("arrival"), current_timestamp()))
 
   def curate(docs: DataFrame,

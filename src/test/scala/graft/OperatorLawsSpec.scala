@@ -801,4 +801,28 @@ class OperatorLawsSpec extends AnyFunSuite {
     }
     check("shingle parity", prop)
   }
+
+  test("native minhash signatures are bit-identical to the aggregate form") {
+    // randomized docs over a tiny vocab (forces shared + duplicate
+    // shingles), plus the contract corners: null text, empty text,
+    // whitespace runs, fewer-than-n tokens, and DUPLICATE IDS (two rows
+    // sharing an id must merge exactly as the groupBy form merges them)
+    val docGen = Gen.listOfN(25, Gen.zip(
+      Gen.choose(0L, 9L), // small id range -> collisions
+      Gen.option(Gen.listOf(Gen.oneOf("aa", "b", "ccc", "Dd", " "))
+        .map(_.mkString(" ")))))
+    val prop = Prop.forAll(docGen) { docs =>
+      val all = docs ++ Seq((100L, None), (101L, Some("")),
+        (102L, Some("one two")), (103L, Some("  x   y  z ")))
+      val df = all.map { case (i, t) => (i, t.orNull) }.toDF("doc_id", "text")
+      Seq(Dedup.XxMinHash, Dedup.Md5MinHash).forall { fam =>
+        Seq((3, 8), (2, 4)).forall { case (n, k) =>
+          canon(Dedup.nativeMinHashSignatures(
+              df, "doc_id", "text", n, k, fam)) ==
+            canon(Dedup.aggMinHashSignatures(df, "doc_id", "text", n, k, fam))
+        }
+      }
+    }
+    check("minhash signature parity", prop, trials = 8)
+  }
 }

@@ -635,4 +635,97 @@ class StreamingSpec extends AnyFunSuite {
       sink, Seq("g"), "v")
     assert(med() === Map("g" -> 50.0))
   }
+
+  test("streaming near-dedup grows the canonical corpus exactly like the batch fold") {
+    import graft.streaming.DedupStream
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("dedup_corpus").toString
+    val docs = Lake(spark, sf0001).documents
+    val batches = (0 to 2).map(i => docs.where(col("doc_id") % 3 === i))
+
+    // the batch fold this stream twins: each step deduped against the
+    // accumulated canonical corpus
+    var want = docs.where(lit(false))
+    batches.foreach { b =>
+      want = want.unionByName(Dedup.dedupNearIncremental(
+        want, b, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8))
+    }
+    val wantRows = want.collect().map(_.toString).sorted.toSeq
+    assert(wantRows.nonEmpty && wantRows.size < docs.count())
+
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DedupStream.applyDedupBatch(b, i.toLong, root, "doc_id", "text")
+    }
+    def corpusRows() = DedupStream.canonicalCorpus(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    assert(corpusRows() === wantRows)
+
+    // crash window (a): version committed, checkpoint not — the replayed
+    // batch must see its own id in-band and no-op (a re-run would drop
+    // the batch's survivors as near-dups of themselves)
+    DedupStream.applyDedupBatch(batches(2), 2L, root, "doc_id", "text")
+    assert(corpusRows() === wantRows, "replayed batch must be a no-op")
+
+    // crash window (b): a torn un-manifested version directory is
+    // invisible to readers and to the guard, and vacuum clears it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val torn = new org.apache.hadoop.fs.Path(s"$root/v=999")
+    fs.mkdirs(torn)
+    fs.create(new org.apache.hadoop.fs.Path(torn, "_claim"), false).close()
+    fs.create(new org.apache.hadoop.fs.Path(torn, "part-torn.parquet"), false).close()
+    assert(corpusRows() === wantRows, "torn version must stay invisible")
+
+    // compaction: one full version, same rows, and the in-band replay
+    // guard survives (the old batch is still refused afterwards)
+    val fullV = DedupStream.compactCorpus(spark, root)
+    assert(fullV > 999L, "allocation is monotone over torn dirs")
+    assert(corpusRows() === wantRows, "compaction must preserve the corpus")
+    assert(graft.operators.LakeMaintenance
+      .snapshotVersions(spark, root) === Seq(fullV))
+    assert(!fs.exists(torn), "vacuum clears the crashed-writer leftover")
+    DedupStream.applyDedupBatch(batches(1), 1L, root, "doc_id", "text")
+    assert(corpusRows() === wantRows, "guard must survive compaction")
+  }
+
+  test("streaming near-dedup wiring: file feed drives the same per-batch fold") {
+    import graft.streaming.DedupStream
+    val feed = java.nio.file.Files.createTempDirectory("dedup_feed")
+    val root = java.nio.file.Files.createTempDirectory("dedup_root2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
+    val docs = Lake(spark, sf0001).documents
+    // one file per micro-batch; distinct ascending mtimes pin the file
+    // source's processing order so the fold order is deterministic
+    (0 to 2).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"dedup_stage$i")
+      docs.where(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(feed.toFile, f"b$i%03d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    // maxFilesPerTrigger is a SOURCE option: on the writer it is silently
+    // ignored and the whole feed lands in one batch (the fold degenerates)
+    val stream = graft.streaming.CurationStream
+      .readDocs(spark, feed.toString,
+        sourceOptions = Map("maxFilesPerTrigger" -> "1")).drop("arrival")
+    val q = DedupStream.dedupStream(stream, root, ckpt, "doc_id", "text",
+        compactEvery = 3).start()
+    try q.processAllAvailable() finally q.stop()
+    var want = docs.where(lit(false))
+    (0 to 2).foreach { i =>
+      want = want.unionByName(graft.operators.Dedup.dedupNearIncremental(
+        want, docs.where(col("doc_id") % 3 === i), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8))
+    }
+    val got = DedupStream.canonicalCorpus(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want.collect().map(_.toString).sorted.toSeq)
+    // compactEvery=3 fired on the last batch: exactly one (full) version
+    assert(graft.operators.LakeMaintenance
+      .snapshotVersions(spark, root).size === 1)
+  }
 }
