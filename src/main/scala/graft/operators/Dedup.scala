@@ -127,15 +127,21 @@ object Dedup {
       tokens(col(text)), shingleN, numHashes, family == Md5MinHash)
     Parallelism.ensure(df)
       .select(col(id), sigCol.as("__sig"))
-      // null = zero shingles: the aggregate form drops those documents
-      // (no postings reach the groupBy), so drop them here too
-      .where(col("__sig").isNotNull)
       .groupBy(col(id))
+      // null __sig = zero shingles. min/sum skip nulls, so null rows are
+      // inert inside a group, and an ALL-null group aggregates to null —
+      // dropped by the post-agg filter. Same rows as the aggregate form
+      // (which drops them by producing no postings), but WITHOUT a
+      // pre-agg `__sig IS NOT NULL` filter: predicate pushdown would
+      // duplicate the expression below the Project AND below the
+      // round-robin repartition, recomputing every signature on the
+      // scan's raw partitioning (measured 4.4 s vs 1.1 s cold at sf0.01).
       .agg(
         array((0 until numHashes).map(j =>
           min(col("__sig").getField("signature").getItem(j))): _*)
           .as("signature"),
         sum(col("__sig").getField("n_shingles")).as("n_shingles"))
+      .where(col("n_shingles").isNotNull)
   }
 
   /** The explode + groupBy aggregate form [[minHashSignatures]] replaced;
