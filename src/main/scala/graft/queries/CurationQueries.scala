@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import graft.Lake
 import graft.operators.Curation
 
@@ -703,5 +704,107 @@ object CurationQueries {
           |         n_rows FROM rl
           |  UNION ALL SELECT 'unique(doc_id)', v, n_rows FROM u)
           |ORDER BY check_name""".stripMargin)),
+
+    // ---- learned quality classifier (fastText/CCNet-style) -------------
+    // Distant supervision: the trusted metadata language tag is the weak
+    // label, three engine-portable surface features (length saturation,
+    // en-stopword share, symbol share — t2's proven-parity components)
+    // are the inputs, and 4 rounds of full-batch gradient descent with a
+    // rational sigmoid link learn the filter. The oracle replays the
+    // ENTIRE training trajectory (every gradient cell is rounded to the
+    // 1e-6 grid before the update, the Clustering/BPE replay playbook),
+    // so the per-doc scores hash-pin the fit itself, not just the
+    // scoring pass. Scale: each round is one dim+1-cell map-side
+    // aggregate, driver holds O(dim); scoring is a literal expression.
+    "c17_quality_classifier" -> Q(
+      (s, dir) => {
+        import graft.operators.Classifier
+        import graft.functions.TextFunctions
+        val text = col("text")
+        val nTok = size(TextFunctions.tokens(text)).cast(DoubleType)
+        val stopHits = TextFunctions
+          .langScore(text, TextFunctions.langMarkers.head._2)
+          .cast(DoubleType)
+        val punct = regexp_count(text, lit("""[^\s\p{L}\p{N}]"""))
+          .cast(DoubleType)
+        val feats = Lake(s, dir).documents.select(
+          col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          least(nTok / 100.0, lit(1.0)).as("x1"),
+          when(nTok > 0, stopHits / nTok).otherwise(lit(0.0)).as("x2"),
+          when(length(text) > 0, punct / length(text).cast(DoubleType))
+            .otherwise(lit(0.0)).as("x3"))
+        val model = Classifier.fit(feats, "y", Seq("x1", "x2", "x3"),
+          iters = 4, lr = 4.0)
+        feats.select(col("doc_id"),
+            Classifier.scoreCol(model,
+              Seq(col("x1"), col("x2"), col("x3"))).as("score"))
+          .withColumn("pred", col("score") >= 0.5)
+          .orderBy("doc_id")
+      },
+      Some(classifierOracleSql(iters = 4, lr = "4.0"))),
   )
+
+  /** DuckDB replay of [[graft.operators.Classifier.fit]] + score over the
+    * documents table: features once, then per round r a margin/link pass
+    * (`z{r}`), the rounded gradient cells (`g{r}`), and the rounded
+    * weight update (`w{r}`) — each weight CTE MATERIALIZED because it is
+    * referenced by both the next round's margin and its update (DuckDB
+    * inlines CTEs; a twice-referenced round state re-expands 2^rounds).
+    * Arithmetic is written in the exact op order the Spark side uses:
+    * left-assoc margin, `0.5 + (0.5 * z) / (1.0 + abs(z))` link. */
+  private def classifierOracleSql(iters: Int, lr: String): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH f AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    least(CAST(ntok AS DOUBLE) / 100.0, 1.0) AS x1,
+        |    CASE WHEN ntok > 0 THEN CAST(stop_hits AS DOUBLE) / ntok
+        |         ELSE 0.0 END AS x2,
+        |    CASE WHEN nchars > 0 THEN CAST(punct AS DOUBLE) / nchars
+        |         ELSE 0.0 END AS x3
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+        |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+        |      len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS punct,
+        |      length(text) AS nchars
+        |    FROM documents) t),
+        |w0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS w1,
+        |              0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3)""".stripMargin
+    for (r <- 1 to iters) {
+      sb ++=
+        s""",
+           |z$r AS (
+           |  SELECT t.y, t.x1, t.x2, t.x3,
+           |    0.5 + (0.5 * t.z) / (1.0 + abs(t.z)) AS p
+           |  FROM (SELECT f.y, f.x1, f.x2, f.x3,
+           |          w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS z
+           |        FROM f, w${r - 1} w) t),
+           |g$r AS (
+           |  SELECT round(avg(p - y), 6) AS g0,
+           |    round(avg((p - y) * x1), 6) AS g1,
+           |    round(avg((p - y) * x2), 6) AS g2,
+           |    round(avg((p - y) * x3), 6) AS g3
+           |  FROM z$r),
+           |w$r AS MATERIALIZED (
+           |  SELECT round(w.b - $lr * g.g0, 6) AS b,
+           |    round(w.w1 - $lr * g.g1, 6) AS w1,
+           |    round(w.w2 - $lr * g.g2, 6) AS w2,
+           |    round(w.w3 - $lr * g.g3, 6) AS w3
+           |  FROM w${r - 1} w, g$r g)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT doc_id, score, score >= 0.5 AS pred
+         |FROM (
+         |  SELECT t.doc_id,
+         |    round(0.5 + (0.5 * t.z) / (1.0 + abs(t.z)), 6) AS score
+         |  FROM (SELECT f.doc_id,
+         |          w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS z
+         |        FROM f, w$iters w) t)
+         |ORDER BY doc_id""".stripMargin
+    sb.result()
+  }
 }
