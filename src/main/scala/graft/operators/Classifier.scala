@@ -85,10 +85,14 @@ object Classifier {
     var w: Seq[Double] = Seq.fill(featureCols.length + 1)(0.0)
     for (_ <- 0 until iters) {
       val resid = link(margin(w, xs)) - col("__y")
+      // avg() over an empty frame (or all-null labels/features) is
+      // null; coalesce to 0.0 so the degenerate fit is a well-defined
+      // no-op (w stays 0) instead of an NPE at getDouble.
       val cells =
-        round(avg(resid), decimals).as("g0") +:
+        coalesce(round(avg(resid), decimals), lit(0.0)).as("g0") +:
           xs.zipWithIndex.map { case (x, i) =>
-            round(avg(resid * x), decimals).as(s"g${i + 1}")
+            coalesce(round(avg(resid * x), decimals), lit(0.0))
+              .as(s"g${i + 1}")
           }
       val g = base.agg(cells.head, cells.tail: _*).collect().head
       w = w.indices.map(j => roundTo(w(j) - lr * g.getDouble(j), decimals))

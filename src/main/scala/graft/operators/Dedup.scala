@@ -112,8 +112,12 @@ object Dedup {
   def minHashSignatures(df: DataFrame, id: String, text: String,
                         shingleN: Int = 3, numHashes: Int = 32,
                         family: MinHashFamily = XxMinHash): DataFrame = {
-    require(family != Md5MinHash || numHashes < 128,
-      "Md5MinHash overflow headroom caps seeds at 127")
+    require(family != Md5MinHash || numHashes <= 113,
+      "Md5MinHash overflow headroom caps seeds at 113: h1 < 2^60 and " +
+        "h2 < 2^56, so h1 + j*h2 stays under 2^63 only for j <= 112 — " +
+        "above that the ANSI aggregate form (SPARK_GRAFT_MINHASH_AGG=1) " +
+        "would raise ARITHMETIC_OVERFLOW while the native path wraps, " +
+        "breaking the advertised bit parity")
     if (sys.env.get("SPARK_GRAFT_MINHASH_AGG").contains("1"))
       aggMinHashSignatures(df, id, text, shingleN, numHashes, family)
     else nativeMinHashSignatures(df, id, text, shingleN, numHashes, family)

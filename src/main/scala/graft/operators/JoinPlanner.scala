@@ -287,6 +287,12 @@ object JoinPlanner {
         coalesce(try_element_at(col("top"), lit(1)).getField("est"), lit(0L))
           .as("top_rows"))
       .withColumn("top_share",
-        coalesce(col("top_rows").cast("double") / col("n_rows"), lit(0.0)))
+        // An empty relation gives 0.0/0.0 = NaN (IEEE division, not
+        // null, even under ANSI) and Spark orders NaN ABOVE every
+        // number — coalesce alone would let planFor read "empty" as
+        // maximally skewed. Guard the zero denominator explicitly.
+        when(col("n_rows") === 0, lit(0.0)).otherwise(
+          coalesce(col("top_rows").cast("double") / col("n_rows"),
+            lit(0.0))))
   }
 }

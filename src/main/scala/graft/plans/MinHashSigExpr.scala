@@ -41,8 +41,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (no hex-string round trip), and seed j's value is
   *    `floorMod(h1 + j*h2, 2^60)` = `pmod`. Java arithmetic wraps where
   *    ANSI `+`/`*` would raise on overflow, but overflow is unreachable
-  *    at the engine's seed counts (j < 64 keeps every intermediate under
-  *    2^63; the operator caps md5 seeds at 127 for the same reason).
+  *    at the engine's seed counts: h1 < 2^60 and h2 < 2^56, so
+  *    h1 + j*h2 < 2^56·(16 + j) stays under 2^63 exactly while
+  *    j <= 112 — hence the numHashes <= 113 cap here and in the
+  *    operator, keeping the ANSI aggregate form bit-identical.
   *
   * Semantics pinned by OperatorLawsSpec (native ≡ aggregate form, both
   * families, including duplicate ids, duplicate texts, null/empty/short
@@ -52,8 +54,9 @@ case class MinHashSigExpr(child: Expression, n: Int, numHashes: Int,
                           md5Family: Boolean) extends UnaryExpression {
   require(n >= 1, "shingle width must be >= 1")
   require(numHashes >= 1, "numHashes must be >= 1")
-  require(!md5Family || numHashes < 128,
-    "Md5 family overflow headroom caps seeds at 127")
+  require(!md5Family || numHashes <= 113,
+    "Md5 family overflow headroom caps seeds at 113 (j <= 112 keeps " +
+      "h1 + j*h2 below 2^63 given h1 < 2^60, h2 < 2^56)")
 
   override def dataType: DataType = MinHashUtil.outType
   override def nullable: Boolean = true

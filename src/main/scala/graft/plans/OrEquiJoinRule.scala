@@ -2,9 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Optimizer rule: `left LEFT JOIN right ON p1 OR p2 OR ... pn` (all pk
   * equi-predicates) => union of hash-joinable branches.
@@ -29,9 +31,48 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * references resolve unchanged; Union merges nullability with the
   * null-literal branch, restoring the left-outer nullability contract.
   *
+  * ==Aggregate-over-OR-join (the q81 plan, automatic)==
+  *
+  * The OR-join's OUTPUT is the quadratic object: a low-cardinality first
+  * predicate emits |left|·|right|/|distinct keys| pairs, so at 10x the
+  * data the join produces 100x the rows and no join algorithm beats its
+  * own output size (q08: 43.9x at sf1). When the consumer is a
+  * per-left-group aggregate of right columns —
+  *
+  *   Aggregate(g ⊆ left, count/sum/min/max(right cols),
+  *             Join(left, right, LeftOuter, p1 OR .. OR pn))
+  *
+  * — the branch decomposition makes the expansion avoidable, and this
+  * rule now reaches that plan AUTOMATICALLY (SQL text or naive
+  * DataFrame code), not only via `OrEquiJoin.leftOrJoinAgg`:
+  *
+  *  - branch 0 carries no residual ("first satisfied predicate" by
+  *    construction), so the right side pre-aggregates to one partial
+  *    row per distinct join key BEFORE touching `left` — the exploding
+  *    branch becomes a |left|-row join against a |keys|-row rollup;
+  *  - branches 1..n-1 keep their joins (residuals reference left
+  *    columns) but aggregate immediately, each |its own selectivity|-
+  *    sized;
+  *  - branch outputs partition the joined multiset, so group partials
+  *    merge by SUM for count/sum and LEAST/GREATEST for min/max — no
+  *    inclusion–exclusion;
+  *  - branch 0's left join saw every left row, so its group set is
+  *    complete; later partials attach by null-safe-equality left joins
+  *    (a null group key is a group like any other, as groupBy treats
+  *    it). Unmatched groups report count 0 / null min-max-sum — exactly
+  *    the left-outer + aggregate semantics.
+  *
+  * Every stage is |left|- or |right|-sized. The rewrite keeps the
+  * original output attribute ids (group attrs pass through branch 0's
+  * untouched `left`; aggregate aliases are re-issued under their
+  * original exprIds), so parent operators resolve unchanged.
+  * Equivalence is law-pinned in OrEquiJoinRuleSpec (randomized fixture
+  * vs the nested-loop plan) and oracle-gated by `q82_or_join_auto`.
+  *
   * Guarded by `spark.graft.rewriteOrJoin` (default false: the engine's
   * own operators already use the explicit rewrite; the rule is the
-  * opt-in safety net for user-authored plans).
+  * opt-in safety net for user-authored plans). Matching is top-down so
+  * the Aggregate case wins over the bare-join case on the same subtree.
   */
 object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -39,7 +80,11 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
-    plan.transformUp {
+    // transformDown: Aggregate(Join(OR)) must match BEFORE the bare Join
+    // case consumes the child (transformUp would rewrite the join first
+    // and the aggregate pattern would never be seen).
+    plan.transformDown {
+      case AggOverOrJoin(rewritten) => rewritten
       case j @ Join(left, right, LeftOuter, Some(cond), _)
           if splitsIntoEquiDisjuncts(cond, left, right) =>
         rewrite(left, right, splitDisjunctivePredicates(cond))
@@ -70,10 +115,6 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
                       preds: Seq[Expression]): LogicalPlan = {
-    def notYet(ps: Seq[Expression]): Option[Expression] =
-      if (ps.isEmpty) None
-      else Some(Not(Coalesce(Seq(ps.reduce(Or), Literal(false)))))
-
     // branch 1 keeps the ORIGINAL right (its ids become the union output)
     val branches = preds.zipWithIndex.map { case (p, k) =>
       if (k == 0) {
@@ -99,5 +140,199 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       unmatched)
 
     Union(branches :+ nullExtended)
+  }
+
+  private def notYet(ps: Seq[Expression]): Option[Expression] =
+    if (ps.isEmpty) None
+    else Some(Not(Coalesce(Seq(ps.reduce(Or), Literal(false)))))
+
+  // ---------------------------------------------------------------------
+  // Aggregate-over-OR-join: eager aggregation through the branches.
+  // ---------------------------------------------------------------------
+
+  /** Extractor: builds the full eager-aggregation plan when every
+    * applicability condition holds, None otherwise (the bare-join case
+    * then fires on the child during the same top-down pass). */
+  private object AggOverOrJoin {
+    def unapply(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+      case a @ Aggregate(_, _, Join(l, r, LeftOuter, Some(cond), _), _)
+          if splitsIntoEquiDisjuncts(cond, l, r) =>
+        rewriteAgg(a, l, r, splitDisjunctivePredicates(cond))
+      // ColumnPruning inserts an attribute-only Project between the
+      // Aggregate and the Join; see through it (our rewrite references
+      // only attributes the Aggregate itself references, all of which
+      // survive any pruning Project by definition).
+      case a @ Aggregate(_, _, Project(ps, Join(l, r, LeftOuter, Some(cond), _)), _)
+          if ps.forall(_.isInstanceOf[Attribute]) &&
+            splitsIntoEquiDisjuncts(cond, l, r) =>
+        rewriteAgg(a, l, r, splitDisjunctivePredicates(cond))
+      case _ => None
+    }
+  }
+
+  /** One supported aggregate output: the original alias, the function
+    * kind, and its (right-side) argument. */
+  private sealed trait AggKind
+  private case object CountK extends AggKind
+  private case object SumK extends AggKind
+  private case object MinK extends AggKind
+  private case object MaxK extends AggKind
+
+  private case class AggOut(alias: Alias, kind: AggKind, arg: Expression)
+
+  private def rewriteAgg(a: Aggregate, left: LogicalPlan, right: LogicalPlan,
+                         preds: Seq[Expression]): Option[LogicalPlan] = {
+    // Group keys: plain left attributes only (covers SQL GROUP BY col and
+    // DataFrame groupBy(col)); nonEmpty so no branch degenerates to a
+    // 1-row cross-merged global aggregate.
+    val groupAttrs = a.groupingExpressions.map {
+      case at: Attribute if left.outputSet.contains(at) => at
+      case _ => return None
+    }
+    if (groupAttrs.isEmpty) return None
+
+    val groupSet = AttributeSet(groupAttrs)
+
+    // Classify each output: a group attribute (possibly aliased), or a
+    // supported aggregate whose argument evaluates on `right` alone.
+    // count(*)/count(1) is NOT decomposable this way (unmatched left rows
+    // count 1 there, not 0) — the nonEmpty-references guard excludes it.
+    val outs: Seq[Either[NamedExpression, AggOut]] = a.aggregateExpressions.map {
+      case at: Attribute if groupSet.contains(at) => scala.Left(at)
+      case al @ Alias(at: Attribute, _) if groupSet.contains(at) => scala.Left(al)
+      case al @ Alias(AggregateExpression(fn, _, false, None, _), _) =>
+        val kindArg = fn match {
+          case Count(Seq(e)) => Some((CountK, e))
+          case Sum(e, _)     => Some((SumK, e))
+          case Min(e)        => Some((MinK, e))
+          case Max(e)        => Some((MaxK, e))
+          case _             => None
+        }
+        kindArg match {
+          case Some((k, e))
+              if e.deterministic && e.references.nonEmpty &&
+                e.references.subsetOf(right.outputSet) =>
+            scala.Right(AggOut(al, k, e))
+          case _ => return None
+        }
+      case _ => return None
+    }
+    val aggs = outs.collect { case scala.Right(x) => x }
+    if (aggs.isEmpty) return None
+
+    // Normalize each disjunct to (leftKeyExpr, rightKeyExpr).
+    val pairs = preds.map {
+      case EqualTo(x, y) if x.references.subsetOf(left.outputSet) => (x, y)
+      case EqualTo(x, y) => (y, x)
+      case _ => return None
+    }
+
+    def fresh(k: AggKind, e: Expression): AggregateFunction = k match {
+      case CountK => Count(e)
+      case SumK   => Sum(e)
+      case MinK   => Min(e)
+      case MaxK   => Max(e)
+    }
+    // Merge partials of an already-partial column: counts re-merge by
+    // SUM, sums by SUM, min/max by themselves.
+    def merge(k: AggKind, part: Expression): AggregateFunction = k match {
+      case CountK | SumK => Sum(part)
+      case MinK          => Min(part)
+      case MaxK          => Max(part)
+    }
+    def agg(fn: AggregateFunction): Expression = fn.toAggregateExpression()
+    // Sum-of-Sum widens decimal precision (p+10 -> p+20); cast the
+    // re-merged partial back to the single-level partial type so every
+    // branch contributes the same type to the cross-branch merge.
+    def sameType(e: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
+      if (e.dataType == dt) e else Cast(e, dt, Some(conf.sessionLocalTimeZone))
+
+    // Per-branch partial type: what ONE level of the function yields.
+    val partialTypes = aggs.map(ao => fresh(ao.kind, ao.arg).dataType)
+
+    // ---- branch 0: residual-free, so `right` pre-aggregates to one
+    // partial row per distinct first-predicate key BEFORE joining left.
+    val (l0, r0) = pairs.head
+    val keyAlias = Alias(r0, "__orj_k0")()
+    val preAliases = aggs.zipWithIndex.map { case (ao, i) =>
+      Alias(agg(fresh(ao.kind, ao.arg)), s"__orj_p0_$i")()
+    }
+    val pre = Aggregate(Seq(r0), keyAlias +: preAliases, right)
+    // Rows of `right` with a null key form a null pre-agg group that the
+    // EqualTo join condition never matches — same as the OR join, where
+    // a null key satisfies no predicate.
+    val join0 = Join(left, pre, LeftOuter,
+      Some(EqualTo(l0, keyAlias.toAttribute)), JoinHint.NONE)
+    val b0Aliases = aggs.zipWithIndex.map { case (ao, i) =>
+      Alias(sameType(agg(merge(ao.kind, preAliases(i).toAttribute)),
+        partialTypes(i)), s"__orj_b0_$i")()
+    }
+    val b0 = Aggregate(groupAttrs, (groupAttrs: Seq[NamedExpression]) ++ b0Aliases, join0)
+
+    // ---- branches 1..n-1: residuals reference left columns, so these
+    // stay real joins — sized by their own predicate's selectivity — but
+    // aggregate IMMEDIATELY, before any merge. Both sides are freshened:
+    // the merge joins below would otherwise self-join duplicate ids.
+    val parts = preds.indices.drop(1).map { k =>
+      val (fl, lm) = freshen(left)
+      val (fr, rm) = freshen(right)
+      def remap(e: Expression): Expression = e.transform {
+        case at: Attribute => rm.getOrElse(at, lm.getOrElse(at, at))
+      }
+      val cond = And(remap(preds(k)), remap(notYet(preds.take(k)).get))
+      val jk = Join(fl, fr, Inner, Some(cond), JoinHint.NONE)
+      val gk = groupAttrs.map(lm(_))
+      val partAliases = aggs.zipWithIndex.map { case (ao, i) =>
+        Alias(agg(fresh(ao.kind, remap(ao.arg))), s"__orj_b${k}_$i")()
+      }
+      (Aggregate(gk, (gk: Seq[NamedExpression]) ++ partAliases, jk), gk, partAliases)
+    }
+
+    // ---- merge: b0's group set is complete (its left join saw every
+    // left row); later partials attach with null-safe left joins.
+    val merged = parts.foldLeft(b0: LogicalPlan) { case (acc, (bk, gk, _)) =>
+      val cond = groupAttrs.zip(gk)
+        .map { case (g, gg) => EqualNullSafe(g, gg): Expression }
+        .reduce(And)
+      Join(acc, bk, LeftOuter, Some(cond), JoinHint.NONE)
+    }
+
+    // ---- final projection: original output names AND exprIds, so parent
+    // operators resolve unchanged.
+    val finalOuts: Seq[NamedExpression] = outs.map {
+      case scala.Left(ne) => ne
+      case scala.Right(ao) =>
+        val i = aggs.indexOf(ao)
+        // Branch partials sit on the RIGHT of the LeftOuter merge joins,
+        // so they are nullable HERE even when the branch aggregate output
+        // is not (count is non-nullable below the join). Claiming the
+        // pre-join nullability would let NullPropagation fold away the
+        // Coalesce/IsNull guards and corrupt unmatched groups.
+        val partials: Seq[Expression] =
+          b0Aliases(i).toAttribute.withNullability(true) +:
+            parts.map(_._3(i).toAttribute.withNullability(true))
+        val mergedExpr: Expression = ao.kind match {
+          case CountK =>
+            // count is never null: missing partials are 0.
+            partials.map(p => Coalesce(Seq(p, Literal(0L))): Expression)
+              .reduce(Add(_, _))
+          case SumK =>
+            // SQL sum: null iff every branch partial is null.
+            val zero = Literal.default(partials.head.dataType)
+            val total = partials
+              .map(p => Coalesce(Seq(p, zero)): Expression).reduce(Add(_, _))
+            If(IsNull(Coalesce(partials)),
+              Literal.create(null, ao.alias.dataType),
+              sameType(total, ao.alias.dataType))
+          case MinK => Least(partials)
+          case MaxK => Greatest(partials)
+        }
+        val cast = ao.kind match {
+          case CountK => sameType(mergedExpr, LongType)
+          case _      => sameType(mergedExpr, ao.alias.dataType)
+        }
+        Alias(cast, ao.alias.name)(exprId = ao.alias.exprId)
+    }
+    Some(Project(finalOuts, merged))
   }
 }

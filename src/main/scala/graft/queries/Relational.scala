@@ -239,6 +239,42 @@ object Relational {
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
       headline = true),
 
+    // ---- the q81 plan, reached AUTOMATICALLY by the optimizer rule -----
+    // Identical SQL text to q08 — no operator call anywhere — run on a
+    // child session with spark.graft.rewriteOrJoin armed. OrEquiJoinRule's
+    // Aggregate(Join(OR)) case rewrites it to the eager-aggregation plan
+    // (branch-partitioned partials, right side pre-aggregated on the
+    // residual-free first predicate), so SQL/DataFrame users writing the
+    // natural agg-over-or-join never materialize the quadratic pair
+    // multiset. The plan shape is hash-gated: `plan_eager` is TRUE only
+    // when the executed plan contains neither a nested-loop join NOR a
+    // Union (a Union means the bare-join rewrite fired and the aggregate
+    // still consumed materialized pairs).
+    "q82_or_join_auto" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+            |  MIN(s_name) AS first_sup
+            |FROM customer LEFT JOIN supplier
+            |  ON c_nationkey = s_nationkey OR c_name = s_name
+            |GROUP BY c_custkey""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        val eager = !plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("Union")
+        df.select(col("c_custkey"), col("n_match"), col("first_sup"),
+            lit(eager).as("plan_eager"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, COUNT(s_suppkey) AS n_match, MIN(s_name) AS first_sup,
+        |  TRUE AS plan_eager
+        |FROM customer LEFT JOIN supplier
+        |  ON c_nationkey = s_nationkey OR c_name = s_name
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
     // ---- ranking window: per-nation top-3 by balance -------------------
     "q09_window_rank" -> Q(
       (s, dir) => {

@@ -56,6 +56,109 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Aggregate-over-OR-join: the q81 eager-aggregation plan, reached
+  // automatically by the rule (no explicit OrEquiJoin.leftOrJoinAgg call).
+
+  private def naiveAgg() = naiveOrJoin()
+    .groupBy("c_custkey")
+    .agg(count(col("s_suppkey")).as("n_match"),
+      min(col("s_name")).as("first_sup"),
+      max(col("s_name")).as("last_sup"),
+      sum(col("s_acctbal")).as("bal"))
+
+  test("agg rule: results are identical to the nested-loop agg plan") {
+    val expected = canon(naiveAgg())
+    val got = withRule(on = true) { canon(naiveAgg()) }
+    assert(got === expected)
+  }
+
+  test("agg rule: no pair-materializing join remains — no BNLJ, no Union") {
+    withRule(on = true) {
+      val plan = naiveAgg().queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      // a Union in the plan means the bare-join rewrite fired and the
+      // aggregate still consumes the materialized pair multiset; the
+      // eager plan aggregates per branch and merges by join instead
+      assert(!plan.contains("Union"), plan)
+    }
+  }
+
+  test("agg rule: SQL-text agg-over-OR-join is rewritten too") {
+    withRule(on = true) {
+      Lake(spark, sf0001).registerViews()
+      val df = spark.sql(
+        """SELECT c_custkey, COUNT(s_suppkey) AS n_match, MIN(s_name) AS first_sup
+          |FROM customer LEFT JOIN supplier
+          |  ON c_nationkey = s_nationkey OR c_name = s_name
+          |GROUP BY c_custkey""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("Union"), plan)
+      val expected = canon(naiveAgg().select("c_custkey", "n_match", "first_sup"))
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("agg rule law: null keys, null groups, unmatched lefts, dup groups") {
+    import spark.implicits._
+    // the OrEquiJoinSpec awkward-corner fixture, driven through the RULE
+    // path: a null group key, null join keys on either predicate, a left
+    // row matching both predicates, a left row matching nothing, and
+    // duplicate group keys
+    val left = Seq(
+      (Some(1L), Some(5L), Some("a")),
+      (Some(1L), Some(6L), None),
+      (Some(2L), None, Some("b")),
+      (None, Some(5L), Some("zz")),
+      (Some(3L), None, None),
+      (Some(4L), Some(9L), Some("b"))
+    ).toDF("g", "k1", "k2")
+    val right = Seq(
+      (Some(5L), Some("x"), Some(100L)),
+      (Some(5L), Some("y"), None),
+      (Some(6L), Some("a"), Some(300L)),
+      (None, Some("b"), Some(400L))
+    ).toDF("r1", "r2", "v")
+    def q() = left.join(right,
+        col("k1") === col("r1") || col("k2") === col("r2"), "left")
+      .groupBy("g")
+      .agg(count(col("v")).as("n"), min(col("r2")).as("m"),
+        max(col("r2")).as("mx"), sum(col("v")).as("s"))
+    val expected = canon(q())
+    withRule(on = true) {
+      val df = q()
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("agg rule: count(*) is NOT eager-aggregated (falls back to join rewrite)") {
+    // count(*) counts unmatched left rows as 1, which branch partials
+    // cannot reconstruct — the rule must leave the aggregate alone and
+    // rewrite only the join underneath (Union plan), results unchanged.
+    def q() = naiveOrJoin().groupBy("c_custkey").agg(count(lit(1)).as("n"))
+    val expected = canon(q())
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("agg rule: left-side aggregate args fall back to join rewrite") {
+    def q() = naiveOrJoin().groupBy("c_custkey")
+      .agg(min(col("c_name")).as("m"), count(col("s_suppkey")).as("n"))
+    val expected = canon(q())
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
   test("rule leaves non-equi OR joins alone") {
     withRule(on = true) {
       val lk = Lake(spark, sf0001)
