@@ -24,14 +24,29 @@ sf0.1 tables (see SURVEY.md round-14 notes):
   events          ts sorted-U over 2024-01-01..31 (micros), event_id =
                   rank, user U(10 users/k rows), type U{5}, value Exp(50),
                   props '{"k": %d}' with k U(0..99)
-  documents       10..100 words U over the 30-word corpus vocabulary;
-                  5% of docs are near-dup copies of an earlier doc with
-                  a ' dup' suffix (the MinHash/LSH workload's planted
-                  pairs); lang weighted {en .41, de/es/fr/zh ~.1475};
-                  source round-robin over 20
+  documents       10..100 words U (the probed sf0.1 length histogram) over
+                  a 12,030-token ZIPFIAN vocabulary (s=1.07; the 30 sf0.1
+                  theme words head the ranks, then 12k syllable-composed
+                  forms) — harder than the driver's own 30-word uniform
+                  text: ~hundreds of thousands of distinct shingles, skewed
+                  shingle frequencies, non-trivially separable languages.
+                  Each doc's tokens are marker-substituted at the probed
+                  ~6.6% rate from ITS OWN language's stopword list (en/es/
+                  de = the engine's langMarkers; fr = le/et/est/...; zh
+                  none -> 'unk'), so langId has real signal instead of the
+                  sf0.1 accident where only en markers ever occur. 5% of
+                  docs are near-dup copies of an earlier doc via TOKEN-
+                  LEVEL EDITS (each token resampled with p=0.04, then one
+                  token dropped and one appended with p=0.5 each — Jaccard
+                  ~0.75..0.95 vs the source, not a trailing ' dup' marker
+                  that leaves every shingle but one intact). lang weighted
+                  {en .41, de/es/fr/zh ~.1475}; source round-robin over 20
   embeddings      64-dim float32, 10 labels, per-label Gaussian centroid
                   (sigma .02) + N(0, .1235) noise (matches the observed
-                  overall element sigma .125)
+                  overall element sigma .125); 10% of rows draw 2.5x noise
+                  (heavy tail) and 2% are relabeled uniformly (label noise)
+                  so ANN/clustering evidence isn't on perfectly separable
+                  spheres
 
 Counts scale 10x from sf0.1 except embeddings, which follow the
 testdata's own 0.01->0.1 growth factor of 4x (500 -> 2000 -> 8000).
@@ -173,21 +188,72 @@ write("events", pa.table({
 }), 1 << 17)
 
 # ---- documents -------------------------------------------------------------
-VOCAB = np.array([
-    "spark", "window", "merge", "table", "column", "vector", "stream",
-    "value", "data", "small", "join", "filter", "big", "group", "hash",
-    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
-    "row", "agg", "key", "query", "a", "scan", "batch"])
+# Zipfian vocabulary: the 30 sf0.1 theme words head the rank order, then
+# 12,000 syllable-composed forms ("kazorlin", "velmuta", ...) — ~12k
+# distinct tokens with a realistic frequency skew, so shingle cardinality
+# and hash-bucket load look like text, not like a 30-symbol alphabet.
+THEME = ["spark", "window", "merge", "table", "column", "vector", "stream",
+         "value", "data", "small", "join", "filter", "big", "group", "hash",
+         "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+         "row", "agg", "key", "query", "a", "scan", "batch"]
+SYL = ["ka", "zo", "lin", "vel", "mu", "ta", "ri", "don", "fe", "gor",
+       "hi", "jun", "lo", "pex", "qua", "sen", "tir", "ub", "wem", "yx"]
+SYNTH = [SYL[i % 20] + SYL[(i // 20) % 20] + SYL[(i // 400) % 20] + str(i % 3)
+         for i in range(12_000)]
+VOCAB = np.array(THEME + SYNTH)
+ZIPF_S = 1.07
+zipf_p = 1.0 / np.arange(1, len(VOCAB) + 1) ** ZIPF_S
+zipf_p /= zipf_p.sum()
+
+# Per-language stopword markers, substituted in at the rate probed from
+# sf0.1 (~6.6% of tokens hit a marker regex there). en/es/de are the
+# engine's langMarkers lists verbatim; fr is a distinct realistic set (its
+# "en" form collides with the es list — genuine cross-lang ambiguity); zh
+# gets no Latin markers, so langId reads those docs as 'unk'.
+MARKERS = {
+    "en": np.array(["the", "a", "of", "and", "to", "in", "is"]),
+    "es": np.array(["el", "la", "de", "que", "y", "en", "los"]),
+    "de": np.array(["der", "die", "und", "das", "ist", "von"]),
+    "fr": np.array(["le", "et", "est", "en", "un", "une"]),
+    "zh": None,
+}
+MARKER_RATE = 0.066
+
+langs = np.array(["en", "de", "es", "fr", "zh"])[
+    rng.choice(5, N_DOC, p=[0.41, 0.1475, 0.1475, 0.1475, 0.1475])]
 nwords = rng.integers(10, 101, N_DOC)
-texts = [" ".join(VOCAB[rng.integers(0, len(VOCAB), k)]) for k in nwords]
-# 5% planted near-dups: copy an earlier doc, append the ' dup' marker
+bounds = np.concatenate([[0], np.cumsum(nwords)])
+flat = VOCAB[rng.choice(len(VOCAB), bounds[-1], p=zipf_p)]
+# vectorized marker substitution: each token position flips to a marker
+# from ITS doc's language list with p = MARKER_RATE
+doc_lang_flat = np.repeat(langs, nwords)
+sub_mask = rng.random(bounds[-1]) < MARKER_RATE
+for lg, mk in MARKERS.items():
+    if mk is None:
+        continue
+    m = sub_mask & (doc_lang_flat == lg)
+    flat[m] = mk[rng.integers(0, len(mk), int(m.sum()))]
+texts = [" ".join(flat[bounds[i]:bounds[i + 1]]) for i in range(N_DOC)]
+
+# 5% planted near-dups via TOKEN-LEVEL EDITS of an earlier doc: resample
+# each token with p=0.04, then drop the first token with p=0.5 and append
+# a random token with p=0.5 — Jaccard lands ~0.75..0.95 against the
+# source (a suffix marker would leave every shingle but one intact, which
+# is trivially easy for MinHash/LSH and measures nothing).
 for i in rng.choice(np.arange(1, N_DOC), size=N_DOC // 20, replace=False):
-    texts[i] = texts[rng.integers(0, i)] + " dup"
+    toks = texts[rng.integers(0, i)].split(" ")
+    edit = rng.random(len(toks)) < 0.04
+    toks = [VOCAB[rng.choice(len(VOCAB), p=zipf_p)] if e else t
+            for t, e in zip(toks, edit)]
+    if rng.random() < 0.5 and len(toks) > 10:
+        toks = toks[1:]
+    if rng.random() < 0.5:
+        toks.append(VOCAB[rng.choice(len(VOCAB), p=zipf_p)])
+    texts[i] = " ".join(toks)
 write("documents", pa.table({
     "doc_id": np.arange(N_DOC, dtype=np.int64),
     "text": texts,
-    "lang": np.array(["en", "de", "es", "fr", "zh"])[
-        rng.choice(5, N_DOC, p=[0.41, 0.1475, 0.1475, 0.1475, 0.1475])],
+    "lang": langs,
     "source": [f"src{i % 20}" for i in range(N_DOC)],
     "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
 }), 1 << 16)
@@ -195,7 +261,13 @@ write("documents", pa.table({
 # ---- embeddings ------------------------------------------------------------
 labels = rng.integers(0, 10, N_EMB)
 centroids = rng.normal(0, 0.02, (10, 64))
-vecs = (centroids[labels] + rng.normal(0, 0.1235, (N_EMB, 64))).astype(np.float32)
+noise = rng.normal(0, 0.1235, (N_EMB, 64))
+# heavy tail: 10% of rows at 2.5x noise; label noise: 2% relabeled
+heavy = rng.random(N_EMB) < 0.10
+noise[heavy] *= 2.5
+flip = rng.random(N_EMB) < 0.02
+labels[flip] = rng.integers(0, 10, int(flip.sum()))
+vecs = (centroids[labels] + noise).astype(np.float32)
 write("embeddings", pa.table({
     "vec_id": np.arange(N_EMB, dtype=np.int64),
     "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),

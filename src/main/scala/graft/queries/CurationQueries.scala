@@ -743,6 +743,68 @@ object CurationQueries {
           .orderBy("doc_id")
       },
       Some(classifierOracleSql(iters = 4, lr = "4.0"))),
+
+    // ---- held-out evaluation of the learned classifier -----------------
+    // c17 hash-gates the training TRAJECTORY (determinism); this gates
+    // its USEFULNESS: a deterministic md5 split (Sampling.hashKeep 12/16
+    // = 75% train), fit on the train half only, then per-source
+    // Mann-Whitney AUC of the held-out scores vs the weak label via the
+    // t38 tied-rank device, with an explicit floor (auc_ok = auc >= 0.9)
+    // in the hash-gated output. The weak label is metadata-only
+    // (n_chars >= 300 — a byte-length flag the ingest layer knows
+    // without reading the text), recovered from surface features; the
+    // zero-iteration model scores every doc 0.5 (AUC exactly 0.5), so
+    // the gate proves TRAINING moved held-out ranking quality from coin-
+    // flip to >= 0.9, not that the pipeline merely runs. Monotonicity
+    // (more rounds never degrade held-out AUC on this fixture) is
+    // law-pinned in ClassifierSpec.
+    "c18_classifier_eval" -> Q(
+      (s, dir) => {
+        import graft.operators.{Classifier, Sampling}
+        import graft.functions.TextFunctions
+        val text = col("text")
+        val nTok = size(TextFunctions.tokens(text)).cast(DoubleType)
+        val stopHits = TextFunctions
+          .langScore(text, TextFunctions.langMarkers.head._2)
+          .cast(DoubleType)
+        val punct = regexp_count(text, lit("""[^\s\p{L}\p{N}]"""))
+          .cast(DoubleType)
+        val feats = Lake(s, dir).documents.select(
+          col("source"),
+          when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"),
+          least(nTok / 100.0, lit(1.0)).as("x1"),
+          when(nTok > 0, stopHits / nTok).otherwise(lit(0.0)).as("x2"),
+          when(length(text) > 0, punct / length(text).cast(DoubleType))
+            .otherwise(lit(0.0)).as("x3"),
+          Sampling.hashKeep(col("doc_id"), 12).as("__train"))
+        val model = Classifier.fit(feats.where(col("__train")),
+          "y", Seq("x1", "x2", "x3"), iters = 4, lr = 4.0)
+        val test = feats.where(!col("__train")).select(
+          col("source"), col("y"),
+          Classifier.scoreCol(model,
+            Seq(col("x1"), col("x2"), col("x3"))).as("score"))
+        val rk = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("score"))
+        val ties = org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "score")
+        test
+          .withColumn("r",
+            rank().over(rk) + (count(lit(1)).over(ties) - 1) / lit(2.0))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("np"),
+            sum(when(col("y") === 1.0, col("r"))).as("srp"))
+          .select(col("source"),
+            col("n").as("n_test"),
+            col("np").cast(org.apache.spark.sql.types.LongType).as("n_pos"),
+            (round(
+              when(col("np") > 0 && col("np") < col("n"),
+                (col("srp") - col("np") * (col("np") + 1) / 2) /
+                  (col("np") * (col("n") - col("np")))),
+              4) + lit(0.0)).as("auc"))
+          .withColumn("auc_ok", col("auc") >= 0.9)
+          .orderBy("source")
+      },
+      Some(classifierEvalOracleSql(iters = 4, lr = "4.0"))),
   )
 
   /** DuckDB replay of [[graft.operators.Classifier.fit]] + score over the
@@ -773,6 +835,27 @@ object CurationQueries {
         |    FROM documents) t),
         |w0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS w1,
         |              0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3)""".stripMargin
+    sb ++= classifierRoundCtes(iters, lr, src = "f")
+    sb ++=
+      s"""
+         |SELECT doc_id, score, score >= 0.5 AS pred
+         |FROM (
+         |  SELECT t.doc_id,
+         |    round(0.5 + (0.5 * t.z) / (1.0 + abs(t.z)), 6) AS score
+         |  FROM (SELECT f.doc_id,
+         |          w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS z
+         |        FROM f, w$iters w) t)
+         |ORDER BY doc_id""".stripMargin
+    sb.result()
+  }
+
+  /** The per-round GD replay CTEs (`z{r}` margin/link pass, `g{r}` rounded
+    * gradient cells, `w{r}` rounded weight update) over the source CTE
+    * `src`. Each weight CTE is MATERIALIZED: it is referenced by both the
+    * next round's margin and its own update, and DuckDB inlines CTEs —
+    * a twice-referenced round state re-expands 2^rounds. */
+  private def classifierRoundCtes(iters: Int, lr: String, src: String): String = {
+    val sb = new StringBuilder
     for (r <- 1 to iters) {
       sb ++=
         s""",
@@ -781,7 +864,7 @@ object CurationQueries {
            |    0.5 + (0.5 * t.z) / (1.0 + abs(t.z)) AS p
            |  FROM (SELECT f.y, f.x1, f.x2, f.x3,
            |          w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS z
-           |        FROM f, w${r - 1} w) t),
+           |        FROM $src f, w${r - 1} w) t),
            |g$r AS (
            |  SELECT round(avg(p - y), 6) AS g0,
            |    round(avg((p - y) * x1), 6) AS g1,
@@ -795,16 +878,63 @@ object CurationQueries {
            |    round(w.w3 - $lr * g.g3, 6) AS w3
            |  FROM w${r - 1} w, g$r g)""".stripMargin
     }
+    sb.result()
+  }
+
+  /** DuckDB replay of the c18 train/eval split: the c17 feature CTE plus
+    * the md5 hash-split flag, training rounds over the TRAIN half only,
+    * then per-source tied-rank Mann-Whitney AUC (the t38 device) of the
+    * held-out scores against the weak label, with the explicit 0.9 floor
+    * in the output. Weak label = n_chars >= 300 (metadata-only). */
+  private def classifierEvalOracleSql(iters: Int, lr: String): String = {
+    val sb = new StringBuilder
     sb ++=
-      s"""
-         |SELECT doc_id, score, score >= 0.5 AS pred
-         |FROM (
-         |  SELECT t.doc_id,
+      """WITH f AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+        |    least(CAST(ntok AS DOUBLE) / 100.0, 1.0) AS x1,
+        |    CASE WHEN ntok > 0 THEN CAST(stop_hits AS DOUBLE) / ntok
+        |         ELSE 0.0 END AS x2,
+        |    CASE WHEN nchars > 0 THEN CAST(punct AS DOUBLE) / nchars
+        |         ELSE 0.0 END AS x3,
+        |    md5(CAST(doc_id AS VARCHAR)) < 'c' AS train
+        |  FROM (
+        |    SELECT doc_id, source, n_chars,
+        |      len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+        |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+        |      len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS punct,
+        |      length(text) AS nchars
+        |    FROM documents) t),
+        |tr AS (SELECT * FROM f WHERE train),
+        |w0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS w1,
+        |              0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3)""".stripMargin
+    sb ++= classifierRoundCtes(iters, lr, src = "tr")
+    sb ++=
+      s""",
+         |s AS (
+         |  SELECT t.source, t.y,
          |    round(0.5 + (0.5 * t.z) / (1.0 + abs(t.z)), 6) AS score
-         |  FROM (SELECT f.doc_id,
+         |  FROM (SELECT f.source, f.y,
          |          w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS z
-         |        FROM f, w$iters w) t)
-         |ORDER BY doc_id""".stripMargin
+         |        FROM f, w$iters w WHERE NOT f.train) t),
+         |r AS (
+         |  SELECT source, y,
+         |    rank() OVER (PARTITION BY source ORDER BY score)
+         |      + (count(*) OVER (PARTITION BY source, score) - 1) / 2.0 AS r
+         |  FROM s),
+         |a AS (
+         |  SELECT source, count(*) AS n, sum(y) AS np,
+         |    sum(CASE WHEN y = 1.0 THEN r END) AS srp
+         |  FROM r GROUP BY source)
+         |SELECT source, CAST(n AS BIGINT) AS n_test,
+         |  CAST(np AS BIGINT) AS n_pos,
+         |  round(CASE WHEN np > 0 AND np < n
+         |    THEN (srp - np * (np + 1) / 2) / (np * (n - np)) END, 4) + 0.0
+         |    AS auc,
+         |  (round(CASE WHEN np > 0 AND np < n
+         |    THEN (srp - np * (np + 1) / 2) / (np * (n - np)) END, 4) + 0.0)
+         |    >= 0.9 AS auc_ok
+         |FROM a ORDER BY source""".stripMargin
     sb.result()
   }
 }

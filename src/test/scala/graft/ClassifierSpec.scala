@@ -86,4 +86,56 @@ class ClassifierSpec extends AnyFunSuite {
       .distinct().collect()
     assert(s.map(_.getDouble(0)).toSeq == Seq(0.5))
   }
+
+  /** Held-out Mann-Whitney AUC of `model` on `df` via tied ranks —
+    * the same statistic c18 hash-gates per source, computed driver-side
+    * on the small fixture. */
+  private def heldOutAuc(m: Classifier.Model,
+                         df: org.apache.spark.sql.DataFrame): Double = {
+    val scored = df.select(col("y"),
+        Classifier.scoreCol(m, Seq(col("x1"), col("x2"))).as("s"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val byScore = scored.sortBy(_._2)
+    val rank = new Array[Double](byScore.length)
+    var i = 0
+    while (i < byScore.length) {
+      var j = i
+      while (j < byScore.length && byScore(j)._2 == byScore(i)._2) j += 1
+      val avg = (i + 1 + j).toDouble / 2  // mean of ranks i+1..j
+      (i until j).foreach(rank(_) = avg)
+      i = j
+    }
+    val nPos = byScore.count(_._1 == 1.0).toDouble
+    val n = byScore.length.toDouble
+    val srp = byScore.indices.collect {
+      case k if byScore(k)._1 == 1.0 => rank(k)
+    }.sum
+    (srp - nPos * (nPos + 1) / 2) / (nPos * (n - nPos))
+  }
+
+  test("more iterations never degrade held-out AUC on the fixture (c18 law)") {
+    // deterministic hash split, exactly the c18 recipe
+    val train = planted.where(graft.operators.Sampling.hashKeep(col("id"), 12))
+    val test = planted.where(!graft.operators.Sampling.hashKeep(col("id"), 12))
+    val aucs = Seq(0, 1, 2, 4, 8).map { it =>
+      it -> heldOutAuc(
+        Classifier.fit(train, "y", Seq("x1", "x2"), iters = it), test)
+    }
+    assert(aucs.head._2 == 0.5, s"zero-round model must be coin-flip: $aucs")
+    aucs.sliding(2).foreach { case Seq((i1, a1), (i2, a2)) =>
+      assert(a2 >= a1, s"held-out AUC degraded $i1->$i2 rounds: $a1 -> $a2")
+    }
+    assert(aucs.last._2 >= 0.9, s"trained AUC below the c18 floor: $aucs")
+  }
+
+  test("empty or all-null input is a well-defined no-op fit (zero model)") {
+    val empty = planted.where(lit(false))
+    val m = Classifier.fit(empty, "y", Seq("x1", "x2"), iters = 3)
+    assert(m.weights.forall(_ == 0.0))
+    val allNull = planted.select(col("id"),
+      lit(null).cast("double").as("y"),
+      lit(null).cast("double").as("x1"), lit(null).cast("double").as("x2"))
+    val m2 = Classifier.fit(allNull, "y", Seq("x1", "x2"), iters = 3)
+    assert(m2.weights.forall(_ == 0.0))
+  }
 }
