@@ -124,11 +124,26 @@ object DedupStream {
 
   /** Rewrite the live corpus as one full version (original `__batch`
     * tags preserved, so the replay guard survives compaction) and retire
-    * everything it supersedes. Returns the full version's number. */
+    * everything it supersedes. Returns the full version's number.
+    *
+    * Crash window: a kill between the full-version commit and the vacuum
+    * leaves the superseded versions on disk, but readers already resolve
+    * the newest full version and ignore everything below it
+    * ([[taggedCorpus]]), so the window is reader-invisible; the next
+    * compaction's vacuum retires the leftovers. Spec-pinned in
+    * StreamingSpec ("compaction crash window"). */
   def compactCorpus(spark: SparkSession, root: String): Long = {
-    val full = taggedCorpus(spark, root).withColumn("__full", lit(true))
-    val v = LakeMaintenance.writeSnapshotVersion(full, root)
+    val v = writeFullVersion(spark, root)
     LakeMaintenance.vacuumVersions(spark, root, keepLast = 1)
     v
+  }
+
+  /** First half of [[compactCorpus]] — the full-version commit alone,
+    * exposed `private[graft]` so the crash window between it and the
+    * vacuum is kill-injectable in specs (the spec runs exactly this
+    * production step and then "dies"). */
+  private[graft] def writeFullVersion(spark: SparkSession, root: String): Long = {
+    val full = taggedCorpus(spark, root).withColumn("__full", lit(true))
+    LakeMaintenance.writeSnapshotVersion(full, root)
   }
 }

@@ -689,6 +689,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(corpusRows() === wantRows, "guard must survive compaction")
   }
 
+  test("compaction crash window: kill between full-version commit and vacuum is reader-invisible; append ≡ rebuild") {
+    import graft.streaming.DedupStream
+    import graft.operators.LakeMaintenance
+    val root = java.nio.file.Files.createTempDirectory("dedup_chaos").toString
+    val docs = Lake(spark, sf0001).documents
+    val batches = (0 to 3).map(i => docs.where(col("doc_id") % 4 === i))
+    def rows(r: String) = DedupStream.canonicalCorpus(spark, r)
+      .collect().map(_.toString).sorted.toSeq
+
+    (0 to 2).foreach { i =>
+      DedupStream.applyDedupBatch(batches(i), i.toLong, root, "doc_id", "text")
+    }
+    val preCompact = rows(root)
+    val deltaVersions = LakeMaintenance.snapshotVersions(spark, root)
+    assert(deltaVersions.size === 3)
+
+    // THE KILL: production half 1 of compactCorpus (the full-version
+    // commit), then the process dies before the vacuum — superseded
+    // versions stay on disk exactly as a real crash leaves them
+    val fullV = DedupStream.writeFullVersion(spark, root)
+    assert(LakeMaintenance.snapshotVersions(spark, root).size === 4,
+      "the crash window must hold full + all superseded versions")
+
+    // reader equivalence across the window
+    assert(rows(root) === preCompact,
+      "the crash window must be invisible to readers")
+    // the in-band replay guard still holds in the window
+    DedupStream.applyDedupBatch(batches(2), 2L, root, "doc_id", "text")
+    assert(rows(root) === preCompact,
+      "a replayed batch in the crash window must no-op")
+    // new data lands correctly in the window (delta above the full version)
+    DedupStream.applyDedupBatch(batches(3), 3L, root, "doc_id", "text")
+    val after3 = rows(root)
+    assert(after3.size > preCompact.size)
+
+    // recovery: the NEXT compaction retires every superseded version,
+    // including the pre-crash deltas the interrupted vacuum never removed
+    val fullV2 = DedupStream.compactCorpus(spark, root)
+    assert(fullV2 > fullV)
+    assert(LakeMaintenance.snapshotVersions(spark, root) === Seq(fullV2),
+      "recovery compaction must leave exactly one (full) version")
+    assert(rows(root) === after3, "recovery must preserve the corpus")
+    // the replay guard survives both compactions
+    DedupStream.applyDedupBatch(batches(3), 3L, root, "doc_id", "text")
+    assert(rows(root) === after3)
+
+    // append ≡ rebuild: the same batches folded on a fresh root with no
+    // compaction (and no crash) produce the identical canonical corpus
+    val root2 = java.nio.file.Files.createTempDirectory("dedup_rebuild").toString
+    (0 to 3).foreach { i =>
+      DedupStream.applyDedupBatch(batches(i), i.toLong, root2, "doc_id", "text")
+    }
+    assert(rows(root2) === after3,
+      "crashed-compaction corpus must equal the uncompacted rebuild")
+  }
+
   test("streaming near-dedup wiring: file feed drives the same per-batch fold") {
     import graft.streaming.DedupStream
     val feed = java.nio.file.Files.createTempDirectory("dedup_feed")
