@@ -200,6 +200,15 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val outs: Seq[Either[NamedExpression, AggOut]] = a.aggregateExpressions.map {
       case at: Attribute if groupSet.contains(at) => scala.Left(at)
       case al @ Alias(at: Attribute, _) if groupSet.contains(at) => scala.Left(al)
+      // constant outputs (CollapseProject folds literal columns from a
+      // parent select INTO the aggregate list): reference nothing, so
+      // they pass through the final projection unchanged — rejecting
+      // them silently demoted q82's plan to the pair-materializing
+      // rewrite (34s vs 1.2s at sf1)
+      case al @ Alias(e, _)
+          if e.deterministic && e.references.isEmpty &&
+            !e.exists(_.isInstanceOf[AggregateExpression]) =>
+        scala.Left(al)
       case al @ Alias(AggregateExpression(fn, _, false, None, _), _) =>
         val kindArg = fn match {
           case Count(Seq(e)) => Some((CountK, e))

@@ -261,12 +261,22 @@ object Relational {
             |FROM customer LEFT JOIN supplier
             |  ON c_nationkey = s_nationkey OR c_name = s_name
             |GROUP BY c_custkey""".stripMargin)
-        val plan = df.queryExecution.executedPlan.toString
-        val eager = !plan.contains("BroadcastNestedLoopJoin") &&
-          !plan.contains("Union")
-        df.select(col("c_custkey"), col("n_match"), col("first_sup"),
-            lit(eager).as("plan_eager"))
-          .orderBy("c_custkey")
+        // Assert the shape of the plan that will EXECUTE, not the bare
+        // inner aggregate: the decorating select/orderBy re-optimizes,
+        // and CollapseProject folds the literal column into the
+        // Aggregate's output list — which once demoted the final plan
+        // to the pair-materializing rewrite while the inner-plan check
+        // still read eager (the r15 q82 bug: 34s vs 1.2s at sf1). The
+        // literal's VALUE cannot change the plan shape, so a false
+        // placeholder sees the same plan the real result runs.
+        def decorate(eager: Boolean) =
+          df.select(col("c_custkey"), col("n_match"), col("first_sup"),
+              lit(eager).as("plan_eager"))
+            .orderBy("c_custkey")
+        val plan = decorate(eager = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("Union"))
       },
       """SELECT c_custkey, COUNT(s_suppkey) AS n_match, MIN(s_name) AS first_sup,
         |  TRUE AS plan_eager

@@ -132,6 +132,23 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("agg rule survives a decorating select/orderBy (CollapseProject folds literals in)") {
+    // the r15 q82 bug: a parent select adding a literal column collapses
+    // INTO the Aggregate's output list; the rule must treat constant
+    // outputs as pass-through instead of bailing to the join-only rewrite
+    def q() = naiveAgg()
+      .select(col("c_custkey"), col("n_match"), lit(true).as("tag"))
+      .orderBy("c_custkey")
+    val expected = canon(q())
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
   test("agg rule: count(*) is NOT eager-aggregated (falls back to join rewrite)") {
     // count(*) counts unmatched left rows as 1, which branch partials
     // cannot reconstruct — the rule must leave the aggregate alone and
