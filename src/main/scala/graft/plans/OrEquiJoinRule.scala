@@ -177,8 +177,26 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private case object SumK extends AggKind
   private case object MinK extends AggKind
   private case object MaxK extends AggKind
+  private case object AvgK extends AggKind
 
   private case class AggOut(alias: Alias, kind: AggKind, arg: Expression)
+
+  /** Primitive partials one output decomposes into: avg carries TWO
+    * (sum, count) — the same (sum, count) device the MV rule serves
+    * avg from; everything else carries one. */
+  private sealed trait Prim
+  private case object PCount extends Prim
+  private case object PSum extends Prim
+  private case object PMin extends Prim
+  private case object PMax extends Prim
+
+  private def primsOf(k: AggKind): Seq[Prim] = k match {
+    case CountK => Seq(PCount)
+    case SumK   => Seq(PSum)
+    case MinK   => Seq(PMin)
+    case MaxK   => Seq(PMax)
+    case AvgK   => Seq(PSum, PCount)
+  }
 
   private def rewriteAgg(a: Aggregate, left: LogicalPlan, right: LogicalPlan,
                          preds: Seq[Expression]): Option[LogicalPlan] = {
@@ -215,6 +233,11 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           case Sum(e, _)     => Some((SumK, e))
           case Min(e)        => Some((MinK, e))
           case Max(e)        => Some((MaxK, e))
+          // decimal avg result types thread precision rules through the
+          // sum-of-sums merge; keep the rewrite to the exactly-typed
+          // non-decimal case and fall back to the join rewrite otherwise
+          case Average(e, _) if !e.dataType.isInstanceOf[DecimalType] =>
+            Some((AvgK, e))
           case _             => None
         }
         kindArg match {
@@ -236,18 +259,18 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => return None
     }
 
-    def fresh(k: AggKind, e: Expression): AggregateFunction = k match {
-      case CountK => Count(e)
-      case SumK   => Sum(e)
-      case MinK   => Min(e)
-      case MaxK   => Max(e)
+    def fresh(p: Prim, e: Expression): AggregateFunction = p match {
+      case PCount => Count(e)
+      case PSum   => Sum(e)
+      case PMin   => Min(e)
+      case PMax   => Max(e)
     }
     // Merge partials of an already-partial column: counts re-merge by
     // SUM, sums by SUM, min/max by themselves.
-    def merge(k: AggKind, part: Expression): AggregateFunction = k match {
-      case CountK | SumK => Sum(part)
-      case MinK          => Min(part)
-      case MaxK          => Max(part)
+    def merge(p: Prim, part: Expression): AggregateFunction = p match {
+      case PCount | PSum => Sum(part)
+      case PMin          => Min(part)
+      case PMax          => Max(part)
     }
     def agg(fn: AggregateFunction): Expression = fn.toAggregateExpression()
     // Sum-of-Sum widens decimal precision (p+10 -> p+20); cast the
@@ -256,15 +279,21 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     def sameType(e: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
       if (e.dataType == dt) e else Cast(e, dt, Some(conf.sessionLocalTimeZone))
 
-    // Per-branch partial type: what ONE level of the function yields.
-    val partialTypes = aggs.map(ao => fresh(ao.kind, ao.arg).dataType)
+    // Flattened primitive partials: avg expands to (sum, count), the
+    // rest to one slot; `offsets(i)` is output i's first slot.
+    val flatPrims: Seq[(Prim, Expression)] =
+      aggs.flatMap(ao => primsOf(ao.kind).map(p => (p, ao.arg)))
+    val offsets: Seq[Int] =
+      aggs.scanLeft(0)((acc, ao) => acc + primsOf(ao.kind).size)
+    // Per-branch partial type: what ONE level of the primitive yields.
+    val partialTypes = flatPrims.map { case (p, e) => fresh(p, e).dataType }
 
     // ---- branch 0: residual-free, so `right` pre-aggregates to one
     // partial row per distinct first-predicate key BEFORE joining left.
     val (l0, r0) = pairs.head
     val keyAlias = Alias(r0, "__orj_k0")()
-    val preAliases = aggs.zipWithIndex.map { case (ao, i) =>
-      Alias(agg(fresh(ao.kind, ao.arg)), s"__orj_p0_$i")()
+    val preAliases = flatPrims.zipWithIndex.map { case ((p, e), i) =>
+      Alias(agg(fresh(p, e)), s"__orj_p0_$i")()
     }
     val pre = Aggregate(Seq(r0), keyAlias +: preAliases, right)
     // Rows of `right` with a null key form a null pre-agg group that the
@@ -272,8 +301,8 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // a null key satisfies no predicate.
     val join0 = Join(left, pre, LeftOuter,
       Some(EqualTo(l0, keyAlias.toAttribute)), JoinHint.NONE)
-    val b0Aliases = aggs.zipWithIndex.map { case (ao, i) =>
-      Alias(sameType(agg(merge(ao.kind, preAliases(i).toAttribute)),
+    val b0Aliases = flatPrims.zipWithIndex.map { case ((p, _), i) =>
+      Alias(sameType(agg(merge(p, preAliases(i).toAttribute)),
         partialTypes(i)), s"__orj_b0_$i")()
     }
     val b0 = Aggregate(groupAttrs, (groupAttrs: Seq[NamedExpression]) ++ b0Aliases, join0)
@@ -291,8 +320,8 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val cond = And(remap(preds(k)), remap(notYet(preds.take(k)).get))
       val jk = Join(fl, fr, Inner, Some(cond), JoinHint.NONE)
       val gk = groupAttrs.map(lm(_))
-      val partAliases = aggs.zipWithIndex.map { case (ao, i) =>
-        Alias(agg(fresh(ao.kind, remap(ao.arg))), s"__orj_b${k}_$i")()
+      val partAliases = flatPrims.zipWithIndex.map { case ((p, e), i) =>
+        Alias(agg(fresh(p, remap(e))), s"__orj_b${k}_$i")()
       }
       (Aggregate(gk, (gk: Seq[NamedExpression]) ++ partAliases, jk), gk, partAliases)
     }
@@ -317,24 +346,39 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         // is not (count is non-nullable below the join). Claiming the
         // pre-join nullability would let NullPropagation fold away the
         // Coalesce/IsNull guards and corrupt unmatched groups.
-        val partials: Seq[Expression] =
-          b0Aliases(i).toAttribute.withNullability(true) +:
-            parts.map(_._3(i).toAttribute.withNullability(true))
+        def slot(j: Int): Seq[Expression] =
+          b0Aliases(j).toAttribute.withNullability(true) +:
+            parts.map(_._3(j).toAttribute.withNullability(true))
+        val partials = slot(offsets(i))
+        // count is never null: missing partials are 0.
+        def countTotal(ps: Seq[Expression]): Expression =
+          ps.map(p => Coalesce(Seq(p, Literal(0L))): Expression)
+            .reduce(Add(_, _))
+        // SQL sum: null iff every branch partial is null.
+        def sumTotal(ps: Seq[Expression], dt: org.apache.spark.sql.types.DataType): Expression = {
+          val zero = Literal.default(ps.head.dataType)
+          val total = ps
+            .map(p => Coalesce(Seq(p, zero)): Expression).reduce(Add(_, _))
+          If(IsNull(Coalesce(ps)), Literal.create(null, dt),
+            sameType(total, dt))
+        }
         val mergedExpr: Expression = ao.kind match {
-          case CountK =>
-            // count is never null: missing partials are 0.
-            partials.map(p => Coalesce(Seq(p, Literal(0L))): Expression)
-              .reduce(Add(_, _))
-          case SumK =>
-            // SQL sum: null iff every branch partial is null.
-            val zero = Literal.default(partials.head.dataType)
-            val total = partials
-              .map(p => Coalesce(Seq(p, zero)): Expression).reduce(Add(_, _))
-            If(IsNull(Coalesce(partials)),
+          case CountK => countTotal(partials)
+          case SumK   => sumTotal(partials, ao.alias.dataType)
+          case MinK   => Least(partials)
+          case MaxK   => Greatest(partials)
+          case AvgK   =>
+            // avg = merged sum / merged count, the MV rule's (sum, count)
+            // device; non-decimal only, so the result type is double and
+            // the division is Average.evaluateExpression's own shape.
+            val sums = partials
+            val cnts = slot(offsets(i) + 1)
+            val cnt = countTotal(cnts)
+            val sum = sumTotal(sums, sums.head.dataType)
+            If(EqualTo(cnt, Literal(0L)),
               Literal.create(null, ao.alias.dataType),
-              sameType(total, ao.alias.dataType))
-          case MinK => Least(partials)
-          case MaxK => Greatest(partials)
+              Divide(Cast(sum, ao.alias.dataType),
+                Cast(cnt, ao.alias.dataType), EvalMode.LEGACY))
         }
         val cast = ao.kind match {
           case CountK => sameType(mergedExpr, LongType)

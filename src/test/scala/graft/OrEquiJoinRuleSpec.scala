@@ -149,6 +149,54 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("agg rule: avg decomposes as (sum, count) partials — null/unmatched groups exact") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), Some(5L), Some("a")),
+      (Some(1L), Some(6L), None),
+      (Some(2L), None, Some("b")),
+      (None, Some(5L), Some("zz")),
+      (Some(3L), None, None),
+      (Some(4L), Some(9L), Some("b"))
+    ).toDF("g", "k1", "k2")
+    // long-valued v: branch partial sums are exact, so the rule's
+    // sum/count division is bit-identical to the single-aggregate plan
+    val right = Seq(
+      (Some(5L), Some("x"), Some(100L)),
+      (Some(5L), Some("y"), None),
+      (Some(6L), Some("a"), Some(300L)),
+      (None, Some("b"), Some(400L))
+    ).toDF("r1", "r2", "v")
+    def q() = left.join(right,
+        col("k1") === col("r1") || col("k2") === col("r2"), "left")
+      .groupBy("g")
+      .agg(avg(col("v")).as("a"), count(col("v")).as("n"))
+    val expected = canon(q())
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("agg rule: decimal avg falls back to the join rewrite") {
+    import spark.implicits._
+    val left = Seq((1L, 5L), (2L, 9L)).toDF("g", "k1")
+    val right = Seq((5L, BigDecimal("1.10")), (5L, BigDecimal("2.30")))
+      .toDF("r1", "v")
+    def q() = left.join(right,
+        col("k1") === col("r1") || col("g") === col("r1"), "left")
+      .groupBy("g").agg(avg(col("v")).as("a"))
+    val expected = canon(q())
+    withRule(on = true) {
+      val df = q()
+      assert(df.queryExecution.executedPlan.toString.contains("Union"))
+      assert(canon(df) === expected)
+    }
+  }
+
   test("agg rule: count(*) is NOT eager-aggregated (falls back to join rewrite)") {
     // count(*) counts unmatched left rows as 1, which branch partials
     // cannot reconstruct — the rule must leave the aggregate alone and
