@@ -62,10 +62,22 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   *    it). Unmatched groups report count 0 / null min-max-sum — exactly
   *    the left-outer + aggregate semantics.
   *
-  * Every stage is |left|- or |right|-sized. The rewrite keeps the
-  * original output attribute ids (group attrs pass through branch 0's
-  * untouched `left`; aggregate aliases are re-issued under their
-  * original exprIds), so parent operators resolve unchanged.
+  * Every stage is |left|- or |right|-sized PROVIDED the user wrote the
+  * exploding (low-selectivity) predicate FIRST — branch 0 is the only
+  * residual-free branch, so it is the only one whose right side can
+  * pre-aggregate; a later exploding predicate keeps its pair-sized
+  * branch join (the [[graft.operators.OrEquiJoin.leftOrJoinAgg]]
+  * contract, same ordering guidance). An order-free form exists for
+  * count/sum-only consumers (inclusion–exclusion over predicate
+  * subsets, every term pre-aggregable) but breaks min/max and grows
+  * 2^n terms; not implemented — choosing branch 0 by measured
+  * selectivity would need plan-time data stats, which the §4
+  * no-plan-time-jobs law forbids.
+  *
+  * The rewrite keeps the original output attribute ids (group attrs
+  * pass through branch 0's untouched `left`; aggregate aliases are
+  * re-issued under their original exprIds), so parent operators
+  * resolve unchanged.
   * Equivalence is law-pinned in OrEquiJoinRuleSpec (randomized fixture
   * vs the nested-loop plan) and oracle-gated by `q82_or_join_auto`.
   *
