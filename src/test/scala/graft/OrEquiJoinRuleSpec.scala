@@ -224,6 +224,47 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("agg rule property law: randomized fixtures, 1-3 preds, mixed aggs, rule-on ≡ rule-off") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 6) {
+      def maybe[T](v: T): Option[T] = if (rnd.nextInt(5) == 0) None else Some(v)
+      // small domains force duplicate groups, duplicate keys, multi-matches
+      val left = Seq.fill(40)((
+        maybe(rnd.nextInt(6).toLong),             // g
+        maybe(rnd.nextInt(8).toLong),             // k1
+        maybe(s"s${rnd.nextInt(8)}"),             // k2
+        maybe(rnd.nextInt(9).toLong)              // k3
+      )).toDF("g", "k1", "k2", "k3")
+      val right = Seq.fill(25)((
+        maybe(rnd.nextInt(8).toLong),             // r1
+        maybe(s"s${rnd.nextInt(8)}"),             // r2
+        maybe(rnd.nextInt(9).toLong),             // r3
+        maybe(rnd.nextInt(100).toLong)            // v
+      )).toDF("r1", "r2", "r3", "v")
+      val allPreds = Seq(
+        col("k1") === col("r1"),
+        col("k2") === col("r2"),
+        col("k3") === col("r3"))
+      val nPreds = 1 + rnd.nextInt(3)
+      val cond = allPreds.take(nPreds).reduce(_ || _)
+      def q() = left.join(right, cond, "left")
+        .groupBy("g")
+        .agg(count(col("v")).as("n"), sum(col("v")).as("s"),
+          min(col("r2")).as("mn"), max(col("r2")).as("mx"),
+          avg(col("v")).as("a"))
+      val expected = canon(q())
+      withRule(on = true) {
+        val df = q()
+        if (nPreds >= 2) {
+          val plan = df.queryExecution.executedPlan.toString
+          assert(!plan.contains("Union"), s"trial $trial: agg case must fire\n$plan")
+        }
+        assert(canon(df) === expected, s"trial $trial nPreds=$nPreds diverged")
+      }
+    }
+  }
+
   test("rule leaves non-equi OR joins alone") {
     withRule(on = true) {
       val lk = Lake(spark, sf0001)
