@@ -102,10 +102,16 @@ object DedupQueries {
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
           |  FROM tok
-          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |-- the engine's maxShingleDf=1000 skew guard, mirrored: shingles in
+          |-- >1000 docs carry no similarity signal and are dropped from BOTH
+          |-- the join and the per-doc set sizes (exact metric over the
+          |-- informative-shingle universe)
+          |), hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
+          |), shg AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
           |pairs AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
           |  GROUP BY 1, 2)
           |SELECT id_a, id_b,
           |  round(common * 1.0 / (ca.n + cb.n - common), 5) AS jaccard
@@ -163,10 +169,16 @@ object DedupQueries {
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
           |  FROM tok
-          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |-- the engine's maxShingleDf=1000 skew guard, mirrored: shingles in
+          |-- >1000 docs carry no similarity signal and are dropped from BOTH
+          |-- the join and the per-doc set sizes (exact metric over the
+          |-- informative-shingle universe)
+          |), hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
+          |), shg AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
           |cand AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
           |  GROUP BY 1, 2),
           |pairs AS (
           |  SELECT id_a, id_b FROM cand
@@ -201,10 +213,16 @@ object DedupQueries {
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
           |  FROM tok
-          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |-- the engine's maxShingleDf=1000 skew guard, mirrored: shingles in
+          |-- >1000 docs carry no similarity signal and are dropped from BOTH
+          |-- the join and the per-doc set sizes (exact metric over the
+          |-- informative-shingle universe)
+          |), hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
+          |), shg AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
           |cand AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
           |  GROUP BY 1, 2),
           |pairs AS (
           |  SELECT id_a, id_b FROM cand
@@ -286,18 +304,27 @@ object DedupQueries {
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
           |  FROM tok
-          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |-- the engine guards maxShingleDf=1000 on the CORPUS side only
+          |-- (query postings stay raw): df over corpus postings, hot
+          |-- shingles dropped from the corpus sets and the common join
+          |), hot AS (SELECT s FROM sh WHERE doc_id >= 5
+          |           GROUP BY s HAVING count(*) > 1000
+          |), shc AS (SELECT doc_id, s FROM sh
+          |           WHERE doc_id >= 5 AND s NOT IN (SELECT s FROM hot)
+          |), cntq AS (SELECT doc_id, count(*) AS n FROM sh
+          |            WHERE doc_id < 5 GROUP BY doc_id),
+          |cntc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
           |com AS (
           |  SELECT q.doc_id AS query_id, c.doc_id AS corpus_id, count(*) AS common
-          |  FROM sh q JOIN sh c ON q.s = c.s
-          |  WHERE q.doc_id < 5 AND c.doc_id >= 5
+          |  FROM sh q JOIN shc c ON q.s = c.s
+          |  WHERE q.doc_id < 5
           |  GROUP BY 1, 2),
           |scored AS (
           |  SELECT query_id, corpus_id,
           |    common * 1.0 / (cq.n + cc.n - common) AS j
           |  FROM com
-          |  JOIN cnt cq ON cq.doc_id = query_id
-          |  JOIN cnt cc ON cc.doc_id = corpus_id)
+          |  JOIN cntq cq ON cq.doc_id = query_id
+          |  JOIN cntc cc ON cc.doc_id = corpus_id)
           |SELECT query_id, rank, corpus_id, round(j, 5) AS jaccard FROM (
           |  SELECT query_id, corpus_id, j,
           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -514,10 +541,16 @@ object DedupQueries {
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
           |  FROM tok
-          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |-- the engine's maxShingleDf=1000 skew guard, mirrored: shingles in
+          |-- >1000 docs carry no similarity signal and are dropped from BOTH
+          |-- the join and the per-doc set sizes (exact metric over the
+          |-- informative-shingle universe)
+          |), hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
+          |), shg AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
           |cand AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
           |  GROUP BY 1, 2),
           |pairs AS (
           |  SELECT id_a, id_b FROM cand
@@ -659,10 +692,16 @@ object DedupQueries {
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
           |  FROM tok
-          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |-- the engine's maxShingleDf=1000 skew guard, mirrored: shingles in
+          |-- >1000 docs carry no similarity signal and are dropped from BOTH
+          |-- the join and the per-doc set sizes (exact metric over the
+          |-- informative-shingle universe)
+          |), hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
+          |), shg AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
           |cand AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
           |  GROUP BY 1, 2),
           |bd AS (SELECT id_a, id_b, common FROM cand
           |       UNION ALL SELECT id_b, id_a, common FROM cand)

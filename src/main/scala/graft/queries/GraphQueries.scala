@@ -102,10 +102,13 @@ object GraphQueries {
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
           |  FROM tok
-          |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |-- the engine's maxShingleDf=1000 skew guard, mirrored (see d3)
+          |), hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
+          |), shg AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
           |cand AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
           |  GROUP BY 1, 2),
           |e AS (
           |  SELECT id_a AS u, id_b AS v FROM cand
