@@ -97,7 +97,7 @@ object DedupQueries {
         """WITH tok AS (
           |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
           |  FROM documents
-          |), sh AS (
+          |), sh AS MATERIALIZED (
           |  SELECT DISTINCT doc_id,
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
@@ -105,9 +105,10 @@ object DedupQueries {
           |-- the engine's maxShingleDf=1000 skew guard, mirrored: shingles in
           |-- >1000 docs carry no similarity signal and are dropped from BOTH
           |-- the join and the per-doc set sizes (exact metric over the
-          |-- informative-shingle universe)
+          |-- informative-shingle universe); sh/shg MATERIALIZE (multi-
+          |-- referenced — DuckDB inlining re-expands the posting unnest)
           |), hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
-          |), shg AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), shg AS MATERIALIZED (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
           |), cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
           |pairs AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -164,7 +165,7 @@ object DedupQueries {
         """WITH RECURSIVE tok AS (
           |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
           |  FROM documents
-          |), sh AS (
+          |), sh AS MATERIALIZED (
           |  SELECT DISTINCT doc_id,
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
@@ -172,9 +173,10 @@ object DedupQueries {
           |-- the engine's maxShingleDf=1000 skew guard, mirrored: shingles in
           |-- >1000 docs carry no similarity signal and are dropped from BOTH
           |-- the join and the per-doc set sizes (exact metric over the
-          |-- informative-shingle universe)
+          |-- informative-shingle universe); sh/shg MATERIALIZE (multi-
+          |-- referenced — DuckDB inlining re-expands the posting unnest)
           |), hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
-          |), shg AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), shg AS MATERIALIZED (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
           |), cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
           |cand AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -208,7 +210,7 @@ object DedupQueries {
         """WITH RECURSIVE tok AS (
           |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
           |  FROM documents
-          |), sh AS (
+          |), sh AS MATERIALIZED (
           |  SELECT DISTINCT doc_id,
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
@@ -216,9 +218,10 @@ object DedupQueries {
           |-- the engine's maxShingleDf=1000 skew guard, mirrored: shingles in
           |-- >1000 docs carry no similarity signal and are dropped from BOTH
           |-- the join and the per-doc set sizes (exact metric over the
-          |-- informative-shingle universe)
+          |-- informative-shingle universe); sh/shg MATERIALIZE (multi-
+          |-- referenced — DuckDB inlining re-expands the posting unnest)
           |), hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
-          |), shg AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), shg AS MATERIALIZED (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
           |), cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
           |cand AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -299,7 +302,7 @@ object DedupQueries {
         """WITH tok AS (
           |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
           |  FROM documents
-          |), sh AS (
+          |), sh AS MATERIALIZED (
           |  SELECT DISTINCT doc_id,
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
@@ -309,7 +312,7 @@ object DedupQueries {
           |-- shingles dropped from the corpus sets and the common join
           |), hot AS (SELECT s FROM sh WHERE doc_id >= 5
           |           GROUP BY s HAVING count(*) > 1000
-          |), shc AS (SELECT doc_id, s FROM sh
+          |), shc AS MATERIALIZED (SELECT doc_id, s FROM sh
           |           WHERE doc_id >= 5 AND s NOT IN (SELECT s FROM hot)
           |), cntq AS (SELECT doc_id, count(*) AS n FROM sh
           |            WHERE doc_id < 5 GROUP BY doc_id),
@@ -536,7 +539,7 @@ object DedupQueries {
         """WITH RECURSIVE tok AS (
           |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
           |  FROM documents
-          |), sh AS (
+          |), sh AS MATERIALIZED (
           |  SELECT DISTINCT doc_id,
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
@@ -544,9 +547,10 @@ object DedupQueries {
           |-- the engine's maxShingleDf=1000 skew guard, mirrored: shingles in
           |-- >1000 docs carry no similarity signal and are dropped from BOTH
           |-- the join and the per-doc set sizes (exact metric over the
-          |-- informative-shingle universe)
+          |-- informative-shingle universe); sh/shg MATERIALIZE (multi-
+          |-- referenced — DuckDB inlining re-expands the posting unnest)
           |), hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
-          |), shg AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), shg AS MATERIALIZED (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
           |), cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
           |cand AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -687,7 +691,7 @@ object DedupQueries {
         """WITH tok AS (
           |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
           |  FROM documents
-          |), sh AS (
+          |), sh AS MATERIALIZED (
           |  SELECT DISTINCT doc_id,
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
@@ -695,9 +699,10 @@ object DedupQueries {
           |-- the engine's maxShingleDf=1000 skew guard, mirrored: shingles in
           |-- >1000 docs carry no similarity signal and are dropped from BOTH
           |-- the join and the per-doc set sizes (exact metric over the
-          |-- informative-shingle universe)
+          |-- informative-shingle universe); sh/shg MATERIALIZE (multi-
+          |-- referenced — DuckDB inlining re-expands the posting unnest)
           |), hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
-          |), shg AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), shg AS MATERIALIZED (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
           |), cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
           |cand AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common

@@ -36,41 +36,41 @@ object GraphQueries {
           .orderBy("id")
       },
       Some(
-        """WITH base AS (
+        """WITH base AS MATERIALIZED (
           |  SELECT 's' || l_suppkey::VARCHAR AS sup, 'c' || o_custkey::VARCHAR AS cust
           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          |e AS (SELECT sup AS src, cust AS dst FROM base
+          |e AS MATERIALIZED (SELECT sup AS src, cust AS dst FROM base
           |      UNION SELECT cust, sup FROM base),
-          |nodes AS (SELECT DISTINCT src AS id FROM e),
+          |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-          |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+          |od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
           |       FROM e GROUP BY src),
-          |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
-          |r1 AS (SELECT nodes.id,
+          |r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+          |r1 AS MATERIALIZED (SELECT nodes.id,
           |         (SELECT (1 - 0.85) / n FROM nn) + 0.85 * COALESCE(x.sm, 0.0) AS r
           |       FROM nodes LEFT JOIN (
           |         SELECT e.dst AS id, sum(p.r / od.outdeg) AS sm
           |         FROM e JOIN r0 p ON p.id = e.src JOIN od ON od.src = e.src
           |         GROUP BY e.dst) x ON x.id = nodes.id),
-          |r2 AS (SELECT nodes.id,
+          |r2 AS MATERIALIZED (SELECT nodes.id,
           |         (SELECT (1 - 0.85) / n FROM nn) + 0.85 * COALESCE(x.sm, 0.0) AS r
           |       FROM nodes LEFT JOIN (
           |         SELECT e.dst AS id, sum(p.r / od.outdeg) AS sm
           |         FROM e JOIN r1 p ON p.id = e.src JOIN od ON od.src = e.src
           |         GROUP BY e.dst) x ON x.id = nodes.id),
-          |r3 AS (SELECT nodes.id,
+          |r3 AS MATERIALIZED (SELECT nodes.id,
           |         (SELECT (1 - 0.85) / n FROM nn) + 0.85 * COALESCE(x.sm, 0.0) AS r
           |       FROM nodes LEFT JOIN (
           |         SELECT e.dst AS id, sum(p.r / od.outdeg) AS sm
           |         FROM e JOIN r2 p ON p.id = e.src JOIN od ON od.src = e.src
           |         GROUP BY e.dst) x ON x.id = nodes.id),
-          |r4 AS (SELECT nodes.id,
+          |r4 AS MATERIALIZED (SELECT nodes.id,
           |         (SELECT (1 - 0.85) / n FROM nn) + 0.85 * COALESCE(x.sm, 0.0) AS r
           |       FROM nodes LEFT JOIN (
           |         SELECT e.dst AS id, sum(p.r / od.outdeg) AS sm
           |         FROM e JOIN r3 p ON p.id = e.src JOIN od ON od.src = e.src
           |         GROUP BY e.dst) x ON x.id = nodes.id),
-          |r5 AS (SELECT nodes.id,
+          |r5 AS MATERIALIZED (SELECT nodes.id,
           |         (SELECT (1 - 0.85) / n FROM nn) + 0.85 * COALESCE(x.sm, 0.0) AS r
           |       FROM nodes LEFT JOIN (
           |         SELECT e.dst AS id, sum(p.r / od.outdeg) AS sm
@@ -97,14 +97,17 @@ object GraphQueries {
         """WITH tok AS (
           |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
           |  FROM documents
-          |), sh AS (
+          |), sh AS MATERIALIZED (
           |  SELECT DISTINCT doc_id,
           |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           |            for i in generate_series(1, len(w)-2)]) AS s
           |  FROM tok
-          |-- the engine's maxShingleDf=1000 skew guard, mirrored (see d3)
+          |-- the engine's maxShingleDf=1000 skew guard, mirrored (see d3);
+          |-- sh/shg are multi-referenced, so they MATERIALIZE (DuckDB
+          |-- inlines CTEs: concurrent re-expansions of the posting unnest
+          |-- spilled past the 30GB temp cap at sf1)
           |), hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
-          |), shg AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+          |), shg AS MATERIALIZED (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
           |), cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
           |cand AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
