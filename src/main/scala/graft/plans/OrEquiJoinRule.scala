@@ -62,17 +62,22 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   *    it). Unmatched groups report count 0 / null min-max-sum — exactly
   *    the left-outer + aggregate semantics.
   *
-  * Every stage is |left|- or |right|-sized PROVIDED the user wrote the
-  * exploding (low-selectivity) predicate FIRST — branch 0 is the only
-  * residual-free branch, so it is the only one whose right side can
-  * pre-aggregate; a later exploding predicate keeps its pair-sized
-  * branch join (the [[graft.operators.OrEquiJoin.leftOrJoinAgg]]
-  * contract, same ordering guidance). An order-free form exists for
-  * count/sum-only consumers (inclusion–exclusion over predicate
-  * subsets, every term pre-aggregable) but breaks min/max and grows
-  * 2^n terms; not implemented — choosing branch 0 by measured
-  * selectivity would need plan-time data stats, which the §4
-  * no-plan-time-jobs law forbids.
+  * Plan shape by consumer: for TWO predicates whose aggregates are all
+  * count/sum/avg, the rewrite uses INCLUSION–EXCLUSION —
+  * `agg(p1 OR p2) = agg(p1) + agg(p2) − agg(p1 AND p2)`, every term's
+  * right side pre-aggregated on its key(s) — so every stage is |left|-
+  * or |right|-bounded NO MATTER which predicate is the exploding one
+  * (order-robust; gated by q83 with the exploding predicate written
+  * second). min/max admit no inclusion–exclusion and n≥3 grows 2^n−1
+  * terms, so those take the branch-partition form, where only branch 0
+  * (the sole residual-free branch) pre-aggregates: there the
+  * |left|/|right| bound holds PROVIDED the exploding predicate is
+  * written FIRST (the [[graft.operators.OrEquiJoin.leftOrJoinAgg]]
+  * contract; picking branch 0 by measured selectivity would need
+  * plan-time data stats, which the §4 no-plan-time-jobs law forbids).
+  * Outputs may wrap aggregates in deterministic scalar expressions
+  * (`CAST(SUM(x) AS DOUBLE)`, shared calls, arithmetic) — the merge is
+  * substituted per aggregate CALL inside the output's own shape.
   *
   * The rewrite keeps the original output attribute ids (group attrs
   * pass through branch 0's untouched `left`; aggregate aliases are
@@ -191,7 +196,7 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private case object MaxK extends AggKind
   private case object AvgK extends AggKind
 
-  private case class AggOut(alias: Alias, kind: AggKind, arg: Expression)
+  private case class AggOut(kind: AggKind, arg: Expression)
 
   /** Primitive partials one output decomposes into: avg carries TWO
     * (sum, count) — the same (sum, count) device the MV rule serves
@@ -223,24 +228,17 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
     val groupSet = AttributeSet(groupAttrs)
 
-    // Classify each output: a group attribute (possibly aliased), or a
-    // supported aggregate whose argument evaluates on `right` alone.
+    // Distinct supported aggregate calls across ALL outputs (outputs may
+    // wrap them in scalar arithmetic — `CAST(SUM(x) AS DOUBLE)` is this
+    // repo's own decimal-exactness idiom — and may share one call).
     // count(*)/count(1) is NOT decomposable this way (unmatched left rows
     // count 1 there, not 0) — the nonEmpty-references guard excludes it.
-    val outs: Seq[Either[NamedExpression, AggOut]] = a.aggregateExpressions.map {
-      case at: Attribute if groupSet.contains(at) => scala.Left(at)
-      case al @ Alias(at: Attribute, _) if groupSet.contains(at) => scala.Left(al)
-      // constant outputs (CollapseProject folds literal columns from a
-      // parent select INTO the aggregate list): reference nothing, so
-      // they pass through the final projection unchanged — rejecting
-      // them silently demoted q82's plan to the pair-materializing
-      // rewrite (34s vs 1.2s at sf1)
-      case al @ Alias(e, _)
-          if e.deterministic && e.references.isEmpty &&
-            !e.exists(_.isInstanceOf[AggregateExpression]) =>
-        scala.Left(al)
-      case al @ Alias(AggregateExpression(fn, _, false, None, _), _) =>
-        val kindArg = fn match {
+    val units = scala.collection.mutable.ArrayBuffer[(AggregateExpression, AggKind, Expression)]()
+    def unitFor(ae: AggregateExpression): Option[Int] = {
+      val existing = units.indexWhere(_._1.semanticEquals(ae))
+      if (existing >= 0) return Some(existing)
+      val kindArg = ae match {
+        case AggregateExpression(fn, _, false, None, _) => fn match {
           case Count(Seq(e)) => Some((CountK, e))
           case Sum(e, _)     => Some((SumK, e))
           case Min(e)        => Some((MinK, e))
@@ -252,16 +250,46 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             Some((AvgK, e))
           case _             => None
         }
-        kindArg match {
-          case Some((k, e))
-              if e.deterministic && e.references.nonEmpty &&
-                e.references.subsetOf(right.outputSet) =>
-            scala.Right(AggOut(al, k, e))
-          case _ => return None
+        case _ => None
+      }
+      kindArg match {
+        case Some((k, e))
+            if e.deterministic && e.references.nonEmpty &&
+              e.references.subsetOf(right.outputSet) =>
+          units += ((ae, k, e)); Some(units.length - 1)
+        case _ => None
+      }
+    }
+    // attributes an output references OUTSIDE its aggregate calls — these
+    // must be group attrs (the aggregate args themselves are right-side)
+    def outerRefs(e: Expression): AttributeSet = e match {
+      case _: AggregateExpression => AttributeSet.empty
+      case at: Attribute          => AttributeSet(at)
+      case other =>
+        other.children.foldLeft(AttributeSet.empty)(_ ++ outerRefs(_))
+    }
+
+    // Classify each output: a group attribute (possibly aliased), a
+    // constant (CollapseProject folds parent literal columns in — the r15
+    // q82 demotion bug), or a deterministic expression over supported
+    // aggregates and group attrs.
+    val outs: Seq[Either[NamedExpression, Alias]] = a.aggregateExpressions.map {
+      case at: Attribute if groupSet.contains(at) => scala.Left(at)
+      case al @ Alias(at: Attribute, _) if groupSet.contains(at) => scala.Left(al)
+      case al @ Alias(e, _) =>
+        val aes = e.collect { case ae: AggregateExpression => ae }
+        if (aes.isEmpty) {
+          if (e.deterministic && e.references.isEmpty) scala.Left(al)
+          else return None
+        } else {
+          if (!e.deterministic) return None
+          if (aes.exists(ae => unitFor(ae).isEmpty)) return None
+          if (!outerRefs(e).subsetOf(groupSet)) return None
+          scala.Right(al)
         }
       case _ => return None
     }
-    val aggs = outs.collect { case scala.Right(x) => x }
+    val aggs = units.toSeq.map { case (_, k, e) => AggOut(k, e) }
     if (aggs.isEmpty) return None
 
     // Normalize each disjunct to (leftKeyExpr, rightKeyExpr).
@@ -300,103 +328,177 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // Per-branch partial type: what ONE level of the primitive yields.
     val partialTypes = flatPrims.map { case (p, e) => fresh(p, e).dataType }
 
-    // ---- branch 0: residual-free, so `right` pre-aggregates to one
-    // partial row per distinct first-predicate key BEFORE joining left.
-    val (l0, r0) = pairs.head
-    val keyAlias = Alias(r0, "__orj_k0")()
-    val preAliases = flatPrims.zipWithIndex.map { case ((p, e), i) =>
-      Alias(agg(fresh(p, e)), s"__orj_p0_$i")()
-    }
-    val pre = Aggregate(Seq(r0), keyAlias +: preAliases, right)
-    // Rows of `right` with a null key form a null pre-agg group that the
-    // EqualTo join condition never matches — same as the OR join, where
-    // a null key satisfies no predicate.
-    val join0 = Join(left, pre, LeftOuter,
-      Some(EqualTo(l0, keyAlias.toAttribute)), JoinHint.NONE)
-    val b0Aliases = flatPrims.zipWithIndex.map { case ((p, _), i) =>
-      Alias(sameType(agg(merge(p, preAliases(i).toAttribute)),
-        partialTypes(i)), s"__orj_b0_$i")()
-    }
-    val b0 = Aggregate(groupAttrs, (groupAttrs: Seq[NamedExpression]) ++ b0Aliases, join0)
-
-    // ---- branches 1..n-1: residuals reference left columns, so these
-    // stay real joins — sized by their own predicate's selectivity — but
-    // aggregate IMMEDIATELY, before any merge. Both sides are freshened:
-    // the merge joins below would otherwise self-join duplicate ids.
-    val parts = preds.indices.drop(1).map { k =>
-      val (fl, lm) = freshen(left)
-      val (fr, rm) = freshen(right)
-      def remap(e: Expression): Expression = e.transform {
-        case at: Attribute => rm.getOrElse(at, lm.getOrElse(at, at))
+    // One PRE-AGGREGATED term: `right` rolled up to one partial row per
+    // (composite) join key BEFORE touching `left` — rows of `right` with
+    // a null key form a null pre-agg group the EqualTo condition never
+    // matches, same as the OR join where a null key satisfies no
+    // predicate — then joined and merged per group. `freshSides` re-ids
+    // both subplans (the cross-term merge joins would otherwise
+    // self-join duplicate ids); term 0 keeps the ORIGINAL left so the
+    // group attrs' ids flow to the final projection unchanged.
+    def preAggTerm(keyIdx: Seq[Int], tag: String, freshSides: Boolean,
+                   joinType: org.apache.spark.sql.catalyst.plans.JoinType)
+        : (LogicalPlan, Seq[Attribute], Seq[Alias]) = {
+      val (l, lm) =
+        if (freshSides) freshen(left) else (left, AttributeMap.empty[Attribute])
+      val (r, rm) =
+        if (freshSides) freshen(right) else (right, AttributeMap.empty[Attribute])
+      def remapR(e: Expression): Expression =
+        e.transform { case at: Attribute => rm.getOrElse(at, at) }
+      def remapL(e: Expression): Expression =
+        e.transform { case at: Attribute => lm.getOrElse(at, at) }
+      val keyAliases = keyIdx.zipWithIndex.map { case (ki, j) =>
+        Alias(remapR(pairs(ki)._2), s"__orj_${tag}_k$j")()
       }
-      val cond = And(remap(preds(k)), remap(notYet(preds.take(k)).get))
-      val jk = Join(fl, fr, Inner, Some(cond), JoinHint.NONE)
-      val gk = groupAttrs.map(lm(_))
-      val partAliases = flatPrims.zipWithIndex.map { case ((p, e), i) =>
-        Alias(agg(fresh(p, remap(e))), s"__orj_b${k}_$i")()
+      val preAliases = flatPrims.zipWithIndex.map { case ((p, e), i) =>
+        Alias(agg(fresh(p, remapR(e))), s"__orj_${tag}_p$i")()
       }
-      (Aggregate(gk, (gk: Seq[NamedExpression]) ++ partAliases, jk), gk, partAliases)
+      val pre = Aggregate(keyIdx.map(ki => remapR(pairs(ki)._2)),
+        keyAliases ++ preAliases, r)
+      val cond = keyIdx.zip(keyAliases).map { case (ki, ka) =>
+        EqualTo(remapL(pairs(ki)._1), ka.toAttribute): Expression
+      }.reduce(And)
+      val joined = Join(l, pre, joinType, Some(cond), JoinHint.NONE)
+      val gk = groupAttrs.map(g => lm.getOrElse(g, g))
+      val mergeAliases = flatPrims.zipWithIndex.map { case ((p, _), i) =>
+        Alias(sameType(agg(merge(p, preAliases(i).toAttribute)),
+          partialTypes(i)), s"__orj_${tag}_m$i")()
+      }
+      (Aggregate(gk, (gk: Seq[NamedExpression]) ++ mergeAliases, joined), gk,
+        mergeAliases)
     }
 
-    // ---- merge: b0's group set is complete (its left join saw every
-    // left row); later partials attach with null-safe left joins.
-    val merged = parts.foldLeft(b0: LogicalPlan) { case (acc, (bk, gk, _)) =>
+    def attach(acc: LogicalPlan, t: LogicalPlan, gk: Seq[Attribute]): LogicalPlan = {
       val cond = groupAttrs.zip(gk)
         .map { case (g, gg) => EqualNullSafe(g, gg): Expression }
         .reduce(And)
-      Join(acc, bk, LeftOuter, Some(cond), JoinHint.NONE)
+      Join(acc, t, LeftOuter, Some(cond), JoinHint.NONE)
     }
+
+    // ---- plan shape choice -------------------------------------------
+    // For TWO predicates with count/sum/avg-only consumers, inclusion–
+    // exclusion is strictly better: agg(p1 OR p2) = agg(p1) + agg(p2) −
+    // agg(p1 AND p2), every term pre-aggregable on its key(s), so the
+    // plan is |left|/|right|-bounded NO MATTER which predicate explodes
+    // — the branch form's "write the exploding predicate first" contract
+    // disappears. min/max admit no inclusion–exclusion, and n≥3 grows
+    // 2^n−1 terms, so those keep the branch-partition form (whose only
+    // residual-free — hence pre-aggregable — branch is the FIRST).
+    val ieEligible = preds.length == 2 && aggs.forall(a =>
+      a.kind == CountK || a.kind == SumK || a.kind == AvgK)
+
+    val (merged: LogicalPlan, slot: (Int => Seq[Expression])) =
+      if (ieEligible) {
+        val (tA, _, mA) = preAggTerm(Seq(0), "iea", freshSides = false, LeftOuter)
+        val (tB, gB, mB) = preAggTerm(Seq(1), "ieb", freshSides = true, Inner)
+        val (tAB, gAB, mAB) = preAggTerm(Seq(0, 1), "ieab", freshSides = true, Inner)
+        // term A's left join saw every left row — complete group set;
+        // B and A∧B attach with null-safe left joins
+        val m = attach(attach(tA, tB, gB), tAB, gAB)
+        (m, (j: Int) => Seq(mA(j), mB(j), mAB(j))
+          .map(_.toAttribute.withNullability(true)))
+      } else {
+        // ---- branch 0: residual-free, so `right` pre-aggregates to one
+        // partial row per distinct first-predicate key.
+        val (b0, _, b0Aliases) =
+          preAggTerm(Seq(0), "b0", freshSides = false, LeftOuter)
+        // ---- branches 1..n-1: residuals reference left columns, so
+        // these stay real joins — sized by their own predicate's
+        // selectivity — but aggregate IMMEDIATELY, before any merge.
+        val parts = preds.indices.drop(1).map { k =>
+          val (fl, lm) = freshen(left)
+          val (fr, rm) = freshen(right)
+          def remap(e: Expression): Expression = e.transform {
+            case at: Attribute => rm.getOrElse(at, lm.getOrElse(at, at))
+          }
+          val cond = And(remap(preds(k)), remap(notYet(preds.take(k)).get))
+          val jk = Join(fl, fr, Inner, Some(cond), JoinHint.NONE)
+          val gk = groupAttrs.map(lm(_))
+          val partAliases = flatPrims.zipWithIndex.map { case ((p, e), i) =>
+            Alias(agg(fresh(p, remap(e))), s"__orj_b${k}_$i")()
+          }
+          (Aggregate(gk, (gk: Seq[NamedExpression]) ++ partAliases, jk), gk,
+            partAliases)
+        }
+        // b0's group set is complete (its left join saw every left row)
+        val m = parts.foldLeft(b0: LogicalPlan) { case (acc, (bk, gk, _)) =>
+          attach(acc, bk, gk)
+        }
+        (m, (j: Int) => b0Aliases(j).toAttribute.withNullability(true) +:
+          parts.map(_._3(j).toAttribute.withNullability(true)))
+      }
 
     // ---- final projection: original output names AND exprIds, so parent
     // operators resolve unchanged.
+    // Partials referenced here sit on the RIGHT of the LeftOuter merge
+    // joins, so they are nullable HERE even when the term aggregate
+    // output is not (count is non-nullable below the join) — `slot`
+    // re-marks them nullable; claiming the pre-join nullability would
+    // let NullPropagation fold away the Coalesce/IsNull guards and
+    // corrupt unmatched groups.
+    // Decimal Add/Subtract widen precision per node and BinaryOperator
+    // wants same-typed children, so every arithmetic step casts back to
+    // the common partial type (the same p+10 accumulator Sum itself
+    // uses).
+    def addSame(x: Expression, y: Expression): Expression =
+      sameType(Add(x, y), x.dataType)
+    def subSame(x: Expression, y: Expression): Expression =
+      sameType(Subtract(x, y), x.dataType)
+    def czero(p: Expression): Expression =
+      Coalesce(Seq(p, Literal.default(p.dataType)))
+    // count is never null: missing partials are 0. In IE mode the third
+    // slot is the A∧B overlap, SUBTRACTED once.
+    def countTotal(ps: Seq[Expression]): Expression =
+      if (ieEligible) subSame(addSame(czero(ps(0)), czero(ps(1))), czero(ps(2)))
+      else ps.map(czero).reduce(addSame)
+    // SQL sum: null iff every additive partial is null (in IE mode the
+    // overlap term is a subset of term A, so A,B both null forces it
+    // null too — the guard over the additive terms is complete).
+    def sumTotal(ps: Seq[Expression], dt: org.apache.spark.sql.types.DataType): Expression = {
+      val additive = if (ieEligible) ps.take(2) else ps
+      val total =
+        if (ieEligible) subSame(addSame(czero(ps(0)), czero(ps(1))), czero(ps(2)))
+        else additive.map(czero).reduce(addSame)
+      If(IsNull(Coalesce(additive)), Literal.create(null, dt),
+        sameType(total, dt))
+    }
+    // The cross-term merge of unit i, typed EXACTLY as the original
+    // aggregate call so any scalar expression wrapped around it (casts,
+    // arithmetic) still type-checks unchanged.
+    def mergedUnit(i: Int): Expression = {
+      val (ae, kind, _) = units(i)
+      val partials = slot(offsets(i))
+      val merged: Expression = kind match {
+        case CountK => countTotal(partials)
+        case SumK   => sumTotal(partials, ae.dataType)
+        case MinK   => Least(partials)
+        case MaxK   => Greatest(partials)
+        case AvgK   =>
+          // avg = merged sum / merged count, the MV rule's (sum, count)
+          // device; non-decimal only, so the result type is double and
+          // the division is Average.evaluateExpression's own shape.
+          val cnt = countTotal(slot(offsets(i) + 1))
+          val sum = sumTotal(partials, partials.head.dataType)
+          If(EqualTo(cnt, Literal(0L)),
+            Literal.create(null, ae.dataType),
+            Divide(Cast(sum, ae.dataType),
+              Cast(cnt, ae.dataType), EvalMode.LEGACY))
+      }
+      sameType(merged, ae.dataType)
+    }
+
+    // ---- final projection: each output expression keeps its scalar
+    // shape; every aggregate CALL inside it is substituted with its
+    // cross-branch merge. Original names AND exprIds are preserved, so
+    // parent operators resolve unchanged.
     val finalOuts: Seq[NamedExpression] = outs.map {
       case scala.Left(ne) => ne
-      case scala.Right(ao) =>
-        val i = aggs.indexOf(ao)
-        // Branch partials sit on the RIGHT of the LeftOuter merge joins,
-        // so they are nullable HERE even when the branch aggregate output
-        // is not (count is non-nullable below the join). Claiming the
-        // pre-join nullability would let NullPropagation fold away the
-        // Coalesce/IsNull guards and corrupt unmatched groups.
-        def slot(j: Int): Seq[Expression] =
-          b0Aliases(j).toAttribute.withNullability(true) +:
-            parts.map(_._3(j).toAttribute.withNullability(true))
-        val partials = slot(offsets(i))
-        // count is never null: missing partials are 0.
-        def countTotal(ps: Seq[Expression]): Expression =
-          ps.map(p => Coalesce(Seq(p, Literal(0L))): Expression)
-            .reduce(Add(_, _))
-        // SQL sum: null iff every branch partial is null.
-        def sumTotal(ps: Seq[Expression], dt: org.apache.spark.sql.types.DataType): Expression = {
-          val zero = Literal.default(ps.head.dataType)
-          val total = ps
-            .map(p => Coalesce(Seq(p, zero)): Expression).reduce(Add(_, _))
-          If(IsNull(Coalesce(ps)), Literal.create(null, dt),
-            sameType(total, dt))
+      case scala.Right(al) =>
+        val rewritten = al.child.transform {
+          case ae: AggregateExpression =>
+            mergedUnit(units.indexWhere(_._1.semanticEquals(ae)))
         }
-        val mergedExpr: Expression = ao.kind match {
-          case CountK => countTotal(partials)
-          case SumK   => sumTotal(partials, ao.alias.dataType)
-          case MinK   => Least(partials)
-          case MaxK   => Greatest(partials)
-          case AvgK   =>
-            // avg = merged sum / merged count, the MV rule's (sum, count)
-            // device; non-decimal only, so the result type is double and
-            // the division is Average.evaluateExpression's own shape.
-            val sums = partials
-            val cnts = slot(offsets(i) + 1)
-            val cnt = countTotal(cnts)
-            val sum = sumTotal(sums, sums.head.dataType)
-            If(EqualTo(cnt, Literal(0L)),
-              Literal.create(null, ao.alias.dataType),
-              Divide(Cast(sum, ao.alias.dataType),
-                Cast(cnt, ao.alias.dataType), EvalMode.LEGACY))
-        }
-        val cast = ao.kind match {
-          case CountK => sameType(mergedExpr, LongType)
-          case _      => sameType(mergedExpr, ao.alias.dataType)
-        }
-        Alias(cast, ao.alias.name)(exprId = ao.alias.exprId)
+        Alias(rewritten, al.name)(exprId = al.exprId)
     }
     Some(Project(finalOuts, merged))
   }

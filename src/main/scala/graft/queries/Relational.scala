@@ -285,6 +285,43 @@ object Relational {
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
       headline = true),
 
+    // ---- the ORDER-ROBUST automatic plan: exploding predicate SECOND --
+    // q08/q82 write the exploding 25-value nationkey predicate first (the
+    // branch form's contract). This gate writes it SECOND — the shape
+    // that used to be the last reachable scale cliff — with count/sum
+    // consumers, so the rule's inclusion–exclusion plan fires:
+    // agg(p1 OR p2) = agg(p1) + agg(p2) − agg(p1 AND p2), every term's
+    // supplier side pre-aggregated on its key(s). All three terms are
+    // |customer|- or |supplier|-bounded regardless of predicate order.
+    // Plan shape is hash-gated exactly like q82.
+    "q83_or_join_worst_order" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+            |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            |FROM customer LEFT JOIN supplier
+            |  ON c_name = s_name OR c_nationkey = s_nationkey
+            |GROUP BY c_custkey""".stripMargin)
+        def decorate(eager: Boolean) =
+          df.select(col("c_custkey"), col("n_match"), col("bal"),
+              lit(eager).as("plan_eager"))
+            .orderBy("c_custkey")
+        val plan = decorate(eager = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("Union"))
+      },
+      """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  TRUE AS plan_eager
+        |FROM customer LEFT JOIN supplier
+        |  ON c_name = s_name OR c_nationkey = s_nationkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
     // ---- ranking window: per-nation top-3 by balance -------------------
     "q09_window_rank" -> Q(
       (s, dir) => {

@@ -197,6 +197,83 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("agg rule: scalar arithmetic around aggregates rewrites through") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // the repo's own decimal-exactness idiom — CAST(SUM(DECIMAL) AS
+    // DOUBLE) — plus arithmetic over a SHARED aggregate call: all must
+    // take the eager plan, with the merge substituted INSIDE the scalar
+    // expression shape
+    def q() = naiveOrJoin().groupBy("c_custkey")
+      .agg((count(col("s_suppkey")) * 2 + 1).as("n2x"),
+        sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("bal"),
+        (count(col("s_suppkey")) + count(col("s_suppkey"))).as("n_twice"))
+    val expected = canon(q())
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("agg rule: 2-pred count/sum/avg is ORDER-ROBUST (inclusion–exclusion plan)") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // WORST order: the exploding 25-value nationkey predicate written
+    // SECOND. The branch form would materialize the quadratic pair set
+    // in branch 1; the IE plan pre-aggregates all three terms on their
+    // keys, so no join output exceeds |left| rows regardless of order.
+    val lk = Lake(spark, sf0001)
+    def q() = lk.customer.join(lk.supplier,
+        col("c_name") === col("s_name") ||
+          col("c_nationkey") === col("s_nationkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("s_suppkey")).as("n_match"),
+        sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("bal"),
+        avg(col("s_acctbal")).as("avg_bal"))
+    val expected = canon(q())
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("agg rule IE law: null keys, null groups, unmatched lefts, overlap pairs") {
+    import spark.implicits._
+    // rows matching BOTH predicates exercise the subtracted overlap term
+    val left = Seq(
+      (Some(1L), Some(5L), Some("x")),   // k1=5 AND k2='x' both match r1
+      (Some(1L), Some(6L), None),
+      (Some(2L), None, Some("y")),
+      (None, Some(5L), Some("zz")),
+      (Some(3L), None, None)
+    ).toDF("g", "k1", "k2")
+    val right = Seq(
+      (Some(5L), Some("x"), Some(100L)), // satisfies both preds vs row 1
+      (Some(5L), Some("y"), None),
+      (Some(6L), Some("y"), Some(300L)),
+      (None, Some("x"), Some(400L))
+    ).toDF("r1", "r2", "v")
+    for (preds <- Seq(
+        col("k1") === col("r1") || col("k2") === col("r2"),
+        col("k2") === col("r2") || col("k1") === col("r1"))) {
+      def q() = left.join(right, preds, "left").groupBy("g")
+        .agg(count(col("v")).as("n"), sum(col("v")).as("s"),
+          avg(col("v")).as("a"))
+      val expected = canon(q())
+      withRule(on = true) {
+        val df = q()
+        assert(!df.queryExecution.executedPlan.toString.contains("Union"))
+        assert(canon(df) === expected, s"preds=$preds")
+      }
+    }
+  }
+
   test("agg rule: count(*) is NOT eager-aggregated (falls back to join rewrite)") {
     // count(*) counts unmatched left rows as 1, which branch partials
     // cannot reconstruct — the rule must leave the aggregate alone and
