@@ -62,19 +62,30 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   *    it). Unmatched groups report count 0 / null min-max-sum — exactly
   *    the left-outer + aggregate semantics.
   *
-  * Plan shape by consumer: for TWO predicates whose aggregates are all
-  * count/sum/avg, the rewrite uses INCLUSION–EXCLUSION —
-  * `agg(p1 OR p2) = agg(p1) + agg(p2) − agg(p1 AND p2)`, every term's
-  * right side pre-aggregated on its key(s) — so every stage is |left|-
-  * or |right|-bounded NO MATTER which predicate is the exploding one
-  * (order-robust; gated by q83 with the exploding predicate written
-  * second). min/max admit no inclusion–exclusion and n≥3 grows 2^n−1
-  * terms, so those take the branch-partition form, where only branch 0
-  * (the sole residual-free branch) pre-aggregates: there the
-  * |left|/|right| bound holds PROVIDED the exploding predicate is
-  * written FIRST (the [[graft.operators.OrEquiJoin.leftOrJoinAgg]]
-  * contract; picking branch 0 by measured selectivity would need
-  * plan-time data stats, which the §4 no-plan-time-jobs law forbids).
+  * Plan shape by consumer, in preference order:
+  *
+  *  1. ALL-min/max consumers: min/max ignore multiplicity and overlap,
+  *     so `min(p1 OR .. OR pn) = LEAST` over n PER-PREDICATE terms,
+  *     each term's right side pre-aggregated on its own key — n terms
+  *     for ANY n and ANY predicate order (order-robust; gated by q84
+  *     with the exploding predicate written second).
+  *  2. TWO predicates with count/sum/avg present (min/max may mix in):
+  *     INCLUSION–EXCLUSION — `agg(p1 OR p2) = agg(p1) + agg(p2) −
+  *     agg(p1 AND p2)`, every term's right side pre-aggregated on its
+  *     key(s); min/max units read LEAST/GREATEST of the two
+  *     per-predicate terms and skip the subtractive overlap term. Every
+  *     stage is |left|- or |right|-bounded NO MATTER which predicate is
+  *     the exploding one (order-robust; gated by q83 with the exploding
+  *     predicate written second).
+  *  3. n≥3 predicates with count/sum/avg consumers: IE would grow
+  *     2^n−1 terms, so the branch-partition form remains, where only
+  *     branch 0 (the sole residual-free branch) pre-aggregates: there
+  *     the |left|/|right| bound holds PROVIDED the exploding predicate
+  *     is written FIRST — the ONLY order-sensitive case left (the
+  *     [[graft.operators.OrEquiJoin.leftOrJoinAgg]] contract; picking
+  *     branch 0 by measured selectivity would need plan-time data
+  *     stats, which the §4 no-plan-time-jobs law forbids).
+  *
   * Outputs may wrap aggregates in deterministic scalar expressions
   * (`CAST(SUM(x) AS DOUBLE)`, shared calls, arithmetic) — the merge is
   * substituted per aggregate CALL inside the output's own shape.
@@ -120,15 +131,47 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Fresh copy of a subplan: new expression ids throughout, plus the
-    * old-output -> new-output attribute map for condition remapping. */
+    * old-output -> new-output attribute map for condition remapping.
+    *
+    * Relations re-id via `MultiInstanceRelation.newInstance` (the
+    * analyzer's own self-join device), but that alone leaves any
+    * ALIAS-defined attribute — a `withColumn`-computed join or group
+    * key — carrying its original exprId into the "fresh" copy, and the
+    * agg rewrite JOINS fresh subplans against the originals, where a
+    * shared id makes the merge-join condition ambiguous. So aliases
+    * defined by Project/Aggregate/Window nodes are re-issued too;
+    * rarer alias-definers (Generate, Expand, ...) are caught by the
+    * [[rewriteAgg]] full-freshen bail-out. */
   private def freshen(p: LogicalPlan): (LogicalPlan, AttributeMap[Attribute]) = {
+    def reAlias(list: Seq[NamedExpression]): Seq[NamedExpression] = list.map {
+      case al: Alias => al.newInstance().asInstanceOf[NamedExpression]
+      case o         => o
+    }
+    def changed(old: Seq[Attribute], now: Seq[Attribute]) =
+      old.zip(now).filter { case (o, n) => o.exprId != n.exprId }
     val fresh = p.transformUpWithNewOutput {
       case m: MultiInstanceRelation =>
         val f = m.newInstance().asInstanceOf[LogicalPlan]
         (f, m.asInstanceOf[LogicalPlan].output.zip(f.output))
+      case pr: Project if pr.projectList.exists(_.isInstanceOf[Alias]) =>
+        val np = pr.copy(projectList = reAlias(pr.projectList))
+        (np, changed(pr.output, np.output))
+      case ag: Aggregate if ag.aggregateExpressions.exists(_.isInstanceOf[Alias]) =>
+        val na = ag.copy(aggregateExpressions = reAlias(ag.aggregateExpressions))
+        (na, changed(ag.output, na.output))
+      case w: Window if w.windowExpressions.exists(_.isInstanceOf[Alias]) =>
+        val nw = w.copy(windowExpressions = reAlias(w.windowExpressions))
+        (nw, changed(w.output, nw.output))
     }
     (fresh, AttributeMap(p.output.zip(fresh.output)))
   }
+
+  /** True iff every output attribute of `p` gets a NEW exprId under
+    * [[freshen]]. The agg rewrite requires this (fresh copies are joined
+    * against originals); plans defining output attrs via nodes freshen
+    * doesn't re-alias (Generate, Expand, ...) must fall back. */
+  private def freshensFully(p: LogicalPlan): Boolean =
+    freshen(p)._1.output.zip(p.output).forall { case (n, o) => n.exprId != o.exprId }
 
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
                       preds: Seq[Expression]): LogicalPlan = {
@@ -299,6 +342,14 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => return None
     }
 
+    // Every term/branch beyond the first joins a FRESHENED copy of a
+    // subplan against plans carrying the ORIGINAL ids; if freshen cannot
+    // re-id some output attribute (defined by a node it doesn't
+    // re-alias), the merge joins would see one exprId on both sides —
+    // bail to the join-only rewrite, which keeps fresh copies in
+    // separate Union branches where duplicate inner ids are invisible.
+    if (!freshensFully(left) || !freshensFully(right)) return None
+
     def fresh(p: Prim, e: Expression): AggregateFunction = p match {
       case PCount => Count(e)
       case PSum   => Sum(e)
@@ -320,9 +371,21 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       if (e.dataType == dt) e else Cast(e, dt, Some(conf.sessionLocalTimeZone))
 
     // Flattened primitive partials: avg expands to (sum, count), the
-    // rest to one slot; `offsets(i)` is output i's first slot.
+    // rest to one slot; `offsets(i)` is output i's first slot. Avg's
+    // sum partial accumulates in DOUBLE — Average.sumDataType for
+    // non-decimal inputs — so integral inputs round exactly where the
+    // un-rewritten plan does (beyond 2^53 an exact Long partial sum
+    // would differ from Average's double accumulator in the last ulp).
     val flatPrims: Seq[(Prim, Expression)] =
-      aggs.flatMap(ao => primsOf(ao.kind).map(p => (p, ao.arg)))
+      aggs.flatMap { ao =>
+        primsOf(ao.kind).map { p =>
+          val arg =
+            if (ao.kind == AvgK && p == PSum)
+              Cast(ao.arg, org.apache.spark.sql.types.DoubleType)
+            else ao.arg
+          (p, arg)
+        }
+      }
     val offsets: Seq[Int] =
       aggs.scanLeft(0)((acc, ao) => acc + primsOf(ao.kind).size)
     // Per-branch partial type: what ONE level of the primitive yields.
@@ -376,28 +439,48 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
 
     // ---- plan shape choice -------------------------------------------
-    // For TWO predicates with count/sum/avg-only consumers, inclusion–
-    // exclusion is strictly better: agg(p1 OR p2) = agg(p1) + agg(p2) −
-    // agg(p1 AND p2), every term pre-aggregable on its key(s), so the
-    // plan is |left|/|right|-bounded NO MATTER which predicate explodes
-    // — the branch form's "write the exploding predicate first" contract
-    // disappears. min/max admit no inclusion–exclusion, and n≥3 grows
-    // 2^n−1 terms, so those keep the branch-partition form (whose only
-    // residual-free — hence pre-aggregable — branch is the FIRST).
-    val ieEligible = preds.length == 2 && aggs.forall(a =>
-      a.kind == CountK || a.kind == SumK || a.kind == AvgK)
+    // Three forms, in preference order:
+    //  (1) ALL-min/max consumers: min/max are multiplicity- AND overlap-
+    //      insensitive, so agg(p1 OR .. OR pn) = LEAST/GREATEST over n
+    //      per-predicate terms, each term's right side pre-aggregated on
+    //      its own key before touching `left` — n terms for ANY n and
+    //      ANY predicate order, no inclusion–exclusion needed;
+    //  (2) TWO predicates with count/sum/avg present (min/max may mix
+    //      in): inclusion–exclusion — agg(p1 OR p2) = agg(p1) + agg(p2)
+    //      − agg(p1 ∧ p2), every term pre-aggregated on its key(s);
+    //      min/max units read LEAST/GREATEST of the two per-predicate
+    //      terms and ignore the subtractive overlap term;
+    //  (3) n≥3 with count/sum/avg: IE grows 2^n−1 terms, so the branch-
+    //      partition form remains — the ONLY case left where the
+    //      |left|/|right| bound needs the exploding predicate FIRST
+    //      (the leftOrJoinAgg contract).
+    // Forms (1)/(2) are |left|/|right|-bounded regardless of predicate
+    // order — the order contract is gone for every n=2 consumer mix and
+    // for min/max-only at any n.
+    val allMinMax =
+      aggs.forall(a => a.kind == MinK || a.kind == MaxK)
+    val ieMode = !allMinMax && preds.length == 2
+    val termKeys: Option[Seq[Seq[Int]]] =
+      if (allMinMax) Some(preds.indices.map(Seq(_)))
+      else if (ieMode) Some(Seq(Seq(0), Seq(1), Seq(0, 1)))
+      else None
 
     val (merged: LogicalPlan, slot: (Int => Seq[Expression])) =
-      if (ieEligible) {
-        val (tA, _, mA) = preAggTerm(Seq(0), "iea", freshSides = false, LeftOuter)
-        val (tB, gB, mB) = preAggTerm(Seq(1), "ieb", freshSides = true, Inner)
-        val (tAB, gAB, mAB) = preAggTerm(Seq(0, 1), "ieab", freshSides = true, Inner)
-        // term A's left join saw every left row — complete group set;
-        // B and A∧B attach with null-safe left joins
-        val m = attach(attach(tA, tB, gB), tAB, gAB)
-        (m, (j: Int) => Seq(mA(j), mB(j), mAB(j))
-          .map(_.toAttribute.withNullability(true)))
-      } else {
+      termKeys match {
+        case Some(keys) =>
+          // term 0 keeps the original left under a LeftOuter join, so its
+          // group set is complete; later terms attach by null-safe-
+          // equality left joins (attach), exactly as the branch form.
+          val terms = keys.zipWithIndex.map { case (ks, i) =>
+            if (i == 0) preAggTerm(ks, s"t$i", freshSides = false, LeftOuter)
+            else preAggTerm(ks, s"t$i", freshSides = true, Inner)
+          }
+          val m = terms.tail.foldLeft(terms.head._1: LogicalPlan) {
+            case (acc, (t, gk, _)) => attach(acc, t, gk)
+          }
+          (m, (j: Int) =>
+            terms.map(_._3(j).toAttribute.withNullability(true)))
+        case None =>
         // ---- branch 0: residual-free, so `right` pre-aggregates to one
         // partial row per distinct first-predicate key.
         val (b0, _, b0Aliases) =
@@ -427,6 +510,10 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         (m, (j: Int) => b0Aliases(j).toAttribute.withNullability(true) +:
           parts.map(_._3(j).toAttribute.withNullability(true)))
       }
+    // slots carrying PER-PREDICATE partials (additive); in IE mode the
+    // third slot is the subtracted overlap — min/max must not read it
+    val nAdditive =
+      if (ieMode) 2 else termKeys.map(_.length).getOrElse(preds.length)
 
     // ---- final projection: original output names AND exprIds, so parent
     // operators resolve unchanged.
@@ -449,15 +536,15 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // count is never null: missing partials are 0. In IE mode the third
     // slot is the A∧B overlap, SUBTRACTED once.
     def countTotal(ps: Seq[Expression]): Expression =
-      if (ieEligible) subSame(addSame(czero(ps(0)), czero(ps(1))), czero(ps(2)))
+      if (ieMode) subSame(addSame(czero(ps(0)), czero(ps(1))), czero(ps(2)))
       else ps.map(czero).reduce(addSame)
     // SQL sum: null iff every additive partial is null (in IE mode the
     // overlap term is a subset of term A, so A,B both null forces it
     // null too — the guard over the additive terms is complete).
     def sumTotal(ps: Seq[Expression], dt: org.apache.spark.sql.types.DataType): Expression = {
-      val additive = if (ieEligible) ps.take(2) else ps
+      val additive = if (ieMode) ps.take(2) else ps
       val total =
-        if (ieEligible) subSame(addSame(czero(ps(0)), czero(ps(1))), czero(ps(2)))
+        if (ieMode) subSame(addSame(czero(ps(0)), czero(ps(1))), czero(ps(2)))
         else additive.map(czero).reduce(addSame)
       If(IsNull(Coalesce(additive)), Literal.create(null, dt),
         sameType(total, dt))
@@ -471,8 +558,11 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val merged: Expression = kind match {
         case CountK => countTotal(partials)
         case SumK   => sumTotal(partials, ae.dataType)
-        case MinK   => Least(partials)
-        case MaxK   => Greatest(partials)
+        // min/max over a union ignore multiplicity AND overlap, so only
+        // the per-predicate (additive) slots merge — in IE mode the
+        // subtracted overlap slot is skipped
+        case MinK   => Least(partials.take(nAdditive))
+        case MaxK   => Greatest(partials.take(nAdditive))
         case AvgK   =>
           // avg = merged sum / merged count, the MV rule's (sum, count)
           // device; non-decimal only, so the result type is double and

@@ -322,6 +322,41 @@ object Relational {
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
       headline = true),
 
+    // ---- ORDER-ROBUST min/max: per-predicate LEAST/GREATEST terms -----
+    // min/max ignore multiplicity and overlap, so the rule serves
+    // `MIN/MAX over (p1 OR .. OR pn)` as LEAST/GREATEST of n per-
+    // predicate terms, each term's supplier side pre-aggregated on its
+    // OWN key — no inclusion–exclusion, no 2^n blowup, and no "exploding
+    // predicate first" contract (it is written SECOND here, the shape
+    // that used to force the quadratic branch). Plan shape hash-gated
+    // exactly like q82/q83.
+    "q84_or_join_minmax" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, MIN(s_name) AS first_sup,
+            |  MAX(s_acctbal) AS top_bal
+            |FROM customer LEFT JOIN supplier
+            |  ON c_name = s_name OR c_nationkey = s_nationkey
+            |GROUP BY c_custkey""".stripMargin)
+        def decorate(eager: Boolean) =
+          df.select(col("c_custkey"), col("first_sup"), col("top_bal"),
+              lit(eager).as("plan_eager"))
+            .orderBy("c_custkey")
+        val plan = decorate(eager = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("Union"))
+      },
+      """SELECT c_custkey, MIN(s_name) AS first_sup, MAX(s_acctbal) AS top_bal,
+        |  TRUE AS plan_eager
+        |FROM customer LEFT JOIN supplier
+        |  ON c_name = s_name OR c_nationkey = s_nationkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
     // ---- ranking window: per-nation top-3 by balance -------------------
     "q09_window_rank" -> Q(
       (s, dir) => {

@@ -274,6 +274,119 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("agg rule: withColumn-derived group AND join keys freshen correctly") {
+    import spark.implicits._
+    // Alias-defined attributes (withColumn) used to keep their exprIds
+    // through freshen(), putting ONE id on both sides of the attach
+    // merge joins; freshen now re-aliases Project/Aggregate/Window
+    // outputs, so the eager plan must fire AND be correct here.
+    val left = Seq((1L, 5L, "a"), (2L, 6L, "b"), (3L, 9L, "b"),
+        (4L, 5L, "zz"), (5L, 7L, "a"))
+      .toDF("id", "b", "s")
+      .withColumn("g", col("id") % 2)          // computed GROUP key
+      .withColumn("k1", col("b") + 1)          // computed JOIN key
+    val right = Seq((6L, "a", 100L), (6L, "b", 200L), (7L, "b", 300L),
+        (10L, "zz", 400L))
+      .toDF("rb", "r2", "v")
+      .withColumn("r1", col("rb") * 1L)        // computed RIGHT join key
+    def q() = left.join(right,
+        col("k1") === col("r1") || col("s") === col("r2"), "left")
+      .groupBy("g")
+      .agg(count(col("v")).as("n"), sum(col("v")).as("sm"),
+        min(col("r2")).as("mn"))
+    val expected = canon(q())
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("agg rule: min/max-only is ORDER-ROBUST at any n (per-predicate LEAST/GREATEST terms)") {
+    // exploding nationkey predicate written SECOND with MIN/MAX
+    // consumers: the per-predicate-term form must fire (no branch-form
+    // order contract), every term pre-aggregated on its own key
+    val lk = Lake(spark, sf0001)
+    def q() = lk.customer.join(lk.supplier,
+        col("c_name") === col("s_name") ||
+          col("c_nationkey") === col("s_nationkey"), "left")
+      .groupBy("c_custkey")
+      .agg(min(col("s_name")).as("mn"), max(col("s_acctbal")).as("mx"))
+    val expected = canon(q())
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("agg rule: min/max-only at n=3, all predicate orders agree") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), Some(5L), Some("x"), Some(7L)),
+      (Some(1L), Some(6L), None, None),
+      (Some(2L), None, Some("y"), Some(8L)),
+      (None, Some(5L), Some("zz"), Some(7L)),
+      (Some(3L), None, None, None)
+    ).toDF("g", "k1", "k2", "k3")
+    val right = Seq(
+      (Some(5L), Some("x"), Some(7L), Some(100L)),
+      (Some(5L), Some("y"), None, None),
+      (Some(6L), Some("y"), Some(8L), Some(300L)),
+      (None, Some("x"), Some(7L), Some(400L))
+    ).toDF("r1", "r2", "r3", "v")
+    val preds = Seq(
+      col("k1") === col("r1"),
+      col("k2") === col("r2"),
+      col("k3") === col("r3"))
+    for (order <- preds.permutations.take(3)) {
+      def q() = left.join(right, order.reduce(_ || _), "left")
+        .groupBy("g")
+        .agg(min(col("v")).as("mn"), max(col("r2")).as("mx"))
+      val expected = canon(q())
+      withRule(on = true) {
+        val df = q()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Union"), plan)
+        assert(canon(df) === expected, s"order=$order")
+      }
+    }
+  }
+
+  test("agg rule: min/max MIXED with count/sum at n=2 rides the IE plan, both orders") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), Some(5L), Some("x")),
+      (Some(1L), Some(6L), None),
+      (Some(2L), None, Some("y")),
+      (None, Some(5L), Some("zz")),
+      (Some(3L), None, None)
+    ).toDF("g", "k1", "k2")
+    val right = Seq(
+      (Some(5L), Some("x"), Some(100L)),  // matches both preds vs row 1
+      (Some(5L), Some("y"), None),
+      (Some(6L), Some("y"), Some(300L)),
+      (None, Some("x"), Some(400L))
+    ).toDF("r1", "r2", "v")
+    for (cond <- Seq(
+        col("k1") === col("r1") || col("k2") === col("r2"),
+        col("k2") === col("r2") || col("k1") === col("r1"))) {
+      def q() = left.join(right, cond, "left").groupBy("g")
+        .agg(count(col("v")).as("n"), min(col("v")).as("mn"),
+          max(col("r2")).as("mx"), avg(col("v")).as("a"))
+      val expected = canon(q())
+      withRule(on = true) {
+        val df = q()
+        assert(!df.queryExecution.executedPlan.toString.contains("Union"))
+        assert(canon(df) === expected, s"cond=$cond")
+      }
+    }
+  }
+
   test("agg rule: count(*) is NOT eager-aggregated (falls back to join rewrite)") {
     // count(*) counts unmatched left rows as 1, which branch partials
     // cannot reconstruct — the rule must leave the aggregate alone and
