@@ -25,6 +25,20 @@ import org.apache.spark.sql.SparkSession
   *  - AQE on: runtime join-strategy switching + skew-join splitting +
   *    partition coalescing. This is the engine's first line of defense at
   *    100 TB (skewed keys, misestimated build sides).
+  *  - `spark.graft.rewriteOrJoin=true`: [[graft.plans.OrEquiJoinRule]]
+  *    armed by default (decided round 16, the same first-line-of-defense
+  *    rationale as AQE): a user-authored `LEFT JOIN ... ON a=x OR b=y` —
+  *    SQL text or naive DataFrame code — plans hash-joinable branches
+  *    instead of a BroadcastNestedLoopJoin, and the agg-over-OR-join
+  *    consumers take the eager pre-aggregated plan. Multiset-equivalence
+  *    is law-pinned (OrEquiJoinRuleSpec, randomized 1-3-predicate
+  *    fixtures, rule-on ≡ rule-off), tri-scale oracle-gated
+  *    (q82/q83/q84), and the reference pipeline's J2 output is proven
+  *    unchanged under the armed rule (SparkifySpec parity + golden-row
+  *    tests, which run on this session). The engine's own operators
+  *    already emit the rewritten form explicitly; the armed rule is the
+  *    safety net for plans the engine didn't author. Opt out per
+  *    session/query with `spark.graft.rewriteOrJoin=false`.
   *  - shuffle partitions default low for local runs; a real cluster
   *    deployment overrides via spark-submit conf (AQE coalescing makes the
   *    initial number mostly a ceiling).
@@ -39,6 +53,7 @@ object GraftSession {
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config(graft.plans.OrEquiJoinRule.ConfKey, "true")
     .config("spark.sql.parquet.compression.codec", "snappy")
     // write timestamps as annotated INT64 micros, not the legacy INT96:
     // INT96 chunks carry NO statistics, so every timestamp predicate

@@ -97,9 +97,12 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * Equivalence is law-pinned in OrEquiJoinRuleSpec (randomized fixture
   * vs the nested-loop plan) and oracle-gated by `q82_or_join_auto`.
   *
-  * Guarded by `spark.graft.rewriteOrJoin` (default false: the engine's
-  * own operators already use the explicit rewrite; the rule is the
-  * opt-in safety net for user-authored plans). Matching is top-down so
+  * Guarded by `spark.graft.rewriteOrJoin`. The conf's hard default is
+  * false (a raw SparkSession with just the extensions sees stock Spark
+  * behavior), but [[graft.GraftSession.configure]] ARMS it — same
+  * first-line-of-defense rationale as AQE: the engine's own operators
+  * already use the explicit rewrite, and the armed rule covers
+  * user-authored SQL/DataFrame plans. Matching is top-down so
   * the Aggregate case wins over the bare-join case on the same subtree.
   */
 object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {

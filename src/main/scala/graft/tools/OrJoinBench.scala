@@ -35,10 +35,12 @@ object OrJoinBench {
     }
 
     time("warmup")(left.count() + right.count())
+    // GraftSession arms the rule by default — disarm for the BNLJ leg
+    spark.conf.set(OrEquiJoinRule.ConfKey, "false")
     time("nested_loop")(naive().count())
     spark.conf.set(OrEquiJoinRule.ConfKey, "true")
     time("optimizer_rule")(naive().count())
-    spark.conf.unset(OrEquiJoinRule.ConfKey)
+    spark.conf.set(OrEquiJoinRule.ConfKey, "false")
     time("explicit_operator")(
       OrEquiJoin.leftOrJoin(left, right, ("k1", "r1"), ("k2", "r2")).count())
     spark.stop()

@@ -22,13 +22,29 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
   }
 
   private def withRule[T](on: Boolean)(f: => T): T = {
+    // GraftSession arms the rule by default; restore the prior value,
+    // not unset (unset would drop to the conf's hard default, false,
+    // silently disarming the shared session for later suites)
+    val prev = spark.conf.getOption(OrEquiJoinRule.ConfKey)
     spark.conf.set(OrEquiJoinRule.ConfKey, on.toString)
-    try f finally spark.conf.unset(OrEquiJoinRule.ConfKey)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(OrEquiJoinRule.ConfKey, v)
+      case None    => spark.conf.unset(OrEquiJoinRule.ConfKey)
+    }
   }
 
-  test("rule off (default): naive OR join plans a nested-loop join") {
+  test("GraftSession default: the rule is ARMED (round-16 decision)") {
+    assert(spark.conf.get(OrEquiJoinRule.ConfKey) === "true")
+    // and the session default therefore rewrites a naive OR join
     val plan = naiveOrJoin().queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("rule disarmed: naive OR join plans a nested-loop join") {
+    withRule(on = false) {
+      val plan = naiveOrJoin().queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"))
+    }
   }
 
   test("rule on: same DataFrame code plans hash joins only") {
@@ -40,7 +56,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
   }
 
   test("rule on: results are multiset-identical to the nested-loop plan") {
-    val expected = canon(naiveOrJoin())
+    val expected = withRule(on = false) { canon(naiveOrJoin()) }
     val got = withRule(on = true) { canon(naiveOrJoin()) }
     assert(got === expected)
   }
@@ -67,7 +83,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       sum(col("s_acctbal")).as("bal"))
 
   test("agg rule: results are identical to the nested-loop agg plan") {
-    val expected = canon(naiveAgg())
+    val expected = withRule(on = false) { canon(naiveAgg()) }
     val got = withRule(on = true) { canon(naiveAgg()) }
     assert(got === expected)
   }
@@ -94,7 +110,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
       assert(!plan.contains("Union"), plan)
-      val expected = canon(naiveAgg().select("c_custkey", "n_match", "first_sup"))
+      val expected = withRule(on = false) { canon(naiveAgg().select("c_custkey", "n_match", "first_sup")) }
       assert(canon(df) === expected)
     }
   }
@@ -124,7 +140,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       .groupBy("g")
       .agg(count(col("v")).as("n"), min(col("r2")).as("m"),
         max(col("r2")).as("mx"), sum(col("v")).as("s"))
-    val expected = canon(q())
+    val expected = withRule(on = false) { canon(q()) }
     withRule(on = true) {
       val df = q()
       assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
@@ -139,7 +155,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     def q() = naiveAgg()
       .select(col("c_custkey"), col("n_match"), lit(true).as("tag"))
       .orderBy("c_custkey")
-    val expected = canon(q())
+    val expected = withRule(on = false) { canon(q()) }
     withRule(on = true) {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
@@ -171,7 +187,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
         col("k1") === col("r1") || col("k2") === col("r2"), "left")
       .groupBy("g")
       .agg(avg(col("v")).as("a"), count(col("v")).as("n"))
-    val expected = canon(q())
+    val expected = withRule(on = false) { canon(q()) }
     withRule(on = true) {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
@@ -189,7 +205,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     def q() = left.join(right,
         col("k1") === col("r1") || col("g") === col("r1"), "left")
       .groupBy("g").agg(avg(col("v")).as("a"))
-    val expected = canon(q())
+    val expected = withRule(on = false) { canon(q()) }
     withRule(on = true) {
       val df = q()
       assert(df.queryExecution.executedPlan.toString.contains("Union"))
@@ -208,7 +224,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
         sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DoubleType)
           .as("bal"),
         (count(col("s_suppkey")) + count(col("s_suppkey"))).as("n_twice"))
-    val expected = canon(q())
+    val expected = withRule(on = false) { canon(q()) }
     withRule(on = true) {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
@@ -233,7 +249,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
         sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DoubleType)
           .as("bal"),
         avg(col("s_acctbal")).as("avg_bal"))
-    val expected = canon(q())
+    val expected = withRule(on = false) { canon(q()) }
     withRule(on = true) {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
@@ -265,7 +281,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       def q() = left.join(right, preds, "left").groupBy("g")
         .agg(count(col("v")).as("n"), sum(col("v")).as("s"),
           avg(col("v")).as("a"))
-      val expected = canon(q())
+      val expected = withRule(on = false) { canon(q()) }
       withRule(on = true) {
         val df = q()
         assert(!df.queryExecution.executedPlan.toString.contains("Union"))
@@ -294,7 +310,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       .groupBy("g")
       .agg(count(col("v")).as("n"), sum(col("v")).as("sm"),
         min(col("r2")).as("mn"))
-    val expected = canon(q())
+    val expected = withRule(on = false) { canon(q()) }
     withRule(on = true) {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
@@ -314,7 +330,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
           col("c_nationkey") === col("s_nationkey"), "left")
       .groupBy("c_custkey")
       .agg(min(col("s_name")).as("mn"), max(col("s_acctbal")).as("mx"))
-    val expected = canon(q())
+    val expected = withRule(on = false) { canon(q()) }
     withRule(on = true) {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
@@ -347,7 +363,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       def q() = left.join(right, order.reduce(_ || _), "left")
         .groupBy("g")
         .agg(min(col("v")).as("mn"), max(col("r2")).as("mx"))
-      val expected = canon(q())
+      val expected = withRule(on = false) { canon(q()) }
       withRule(on = true) {
         val df = q()
         val plan = df.queryExecution.executedPlan.toString
@@ -378,7 +394,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       def q() = left.join(right, cond, "left").groupBy("g")
         .agg(count(col("v")).as("n"), min(col("v")).as("mn"),
           max(col("r2")).as("mx"), avg(col("v")).as("a"))
-      val expected = canon(q())
+      val expected = withRule(on = false) { canon(q()) }
       withRule(on = true) {
         val df = q()
         assert(!df.queryExecution.executedPlan.toString.contains("Union"))
@@ -392,7 +408,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     // cannot reconstruct — the rule must leave the aggregate alone and
     // rewrite only the join underneath (Union plan), results unchanged.
     def q() = naiveOrJoin().groupBy("c_custkey").agg(count(lit(1)).as("n"))
-    val expected = canon(q())
+    val expected = withRule(on = false) { canon(q()) }
     withRule(on = true) {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
@@ -405,7 +421,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
   test("agg rule: left-side aggregate args fall back to join rewrite") {
     def q() = naiveOrJoin().groupBy("c_custkey")
       .agg(min(col("c_name")).as("m"), count(col("s_suppkey")).as("n"))
-    val expected = canon(q())
+    val expected = withRule(on = false) { canon(q()) }
     withRule(on = true) {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
@@ -443,7 +459,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
         .agg(count(col("v")).as("n"), sum(col("v")).as("s"),
           min(col("r2")).as("mn"), max(col("r2")).as("mx"),
           avg(col("v")).as("a"))
-      val expected = canon(q())
+      val expected = withRule(on = false) { canon(q()) }
       withRule(on = true) {
         val df = q()
         if (nPreds >= 2) {
