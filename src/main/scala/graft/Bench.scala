@@ -156,9 +156,19 @@ object Bench {
     // load). These fields make that offset self-explaining in the
     // artifact instead of a per-round judge reconstruction:
     //  - load_avg: 1-min system load BEFORE the run (other tenants);
-    //  - scan_mbps: sequential-read throughput over the largest table
-    //    file, measured BEFORE warmup — a warm page cache reads at
-    //    memory speed (GB/s), a cold one at disk speed;
+    //  - scan_mbps: sequential-read throughput over a capped slice of
+    //    the largest table file, measured BEFORE warmup — a warm page
+    //    cache reads at memory speed (GB/s), a cold one at disk speed.
+    //    SIDE-EFFECT, recorded here deliberately: the probed bytes
+    //    (scan_probe_mb, ≤64 MB) become page-cache-warm. That cannot
+    //    flatter the TIMED reps relative to prior records — the full
+    //    warmup pass below reads every input before any timed rep, so
+    //    reps run warm with or without the probe — but it does shave
+    //    the warmup pass itself; the cap keeps the shave to one slice
+    //    instead of the whole dominant file (which at sf0.1 is smaller
+    //    than the old 256 MB cap, i.e. the probe used to warm ALL of
+    //    it). The probe still reads the FIRST bytes cold, so the
+    //    cold/warm regime signal is intact;
     //  - wall_s (stamped at the end): total run wall-clock, so rep
     //    spread can be read against how long the JVM was exposed to
     //    ambient drift.
@@ -166,7 +176,7 @@ object Bench {
     val envField = {
       val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       val rt = Runtime.getRuntime
-      val scanMbps = try {
+      val (scanMbps, scanProbeMb) = try {
         def leafFiles(f: java.io.File): Seq[java.io.File] =
           if (f.isDirectory) f.listFiles().toSeq.flatMap(leafFiles)
           else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
@@ -177,11 +187,12 @@ object Bench {
           val buf = new Array[Byte](1 << 20)
           var n = 0L
           var r = in.read(buf)
-          while (r > 0 && n < (256L << 20)) { n += r; r = in.read(buf) }
-          math.rint(n / 1e6 / ((System.nanoTime() - t0) / 1e9))
+          while (r > 0 && n < (64L << 20)) { n += r; r = in.read(buf) }
+          (math.rint(n / 1e6 / ((System.nanoTime() - t0) / 1e9)),
+            math.rint(n / 1e5) / 10)
         } finally in.close()
-      } catch { case _: Throwable => -1.0 }
-      s""""env":{"load_avg":${os.getSystemLoadAverage},"cpus":${rt.availableProcessors()},"heap_max_gb":${math.rint(rt.maxMemory() / 1e8) / 10},"scan_mbps":$scanMbps}"""
+      } catch { case _: Throwable => (-1.0, 0.0) }
+      s""""env":{"load_avg":${os.getSystemLoadAverage},"cpus":${rt.availableProcessors()},"heap_max_gb":${math.rint(rt.maxMemory() / 1e8) / 10},"scan_mbps":$scanMbps,"scan_probe_mb":$scanProbeMb}"""
     }
 
     val (res1, total1, failed1) = benchAt(sfDir)
