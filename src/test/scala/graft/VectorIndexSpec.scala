@@ -221,6 +221,88 @@ class VectorIndexSpec extends AnyFunSuite {
         s"bucket ${b.getName} not compacted")
   }
 
+  test("compaction crash window: kill between generation commit and vacuum is reader-invisible; append ≡ rebuild") {
+    // The VectorIndex twin of DedupStream's compaction chaos spec: the
+    // production maintenance cycle is compact() THEN vacuum(), two
+    // separate FS mutations. The window between them — compacted
+    // generation committed, superseded generations not yet reclaimed —
+    // is exactly where a real maintenance job dies. The claim under
+    // test: everything inside that window is invisible to readers,
+    // replay-safe for streaming ingest, open for new appends, and fully
+    // retired by the NEXT maintenance cycle.
+    val p = freshDir("vector_index_spec_chaos")
+    val batches = (0 to 3).map(i => corpus.where(col("vec_id") % 4 === i))
+    VectorIndex.build(batches(0), p, "vec_id", "embedding", planes = 4,
+      retain = 0)
+    VectorIndex.append(batches(1), p, "vec_id", "embedding", batchId = 1L)
+    VectorIndex.append(batches(2), p, "vec_id", "embedding", batchId = 2L)
+    def cellSet(dir: String) = VectorIndex.cells(spark, dir)
+      .select("neighbor_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    def canon(dir: String) = VectorIndex.query(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 16)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val preCompactCells = cellSet(p)
+    val preCompactAnswer = canon(p)
+    assert(VectorIndex.generations(spark, p) === Seq(1L, 2L, 3L))
+
+    // THE KILL: production half 1 (the generation commit), then the
+    // process dies before the vacuum — superseded generations stay on
+    // disk exactly as a real crash leaves them
+    VectorIndex.compact(spark, p)
+    assert(VectorIndex.generations(spark, p) === Seq(1L, 2L, 3L, 4L),
+      "the crash window must hold the compacted + all superseded generations")
+
+    // reader equivalence across the window: newest manifest wins, the
+    // data-layout no-op changed nothing a reader can observe
+    assert(cellSet(p) === preCompactCells,
+      "the crash window must be invisible to readers")
+    assert(canon(p) === preCompactAnswer)
+    // the in-band replay guard still holds in the window (compact
+    // carries the last absorbed batchId forward)
+    VectorIndex.append(batches(2), p, "vec_id", "embedding", batchId = 2L)
+    assert(cellSet(p) === preCompactCells,
+      "a replayed batch in the crash window must no-op")
+    // new data lands correctly in the window (delta above the compacted
+    // generation)
+    VectorIndex.append(batches(3), p, "vec_id", "embedding", batchId = 3L)
+    val after3 = cellSet(p)
+    assert(after3.size === corpus.count())
+
+    // recovery: the NEXT maintenance cycle retires every superseded
+    // generation, including the pre-crash ones the interrupted vacuum
+    // never removed
+    VectorIndex.compact(spark, p)
+    VectorIndex.vacuum(spark, p, keepLast = 1)
+    val live = VectorIndex.generations(spark, p)
+    assert(live.size === 1,
+      s"recovery maintenance must leave exactly one generation, got $live")
+    assert(cellSet(p) === after3, "recovery must preserve the index")
+    // superseded cell dirs are physically gone (the recovered manifest
+    // references only its own generation's files)
+    for (g <- 1L to 4L)
+      assert(!new java.io.File(s"$p/cells/g=$g").exists(),
+        s"superseded cells/g=$g must be reclaimed")
+    // the replay guard survives both compactions
+    VectorIndex.append(batches(3), p, "vec_id", "embedding", batchId = 3L)
+    assert(cellSet(p) === after3)
+
+    // append ≡ rebuild: the same batches folded on a fresh root with no
+    // compaction (and no crash) produce the identical index — cell set
+    // and full-probe served answers both
+    val rebuilt = freshDir("vector_index_spec_chaos_rebuild")
+    VectorIndex.build(batches(0), rebuilt, "vec_id", "embedding",
+      planes = 4, retain = 0)
+    (1 to 3).foreach { i =>
+      VectorIndex.append(batches(i), rebuilt, "vec_id", "embedding",
+        batchId = i.toLong)
+    }
+    assert(cellSet(rebuilt) === after3,
+      "crashed-maintenance index must equal the uncompacted rebuild")
+    assert(canon(rebuilt) === canon(p))
+  }
+
   test("vacuum reclaims superseded generations and dead-writer orphans, keeps the servable index") {
     val p = freshDir("vector_index_spec_vacuum")
     val half1 = corpus.where(col("vec_id") % 2 === 0)
