@@ -48,17 +48,23 @@ def main(sf_dir, out_dir):
         keep = {s.strip() for s in only.split(",") if s.strip()}
         names = [n for n in names if n in keep]
     n_pass = n_fail = n_rowsonly = 0
+    # GRAFT_CHECK_JSON=<path>: also emit a machine-readable standing
+    # record (per-query status + counts) — what scripts/sweep_sf.sh
+    # commits as the scaling-evidence artifact.
+    record = {}
     for name in names:
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         if name not in oracle:
             status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY?"
             n_rowsonly += 1
+            record[name] = {"status": "rows-only", "rows": len(got)}
             print(f"  {status:10} {name}: {len(got)} rows")
             continue
         try:
             exp = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"  ORACLE-ERR {name}: {e}")
+            record[name] = {"status": "oracle-err", "detail": str(e)[:300]}
             n_fail += 1
             continue
         ok = True
@@ -93,9 +99,11 @@ def main(sf_dir, out_dir):
                     break
         if ok:
             n_pass += 1
+            record[name] = {"status": "pass", "rows": len(got)}
             print(f"  PASS       {name}: {len(got)} rows")
         else:
             n_fail += 1
+            record[name] = {"status": "fail", "detail": "; ".join(msgs)[:300]}
             print(f"  FAIL       {name}: {'; '.join(msgs)}")
     # A query that CRASHED inside Verify leaves no dump dir (Verify
     # catches per-query exceptions and continues) but its oracle entry
@@ -110,9 +118,18 @@ def main(sf_dir, out_dir):
         missing = {n for n in missing if n in keep}
     for name in sorted(missing):
         n_fail += 1
+        record[name] = {"status": "missing",
+                        "detail": "declared oracle but no result dump"}
         print(f"  MISSING    {name}: declared oracle but no result dump "
               f"(query crashed in Verify?)")
     print(f"== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    json_out = os.environ.get("GRAFT_CHECK_JSON")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                       "pass": n_pass, "fail": n_fail,
+                       "rows_only": n_rowsonly, "queries": record},
+                      f, indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
