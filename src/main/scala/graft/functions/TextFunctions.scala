@@ -66,9 +66,51 @@ object TextFunctions {
   def langScore(c: Column, pattern: String): Column =
     regexp_count(lower(c), lit(pattern)).cast("int")
 
+  /** `SPARK_GRAFT_ANNOTATE_REGEX=1` restores the composable regex forms
+    * of [[langId]]/[[qualityScore]] — a BENCH-ONLY lever (the
+    * SPARK_GRAFT_SHINGLE_HOF convention) keeping the fused
+    * [[graft.plans.AnnotateStatsExpr]] win measurable like-for-like;
+    * both forms are spec-pinned equal (AnnotateSpec). */
+  private[graft] def annotateRegexLever: Boolean =
+    sys.env.get("SPARK_GRAFT_ANNOTATE_REGEX").contains("1")
+
+  /** One-pass annotation counters: struct(en, es, de, n_tokens, punct,
+    * n_chars, norm) — see [[graft.plans.AnnotateStatsExpr]]. Consumers
+    * deriving SEVERAL annotations from the same text should materialize
+    * this struct once (Curation.annotateAndFilter does); single-field
+    * consumers can rely on codegen subexpression elimination collapsing
+    * repeated instances within one projection. */
+  def annotateStats(c: Column): Column =
+    graft.plans.AnnotateStatsExpr.annotateStats(c)
+
+  /** [[langId]] read off a materialized [[annotateStats]] struct — the
+    * score is computed INSIDE the expression (bit-identically to the
+    * regex form; see AnnotateStatsExpr's scaladoc for why: pushed-down
+    * filter predicates re-evaluate per reference, so the filter must
+    * cost one struct-field access, not a re-derivation). */
+  def langIdFrom(st: Column): Column =
+    // NULL text: the regex when-chain's conditions all evaluate null and
+    // fall through to otherwise('de') — a pinned accident the struct
+    // read must reproduce; coalesce keeps it ONE struct reference
+    coalesce(st.getField("lang_pred"), lit("de"))
+
+  /** [[qualityScore]] read off a materialized [[annotateStats]] struct
+    * (same rationale as [[langIdFrom]]). NULL text: least() skips the
+    * null lenSat term and both when-conditions fall to otherwise, so
+    * the regex form yields exactly 0.5 + 0.0 + 0.2 = 0.7. */
+  def qualityFrom(st: Column): Column =
+    coalesce(st.getField("quality"), lit(0.7))
+
   /** Heuristic language ID: argmax of stopword-marker hit counts with a
-    * deterministic en > es > de tie-break; 'unk' when nothing matches. */
-  def langId(c: Column): Column = {
+    * deterministic en > es > de tie-break; 'unk' when nothing matches.
+    * Served by the fused [[annotateStats]] counters (one compiled text
+    * pass instead of three regex scans); the regex form remains behind
+    * the bench lever and AnnotateSpec pins them equal. */
+  def langId(c: Column): Column =
+    if (annotateRegexLever) langIdRegex(c)
+    else langIdFrom(annotateStats(c))
+
+  private[graft] def langIdRegex(c: Column): Column = {
     val Seq(en, es, de) = langMarkers.map { case (_, p) => langScore(c, p) }
     when(en === 0 && es === 0 && de === 0, lit("unk"))
       .when(en >= es && en >= de, lit("en"))
@@ -79,8 +121,15 @@ object TextFunctions {
   /** Document quality score in [0,1]: length saturation + stopword share
     * + symbol cleanliness. Deliberately NOT rounded: the raw double is
     * bit-identical across engines (same IEEE ops in the same order),
-    * while decimal rounding at a .5 boundary is not. */
-  def qualityScore(c: Column): Column = {
+    * while decimal rounding at a .5 boundary is not. Served by the fused
+    * [[annotateStats]] counters (the en-marker scan, the token split and
+    * the punctuation-class scan collapse into the one-pass struct); the
+    * regex form remains behind the bench lever, spec-pinned equal. */
+  def qualityScore(c: Column): Column =
+    if (annotateRegexLever) qualityScoreRegex(c)
+    else qualityFrom(annotateStats(c))
+
+  private[graft] def qualityScoreRegex(c: Column): Column = {
     val nTok = size(tokens(c)).cast(DoubleType)
     val stopHits = langScore(c, langMarkers.head._2).cast(DoubleType)
     val punct = regexp_count(c, lit("""[^\s\p{L}\p{N}]""")).cast(DoubleType)

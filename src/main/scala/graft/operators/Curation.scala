@@ -37,14 +37,34 @@ object Curation {
   /** The stateless annotate + filter stage, shared VERBATIM by the batch
     * pipeline and [[graft.streaming.CurationStream]] (which swaps only
     * the stateful dedup) — one definition, no batch/stream drift. Works
-    * on batch and streaming frames alike (pure expressions). */
+    * on batch and streaming frames alike (pure expressions).
+    *
+    * All four annotations derive from ONE materialized
+    * [[graft.functions.TextFunctions.annotateStats]] struct — a single
+    * compiled text pass where the composable forms ran six regex scans,
+    * two splits and a regex replace (the c1 annotate stage is ~90% of
+    * the pipeline's cost and bytes-bound, SURVEY §6). The explicit
+    * struct column makes the sharing deterministic — no reliance on
+    * codegen subexpression elimination. `SPARK_GRAFT_ANNOTATE_REGEX=1`
+    * restores the regex forms (bench lever; AnnotateSpec pins the two
+    * paths cell-identical). */
   def annotateAndFilter(df: DataFrame, textCol: String,
                         cfg: Config = Config()): DataFrame = {
     val text: Column = col(textCol)
-    df.withColumn("lang_pred", langId(text))
-      .withColumn("quality", qualityScore(text))
-      .withColumn("n_tokens", size(tokens(text)).cast("long"))
-      .withColumn("fp", fingerprintMd5(text))
+    val annotated =
+      if (graft.functions.TextFunctions.annotateRegexLever)
+        df.withColumn("lang_pred", langIdRegex(text))
+          .withColumn("quality", qualityScoreRegex(text))
+          .withColumn("n_tokens", size(tokens(text)).cast("long"))
+          .withColumn("fp", fingerprintMd5(text))
+      else
+        df.withColumn("__ann", annotateStats(text))
+          .withColumn("lang_pred", langIdFrom(col("__ann")))
+          .withColumn("quality", qualityFrom(col("__ann")))
+          .withColumn("n_tokens", col("__ann").getField("n_tokens").cast("long"))
+          .withColumn("fp", md5(col("__ann").getField("norm")))
+          .drop("__ann")
+    annotated
       .where(col("quality") >= cfg.minQuality)
       .where(if (cfg.dropUnknownLang) col("lang_pred") =!= "unk" else lit(true))
   }
@@ -76,9 +96,11 @@ object Curation {
   def dropReasons(df: DataFrame, idCol: String, textCol: String,
                   cfg: Config = Config()): DataFrame = {
     val annotated = Parallelism.ensure(df)
-      .withColumn("lang_pred", langId(col(textCol)))
-      .withColumn("quality", qualityScore(col(textCol)))
-      .withColumn("fp", fingerprintMd5(col(textCol)))
+      .withColumn("__ann", annotateStats(col(textCol)))
+      .withColumn("lang_pred", langIdFrom(col("__ann")))
+      .withColumn("quality", qualityFrom(col("__ann")))
+      .withColumn("fp", md5(col("__ann").getField("norm")))
+      .drop("__ann")
     val passing = col("quality") >= cfg.minQuality &&
       (if (cfg.dropUnknownLang) col("lang_pred") =!= "unk" else lit(true))
     val minPass = min(when(passing, col(idCol)))
