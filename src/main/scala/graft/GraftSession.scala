@@ -54,6 +54,12 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config(graft.plans.OrEquiJoinRule.ConfKey, "true")
+    // StarOrderRule armed by default: inert until the user REGISTERS
+    // write-time key sketches (ZoneMapTable sketchCols / loadStarStats) —
+    // registration is the real opt-in, the conf is the per-session
+    // override. Reordering is correctness-free by join commutativity
+    // (law-pinned in StarOrderRuleSpec, gated by q85).
+    .config(graft.plans.StarOrderRule.ConfKey, "true")
     .config("spark.sql.parquet.compression.codec", "snappy")
     // write timestamps as annotated INT64 micros, not the legacy INT96:
     // INT96 chunks carry NO statistics, so every timestamp predicate

@@ -39,6 +39,12 @@ object ZoneMapTable {
   // committed generation; publish prunes superseded ones.
 
   private val Marker = "_committed"
+  private val StarStatsDir = "_starstats"
+
+  /** lgK of the write-time key sketches: exact below 2^14 distinct keys
+    * per column, ±0.8% RSE above — survival RANKING (the only consumer)
+    * is robust to far coarser estimates. ≤128 KB per sketch. */
+  private[graft] val StarLgK = 14
 
   private def zfsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -78,7 +84,8 @@ object ZoneMapTable {
     * [[append]] and [[graft.streaming.ZoneMapStream]] read). */
   private def publishManifest(spark: SparkSession, dir: String,
                               manifest: DataFrame,
-                              batchId: Long = -1L): Unit = {
+                              batchId: Long = -1L,
+                              starStats: Option[DataFrame] = None): Unit = {
     // ONE generation listing serves both allocation and the
     // post-publish prune — commit metadata round trips stay O(1) in
     // table size and generation count (a concurrent writer's new dir
@@ -86,6 +93,11 @@ object ZoneMapTable {
     val known = manifestGens(spark, dir, committedOnly = false)
     val next = known.lastOption.getOrElse(0L) + 1
     manifest.write.mode("errorifexists").parquet(s"$dir/_zonemap/g=$next")
+    // write-time key sketches land INSIDE the generation dir, before the
+    // commit marker — crash-atomic with the zone manifest (the leading
+    // underscore keeps the manifest's parquet read from seeing them)
+    starStats.foreach(_.write.mode("errorifexists")
+      .parquet(s"$dir/_zonemap/g=$next/$StarStatsDir"))
     val fs = zfsOf(spark, new org.apache.hadoop.fs.Path(dir))
     if (batchId >= 0)
       fs.create(new org.apache.hadoop.fs.Path(
@@ -96,6 +108,80 @@ object ZoneMapTable {
       .foreach(g => fs.delete(
         new org.apache.hadoop.fs.Path(s"$dir/_zonemap/g=$g"), true))
   }
+
+  // ---- write-time key sketches (transparent star ordering) ------------
+  // Per committed generation, `_starstats` holds one row per sketched
+  // column: (col, n_rows, sketch) — a theta sketch of the column's
+  // values, the PRE-COMPUTED statistic graft.plans.StarOrderRule reads
+  // (never computes) to reorder 3+-dim star chains at plan time with
+  // zero plan-time jobs (SURVEY §4 r15 addendum: the operator-form
+  // starOrder probes with a Spark job; a RULE may only read state that
+  // already exists). Maintenance discipline matches the manifest:
+  // [[write]] computes them from the full new contents (one extra agg
+  // pass over the df already in hand — write-time, delta/table-sized,
+  // never plan-time), [[append]] unions the delta's sketch into the
+  // previous generation's (theta union — delta cost), [[compact]]
+  // carries them forward verbatim (contents unchanged).
+
+  /** The newest committed generation's star stats, one row per sketched
+    * column: (col, n_rows, sketch). None when the table was written
+    * without `sketchCols`. */
+  def starStats(spark: SparkSession, dir: String): Option[DataFrame] =
+    manifestGens(spark, dir, committedOnly = true).lastOption.flatMap { g =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_zonemap/g=$g/$StarStatsDir")
+      if (zfsOf(spark, p).exists(p)) Some(spark.read.parquet(p.toString))
+      else None
+    }
+
+  private val starStatsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("col",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_rows",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sketch",
+      org.apache.spark.sql.types.BinaryType, nullable = false)))
+
+  /** One agg pass over `df`: total rows + a theta sketch per sketch
+    * column, returned driver-side (sketchCols.size small rows). */
+  private def computeStarStats(df: DataFrame, sketchCols: Seq[String])
+      : Seq[(String, Long, Array[Byte])] = {
+    import graft.plans.ThetaSketchExprs._
+    val aggs = count(lit(1)).as("n") +:
+      sketchCols.map(c => thetaSketchAgg(col(c), StarLgK).as(s"sk_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    sketchCols.zipWithIndex.map { case (c, i) =>
+      (c, n, row.getAs[Array[Byte]](i + 1))
+    }
+  }
+
+  private def starStatsDf(spark: SparkSession,
+                          rows: Seq[(String, Long, Array[Byte])]): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList(rows.map { case (c, n, sk) =>
+        org.apache.spark.sql.Row(c, n, sk) }.asJava), starStatsSchema)
+
+  /** Register a table's PERSISTED star stats with the in-memory registry
+    * the optimizer rule reads — the load-time half of "read, not
+    * computed": one small manifest-sidecar read NOW (session setup), zero
+    * I/O at plan time. Returns false when the table has none. */
+  def loadStarStats(spark: SparkSession, dir: String): Boolean =
+    starStats(spark, dir) match {
+      case None => false
+      case Some(df) =>
+        val rows = df.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2))).toSeq
+        registerStarStats(spark, dir, rows)
+        true
+    }
+
+  private def registerStarStats(spark: SparkSession, dir: String,
+                                rows: Seq[(String, Long, Array[Byte])]): Unit =
+    graft.plans.StarStatsRegistry.register(
+      graft.plans.StarStatsRegistry.qualify(spark, s"$dir/data"),
+      graft.plans.StarStatsRegistry.TableStats(
+        rows.headOption.map(_._2).getOrElse(0L),
+        rows.map(r => r._1 -> r._3).toMap))
 
   /** Last ingest batch id the newest committed generation absorbed
     * (−1 when none recorded — e.g. a fresh [[write]]). */
@@ -117,9 +203,16 @@ object ZoneMapTable {
     * until [[vacuumData]] (the [[compact]] protocol, with `df` as the
     * new contents). Only a fresh directory takes the overwrite path. */
   def write(df: DataFrame, dir: String, clusterCol: String,
-            statsCols: Seq[String], files: Int): Unit = {
+            statsCols: Seq[String], files: Int,
+            sketchCols: Seq[String] = Nil): Unit = {
     require(statsCols.nonEmpty, "zone map needs at least one stats column")
     val spark = df.sparkSession
+    // star stats reflect the FULL new contents on both branches (a
+    // rebuild replaces the served file set, so carrying the old sketch
+    // forward would describe retired data); computed before the write so
+    // a failed write publishes nothing
+    val star =
+      if (sketchCols.isEmpty) None else Some(computeStarStats(df, sketchCols))
     if (manifestGens(spark, dir, committedOnly = true).nonEmpty) {
       val before = listDataFiles(spark, dir).map(fileName).toSet
       df.repartitionByRange(files, df.col(clusterCol))
@@ -131,11 +224,17 @@ object ZoneMapTable {
       // before it must stay no-ops on replay (the rebuild's contents
       // already reflect them)
       publishManifest(spark, dir, statsOf(spark, fresh, statsCols, df.schema),
-        lastBatchId(spark, dir))
+        lastBatchId(spark, dir), star.map(starStatsDf(spark, _)))
     } else {
       LakeMaintenance.clusterBy(df, s"$dir/data", clusterCol, files)
       publishManifest(spark, dir,
-        statsOf(spark, listDataFiles(spark, dir), statsCols, df.schema))
+        statsOf(spark, listDataFiles(spark, dir), statsCols, df.schema),
+        starStats = star.map(starStatsDf(spark, _)))
+    }
+    star match {
+      case Some(rows) => registerStarStats(spark, dir, rows)
+      case None => graft.plans.StarStatsRegistry.deregister(
+        graft.plans.StarStatsRegistry.qualify(spark, s"$dir/data"))
     }
   }
 
@@ -429,6 +528,26 @@ object ZoneMapTable {
       fresh.map(n => fs.makeQualified(
         new org.apache.hadoop.fs.Path(s"$dir/data/$n")).toString),
       statsCols, df.schema)
+    // star-stats maintenance is AUTOMATIC: when the previous generation
+    // carries sketches, the delta batch is sketched over the same column
+    // set (one delta-sized agg) and theta-UNIONED driver-side — the
+    // mergeability the sketch family exists for; n_rows adds exactly
+    val mergedStar = starStats(spark, dir).map { prev =>
+      val prevRows = prev.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2))).toSeq
+      val cols = prevRows.map(_._1)
+      val delta = computeStarStats(df, cols).map(r => r._1 -> r).toMap
+      prevRows.map { case (c, n, sk) =>
+        val (_, dn, dsk) = delta(c)
+        val u = org.apache.datasketches.theta.SetOperation.builder()
+          .setLogNominalEntries(StarLgK).buildUnion()
+        u.union(org.apache.datasketches.theta.CompactSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(sk)))
+        u.union(org.apache.datasketches.theta.CompactSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(dsk)))
+        (c, n + dn, u.getResult.toByteArray)
+      }
+    }
     // the merged manifest lands as a NEW committed generation: no
     // overwrite-while-reading, and a crash mid-write leaves the prior
     // manifest (not a torn one) servable. The batch stamp carries the
@@ -436,7 +555,9 @@ object ZoneMapTable {
     // without regressing the guard.
     publishManifest(spark, dir,
       readManifest(spark, dir).unionByName(freshStats),
-      math.max(lastAbsorbed, batchId))
+      math.max(lastAbsorbed, batchId),
+      mergedStar.map(starStatsDf(spark, _)))
+    mergedStar.foreach(registerStarStats(spark, dir, _))
   }
 
   /** Data-layout compaction for an append-grown table: rewrite the
@@ -461,9 +582,15 @@ object ZoneMapTable {
       .write.mode("append").parquet(s"$dir/data")
     val fresh = listDataFiles(spark, dir)
       .filterNot(p => before.contains(fileName(p)))
+    // star stats carry forward VERBATIM: compaction is a data-layout
+    // no-op, the key sets (and so the sketches) are unchanged
     publishManifest(spark, dir,
       statsOf(spark, fresh, statsCols, current.schema),
-      lastBatchId(spark, dir))
+      lastBatchId(spark, dir),
+      starStats(spark, dir).map { prev =>
+        starStatsDf(spark, prev.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2))).toSeq)
+      })
   }
 
   /** Reclaim every file under `data/` the newest committed manifest

@@ -143,5 +143,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => OrEquiJoinRule)
     // opt-in via spark.graft.rewriteMaterializedViews (MaterializedViewRule)
     e.injectOptimizerRule(_ => MaterializedViewRule)
+    // opt-in via spark.graft.starOrderFromStats + a populated
+    // StarStatsRegistry (StarOrderRule scaladoc)
+    e.injectOptimizerRule(_ => StarOrderRule)
   }
 }
