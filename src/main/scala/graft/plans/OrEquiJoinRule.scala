@@ -69,16 +69,19 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   *     each term's right side pre-aggregated on its own key — n terms
   *     for ANY n and ANY predicate order (order-robust; gated by q84
   *     with the exploding predicate written second).
-  *  2. TWO predicates with count/sum/avg present (min/max may mix in):
-  *     INCLUSION–EXCLUSION — `agg(p1 OR p2) = agg(p1) + agg(p2) −
-  *     agg(p1 AND p2)`, every term's right side pre-aggregated on its
-  *     key(s); min/max units read LEAST/GREATEST of the two
-  *     per-predicate terms and skip the subtractive overlap term. Every
-  *     stage is |left|- or |right|-bounded NO MATTER which predicate is
-  *     the exploding one (order-robust; gated by q83 with the exploding
-  *     predicate written second).
-  *  3. n≥3 predicates with count/sum/avg consumers: IE would grow
-  *     2^n−1 terms, so the branch-partition form remains, where only
+  *  2. TWO or THREE predicates with count/sum/avg present (min/max may
+  *     mix in): INCLUSION–EXCLUSION —
+  *     `agg(⋁ p_i) = Σ over non-empty subsets S of (−1)^(|S|+1) ·
+  *     agg(⋀_{i∈S} p_i)` (3 terms at n=2, 7 at n=3), every term's right
+  *     side pre-aggregated on its (composite) key(s); min/max units
+  *     read LEAST/GREATEST of the n singleton terms and skip the signed
+  *     overlap terms. Every stage is |left|- or |right|-bounded NO
+  *     MATTER which predicate is the exploding one (order-robust; gated
+  *     by q83 at n=2 and spec-pinned at n=3, both with the exploding
+  *     predicate written LAST).
+  *  3. n≥4 predicates with count/sum/avg consumers: IE would grow
+  *     2^n−1 pre-aggregated joins (15 at n=4) — costlier than the form
+  *     it replaces — so the branch-partition form remains, where only
   *     branch 0 (the sole residual-free branch) pre-aggregates: there
   *     the |left|/|right| bound holds PROVIDED the exploding predicate
   *     is written FIRST — the ONLY order-sensitive case left (the
@@ -448,24 +451,31 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     //      per-predicate terms, each term's right side pre-aggregated on
     //      its own key before touching `left` — n terms for ANY n and
     //      ANY predicate order, no inclusion–exclusion needed;
-    //  (2) TWO predicates with count/sum/avg present (min/max may mix
-    //      in): inclusion–exclusion — agg(p1 OR p2) = agg(p1) + agg(p2)
-    //      − agg(p1 ∧ p2), every term pre-aggregated on its key(s);
-    //      min/max units read LEAST/GREATEST of the two per-predicate
-    //      terms and ignore the subtractive overlap term;
-    //  (3) n≥3 with count/sum/avg: IE grows 2^n−1 terms, so the branch-
-    //      partition form remains — the ONLY case left where the
+    //  (2) TWO or THREE predicates with count/sum/avg present (min/max
+    //      may mix in): inclusion–exclusion — agg(⋁ p_i) =
+    //      Σ_{∅≠S⊆[n]} (−1)^{|S|+1} agg(⋀_{i∈S} p_i), every term's right
+    //      side pre-aggregated on its (composite) key(s) before touching
+    //      `left`; min/max units read LEAST/GREATEST of the n singleton
+    //      terms and ignore the signed overlap terms;
+    //  (3) n≥4 with count/sum/avg: IE grows 2^n−1 pre-aggregated joins
+    //      (15 at n=4) — costlier than the branch form saves — so the
+    //      branch-partition form remains: the ONLY case left where the
     //      |left|/|right| bound needs the exploding predicate FIRST
     //      (the leftOrJoinAgg contract).
     // Forms (1)/(2) are |left|/|right|-bounded regardless of predicate
-    // order — the order contract is gone for every n=2 consumer mix and
+    // order — the order contract is gone for every n≤3 consumer mix and
     // for min/max-only at any n.
     val allMinMax =
       aggs.forall(a => a.kind == MinK || a.kind == MaxK)
-    val ieMode = !allMinMax && preds.length == 2
+    val ieMode = !allMinMax && preds.length >= 2 && preds.length <= 3
+    // singletons first (ascending), then larger subsets: slots 0..n−1
+    // are the additive per-predicate terms min/max read
+    val ieKeys: Seq[Seq[Int]] =
+      (1 to preds.length).flatMap(k =>
+        preds.indices.combinations(k).map(_.toSeq))
     val termKeys: Option[Seq[Seq[Int]]] =
       if (allMinMax) Some(preds.indices.map(Seq(_)))
-      else if (ieMode) Some(Seq(Seq(0), Seq(1), Seq(0, 1)))
+      else if (ieMode) Some(ieKeys)
       else None
 
     val (merged: LogicalPlan, slot: (Int => Seq[Expression])) =
@@ -514,9 +524,9 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           parts.map(_._3(j).toAttribute.withNullability(true)))
       }
     // slots carrying PER-PREDICATE partials (additive); in IE mode the
-    // third slot is the subtracted overlap — min/max must not read it
+    // later slots are the signed overlaps — min/max must not read them
     val nAdditive =
-      if (ieMode) 2 else termKeys.map(_.length).getOrElse(preds.length)
+      if (ieMode) preds.length else termKeys.map(_.length).getOrElse(preds.length)
 
     // ---- final projection: original output names AND exprIds, so parent
     // operators resolve unchanged.
@@ -536,18 +546,27 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       sameType(Subtract(x, y), x.dataType)
     def czero(p: Expression): Expression =
       Coalesce(Seq(p, Literal.default(p.dataType)))
-    // count is never null: missing partials are 0. In IE mode the third
-    // slot is the A∧B overlap, SUBTRACTED once.
+    // The signed IE fold: odd-sized subsets add, even-sized subtract
+    // (ieKeys order: singletons, pairs, [triple]). For n=2 this builds
+    // exactly (A + B) − A∧B.
+    def signedTotal(ps: Seq[Expression]): Expression =
+      ps.zip(ieKeys).tail.foldLeft(czero(ps.head): Expression) {
+        case (acc, (p, ks)) =>
+          if (ks.size % 2 == 1) addSame(acc, czero(p))
+          else subSame(acc, czero(p))
+      }
+    // count is never null: missing partials are 0.
     def countTotal(ps: Seq[Expression]): Expression =
-      if (ieMode) subSame(addSame(czero(ps(0)), czero(ps(1))), czero(ps(2)))
+      if (ieMode) signedTotal(ps)
       else ps.map(czero).reduce(addSame)
-    // SQL sum: null iff every additive partial is null (in IE mode the
-    // overlap term is a subset of term A, so A,B both null forces it
-    // null too — the guard over the additive terms is complete).
+    // SQL sum: null iff every SINGLETON partial is null (each overlap
+    // term's rows are a subset of its singletons' rows, so all
+    // singletons null forces every overlap null too — the guard over
+    // the additive terms is complete).
     def sumTotal(ps: Seq[Expression], dt: org.apache.spark.sql.types.DataType): Expression = {
-      val additive = if (ieMode) ps.take(2) else ps
+      val additive = ps.take(nAdditive)
       val total =
-        if (ieMode) subSame(addSame(czero(ps(0)), czero(ps(1))), czero(ps(2)))
+        if (ieMode) signedTotal(ps)
         else additive.map(czero).reduce(addSame)
       If(IsNull(Coalesce(additive)), Literal.create(null, dt),
         sameType(total, dt))

@@ -357,6 +357,46 @@ object Relational {
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
       headline = true),
 
+    // ---- ORDER-ROBUST 3-predicate IE: exploding predicate LAST --------
+    // The generalized inclusion–exclusion plan (round 16): at three
+    // predicates `agg(p1 OR p2 OR p3)` decomposes over all 7 non-empty
+    // subsets, every term's supplier side pre-aggregated on its
+    // composite key — |left|/|right|-bounded for ANY predicate order.
+    // The exploding 25-value nationkey predicate is written LAST (the
+    // worst shape for the branch form), count/sum/avg AND min mix in
+    // one aggregate, and the plan shape rides the hash like q82/q83.
+    "q86_or_join_3pred" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+            |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+            |  MIN(s_name) AS first_sup
+            |FROM customer LEFT JOIN supplier
+            |  ON c_name = s_name OR c_acctbal = s_acctbal
+            |    OR c_nationkey = s_nationkey
+            |GROUP BY c_custkey""".stripMargin)
+        def decorate(eager: Boolean) =
+          df.select(col("c_custkey"), col("n_match"), col("bal"),
+              col("first_sup"), lit(eager).as("plan_eager"))
+            .orderBy("c_custkey")
+        val plan = decorate(eager = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("Union"))
+      },
+      """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  MIN(s_name) AS first_sup,
+        |  TRUE AS plan_eager
+        |FROM customer LEFT JOIN supplier
+        |  ON c_name = s_name OR c_acctbal = s_acctbal
+        |    OR c_nationkey = s_nationkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
     // ---- ranking window: per-nation top-3 by balance -------------------
     "q09_window_rank" -> Q(
       (s, dir) => {

@@ -290,6 +290,71 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("agg rule: 3-pred count/sum/avg is ORDER-ROBUST (7-term inclusion–exclusion)") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // WORST order: the exploding 25-value nationkey predicate written
+    // LAST of three. The branch form would materialize the quadratic
+    // pair set in branch 2; the generalized IE plan pre-aggregates all
+    // 7 subset terms (3 singletons + 3 pairs + 1 triple) on their
+    // composite keys, so no join output exceeds |left| rows.
+    val lk = Lake(spark, sf0001)
+    def q() = lk.customer.join(lk.supplier,
+        col("c_name") === col("s_name") ||
+          col("c_acctbal") === col("s_acctbal") ||
+          col("c_nationkey") === col("s_nationkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("s_suppkey")).as("n_match"),
+        sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("bal"),
+        avg(col("s_acctbal")).as("avg_bal"),
+        min(col("s_name")).as("first_sup"))
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("agg rule IE law at n=3: triple overlaps, null keys, all 6 predicate orders") {
+    import spark.implicits._
+    // row 1 of left matches r-row 1 on ALL THREE predicates — the
+    // triple-intersection term must re-ADD what the three pairwise
+    // terms over-subtracted; duplicate right matches per predicate
+    // exercise multiplicity
+    val left = Seq(
+      (Some(1L), Some(5L), Some("x"), Some(7L)),
+      (Some(1L), Some(6L), None, Some(8L)),
+      (Some(2L), None, Some("y"), Some(7L)),
+      (None, Some(5L), Some("zz"), None),
+      (Some(3L), None, None, None)
+    ).toDF("g", "k1", "k2", "k3")
+    val right = Seq(
+      (Some(5L), Some("x"), Some(7L), Some(100L)), // all three vs left row 1
+      (Some(5L), Some("y"), Some(8L), None),
+      (Some(6L), Some("y"), Some(7L), Some(300L)),
+      (None, Some("x"), Some(7L), Some(400L)),
+      (Some(5L), Some("x"), None, Some(500L))      // two of three vs row 1
+    ).toDF("r1", "r2", "r3", "v")
+    val ps = Seq(
+      col("k1") === col("r1"),
+      col("k2") === col("r2"),
+      col("k3") === col("r3"))
+    for (order <- ps.permutations.toSeq) {
+      def q() = left.join(right, order.reduce(_ || _), "left").groupBy("g")
+        .agg(count(col("v")).as("n"), sum(col("v")).as("s"),
+          avg(col("v")).as("a"), max(col("r2")).as("mx"))
+      val expected = withRule(on = false) { canon(q()) }
+      withRule(on = true) {
+        val df = q()
+        assert(!df.queryExecution.executedPlan.toString.contains("Union"))
+        assert(canon(df) === expected, s"order=$order")
+      }
+    }
+  }
+
   test("agg rule: withColumn-derived group AND join keys freshen correctly") {
     import spark.implicits._
     // Alias-defined attributes (withColumn) used to keep their exprIds
