@@ -48,6 +48,15 @@ object Curation {
     * codegen subexpression elimination. `SPARK_GRAFT_ANNOTATE_REGEX=1`
     * restores the regex forms (bench lever; AnnotateSpec pins the two
     * paths cell-identical). */
+  /** First `__ann`-prefixed name absent from `df` — the internal struct
+    * column must never clobber (and then silently drop) a user column
+    * that happens to be named `__ann`. The documented output columns
+    * (`lang_pred`, `quality`, `n_tokens`, `fp`) overwrite by contract. */
+  private def annCol(df: DataFrame): String =
+    Iterator.from(0)
+      .map(i => if (i == 0) "__ann" else s"__ann_$i")
+      .find(n => !df.columns.contains(n)).get
+
   def annotateAndFilter(df: DataFrame, textCol: String,
                         cfg: Config = Config()): DataFrame = {
     val text: Column = col(textCol)
@@ -57,13 +66,15 @@ object Curation {
           .withColumn("quality", qualityScoreRegex(text))
           .withColumn("n_tokens", size(tokens(text)).cast("long"))
           .withColumn("fp", fingerprintMd5(text))
-      else
-        df.withColumn("__ann", annotateStats(text))
-          .withColumn("lang_pred", langIdFrom(col("__ann")))
-          .withColumn("quality", qualityFrom(col("__ann")))
-          .withColumn("n_tokens", col("__ann").getField("n_tokens").cast("long"))
-          .withColumn("fp", md5(col("__ann").getField("norm")))
-          .drop("__ann")
+      else {
+        val ann = annCol(df)
+        df.withColumn(ann, annotateStats(text))
+          .withColumn("lang_pred", langIdFrom(col(ann)))
+          .withColumn("quality", qualityFrom(col(ann)))
+          .withColumn("n_tokens", col(ann).getField("n_tokens").cast("long"))
+          .withColumn("fp", md5(col(ann).getField("norm")))
+          .drop(ann)
+      }
     annotated
       .where(col("quality") >= cfg.minQuality)
       .where(if (cfg.dropUnknownLang) col("lang_pred") =!= "unk" else lit(true))
@@ -95,12 +106,13 @@ object Curation {
     * One fp-partitioned window, no global state. */
   def dropReasons(df: DataFrame, idCol: String, textCol: String,
                   cfg: Config = Config()): DataFrame = {
+    val ann = annCol(df)
     val annotated = Parallelism.ensure(df)
-      .withColumn("__ann", annotateStats(col(textCol)))
-      .withColumn("lang_pred", langIdFrom(col("__ann")))
-      .withColumn("quality", qualityFrom(col("__ann")))
-      .withColumn("fp", md5(col("__ann").getField("norm")))
-      .drop("__ann")
+      .withColumn(ann, annotateStats(col(textCol)))
+      .withColumn("lang_pred", langIdFrom(col(ann)))
+      .withColumn("quality", qualityFrom(col(ann)))
+      .withColumn("fp", md5(col(ann).getField("norm")))
+      .drop(ann)
     val passing = col("quality") >= cfg.minQuality &&
       (if (cfg.dropUnknownLang) col("lang_pred") =!= "unk" else lit(true))
     val minPass = min(when(passing, col(idCol)))

@@ -117,11 +117,12 @@ object ZoneMapTable {
   // zero plan-time jobs (SURVEY §4 r15 addendum: the operator-form
   // starOrder probes with a Spark job; a RULE may only read state that
   // already exists). Maintenance discipline matches the manifest:
-  // [[write]] computes them from the full new contents (one extra agg
-  // pass over the df already in hand — write-time, delta/table-sized,
-  // never plan-time), [[append]] unions the delta's sketch into the
-  // previous generation's (theta union — delta cost), [[compact]]
-  // carries them forward verbatim (contents unchanged).
+  // [[write]] computes them from the files just written (one extra agg
+  // pass over the landed parquet — write-time, delta/table-sized,
+  // never plan-time, and immune to a non-deterministic input df),
+  // [[append]] sketches the delta's files and theta-unions them into
+  // the previous generation's (delta cost), [[compact]] carries them
+  // forward verbatim (contents unchanged).
 
   /** The newest committed generation's star stats, one row per sketched
     * column: (col, n_rows, sketch). None when the table was written
@@ -209,28 +210,39 @@ object ZoneMapTable {
     val spark = df.sparkSession
     // star stats reflect the FULL new contents on both branches (a
     // rebuild replaces the served file set, so carrying the old sketch
-    // forward would describe retired data); computed before the write so
-    // a failed write publishes nothing
+    // forward would describe retired data) and are computed FROM THE
+    // FILES JUST WRITTEN, never by re-evaluating `df`: a
+    // non-deterministic df (or a source mutated mid-write) would
+    // otherwise persist sketches describing rows other than the ones
+    // served. A failed write throws before anything publishes.
+    def starOf(written: Seq[String]): Option[Seq[(String, Long, Array[Byte])]] =
+      if (sketchCols.isEmpty) None
+      else Some(computeStarStats(
+        if (written.isEmpty) df.limit(0) else spark.read.parquet(written: _*),
+        sketchCols))
     val star =
-      if (sketchCols.isEmpty) None else Some(computeStarStats(df, sketchCols))
-    if (manifestGens(spark, dir, committedOnly = true).nonEmpty) {
-      val before = listDataFiles(spark, dir).map(fileName).toSet
-      df.repartitionByRange(files, df.col(clusterCol))
-        .sortWithinPartitions(clusterCol)
-        .write.mode("append").parquet(s"$dir/data")
-      val fresh = listDataFiles(spark, dir)
-        .filterNot(p => before.contains(fileName(p)))
-      // the replay stamp survives a rebuild: stream batches absorbed
-      // before it must stay no-ops on replay (the rebuild's contents
-      // already reflect them)
-      publishManifest(spark, dir, statsOf(spark, fresh, statsCols, df.schema),
-        lastBatchId(spark, dir), star.map(starStatsDf(spark, _)))
-    } else {
-      LakeMaintenance.clusterBy(df, s"$dir/data", clusterCol, files)
-      publishManifest(spark, dir,
-        statsOf(spark, listDataFiles(spark, dir), statsCols, df.schema),
-        starStats = star.map(starStatsDf(spark, _)))
-    }
+      if (manifestGens(spark, dir, committedOnly = true).nonEmpty) {
+        val before = listDataFiles(spark, dir).map(fileName).toSet
+        df.repartitionByRange(files, df.col(clusterCol))
+          .sortWithinPartitions(clusterCol)
+          .write.mode("append").parquet(s"$dir/data")
+        val fresh = listDataFiles(spark, dir)
+          .filterNot(p => before.contains(fileName(p)))
+        val st = starOf(fresh)
+        // the replay stamp survives a rebuild: stream batches absorbed
+        // before it must stay no-ops on replay (the rebuild's contents
+        // already reflect them)
+        publishManifest(spark, dir, statsOf(spark, fresh, statsCols, df.schema),
+          lastBatchId(spark, dir), st.map(starStatsDf(spark, _)))
+        st
+      } else {
+        LakeMaintenance.clusterBy(df, s"$dir/data", clusterCol, files)
+        val all = listDataFiles(spark, dir)
+        val st = starOf(all)
+        publishManifest(spark, dir, statsOf(spark, all, statsCols, df.schema),
+          starStats = st.map(starStatsDf(spark, _)))
+        st
+      }
     star match {
       case Some(rows) => registerStarStats(spark, dir, rows)
       case None => graft.plans.StarStatsRegistry.deregister(
@@ -524,19 +536,21 @@ object ZoneMapTable {
       .write.mode("append").parquet(s"$dir/data")
     val fresh = (dataFiles() -- before).toSeq.sorted
     if (fresh.isEmpty) return
-    val freshStats = statsOf(spark,
-      fresh.map(n => fs.makeQualified(
-        new org.apache.hadoop.fs.Path(s"$dir/data/$n")).toString),
-      statsCols, df.schema)
+    val freshPaths = fresh.map(n => fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$dir/data/$n")).toString)
+    val freshStats = statsOf(spark, freshPaths, statsCols, df.schema)
     // star-stats maintenance is AUTOMATIC: when the previous generation
     // carries sketches, the delta batch is sketched over the same column
-    // set (one delta-sized agg) and theta-UNIONED driver-side — the
-    // mergeability the sketch family exists for; n_rows adds exactly
+    // set (one delta-sized agg OVER THE FILES JUST WRITTEN — re-running
+    // a non-deterministic `df` could sketch rows other than the ones
+    // that landed) and theta-UNIONED driver-side — the mergeability the
+    // sketch family exists for; n_rows adds exactly
     val mergedStar = starStats(spark, dir).map { prev =>
       val prevRows = prev.collect().map(r =>
         (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2))).toSeq
       val cols = prevRows.map(_._1)
-      val delta = computeStarStats(df, cols).map(r => r._1 -> r).toMap
+      val delta = computeStarStats(spark.read.parquet(freshPaths: _*), cols)
+        .map(r => r._1 -> r).toMap
       prevRows.map { case (c, n, sk) =>
         val (_, dn, dsk) = delta(c)
         val u = org.apache.datasketches.theta.SetOperation.builder()

@@ -157,13 +157,19 @@ object StarOrderRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def rootPathOf(lr: LogicalRelation): Option[String] =
-    lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths match {
+  /** The scan's single root path, qualified via the SESSION THAT OWNS
+    * THE RELATION (not `SparkSession.active`): in a JVM with multiple
+    * sessions carrying divergent Hadoop confs, the active session's
+    * `fs.defaultFS` could qualify the path differently from the
+    * registration spelling and silently miss (or cross-match) entries. */
+  private def rootPathOf(lr: LogicalRelation): Option[String] = {
+    val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+    rel.location.rootPaths match {
       case Seq(single) =>
-        Some(StarStatsRegistry.qualify(
-          SparkSession.active, single.toString))
+        Some(StarStatsRegistry.qualify(rel.sparkSession, single.toString))
       case _ => None
     }
+  }
 
   private def estimate(sk: Array[Byte]): Double =
     CompactSketch.heapify(Memory.wrap(sk)).getEstimate
