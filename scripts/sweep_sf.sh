@@ -15,10 +15,13 @@
 # 2. Runs graft.Verify over it (every registry query dumped).
 # 3. Replays the DuckDB oracle gate (scripts/check.py) and writes the
 #    machine-readable standing to target/sweep_sf<scale>_standing.json.
-# 4. Classifies failures: the approximate-sketch estimation-mode gates
-#    (q51/q54/q55/q58/q75) are EXPECTED to drift from the exact oracle
-#    beyond sf0.1 — they estimate within a configured RSE by design
-#    (SURVEY §6). Any OTHER failure exits non-zero.
+# 4. Classifies failures (scripts/classify_sweep.py): the four
+#    theta/HLL estimation-mode gates (q51/q54/q55/q58) are re-checked
+#    against an EXPLICIT k*RSE band when they drift from the exact
+#    oracle beyond sf0.1 — within-band becomes `pass_within_rse`, a
+#    band violation (or any crash: 'missing'/'oracle-err') exits
+#    non-zero. q75's KLL rank band lives inside the gate itself, so it
+#    must pass exactly at every scale.
 #
 # Generation at sf1 takes a few minutes and ~2 GB; Verify ~15-25 min at
 # local[32]; the oracle replay ~10 min (DuckDB temp capped by check.py).
@@ -44,32 +47,13 @@ sbt -batch "runMain graft.Verify $data $out" >"$out.verify.log" 2>&1 \
   || { echo "Verify FAILED at sf$scale — see $out.verify.log"; exit 1; }
 
 echo "== DuckDB oracle replay"
+# A stale standing from a previous run must never be re-classified as
+# current evidence: remove it first so a check.py crash (which the
+# `|| true` swallows — sketch drift at sf>=1 is handled by the
+# classifier, not by check.py's exit code) fails loudly below.
+rm -f "$standing"
 GRAFT_CHECK_JSON="$standing" python3 scripts/check.py "$data" "$out" \
-  || true  # exit handled below: sketch-mode drift is expected at sf>=1
+  || true  # exit handled by the classifier
 
-python3 - "$standing" "$scale" <<'EOF'
-import json, sys
-standing_path, scale = sys.argv[1], sys.argv[2]
-d = json.load(open(standing_path))
-# Estimation-mode sketch gates: exact-oracle drift beyond sf0.1 is the
-# documented, RSE-bounded design (SURVEY.md §6), not a defect.
-EXPECTED_APPROX = {"q51_theta_segments", "q54_theta_retention",
-                   "q55_rolling_actives", "q58_join_estimate",
-                   "q75_mv_kll"}
-bad = sorted(n for n, q in d["queries"].items()
-             if q["status"] not in ("pass", "rows-only")
-             and n not in EXPECTED_APPROX)
-drifted = sorted(n for n, q in d["queries"].items()
-                 if q["status"] not in ("pass", "rows-only")
-                 and n in EXPECTED_APPROX)
-d["scale"] = scale
-d["expected_approx_drift"] = drifted
-d["unexpected_failures"] = bad
-json.dump(d, open(standing_path, "w"), indent=1, sort_keys=True)
-total = len(d["queries"])
-print(f"== standing sf{scale}: {d['pass']} pass / {total} total; "
-      f"{len(drifted)} expected sketch-mode drift {drifted}; "
-      f"{len(bad)} unexpected failures {bad}")
-print(f"== standing JSON: {standing_path}")
-sys.exit(1 if bad else 0)
-EOF
+[ -f "$standing" ] || { echo "check.py produced no standing JSON"; exit 1; }
+python3 scripts/classify_sweep.py "$standing" "$scale" "$data" "$out"

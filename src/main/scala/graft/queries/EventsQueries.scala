@@ -903,6 +903,15 @@ object EventsQueries {
     // quantiles exact order statistics; the gate is q52-shaped — DuckDB
     // pins the exact counts, booleans pin the measured rank of each
     // served quantile, and served_from_mv pins the rewrite firing.
+    // The rank band is the sketch's OWN configured guarantee, not an
+    // exact-mode artifact: lower bound 0.5−2·eps (eps =
+    // KllSketch.getNormalizedRankError(k), ~9.3e-5 at k=32768), so the
+    // gate passes within the configured rank error at ANY scale —
+    // beyond the compaction bound (sf>=1, ~200k values/type) the
+    // estimate's measured rank drifts by ~1·eps and stays inside the
+    // band, making this a true within-RSE gate rather than a sweep-time
+    // excuse. Exact mode keeps r50 >= 0.5 by the quantile convention,
+    // so driver-SF hashes are unchanged.
     "q75_mv_kll" -> Q(
       (s, dir) => {
         import graft.operators.MaterializedView
@@ -926,6 +935,10 @@ object EventsQueries {
         val served = servedFromMv(q, base)
         val ev = sess.read.parquet(base).where(col("value").isNotNull)
           .select(col("event_type"), col("value"))
+        // the configured rank-error band (2x the sketch's one-sided
+        // normalized rank error at the gate's k)
+        val kllEps = 2 * org.apache.datasketches.kll.KllSketch
+          .getNormalizedRankError(32768, false)
         ev.join(q, Seq("event_type"))
           .groupBy("event_type")
           .agg(max(col("n_vals")).as("n_vals"),
@@ -934,8 +947,10 @@ object EventsQueries {
             (sum(when(col("value") <= col("p95"), 1L)).cast("double")
               / max(col("n_vals"))).as("r95"))
           .select(col("event_type"), col("n_vals"),
-            (col("r50") >= 0.5 && col("r50") <= 0.5 + 0.03).as("p50_rank_ok"),
-            (col("r95") >= 0.95 && col("r95") <= 0.95 + 0.03).as("p95_rank_ok"),
+            (col("r50") >= 0.5 - kllEps && col("r50") <= 0.5 + 0.03)
+              .as("p50_rank_ok"),
+            (col("r95") >= 0.95 - kllEps && col("r95") <= 0.95 + 0.03)
+              .as("p95_rank_ok"),
             lit(served).as("served_from_mv"))
           .orderBy("event_type")
       },
