@@ -54,11 +54,15 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config(graft.plans.OrEquiJoinRule.ConfKey, "true")
-    // StarOrderRule armed by default: inert until the user REGISTERS
-    // write-time key sketches (ZoneMapTable sketchCols / loadStarStats) —
-    // registration is the real opt-in, the conf is the per-session
-    // override. Reordering is correctness-free by join commutativity
-    // (law-pinned in StarOrderRuleSpec, gated by q85).
+    // StarOrderRule armed by default: inert until a table carries
+    // write-time key sketches — registered in-JVM by ZoneMapTable
+    // sketchCols writes, loaded explicitly via loadStarStats, or
+    // lazy-loaded from the `_starstats` sidecar on the rule's first
+    // miss (so a FRESH session over a zone-mapped table reorders
+    // transparently, one driver-side metadata read per table, zero
+    // jobs). Writing with sketchCols is the real opt-in; the conf is
+    // the per-session override. Reordering is correctness-free by join
+    // commutativity (law-pinned in StarOrderRuleSpec, gated by q85).
     .config(graft.plans.StarOrderRule.ConfKey, "true")
     .config("spark.sql.parquet.compression.codec", "snappy")
     // write timestamps as annotated INT64 micros, not the legacy INT96:

@@ -162,10 +162,57 @@ object ZoneMapTable {
       new java.util.ArrayList(rows.map { case (c, n, sk) =>
         org.apache.spark.sql.Row(c, n, sk) }.asJava), starStatsSchema)
 
+  /** Driver-only read of the newest committed generation's `_starstats`
+    * sidecar under `tableRoot` — the lazy-load half of
+    * [[graft.plans.StarStatsRegistry.statsForOrLoad]]. Reads the tiny
+    * sidecar parquet with a parquet-hadoop record reader on the DRIVER,
+    * launching ZERO Spark jobs: an optimizer rule's miss path runs at
+    * plan time, where the §4 law allows a one-time metadata read but
+    * never a job. None when the table has no committed generation or no
+    * sidecar. */
+  private[graft] def readStarStatsDriverSide(
+      conf: org.apache.hadoop.conf.Configuration,
+      tableRoot: String): Option[Seq[(String, Long, Array[Byte])]] = {
+    val zm = new org.apache.hadoop.fs.Path(s"$tableRoot/_zonemap")
+    val fs = zm.getFileSystem(conf)
+    if (!fs.exists(zm)) return None
+    val committed = fs.listStatus(zm).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("g=") => s.drop(2).toLong }
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$tableRoot/_zonemap/g=$g/$Marker")))
+      .sorted
+    committed.lastOption.flatMap { g =>
+      val sd = new org.apache.hadoop.fs.Path(
+        s"$tableRoot/_zonemap/g=$g/$StarStatsDir")
+      if (!fs.exists(sd)) None
+      else {
+        val files = fs.listStatus(sd).toSeq.filter(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        val rows = files.flatMap { f =>
+          val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+            new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            f.getPath).withConf(conf).build()
+          try {
+            Iterator.continually(reader.read()).takeWhile(_ != null).map {
+              grp => (grp.getString("col", 0), grp.getLong("n_rows", 0),
+                grp.getBinary("sketch", 0).getBytes)
+            }.toVector
+          } finally reader.close()
+        }
+        if (rows.isEmpty) None else Some(rows)
+      }
+    }
+  }
+
   /** Register a table's PERSISTED star stats with the in-memory registry
     * the optimizer rule reads — the load-time half of "read, not
     * computed": one small manifest-sidecar read NOW (session setup), zero
-    * I/O at plan time. Returns false when the table has none. */
+    * I/O at plan time. Returns false when the table has none. (Since the
+    * lazy-load path above, this explicit form is needed only to FORCE a
+    * refresh — `statsForOrLoad` reaches the same sidecar transparently
+    * on first miss.) */
   def loadStarStats(spark: SparkSession, dir: String): Boolean =
     starStats(spark, dir) match {
       case None => false

@@ -14,12 +14,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * PRE-COMPUTED statistics [[StarOrderRule]] reads at plan time.
   *
   * Populated at WRITE time by [[graft.operators.ZoneMapTable.write]]
-  * (sketchCols) / `append` (automatic union maintenance), or at session
+  * (sketchCols) / `append` (automatic union maintenance), at session
   * setup by `ZoneMapTable.loadStarStats` reading the `_starstats`
-  * manifest sidecar — never by the rule itself: the rule's only
-  * permitted work is an in-memory map lookup plus driver-side sketch
-  * set-ops (microseconds), upholding the no-plan-time-jobs law SURVEY §4
-  * sets for optimizer rules (the MV rule's "zero plan-time FS walks",
+  * manifest sidecar, or LAZILY by [[statsForOrLoad]] on the first
+  * registry miss for a `<root>/data` path (one driver-side sidecar
+  * read, positive- and negative-cached) — never COMPUTED by a rule:
+  * plan-time work stays an in-memory map lookup plus driver-side sketch
+  * set-ops (microseconds), with at most one tiny metadata read per
+  * table per JVM, upholding the no-plan-time-jobs law SURVEY §4 sets
+  * for optimizer rules (the MV rule's "zero plan-time FS walks",
   * applied to statistics).
   *
   * Staleness is deliberately NOT gated: the rewrite only permutes inner
@@ -35,6 +38,12 @@ object StarStatsRegistry {
   private val catalog =
     scala.collection.concurrent.TrieMap.empty[String, TableStats]
 
+  /** Data paths known to carry NO loadable sidecar — probed once, then
+    * never touched again, so the lazy-load miss path stays one FS probe
+    * per path per JVM rather than one per plan. */
+  private val noSidecar =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Fully-qualified spelling of a data path — registration and the
     * rule's rootPath lookup must agree on one form. */
   def qualify(spark: SparkSession, path: String): String = {
@@ -43,8 +52,10 @@ object StarStatsRegistry {
     p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
   }
 
-  def register(qualifiedDataPath: String, stats: TableStats): Unit =
+  def register(qualifiedDataPath: String, stats: TableStats): Unit = {
+    noSidecar.remove(qualifiedDataPath)
     catalog.put(qualifiedDataPath, stats)
+  }
 
   def deregister(qualifiedDataPath: String): Unit =
     catalog.remove(qualifiedDataPath)
@@ -54,7 +65,43 @@ object StarStatsRegistry {
   def statsFor(qualifiedDataPath: String): Option[TableStats] =
     catalog.get(qualifiedDataPath)
 
-  def clear(): Unit = catalog.clear()
+  /** Registry lookup with LAZY SIDECAR LOAD on first miss — the
+    * cross-session half of "read, not computed": a fresh session over a
+    * zone-mapped table gets transparent star ordering without calling
+    * `ZoneMapTable.loadStarStats` per table. On a miss for a
+    * `<root>/data` path, the newest committed generation's `_starstats`
+    * sidecar under `<root>` is read ONCE, entirely on the driver
+    * (parquet-hadoop record reader — zero Spark jobs, the §4 law; the
+    * sidecar is sketchCols-sized) and cached in the registry; paths with
+    * no sidecar are negative-cached so the probe never repeats. IO
+    * failures read as "no stats" — a planning rule must degrade to
+    * written order, never throw. */
+  def statsForOrLoad(spark: SparkSession,
+                     qualifiedDataPath: String): Option[TableStats] =
+    statsFor(qualifiedDataPath).orElse {
+      if (noSidecar.contains(qualifiedDataPath)) None
+      else {
+        val loaded =
+          if (!qualifiedDataPath.endsWith("/data")) None
+          else try {
+            graft.operators.ZoneMapTable.readStarStatsDriverSide(
+              spark.sessionState.newHadoopConf(),
+              qualifiedDataPath.stripSuffix("/data")).map { rows =>
+              TableStats(rows.headOption.map(_._2).getOrElse(0L),
+                rows.map(r => r._1 -> r._3).toMap)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        loaded match {
+          case Some(st) => register(qualifiedDataPath, st); Some(st)
+          case None     => noSidecar.add(qualifiedDataPath); None
+        }
+      }
+    }
+
+  def clear(): Unit = {
+    catalog.clear()
+    noSidecar.clear()
+  }
 }
 
 /** Optimizer rule: reorder a 3+-dimension star-join chain most-selective
@@ -67,7 +114,11 @@ object StarStatsRegistry {
   *          Join(Join(Join(fact, dBest)…), dWorst))
   *
   * fires when (conf `spark.graft.starOrderFromStats`, default off; armed
-  * by `GraftSession`, where the REAL opt-in is registering stats):
+  * by `GraftSession` — the opt-in is writing the table with sketchCols:
+  * stats register at write time, load explicitly via
+  * `ZoneMapTable.loadStarStats`, or LAZY-LOAD from the `_starstats`
+  * sidecar on the rule's first registry miss for a table, so a fresh
+  * session over a zone-mapped table reorders transparently):
   *
   *  - the plan is a left-deep chain of ≥3 INNER joins whose left spine
   *    bottoms out at the FACT subtree (attribute-only Projects and
@@ -78,12 +129,11 @@ object StarStatsRegistry {
   *    disqualifies, because reordering could hoist it above its
   *    prerequisite;
   *  - every dim subtree is a bare scan (plus attribute-only Projects) of
-  *    a registered table whose sketches cover its join key — a FILTERED
-  *    dim stands the chain down: the persisted whole-table sketch cannot
-  *    see the filter, and a confidently-wrong selectivity is worse than
-  *    written order;
-  *  - the fact scan is registered with sketches covering every fact-side
-  *    join key.
+  *    a table with registered (or sidecar-loadable) sketches covering
+  *    its join key — a FILTERED dim stands the chain down: the persisted
+  *    whole-table sketch cannot see the filter, and a confidently-wrong
+  *    selectivity is worse than written order;
+  *  - the fact scan's sketches cover every fact-side join key.
   *
   * survival_i = est(|fact keys ∩ dim keys|) / est(|fact keys|), computed
   * by driver-side theta intersection over the registered bytes — exact
@@ -112,7 +162,9 @@ object StarOrderRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
-    if (StarStatsRegistry.registered.isEmpty) return plan
+    // no registry-emptiness fast path: stats lazy-load from the table's
+    // own `_starstats` sidecar on first miss (negative-cached), so a
+    // fresh session over a zone-mapped table reorders transparently
     plan.transformUp {
       case j @ Join(_, _, Inner, Some(_), _) =>
         reorder(j).getOrElse(j)
@@ -171,6 +223,9 @@ object StarOrderRule extends Rule[LogicalPlan] {
     }
   }
 
+  private def sessionOf(lr: LogicalRelation): SparkSession =
+    lr.relation.asInstanceOf[HadoopFsRelation].sparkSession
+
   private def estimate(sk: Array[Byte]): Double =
     CompactSketch.heapify(Memory.wrap(sk)).getEstimate
 
@@ -202,7 +257,8 @@ object StarOrderRule extends Rule[LogicalPlan] {
         for {
           factScan <- scanUnder(factPlan, throughFilters = true)
           factPath <- rootPathOf(factScan)
-          factStats <- StarStatsRegistry.statsFor(factPath)
+          factStats <- StarStatsRegistry.statsForOrLoad(
+            sessionOf(factScan), factPath)
           links <- traverse(rawDims) { case (dimPlan, cond) =>
             splitEquality(cond, factScan, dimPlan).map {
               case (factAttr, dimAttr) => (dimPlan, cond, factAttr, dimAttr)
@@ -237,7 +293,7 @@ object StarOrderRule extends Rule[LogicalPlan] {
         for {
           lr <- scanUnder(dimPlan, throughFilters = false)
           path <- rootPathOf(lr)
-          dimStats <- StarStatsRegistry.statsFor(path)
+          dimStats <- StarStatsRegistry.statsForOrLoad(sessionOf(lr), path)
           dimSk <- dimStats.keySketches.get(dimAttr.name)
           factSk <- factStats.keySketches.get(factAttr.name)
         } yield DimLink(dimPlan, cond, survivalOf(factSk, dimSk), path)

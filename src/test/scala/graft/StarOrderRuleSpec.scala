@@ -158,19 +158,34 @@ class StarOrderRuleSpec extends AnyFunSuite {
       s"got $mixedOrder")
   }
 
-  test("registry lifecycle: cleared registry stands down; loadStarStats re-serves from disk") {
+  test("fresh-session transparency: cleared registry lazy-loads the persisted sidecar, zero jobs") {
     stage
     val saved = StarStatsRegistry.registered
     try {
       StarStatsRegistry.clear()
-      assert(joinOrder(worstChain(spark).queryExecution.optimizedPlan) ===
-        Seq("dim_supplier", "dim_orders", "dim_part"),
-        "empty registry must keep written order")
-      // the read-not-computed path: load persisted stats, rule fires again
-      for (t <- Seq("fact", "dim_supplier", "dim_orders", "dim_part"))
-        assert(ZoneMapTable.loadStarStats(spark, s"$stage/$t"))
-      assert(joinOrder(worstChain(spark).queryExecution.optimizedPlan) ===
-        Seq("dim_part", "dim_orders", "dim_supplier"))
+      // a NEW session over the existing zone-mapped tables, no
+      // loadStarStats call anywhere — the rule's registry-miss path must
+      // read the `_starstats` sidecars itself (driver-side parquet
+      // record reader) and still launch zero Spark jobs in the window
+      val child = spark.newSession()
+      child.conf.set(StarOrderRule.ConfKey, "true")
+      val df = worstChain(child)
+      val tracker = spark.sparkContext.statusTracker
+      def jobs() = tracker.getJobIdsForGroup(null).length
+      def drain(): Unit = org.apache.spark.GraftTestSparkBridge
+        .waitListenerBusEmpty(spark.sparkContext)
+      drain()
+      val before = jobs()
+      val order = joinOrder(df.queryExecution.optimizedPlan)
+      drain()
+      assert(order === Seq("dim_part", "dim_orders", "dim_supplier"),
+        s"lazy-loaded sidecars must fire the reorder, got $order")
+      assert(jobs() === before,
+        "the sidecar lazy load must not launch any Spark job")
+      // the load is CACHED in the registry (one FS probe per path)
+      assert(StarStatsRegistry.registered.size >= 4)
+      // explicit loadStarStats remains the force-refresh form
+      assert(ZoneMapTable.loadStarStats(spark, s"$stage/fact"))
     } finally {
       StarStatsRegistry.clear()
       saved.foreach { case (p, s) => StarStatsRegistry.register(p, s) }
