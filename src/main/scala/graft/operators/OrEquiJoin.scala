@@ -76,9 +76,15 @@ object OrEquiJoin {
     *    by construction), so the right side pre-aggregates to one
     *    (cnt, min) row per distinct key — the exploding branch becomes
     *    a |left|-row join against a |distinct keys|-row rollup;
-    *  - later branches keep their joins (their residuals reference left
-    *    columns), but they only stay large if a LATER predicate is the
-    *    low-selectivity one — order the exploding predicate FIRST;
+    *  - OR commutes, so WHICH predicate is branch 0 is the operator's
+    *    to choose: when both inputs are single scans with persisted
+    *    write-time key sketches ([[graft.plans.StarStatsRegistry]]),
+    *    the predicate with the largest estimated join output
+    *    |L|·|R|/max(ndv) is moved first (driver-side lookups, zero
+    *    extra jobs — the same choice [[graft.plans.OrEquiJoinRule]]
+    *    makes on the rule path, gated by q87). Without stats the
+    *    written order stands — then writing the exploding predicate
+    *    first is a useful convention (any order stays correct);
     *  - branch outputs partition the joined multiset (leftOrJoin's own
     *    first-satisfied-predicate law), so group partials merge by SUM
     *    for counts and LEAST for mins — no inclusion–exclusion, which
@@ -93,11 +99,12 @@ object OrEquiJoin {
   def leftOrJoinAgg(left: DataFrame, right: DataFrame, groupCol: String,
                     countCol: String, countOut: String,
                     minCol: String, minOut: String,
-                    preds: (String, String)*): DataFrame = {
-    require(preds.nonEmpty, "at least one equality predicate")
+                    rawPreds: (String, String)*): DataFrame = {
+    require(rawPreds.nonEmpty, "at least one equality predicate")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"left and right column sets must be disjoint, overlap: ${overlap.mkString(", ")}")
+    val preds = statsOrder(left, right, rawPreds)
     def eq(p: (String, String)): Column = left(p._1) === right(p._2)
     def notYet(k: Int): Column =
       not(coalesce(preds.take(k).map(eq).reduce(_ || _), lit(false)))
@@ -131,5 +138,41 @@ object OrEquiJoin {
     val mCols = preds.indices.map(k => col(s"__m$k"))
     val mBest = if (mCols.size == 1) mCols.head else least(mCols: _*)
     merged.select(col(groupCol), nTotal.as(countOut), mBest.as(minOut))
+  }
+
+  /** `preds` permuted so the best pre-aggregation candidate — the
+    * predicate with the LARGEST estimated join output
+    * |left|·|right|/max(ndv_L, ndv_R), from persisted write-time key
+    * sketches — comes first; written order when either input is not a
+    * single stats-carrying scan or any key sketch is missing. Driver-side
+    * registry lookups only, zero extra jobs: the operator twin of
+    * [[graft.plans.OrEquiJoinRule]]'s stats-picked branch 0. A stale or
+    * filter-blind sketch can only mis-ORDER (OR commutes), never corrupt. */
+  private def statsOrder(left: DataFrame, right: DataFrame,
+                         preds: Seq[(String, String)]): Seq[(String, String)] = {
+    import graft.plans.StarStatsRegistry
+    val picked = for {
+      (_, lSt) <- StarStatsRegistry.statsUnder(left.queryExecution.analyzed)
+      (_, rSt) <- StarStatsRegistry.statsUnder(right.queryExecution.analyzed)
+      ests <- {
+        val all = preds.map { case (lc, rc) =>
+          for {
+            lsk <- lSt.keySketches.get(lc)
+            rsk <- rSt.keySketches.get(rc)
+          } yield {
+            val ndv = math.max(1.0,
+              math.max(StarStatsRegistry.distinctEstimate(lsk),
+                StarStatsRegistry.distinctEstimate(rsk)))
+            lSt.nRows.toDouble * rSt.nRows.toDouble / ndv
+          }
+        }
+        if (all.forall(_.isDefined)) Some(all.map(_.get)) else None
+      }
+    } yield ests.indexOf(ests.max)
+    picked match {
+      case Some(i) if i > 0 =>
+        preds(i) +: (preds.take(i) ++ preds.drop(i + 1))
+      case _ => preds
+    }
   }
 }

@@ -82,12 +82,19 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   *  3. n≥4 predicates with count/sum/avg consumers: IE would grow
   *     2^n−1 pre-aggregated joins (15 at n=4) — costlier than the form
   *     it replaces — so the branch-partition form remains, where only
-  *     branch 0 (the sole residual-free branch) pre-aggregates: there
-  *     the |left|/|right| bound holds PROVIDED the exploding predicate
-  *     is written FIRST — the ONLY order-sensitive case left (the
-  *     [[graft.operators.OrEquiJoin.leftOrJoinAgg]] contract; picking
-  *     branch 0 by measured selectivity would need plan-time data
-  *     stats, which the §4 no-plan-time-jobs law forbids).
+  *     branch 0 (the sole residual-free branch) pre-aggregates. OR
+  *     commutes, so WHICH predicate is branch 0 is the rule's to
+  *     choose: when both sides are single scans with persisted
+  *     write-time key sketches ([[StarStatsRegistry]] — registered at
+  *     ZoneMapTable write time or lazy-loaded from the `_starstats`
+  *     sidecar), branch 0 is STATS-PICKED as the predicate with the
+  *     largest estimated join output |L|·|R|/max(ndv) — a registry
+  *     lookup plus driver-side theta reads, zero plan-time jobs (the
+  *     §4 law), gated by q87 with the exploding predicate written
+  *     LAST. Without stats the written order stands, where the
+  *     |left|/|right| bound holds provided the exploding predicate is
+  *     written first (a documented convention, no longer a contract:
+  *     any order stays CORRECT, stats make it also optimal).
   *
   * Outputs may wrap aggregates in deterministic scalar expressions
   * (`CAST(SUM(x) AS DOUBLE)`, shared calls, arithmetic) — the merge is
@@ -264,6 +271,59 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case AvgK   => Seq(PSum, PCount)
   }
 
+  /** Permutation of `preds`/`pairs` moving the best branch-0 candidate
+    * first — the predicate with the LARGEST estimated join output
+    * |left|·|right|/max(ndv_L(key), ndv_R(key)), i.e. the one whose
+    * materialized branch would explode worst and therefore gains most
+    * from being the (sole) pre-aggregated branch. ndv comes from
+    * [[StarStatsRegistry]]'s persisted write-time theta sketches — an
+    * in-memory lookup plus driver-side heapify, zero plan-time jobs.
+    *
+    * Written order when either side is not a single stats-carrying scan,
+    * any key is not a bare scan attribute, or any key sketch is missing:
+    * a partial ranking could demote the true exploder on a confident
+    * half-estimate, and written order at least honors the documented
+    * exploding-predicate-first convention. Filters above a scan make the
+    * whole-table sketch an over-estimate, which is acceptable here — OR
+    * commutes, so a mis-pick costs plan QUALITY only, never correctness.
+    * Ties keep written order (indexOf takes the first maximum). */
+  private def statsPicked(left: LogicalPlan, right: LogicalPlan,
+                          preds: Seq[Expression],
+                          pairs: Seq[(Expression, Expression)])
+      : (Seq[Expression], Seq[(Expression, Expression)]) = {
+    def scanAttr(e: Expression, lr: org.apache.spark.sql.execution
+        .datasources.LogicalRelation): Option[Attribute] = e match {
+      case at: Attribute if lr.outputSet.contains(at) => Some(at)
+      case _ => None
+    }
+    val picked = for {
+      (lScan, lStats) <- StarStatsRegistry.statsUnder(left)
+      (rScan, rStats) <- StarStatsRegistry.statsUnder(right)
+      ests <- {
+        val es = pairs.map { case (lk, rk) =>
+          for {
+            la <- scanAttr(lk, lScan)
+            ra <- scanAttr(rk, rScan)
+            lsk <- lStats.keySketches.get(la.name)
+            rsk <- rStats.keySketches.get(ra.name)
+          } yield {
+            val ndv = math.max(1.0,
+              math.max(StarStatsRegistry.distinctEstimate(lsk),
+                StarStatsRegistry.distinctEstimate(rsk)))
+            lStats.nRows.toDouble * rStats.nRows.toDouble / ndv
+          }
+        }
+        if (es.forall(_.isDefined)) Some(es.map(_.get)) else None
+      }
+    } yield ests.indexOf(ests.max)
+    picked match {
+      case Some(i) if i > 0 =>
+        val perm = i +: preds.indices.filterNot(_ == i)
+        (perm.map(preds), perm.map(pairs))
+      case _ => (preds, pairs)
+    }
+  }
+
   private def rewriteAgg(a: Aggregate, left: LogicalPlan, right: LogicalPlan,
                          preds: Seq[Expression]): Option[LogicalPlan] = {
     // Group keys: plain left attributes only (covers SQL GROUP BY col and
@@ -356,6 +416,25 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // separate Union branches where duplicate inner ids are invisible.
     if (!freshensFully(left) || !freshensFully(right)) return None
 
+    // ---- stats-picked branch 0 (n≥4 branch form only) -------------------
+    // Forms (1)/(2) below are order-robust; only the n≥4 count/sum/avg
+    // branch form pre-aggregates exactly ONE branch, so WHICH predicate is
+    // branch 0 decides whether the exploding join materializes. Permuting
+    // the disjuncts is always sound — OR commutes, and the branch partition
+    // is "first satisfied predicate in the CHOSEN order" — so when both
+    // sides are single scans with persisted write-time key sketches
+    // ([[StarStatsRegistry]], populated by ZoneMapTable sketchCols writes
+    // or lazily from the `_starstats` sidecar), the rule moves the
+    // predicate with the LARGEST estimated join output
+    // |left|·|right|/max(ndv_L, ndv_R) to branch 0: an in-memory registry
+    // lookup plus driver-side theta reads, zero plan-time jobs (the §4
+    // law). Written order when any side's stats or key sketch is absent.
+    val allMinMax = aggs.forall(a => a.kind == MinK || a.kind == MaxK)
+    val ieMode = !allMinMax && preds.length >= 2 && preds.length <= 3
+    val (oPreds, oPairs) =
+      if (allMinMax || ieMode) (preds, pairs)
+      else statsPicked(left, right, preds, pairs)
+
     def fresh(p: Prim, e: Expression): AggregateFunction = p match {
       case PCount => Count(e)
       case PSum   => Sum(e)
@@ -417,15 +496,15 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       def remapL(e: Expression): Expression =
         e.transform { case at: Attribute => lm.getOrElse(at, at) }
       val keyAliases = keyIdx.zipWithIndex.map { case (ki, j) =>
-        Alias(remapR(pairs(ki)._2), s"__orj_${tag}_k$j")()
+        Alias(remapR(oPairs(ki)._2), s"__orj_${tag}_k$j")()
       }
       val preAliases = flatPrims.zipWithIndex.map { case ((p, e), i) =>
         Alias(agg(fresh(p, remapR(e))), s"__orj_${tag}_p$i")()
       }
-      val pre = Aggregate(keyIdx.map(ki => remapR(pairs(ki)._2)),
+      val pre = Aggregate(keyIdx.map(ki => remapR(oPairs(ki)._2)),
         keyAliases ++ preAliases, r)
       val cond = keyIdx.zip(keyAliases).map { case (ki, ka) =>
-        EqualTo(remapL(pairs(ki)._1), ka.toAttribute): Expression
+        EqualTo(remapL(oPairs(ki)._1), ka.toAttribute): Expression
       }.reduce(And)
       val joined = Join(l, pre, joinType, Some(cond), JoinHint.NONE)
       val gk = groupAttrs.map(g => lm.getOrElse(g, g))
@@ -459,22 +538,20 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     //      terms and ignore the signed overlap terms;
     //  (3) n≥4 with count/sum/avg: IE grows 2^n−1 pre-aggregated joins
     //      (15 at n=4) — costlier than the branch form saves — so the
-    //      branch-partition form remains: the ONLY case left where the
-    //      |left|/|right| bound needs the exploding predicate FIRST
-    //      (the leftOrJoinAgg contract).
+    //      branch-partition form remains, with branch 0 (the sole
+    //      pre-aggregated branch) STATS-PICKED above from persisted key
+    //      sketches; only when no stats exist does the |left|/|right|
+    //      bound still need the exploding predicate written FIRST.
     // Forms (1)/(2) are |left|/|right|-bounded regardless of predicate
-    // order — the order contract is gone for every n≤3 consumer mix and
-    // for min/max-only at any n.
-    val allMinMax =
-      aggs.forall(a => a.kind == MinK || a.kind == MaxK)
-    val ieMode = !allMinMax && preds.length >= 2 && preds.length <= 3
+    // order — the order contract is gone for every n≤3 consumer mix, for
+    // min/max-only at any n, and at n≥4 whenever both scans carry stats.
     // singletons first (ascending), then larger subsets: slots 0..n−1
     // are the additive per-predicate terms min/max read
     val ieKeys: Seq[Seq[Int]] =
-      (1 to preds.length).flatMap(k =>
-        preds.indices.combinations(k).map(_.toSeq))
+      (1 to oPreds.length).flatMap(k =>
+        oPreds.indices.combinations(k).map(_.toSeq))
     val termKeys: Option[Seq[Seq[Int]]] =
-      if (allMinMax) Some(preds.indices.map(Seq(_)))
+      if (allMinMax) Some(oPreds.indices.map(Seq(_)))
       else if (ieMode) Some(ieKeys)
       else None
 
@@ -501,13 +578,13 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         // ---- branches 1..n-1: residuals reference left columns, so
         // these stay real joins — sized by their own predicate's
         // selectivity — but aggregate IMMEDIATELY, before any merge.
-        val parts = preds.indices.drop(1).map { k =>
+        val parts = oPreds.indices.drop(1).map { k =>
           val (fl, lm) = freshen(left)
           val (fr, rm) = freshen(right)
           def remap(e: Expression): Expression = e.transform {
             case at: Attribute => rm.getOrElse(at, lm.getOrElse(at, at))
           }
-          val cond = And(remap(preds(k)), remap(notYet(preds.take(k)).get))
+          val cond = And(remap(oPreds(k)), remap(notYet(oPreds.take(k)).get))
           val jk = Join(fl, fr, Inner, Some(cond), JoinHint.NONE)
           val gk = groupAttrs.map(lm(_))
           val partAliases = flatPrims.zipWithIndex.map { case ((p, e), i) =>
@@ -526,7 +603,8 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // slots carrying PER-PREDICATE partials (additive); in IE mode the
     // later slots are the signed overlaps — min/max must not read them
     val nAdditive =
-      if (ieMode) preds.length else termKeys.map(_.length).getOrElse(preds.length)
+      if (ieMode) oPreds.length
+      else termKeys.map(_.length).getOrElse(oPreds.length)
 
     // ---- final projection: original output names AND exprIds, so parent
     // operators resolve unchanged.

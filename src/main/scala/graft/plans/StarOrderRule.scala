@@ -102,6 +102,40 @@ object StarStatsRegistry {
     catalog.clear()
     noSidecar.clear()
   }
+
+  /** Distinct-value estimate of one registered key sketch (driver-side
+    * theta heapify — microseconds, zero jobs). */
+  def distinctEstimate(sk: Array[Byte]): Double =
+    CompactSketch.heapify(Memory.wrap(sk)).getEstimate
+
+  /** Stats for the single parquet scan under attribute-only Projects and
+    * deterministic Filters of `p`, paired with the scan itself (whose
+    * outputSet resolves predicate attributes to written column names).
+    * None when the subtree is not a single-root scan or no stats are
+    * registered or sidecar-loadable for its path.
+    *
+    * Filters make the whole-table sketches OVER-estimates of the
+    * filtered subtree — callers must only consume the result where a
+    * wrong estimate costs plan QUALITY (an order/branch choice among
+    * semantically-equal alternatives), never correctness. */
+  def statsUnder(p: LogicalPlan): Option[(LogicalRelation, TableStats)] = {
+    def scan(q: LogicalPlan): Option[LogicalRelation] = q match {
+      case Project(es, c) if es.forall(_.isInstanceOf[Attribute]) => scan(c)
+      case Filter(cond, c) if cond.deterministic => scan(c)
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        Some(lr)
+      case _ => None
+    }
+    for {
+      lr <- scan(p)
+      rel = lr.relation.asInstanceOf[HadoopFsRelation]
+      path <- rel.location.rootPaths match {
+        case Seq(single) => Some(qualify(rel.sparkSession, single.toString))
+        case _ => None
+      }
+      st <- statsForOrLoad(rel.sparkSession, path)
+    } yield (lr, st)
+  }
 }
 
 /** Optimizer rule: reorder a 3+-dimension star-join chain most-selective
@@ -227,7 +261,7 @@ object StarOrderRule extends Rule[LogicalPlan] {
     lr.relation.asInstanceOf[HadoopFsRelation].sparkSession
 
   private def estimate(sk: Array[Byte]): Double =
-    CompactSketch.heapify(Memory.wrap(sk)).getEstimate
+    StarStatsRegistry.distinctEstimate(sk)
 
   private def survivalOf(factSk: Array[Byte], dimSk: Array[Byte]): Double = {
     val denom = estimate(factSk)

@@ -397,6 +397,90 @@ object Relational {
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
       headline = true),
 
+    // ---- STATS-PICKED branch 0 at n=4: exploding predicate LAST --------
+    // Four predicates with count/sum consumers is the branch-partition
+    // form (IE would cost 15 pre-aggregated joins) — the one shape whose
+    // cost bound used to require the exploding predicate written FIRST.
+    // Here it is written LAST, and the inputs are zone-map tables whose
+    // writes persisted per-key theta sketches: OrEquiJoinRule stats-picks
+    // the 25-value nationkey predicate as branch 0 (largest estimated
+    // join output |L|·|R|/max(ndv) — a registry lookup + driver sketch
+    // reads, zero plan-time jobs), so the only pre-aggregated branch is
+    // exactly the one that would have exploded. Hash-gated twice: the
+    // q82 eager-shape check (no BNLJ, no Union in the EXECUTED plan) and
+    // the picked branch-0 key extracted from the optimized plan's
+    // `__orj_b0_k0` pre-aggregation alias — a mis-pick fails the
+    // compare. Serve-path convention (q64/q85): tables build once if
+    // absent; the timed work is the transparent pick + the join.
+    "q87_or_join_stats_pick" -> Q(
+      (s, dir) => {
+        import graft.operators.ZoneMapTable
+        import org.apache.spark.sql.catalyst.expressions.{Alias => CAlias}
+        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate}
+        val stage = s"target/star_stage/q87_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val marker = new org.apache.hadoop.fs.Path(s"$stage/customer/_zonemap")
+        val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          val lk = Lake(s, dir)
+          ZoneMapTable.write(lk.customer, s"$stage/customer", "c_custkey",
+            Seq("c_custkey"), 2,
+            sketchCols = Seq("c_name", "c_acctbal", "c_custkey", "c_nationkey"))
+          ZoneMapTable.write(lk.supplier, s"$stage/supplier", "s_suppkey",
+            Seq("s_suppkey"), 1,
+            sketchCols = Seq("s_name", "s_acctbal", "s_suppkey", "s_nationkey"))
+        }
+        // LAZY path (q85 gates the explicit loadStarStats form): drop any
+        // in-JVM registration so the rule's first registry miss must
+        // re-load the persisted `_starstats` sidecar itself — driver-side
+        // parquet read, zero Spark jobs. Without that load there are no
+        // stats, branch 0 stays the written-first c_name predicate, and
+        // the b0_key hash below fails — the lazy load is oracle-gated.
+        for (t <- Seq("customer", "supplier"))
+          graft.plans.StarStatsRegistry.deregister(
+            graft.plans.StarStatsRegistry.qualify(s, s"$stage/$t/data"))
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        child.read.parquet(s"$stage/customer/data")
+          .createOrReplaceTempView("customer_zm")
+        child.read.parquet(s"$stage/supplier/data")
+          .createOrReplaceTempView("supplier_zm")
+        val df = child.sql(
+          """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+            |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            |FROM customer_zm LEFT JOIN supplier_zm
+            |  ON c_name = s_name OR c_acctbal = s_acctbal
+            |    OR c_custkey = s_suppkey OR c_nationkey = s_nationkey
+            |GROUP BY c_custkey""".stripMargin)
+        def decorate(eager: Boolean, b0Key: String) =
+          df.select(col("c_custkey"), col("n_match"), col("bal"),
+              lit(eager).as("plan_eager"), lit(b0Key).as("b0_key"))
+            .orderBy("c_custkey")
+        // probe the plan that will EXECUTE (the q82 discipline: literal
+        // values cannot change the plan shape)
+        val probe = decorate(eager = false, b0Key = "probe").queryExecution
+        val planStr = probe.executedPlan.toString
+        val b0Key = probe.optimizedPlan.collectFirst {
+          case ag: LAggregate if ag.aggregateExpressions.exists {
+                case al: CAlias => al.name == "__orj_b0_k0"
+                case _ => false
+              } =>
+            ag.aggregateExpressions.collectFirst {
+              case al: CAlias if al.name == "__orj_b0_k0" =>
+                al.child.references.map(_.name).toSeq.sorted.mkString(",")
+            }.getOrElse("?")
+        }.getOrElse("none")
+        decorate(!planStr.contains("BroadcastNestedLoopJoin") &&
+          !planStr.contains("Union"), b0Key)
+      },
+      """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  TRUE AS plan_eager, 's_nationkey' AS b0_key
+        |FROM customer LEFT JOIN supplier
+        |  ON c_name = s_name OR c_acctbal = s_acctbal
+        |    OR c_custkey = s_suppkey OR c_nationkey = s_nationkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
     // ---- ranking window: per-nation top-3 by balance -------------------
     "q09_window_rank" -> Q(
       (s, dir) => {

@@ -536,6 +536,136 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  // ---- stats-picked branch 0 at n≥4 (round-17) ------------------------
+
+  /** Two zone-mapped copies of customer/supplier whose writes persisted
+    * theta sketches for every OR-join key column — the decision input
+    * the rule's branch-0 pick reads. */
+  private lazy val statsStage: String = {
+    import graft.operators.ZoneMapTable
+    val p = "target/star_stage/orj_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val lk = Lake(spark, sf0001)
+    ZoneMapTable.write(lk.customer, s"$p/customer", "c_custkey",
+      Seq("c_custkey"), 2,
+      sketchCols = Seq("c_name", "c_acctbal", "c_custkey", "c_nationkey"))
+    ZoneMapTable.write(lk.supplier, s"$p/supplier", "s_suppkey",
+      Seq("s_suppkey"), 1,
+      sketchCols = Seq("s_name", "s_acctbal", "s_suppkey", "s_nationkey"))
+    p
+  }
+
+  /** The right-side key column branch 0 pre-aggregates on, read from the
+    * optimized plan's `__orj_b0_k0` alias. */
+  private def b0KeyOf(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    df.queryExecution.optimizedPlan.collectFirst {
+      case ag: Aggregate if ag.aggregateExpressions.exists {
+            case al: Alias => al.name == "__orj_b0_k0"
+            case _ => false
+          } =>
+        ag.aggregateExpressions.collectFirst {
+          case al: Alias if al.name == "__orj_b0_k0" =>
+            al.child.references.map(_.name).toSeq.sorted.mkString(",")
+        }.getOrElse("?")
+    }.getOrElse("none")
+  }
+
+  /** n=4 count/sum consumer (the branch-partition form) with the
+    * exploding 25-value nationkey predicate written LAST — the shape
+    * that used to need "exploding predicate first". */
+  private def fourPredAgg(left: org.apache.spark.sql.DataFrame,
+                          right: org.apache.spark.sql.DataFrame) =
+    left.join(right,
+        col("c_name") === col("s_name") ||
+          col("c_acctbal") === col("s_acctbal") ||
+          col("c_custkey") === col("s_suppkey") ||
+          col("c_nationkey") === col("s_nationkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("s_suppkey")).as("n"), sum(col("s_acctbal")).as("s"))
+
+  test("agg rule n=4: branch 0 STATS-PICKED from persisted sketches (exploding pred last), results law") {
+    val cust = spark.read.parquet(s"$statsStage/customer/data")
+    val supp = spark.read.parquet(s"$statsStage/supplier/data")
+    val expected = withRule(on = false) { canon(fourPredAgg(cust, supp)) }
+    withRule(on = true) {
+      val df = fourPredAgg(cust, supp)
+      assert(b0KeyOf(df) === "s_nationkey",
+        "the 25-value nationkey predicate must be the pre-aggregated branch")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Union") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("agg rule n=4: cleared registry lazy-loads the sidecar, zero jobs at plan time") {
+    import graft.plans.StarStatsRegistry
+    statsStage
+    val saved = StarStatsRegistry.registered
+    try {
+      StarStatsRegistry.clear()
+      withRule(on = true) {
+        val df = fourPredAgg(
+          spark.read.parquet(s"$statsStage/customer/data"),
+          spark.read.parquet(s"$statsStage/supplier/data"))
+        val tracker = spark.sparkContext.statusTracker
+        def jobs() = tracker.getJobIdsForGroup(null).length
+        def drain(): Unit = org.apache.spark.GraftTestSparkBridge
+          .waitListenerBusEmpty(spark.sparkContext)
+        drain()
+        val before = jobs()
+        val key = b0KeyOf(df)
+        drain()
+        assert(key === "s_nationkey",
+          s"lazy-loaded sidecars must feed the branch-0 pick, got $key")
+        assert(jobs() === before,
+          "the stats-picked rewrite must plan with ZERO Spark jobs")
+      }
+    } finally {
+      StarStatsRegistry.clear()
+      saved.foreach { case (k, v) => StarStatsRegistry.register(k, v) }
+    }
+  }
+
+  test("agg rule n=4: without stats the written order stands (branch 0 = first predicate)") {
+    val lk = Lake(spark, sf0001) // raw driver parquet: no sketches anywhere
+    withRule(on = true) {
+      val df = fourPredAgg(lk.customer, lk.supplier)
+      assert(b0KeyOf(df) === "s_name")
+    }
+  }
+
+  test("operator leftOrJoinAgg: stats reorder preds too (q81 twin over sketched scans)") {
+    import graft.operators.OrEquiJoin
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val cust = spark.read.parquet(s"$statsStage/customer/data")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val supp = spark.read.parquet(s"$statsStage/supplier/data")
+      .select("s_suppkey", "s_name", "s_nationkey")
+    // exploding nationkey pred written SECOND: stats must move it to
+    // branch 0 (the operator's pre-agg groups on `__cnt0`'s key) without
+    // changing the answer
+    val got = OrEquiJoin.leftOrJoinAgg(cust, supp,
+      "c_custkey", "s_suppkey", "n", "s_name", "m",
+      ("c_name", "s_name"), ("c_nationkey", "s_nationkey"))
+    val preKey = got.queryExecution.optimizedPlan.collectFirst {
+      case ag: Aggregate if ag.aggregateExpressions.exists {
+            case al: Alias => al.name == "__cnt0"
+            case _ => false
+          } =>
+        ag.groupingExpressions.flatMap(_.references.map(_.name)).mkString(",")
+    }.getOrElse("none")
+    assert(preKey === "s_nationkey")
+    val expected = canon(OrEquiJoin.leftOrJoin(cust, supp,
+        ("c_name", "s_name"), ("c_nationkey", "s_nationkey"))
+      .groupBy("c_custkey")
+      .agg(count(col("s_suppkey")).as("n"), min(col("s_name")).as("m")))
+    assert(canon(got) === expected)
+  }
+
   test("rule leaves non-equi OR joins alone") {
     withRule(on = true) {
       val lk = Lake(spark, sf0001)
