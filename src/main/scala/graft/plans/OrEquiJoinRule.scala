@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.DecimalType
 
 /** Optimizer rule: `left LEFT JOIN right ON p1 OR p2 OR ... pn` (all pk
   * equi-predicates) => union of hash-joinable branches.
@@ -352,10 +352,13 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           case Sum(e, _)     => Some((SumK, e))
           case Min(e)        => Some((MinK, e))
           case Max(e)        => Some((MaxK, e))
-          // decimal avg result types thread precision rules through the
-          // sum-of-sums merge; keep the rewrite to the exactly-typed
-          // non-decimal case and fall back to the join rewrite otherwise
-          case Average(e, _) if !e.dataType.isInstanceOf[DecimalType] =>
+          // numeric avg only (incl. DECIMAL since round 17 — the merged
+          // (sum, count) partials substitute into Average's OWN
+          // evaluateExpression, so precision/overflow semantics are
+          // Spark's verbatim); interval averages carry their own buffer
+          // types and stay on the join rewrite
+          case Average(e, _)
+              if e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
             Some((AvgK, e))
           case _             => None
         }
@@ -457,15 +460,18 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
     // Flattened primitive partials: avg expands to (sum, count), the
     // rest to one slot; `offsets(i)` is output i's first slot. Avg's
-    // sum partial accumulates in DOUBLE — Average.sumDataType for
+    // sum partial accumulates in Average.sumDataType: DOUBLE for
     // non-decimal inputs — so integral inputs round exactly where the
     // un-rewritten plan does (beyond 2^53 an exact Long partial sum
-    // would differ from Average's double accumulator in the last ulp).
+    // would differ from Average's double accumulator in the last ulp) —
+    // and for DECIMAL(p,s) inputs Sum's own bounded(p+10,s), which IS
+    // Average's decimal sum buffer type, so no cast is needed.
     val flatPrims: Seq[(Prim, Expression)] =
       aggs.flatMap { ao =>
         primsOf(ao.kind).map { p =>
           val arg =
-            if (ao.kind == AvgK && p == PSum)
+            if (ao.kind == AvgK && p == PSum &&
+                !ao.arg.dataType.isInstanceOf[DecimalType])
               Cast(ao.arg, org.apache.spark.sql.types.DoubleType)
             else ao.arg
           (p, arg)
@@ -664,15 +670,24 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         case MinK   => Least(partials.take(nAdditive))
         case MaxK   => Greatest(partials.take(nAdditive))
         case AvgK   =>
-          // avg = merged sum / merged count, the MV rule's (sum, count)
-          // device; non-decimal only, so the result type is double and
-          // the division is Average.evaluateExpression's own shape.
+          // avg = merged (sum, count), the MV rule's device — but the
+          // final division is NOT hand-built: the merged partials
+          // substitute for the `sum`/`count` buffer attributes inside
+          // Average's OWN evaluateExpression, so the result is Spark's
+          // division verbatim for every input type (double Divide for
+          // numerics, the If-guarded DecimalDivideWithOverflowCheck
+          // with its p+4/s+4 result type for decimals). The sum partial
+          // is typed exactly Average.sumDataType (see flatPrims), so
+          // the substitution type-checks unchanged.
+          val avgFn = ae.aggregateFunction.asInstanceOf[Average]
           val cnt = countTotal(slot(offsets(i) + 1))
-          val sum = sumTotal(partials, partials.head.dataType)
-          If(EqualTo(cnt, Literal(0L)),
-            Literal.create(null, ae.dataType),
-            Divide(Cast(sum, ae.dataType),
-              Cast(cnt, ae.dataType), EvalMode.LEGACY))
+          val sum = sumTotal(partials, avgFn.sumDataType)
+          avgFn.evaluateExpression.transform {
+            case at: AttributeReference if at.exprId == avgFn.sum.exprId =>
+              sum
+            case at: AttributeReference if at.exprId == avgFn.count.exprId =>
+              cnt
+          }
       }
       sameType(merged, ae.dataType)
     }

@@ -481,6 +481,62 @@ object Relational {
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
       headline = true),
 
+    // ---- DECIMAL AVG through the eager OR-join plan (round 17) ---------
+    // AVG(CAST(.. AS DECIMAL(18,2))) over the exploding OR, exploding
+    // predicate written SECOND: the IE plan fires with the merged
+    // (sum, count) partials substituted into Average's OWN decimal
+    // evaluateExpression (DecimalDivideWithOverflowCheck, result
+    // DECIMAL(22,6), HALF_UP at the 6th decimal) — previously the one
+    // consumer type that fell back to the pair-materializing rewrite.
+    // Oracle exactness: DuckDB's AVG(DECIMAL) is a DOUBLE division, so a
+    // round-at-4dp compare can flip on exact .5 boundaries (a count-8
+    // group whose cent-sum is odd lands exactly on the 5th decimal);
+    // instead the oracle reproduces Spark's half-up-at-6dp quotient with
+    // INTEGER arithmetic — cents = exact BIGINT sum, micros =
+    // (2·|cents|·10^4 + n) // (2n) signed — and both sides emit the
+    // correctly-rounded double of the same exact 6dp rational, so the
+    // hash compare is exact at every SF. Plan shape hash-gated as q82.
+    "q88_or_join_decimal_avg" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+            |  CAST(AVG(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS avg_bal
+            |FROM customer LEFT JOIN supplier
+            |  ON c_name = s_name OR c_nationkey = s_nationkey
+            |GROUP BY c_custkey""".stripMargin)
+        def decorate(eager: Boolean) =
+          df.select(col("c_custkey"), col("n_match"), col("avg_bal"),
+              lit(eager).as("plan_eager"))
+            .orderBy("c_custkey")
+        val plan = decorate(eager = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("Union"))
+      },
+      """WITH j AS (
+        |  SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+        |    SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS cents,
+        |    COUNT(s_acctbal) AS n
+        |  FROM customer LEFT JOIN supplier
+        |    ON c_name = s_name OR c_nationkey = s_nationkey
+        |  GROUP BY c_custkey)
+        |SELECT c_custkey, CAST(n_match AS BIGINT) AS n_match,
+        |  CASE WHEN n = 0 THEN NULL
+        |       WHEN cents >= 0 THEN
+        |         CAST((2*cents*10000 + n) // (2*n) AS DOUBLE) / 1000000.0
+        |       ELSE
+        |         -(CAST((2*(-cents)*10000 + n) // (2*n) AS DOUBLE)
+        |           / 1000000.0)
+        |  END AS avg_bal,
+        |  TRUE AS plan_eager
+        |FROM j ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
     // ---- ranking window: per-nation top-3 by balance -------------------
     "q09_window_rank" -> Q(
       (s, dir) => {

@@ -197,18 +197,29 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
-  test("agg rule: decimal avg falls back to the join rewrite") {
+  test("agg rule: DECIMAL avg rides the eager plan (round 17), results exact") {
     import spark.implicits._
-    val left = Seq((1L, 5L), (2L, 9L)).toDF("g", "k1")
-    val right = Seq((5L, BigDecimal("1.10")), (5L, BigDecimal("2.30")))
+    // overlap (g=3 matches on both predicates), an unmatched left
+    // (g=2's k1=9 matches only a null-valued right), and a null decimal
+    // — avg must reproduce Average's own decimal division (p+4, s+4
+    // result type via DecimalDivideWithOverflowCheck) through the
+    // merged (sum, count) partials
+    val left = Seq((1L, 5L), (2L, 9L), (3L, 5L)).toDF("g", "k1")
+    val right = Seq((5L, BigDecimal("1.10")), (5L, BigDecimal("2.30")),
+        (3L, BigDecimal("7.77")), (9L, null: BigDecimal))
       .toDF("r1", "v")
     def q() = left.join(right,
         col("k1") === col("r1") || col("g") === col("r1"), "left")
       .groupBy("g").agg(avg(col("v")).as("a"))
-    val expected = withRule(on = false) { canon(q()) }
+    val (expected, expectedType) = withRule(on = false) {
+      (canon(q()), q().schema("a").dataType)
+    }
     withRule(on = true) {
       val df = q()
-      assert(df.queryExecution.executedPlan.toString.contains("Union"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Union") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(df.schema("a").dataType === expectedType)
       assert(canon(df) === expected)
     }
   }
@@ -513,6 +524,9 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
         maybe(rnd.nextInt(9).toLong),             // r3
         maybe(rnd.nextInt(100).toLong)            // v
       )).toDF("r1", "r2", "r3", "v")
+        // decimal twin of v: the decimal-avg path must hold the same law
+        .withColumn("dv", (col("v") / 7)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 3)))
       val allPreds = Seq(
         col("k1") === col("r1"),
         col("k2") === col("r2"),
@@ -523,7 +537,8 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
         .groupBy("g")
         .agg(count(col("v")).as("n"), sum(col("v")).as("s"),
           min(col("r2")).as("mn"), max(col("r2")).as("mx"),
-          avg(col("v")).as("a"))
+          avg(col("v")).as("a"), avg(col("dv")).as("da"),
+          sum(col("dv")).as("ds"))
       val expected = withRule(on = false) { canon(q()) }
       withRule(on = true) {
         val df = q()
