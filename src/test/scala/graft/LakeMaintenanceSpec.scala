@@ -771,6 +771,159 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(readRange(0L, 100000L) === canon(sub))
   }
 
+  test("zone-map maintenance crash window: kill between manifest commit and vacuum is reader-invisible; append ≡ rebuild") {
+    // The ZoneMapTable twin of DedupStream's / VectorIndexSpec's
+    // compaction chaos specs (VERDICT-r16 item 6): the production
+    // maintenance cycle is compact() THEN vacuumData(), two separate FS
+    // mutations. The window between them — compacted manifest
+    // generation committed, superseded data files not yet reclaimed —
+    // is exactly where a real maintenance job dies. Claims under test:
+    // the window is invisible to readers (pruned ranges AND file
+    // skipping), replay-safe for streaming ingest, open for new
+    // appends, star stats survive verbatim, and the NEXT maintenance
+    // cycle retires every pre-crash orphan.
+    import graft.operators.ZoneMapTable
+    import graft.plans.StarStatsRegistry
+    val li = Lake(spark, sf0001).lineitem
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val batches = (0 to 3).map(i => li.where(col("l_orderkey") % 4 === i))
+    val dir = Files.createTempDirectory("zm_chaos").toString + "/t"
+    ZoneMapTable.write(batches(0), dir, "l_orderkey", Seq("l_orderkey"),
+      files = 4, sketchCols = Seq("l_orderkey"))
+    ZoneMapTable.append(batches(1), dir, "l_orderkey", Seq("l_orderkey"),
+      files = 4, batchId = 1L)
+    ZoneMapTable.append(batches(2), dir, "l_orderkey", Seq("l_orderkey"),
+      files = 4, batchId = 2L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def readRange(lo: Long, hi: Long) = canon(
+      ZoneMapTable.prunedRead(spark, dir, "l_orderkey", lit(lo), lit(hi)))
+    def dataFiles() = new java.io.File(s"$dir/data").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    def starRows() = {
+      assert(ZoneMapTable.loadStarStats(spark, dir),
+        "star stats sidecar must stay loadable through the window")
+      StarStatsRegistry.statsFor(
+        StarStatsRegistry.qualify(spark, s"$dir/data")).get.nRows
+    }
+    val threeBatches = readRange(0L, Long.MaxValue)
+    val preWindow = readRange(200L, 900L)
+    assert(dataFiles() === 12)
+    assert(starRows() === batches.take(3).map(_.count()).sum)
+
+    // THE KILL: production half 1 (compact commits a new manifest
+    // generation), then the process dies before vacuumData — the 12
+    // superseded files stay on disk exactly as a real crash leaves them
+    ZoneMapTable.compact(spark, dir, "l_orderkey", Seq("l_orderkey"),
+      targetFiles = 5)
+    assert(ZoneMapTable.manifest(spark, dir).count() === 5L)
+    assert(dataFiles() === 17,
+      "the crash window must hold compacted + all superseded files")
+
+    // reader equivalence across the window: the committed manifest
+    // wins, orphans are never resolved, and skipping still works
+    assert(readRange(200L, 900L) === preWindow)
+    assert(readRange(0L, Long.MaxValue) === threeBatches)
+    val (kept, total) = ZoneMapTable.survivingFiles(spark, dir,
+      "l_orderkey", lit(200L), lit(300L))
+    assert(total === 5L && kept.size < 3,
+      "file skipping must read the compacted manifest, not the orphans")
+    // the replay guard holds inside the window (compact carried the
+    // batch stamp): an absorbed batch id must be a committed no-op
+    assert(ZoneMapTable.lastBatchId(spark, dir) === 2L)
+    ZoneMapTable.append(batches(2), dir, "l_orderkey", Seq("l_orderkey"),
+      files = 4, batchId = 2L)
+    assert(readRange(0L, Long.MaxValue) === threeBatches,
+      "a replayed batch in the crash window must no-op")
+    // new data lands correctly in the window, star stats keep counting
+    ZoneMapTable.append(batches(3), dir, "l_orderkey", Seq("l_orderkey"),
+      files = 4, batchId = 3L)
+    val allFour = readRange(0L, Long.MaxValue)
+    assert(allFour.size.toLong === li.count())
+    assert(starRows() === li.count())
+
+    // recovery: the NEXT maintenance cycle retires every superseded
+    // file, including the pre-crash orphans the interrupted vacuum
+    // never removed
+    ZoneMapTable.compact(spark, dir, "l_orderkey", Seq("l_orderkey"),
+      targetFiles = 5)
+    // 12 pre-crash orphans + the 5 now-superseded compacted files + the
+    // 4 batch-3 files (the replayed batch wrote NOTHING — it
+    // short-circuits before any data lands, so it leaves no orphans)
+    val removed = ZoneMapTable.vacuumData(spark, dir)
+    assert(removed.size === 12 + 5 + 4,
+      s"recovery must reclaim orphans + superseded, got ${removed.size}")
+    assert(dataFiles() === 5)
+    assert(readRange(0L, Long.MaxValue) === allFour,
+      "recovery must preserve the table")
+    assert(ZoneMapTable.lastBatchId(spark, dir) === 3L)
+    assert(starRows() === li.count())
+
+    // append ≡ rebuild: the same batches folded WITHOUT a crash or any
+    // maintenance produce the identical served rows and row coverage
+    val rebuilt = Files.createTempDirectory("zm_chaos_rebuild").toString + "/t"
+    ZoneMapTable.write(batches(0), rebuilt, "l_orderkey",
+      Seq("l_orderkey"), files = 4, sketchCols = Seq("l_orderkey"))
+    (1 to 3).foreach { i =>
+      ZoneMapTable.append(batches(i), rebuilt, "l_orderkey",
+        Seq("l_orderkey"), files = 4, batchId = i.toLong)
+    }
+    assert(canon(ZoneMapTable.prunedRead(spark, rebuilt, "l_orderkey",
+      lit(0L), lit(Long.MaxValue))) === allFour)
+  }
+
+  test("versioned table maintenance crash: a mid-cycle kill in the live version never perturbs pinned reads") {
+    // writeVersion's commit marker is last, so a torn version is
+    // invisible (pinned above); this covers the OTHER maintenance
+    // window: the live version dir is append-grown and its
+    // compact-then-vacuum cycle dies in the middle — historical pinned
+    // reads and latest reads must both hold, and version allocation
+    // must continue past the crashed cycle.
+    import graft.operators.ZoneMapTable
+    val root = Files.createTempDirectory("zm_ver_chaos").toString + "/t"
+    val li = Lake(spark, sf0001).lineitem
+      .select("l_orderkey", "l_quantity")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val v1 = ZoneMapTable.writeVersion(li.where(col("l_orderkey") < 1000),
+      root, "l_orderkey", Seq("l_orderkey"), files = 4)
+    val v2 = ZoneMapTable.writeVersion(li, root, "l_orderkey",
+      Seq("l_orderkey"), files = 4)
+    assert((v1, v2) === (1L, 2L))
+    // the live version grows by append, then its maintenance dies in
+    // the commit-to-vacuum window
+    val extra = li.where(col("l_orderkey") >= 1000).limit(50)
+    ZoneMapTable.append(extra, s"$root/v=2", "l_orderkey",
+      Seq("l_orderkey"), files = 2, batchId = 1L)
+    val liveWant = canon(li.unionByName(extra)
+      .where(col("l_orderkey").between(0L, Long.MaxValue)))
+    ZoneMapTable.compact(spark, s"$root/v=2", "l_orderkey",
+      Seq("l_orderkey"), targetFiles = 3)
+    // KILLED here — vacuum never ran. Both reads hold:
+    assert(canon(ZoneMapTable.prunedReadVersion(spark, root, "l_orderkey",
+        lit(0L), lit(Long.MaxValue), version = 1L)) ===
+      canon(li.where(col("l_orderkey") < 1000)))
+    assert(canon(ZoneMapTable.prunedReadVersion(spark, root, "l_orderkey",
+        lit(0L), lit(Long.MaxValue))) === liveWant)
+    // allocation continues past the crashed cycle; the new version is
+    // immediately the served latest
+    val v3 = ZoneMapTable.writeVersion(li.limit(10), root, "l_orderkey",
+      Seq("l_orderkey"), files = 1)
+    assert(v3 === 3L)
+    assert(ZoneMapTable.prunedReadVersion(spark, root, "l_orderkey",
+      lit(0L), lit(Long.MaxValue)).count() === 10L)
+    // recovery vacuum inside the old version dir reclaims its orphans
+    // without touching any other version
+    val removed = ZoneMapTable.vacuumData(spark, s"$root/v=2")
+    assert(removed.nonEmpty)
+    assert(canon(ZoneMapTable.prunedReadVersion(spark, root, "l_orderkey",
+        lit(0L), lit(Long.MaxValue), version = 2L)) === liveWant)
+    assert(canon(ZoneMapTable.prunedReadVersion(spark, root, "l_orderkey",
+        lit(0L), lit(Long.MaxValue), version = 1L)) ===
+      canon(li.where(col("l_orderkey") < 1000)))
+  }
+
   test("streamed zone-map ingest with compactEvery keeps the file count bounded") {
     import graft.operators.ZoneMapTable
     val li = Lake(spark, sf0001).lineitem
