@@ -70,7 +70,8 @@ import org.apache.spark.sql.types.DecimalType
   *     for ANY n and ANY predicate order (order-robust; gated by q84
   *     with the exploding predicate written second).
   *  2. TWO or THREE predicates with count/sum/avg present (min/max may
-  *     mix in): INCLUSION–EXCLUSION —
+  *     mix in), no usable stats OR several exploding predicates:
+  *     INCLUSION–EXCLUSION —
   *     `agg(⋁ p_i) = Σ over non-empty subsets S of (−1)^(|S|+1) ·
   *     agg(⋀_{i∈S} p_i)` (3 terms at n=2, 7 at n=3), every term's right
   *     side pre-aggregated on its (composite) key(s); min/max units
@@ -79,19 +80,25 @@ import org.apache.spark.sql.types.DecimalType
   *     MATTER which predicate is the exploding one (order-robust; gated
   *     by q83 at n=2 and spec-pinned at n=3, both with the exploding
   *     predicate written LAST).
-  *  3. n≥4 predicates with count/sum/avg consumers: IE would grow
-  *     2^n−1 pre-aggregated joins (15 at n=4) — costlier than the form
-  *     it replaces — so the branch-partition form remains, where only
-  *     branch 0 (the sole residual-free branch) pre-aggregates. OR
-  *     commutes, so WHICH predicate is branch 0 is the rule's to
-  *     choose: when both sides are single scans with persisted
-  *     write-time key sketches ([[StarStatsRegistry]] — registered at
-  *     ZoneMapTable write time or lazy-loaded from the `_starstats`
-  *     sidecar), branch 0 is STATS-PICKED as the predicate with the
-  *     largest estimated join output |L|·|R|/max(ndv) — a registry
-  *     lookup plus driver-side theta reads, zero plan-time jobs (the
-  *     §4 law), gated by q87 with the exploding predicate written
-  *     LAST. Without stats the written order stands, where the
+  *  3. The BRANCH-PARTITION form, where only branch 0 (the sole
+  *     residual-free branch) pre-aggregates and later branches are real
+  *     joins sized by their own selectivity. OR commutes, so WHICH
+  *     predicate is branch 0 is the rule's to choose: when both sides
+  *     are single scans with persisted write-time key sketches
+  *     ([[StarStatsRegistry]] — registered at ZoneMapTable write time
+  *     or lazy-loaded from the `_starstats` sidecar), branch 0 is
+  *     STATS-PICKED as the predicate with the largest estimated join
+  *     output |L|·|R|/max(ndv) — a registry lookup plus driver-side
+  *     theta reads, zero plan-time jobs (the §4 law), gated by q87
+  *     with the exploding predicate written LAST. With stats the
+  *     branch-vs-IE choice is COST-BASED at every n: the branch form
+  *     wins iff the residual branches' estimated output stays below
+  *     the IE overhead it avoids, (2^n−1−n)·(|L|+|R|) — so one
+  *     exploding predicate among selective ones takes the n-term
+  *     branch plan (reclaiming the q82-shape IE premium named in
+  *     SURVEY §6 r17), while several exploding predicates keep IE.
+  *     Without stats the branch form applies only at n≥4 (IE's 2^n−1
+  *     terms cost more than they insure) in written order, where the
   *     |left|/|right| bound holds provided the exploding predicate is
   *     written first (a documented convention, no longer a contract:
   *     any order stays CORRECT, stats make it also optimal).
@@ -271,32 +278,27 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case AvgK   => Seq(PSum, PCount)
   }
 
-  /** Permutation of `preds`/`pairs` moving the best branch-0 candidate
-    * first — the predicate with the LARGEST estimated join output
-    * |left|·|right|/max(ndv_L(key), ndv_R(key)), i.e. the one whose
-    * materialized branch would explode worst and therefore gains most
-    * from being the (sole) pre-aggregated branch. ndv comes from
+  /** Sketch-estimated decision input for the branch-form choice: one
+    * estimated join output |left|·|right|/max(ndv_L(key), ndv_R(key))
+    * per predicate, plus both row counts. ndv comes from
     * [[StarStatsRegistry]]'s persisted write-time theta sketches — an
     * in-memory lookup plus driver-side heapify, zero plan-time jobs.
     *
-    * Written order when either side is not a single stats-carrying scan,
-    * any key is not a bare scan attribute, or any key sketch is missing:
-    * a partial ranking could demote the true exploder on a confident
-    * half-estimate, and written order at least honors the documented
-    * exploding-predicate-first convention. Filters above a scan make the
-    * whole-table sketch an over-estimate, which is acceptable here — OR
-    * commutes, so a mis-pick costs plan QUALITY only, never correctness.
-    * Ties keep written order (indexOf takes the first maximum). */
-  private def statsPicked(left: LogicalPlan, right: LogicalPlan,
-                          preds: Seq[Expression],
-                          pairs: Seq[(Expression, Expression)])
-      : (Seq[Expression], Seq[(Expression, Expression)]) = {
+    * None when either side is not a single stats-carrying scan, any key
+    * is not a bare scan attribute, or any key sketch is missing: a
+    * partial ranking could demote the true exploder on a confident
+    * half-estimate. Filters above a scan make the whole-table sketch an
+    * over-estimate, which is acceptable here — OR commutes, so a
+    * mis-estimate costs plan QUALITY only, never correctness. */
+  private def statsEstimates(left: LogicalPlan, right: LogicalPlan,
+                             pairs: Seq[(Expression, Expression)])
+      : Option[(Seq[Double], Long, Long)] = {
     def scanAttr(e: Expression, lr: org.apache.spark.sql.execution
         .datasources.LogicalRelation): Option[Attribute] = e match {
       case at: Attribute if lr.outputSet.contains(at) => Some(at)
       case _ => None
     }
-    val picked = for {
+    for {
       (lScan, lStats) <- StarStatsRegistry.statsUnder(left)
       (rScan, rStats) <- StarStatsRegistry.statsUnder(right)
       ests <- {
@@ -315,14 +317,24 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         }
         if (es.forall(_.isDefined)) Some(es.map(_.get)) else None
       }
-    } yield ests.indexOf(ests.max)
-    picked match {
-      case Some(i) if i > 0 =>
+    } yield (ests, lStats.nRows, rStats.nRows)
+  }
+
+  /** `preds`/`pairs` permuted so the predicate with the LARGEST
+    * estimated output — the one whose materialized branch would explode
+    * worst and therefore gains most from being the (sole) pre-aggregated
+    * branch — comes first. Ties keep written order (indexOf takes the
+    * first maximum). */
+  private def permuteBest(preds: Seq[Expression],
+                          pairs: Seq[(Expression, Expression)],
+                          ests: Seq[Double])
+      : (Seq[Expression], Seq[(Expression, Expression)]) =
+    ests.indexOf(ests.max) match {
+      case i if i > 0 =>
         val perm = i +: preds.indices.filterNot(_ == i)
         (perm.map(preds), perm.map(pairs))
       case _ => (preds, pairs)
     }
-  }
 
   private def rewriteAgg(a: Aggregate, left: LogicalPlan, right: LogicalPlan,
                          preds: Seq[Expression]): Option[LogicalPlan] = {
@@ -419,24 +431,41 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // separate Union branches where duplicate inner ids are invisible.
     if (!freshensFully(left) || !freshensFully(right)) return None
 
-    // ---- stats-picked branch 0 (n≥4 branch form only) -------------------
-    // Forms (1)/(2) below are order-robust; only the n≥4 count/sum/avg
-    // branch form pre-aggregates exactly ONE branch, so WHICH predicate is
-    // branch 0 decides whether the exploding join materializes. Permuting
-    // the disjuncts is always sound — OR commutes, and the branch partition
-    // is "first satisfied predicate in the CHOSEN order" — so when both
-    // sides are single scans with persisted write-time key sketches
+    // ---- stats-picked branch form --------------------------------------
+    // Form (1) below (min/max-only) is order-robust with n terms — always
+    // minimal. For count/sum/avg mixes the rule chooses between the
+    // branch-partition form (n terms, ONE pre-aggregated — but its
+    // residual branches materialize real joins) and inclusion–exclusion
+    // (2^n−1 terms, ALL pre-aggregated — order-robust but a constant
+    // factor heavier; the named q82 r15→r16 delta, SURVEY §6 r17). When
+    // both sides are single scans with persisted write-time key sketches
     // ([[StarStatsRegistry]], populated by ZoneMapTable sketchCols writes
-    // or lazily from the `_starstats` sidecar), the rule moves the
-    // predicate with the LARGEST estimated join output
-    // |left|·|right|/max(ndv_L, ndv_R) to branch 0: an in-memory registry
-    // lookup plus driver-side theta reads, zero plan-time jobs (the §4
-    // law). Written order when any side's stats or key sketch is absent.
+    // or lazily from the `_starstats` sidecar — driver-side reads, zero
+    // plan-time jobs, the §4 law), the choice is COST-BASED: take the
+    // branch form, branch 0 = the predicate with the largest estimated
+    // join output |L|·|R|/max(ndv_L, ndv_R) (OR commutes, so permuting is
+    // unconditionally sound), iff the residual branches' estimated output
+    // Σ_{k≠picked} est_k stays below the IE overhead it avoids,
+    // (2^n−1−n)·(|L|+|R|) — one exploding predicate among selective ones
+    // → branch form (q82's r15 plan, reclaimed); several exploding
+    // predicates → IE still wins. Without stats: IE at n≤3 (written order
+    // cannot be trusted), branch form in written order at n≥4 (IE's 2^n−1
+    // terms cost more than they insure).
     val allMinMax = aggs.forall(a => a.kind == MinK || a.kind == MaxK)
-    val ieMode = !allMinMax && preds.length >= 2 && preds.length <= 3
-    val (oPreds, oPairs) =
-      if (allMinMax || ieMode) (preds, pairs)
-      else statsPicked(left, right, preds, pairs)
+    val estsOpt =
+      if (allMinMax) None else statsEstimates(left, right, pairs)
+    val branchForm = !allMinMax && (estsOpt match {
+      case Some((es, nl, nr)) =>
+        val ieOverhead =
+          ((1L << preds.length) - 1 - preds.length).toDouble * (nl + nr)
+        preds.length >= 4 || (es.sum - es.max) < ieOverhead
+      case None => preds.length >= 4
+    })
+    val ieMode = !allMinMax && !branchForm
+    val (oPreds, oPairs) = estsOpt match {
+      case Some((es, _, _)) if branchForm => permuteBest(preds, pairs, es)
+      case _ => (preds, pairs)
+    }
 
     def fresh(p: Prim, e: Expression): AggregateFunction = p match {
       case PCount => Count(e)

@@ -644,6 +644,65 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("agg rule n=2 with stats: one exploder -> cost-based branch form (the reclaimed r15 q82 plan)") {
+    // name is selective (est 100 rows), nationkey explodes (est 6000);
+    // residual 100 < IE overhead (2^2-1-2)*(1500+100) = 1600, so the
+    // rule takes the 2-term branch plan with nationkey pre-aggregated —
+    // exactly the r15 q82 plan that round 16's always-IE policy gave up
+    // (SURVEY §6 r17), now reclaimed wherever stats exist.
+    val cust = spark.read.parquet(s"$statsStage/customer/data")
+    val supp = spark.read.parquet(s"$statsStage/supplier/data")
+    def q() = cust.join(supp,
+        col("c_name") === col("s_name") ||
+          col("c_nationkey") === col("s_nationkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("s_suppkey")).as("n"), sum(col("s_acctbal")).as("s"))
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      assert(b0KeyOf(df) === "s_nationkey",
+        "branch form must fire with the exploder pre-aggregated")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("__orj_t2_"),
+        "no IE overlap term may remain in the branch plan")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Union") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("agg rule n=2 with stats: several exploders keep the IE plan") {
+    import spark.implicits._
+    import graft.operators.ZoneMapTable
+    // BOTH keys are low-cardinality (ndv 2 and 3): every branch would
+    // materialize a near-cross-join (est 500 + 333 rows vs IE overhead
+    // (2^2-1-2)*(40+25) = 65), so the cost model must keep
+    // inclusion-exclusion even though stats are present
+    val base = "target/star_stage/orj_spec_ie"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val l = (0 until 40).map(i => (i.toLong, (i % 2).toLong, (i % 3).toLong))
+      .toDF("g", "k1", "k2")
+    val r = (0 until 25).map(i => ((i % 2).toLong, (i % 3).toLong, i.toLong))
+      .toDF("r1", "r2", "v")
+    ZoneMapTable.write(l, s"$base/l", "g", Seq("g"), 1,
+      sketchCols = Seq("k1", "k2"))
+    ZoneMapTable.write(r, s"$base/r", "r1", Seq("r1"), 1,
+      sketchCols = Seq("r1", "r2"))
+    val lt = spark.read.parquet(s"$base/l/data")
+    val rt = spark.read.parquet(s"$base/r/data")
+    def q() = lt.join(rt,
+        col("k1") === col("r1") || col("k2") === col("r2"), "left")
+      .groupBy("g").agg(count(col("v")).as("n"), sum(col("v")).as("s"))
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      assert(b0KeyOf(df) === "none", "the branch form must NOT fire")
+      assert(df.queryExecution.optimizedPlan.toString.contains("__orj_t2_"),
+        "the IE overlap term must be present")
+      assert(canon(df) === expected)
+    }
+  }
+
   test("agg rule n=4: without stats the written order stands (branch 0 = first predicate)") {
     val lk = Lake(spark, sf0001) // raw driver parquet: no sketches anywhere
     withRule(on = true) {
