@@ -9,7 +9,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DecimalType
 
 /** Optimizer rule: `left LEFT JOIN right ON p1 OR p2 OR ... pn` (all pk
-  * equi-predicates) => union of hash-joinable branches.
+  * equi-predicates) => union of hash-joinable branches. INNER OR-joins
+  * (round 17) take the same branch partition minus the null-complement
+  * branch, and their aggregate consumers additionally support
+  * `count(*)` (the pair count — exact for inner) with a pair-count > 0
+  * filter replacing the left-outer group completeness.
   *
   * This is the plan-level form of [[graft.operators.OrEquiJoin]] (SURVEY.md
   * §4): with the rule enabled, ANY query — SQL text, naive DataFrame code,
@@ -136,6 +140,12 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case j @ Join(left, right, LeftOuter, Some(cond), _)
           if splitsIntoEquiDisjuncts(cond, left, right) =>
         rewrite(left, right, splitDisjunctivePredicates(cond))
+      // INNER OR-joins hit the same BNLJ trap (ExtractEquiJoinKeys
+      // needs conjunctive equalities); the branch partition applies
+      // verbatim, just without the null-complement branch.
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if splitsIntoEquiDisjuncts(cond, left, right) =>
+        Union(branchJoins(left, right, splitDisjunctivePredicates(cond)))
     }
   }
 
@@ -193,10 +203,14 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def freshensFully(p: LogicalPlan): Boolean =
     freshen(p)._1.output.zip(p.output).forall { case (n, o) => n.exprId != o.exprId }
 
-  private def rewrite(left: LogicalPlan, right: LogicalPlan,
-                      preds: Seq[Expression]): LogicalPlan = {
-    // branch 1 keeps the ORIGINAL right (its ids become the union output)
-    val branches = preds.zipWithIndex.map { case (p, k) =>
+  /** The matched-pair branches: branch k = `left INNER JOIN right ON pk
+    * AND NOT(p1..p(k-1))` — each (left, right) pair lands in exactly the
+    * branch of its first satisfied predicate, so the union of branches
+    * is multiset-equal to the INNER OR join. Branch 1 keeps the ORIGINAL
+    * right (its ids become the union output). */
+  private def branchJoins(left: LogicalPlan, right: LogicalPlan,
+                          preds: Seq[Expression]): Seq[LogicalPlan] =
+    preds.zipWithIndex.map { case (p, k) =>
       if (k == 0) {
         Join(left, right, Inner, Some(p), JoinHint.NONE): LogicalPlan
       } else {
@@ -208,6 +222,8 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
+  private def rewrite(left: LogicalPlan, right: LogicalPlan,
+                      preds: Seq[Expression]): LogicalPlan = {
     // null-complement branch: anti-join chain, one fresh right per pred
     val unmatched = preds.foldLeft(left) { (acc, p) =>
       val (freshRight, m) = freshen(right)
@@ -219,7 +235,7 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         Alias(Literal(null, a.dataType), a.name)()),
       unmatched)
 
-    Union(branches :+ nullExtended)
+    Union(branchJoins(left, right, preds) :+ nullExtended)
   }
 
   private def notYet(ps: Seq[Expression]): Option[Expression] =
@@ -235,17 +251,18 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * then fires on the child during the same top-down pass). */
   private object AggOverOrJoin {
     def unapply(plan: LogicalPlan): Option[LogicalPlan] = plan match {
-      case a @ Aggregate(_, _, Join(l, r, LeftOuter, Some(cond), _), _)
+      case a @ Aggregate(_, _, Join(l, r, jt @ (LeftOuter | Inner), Some(cond), _), _)
           if splitsIntoEquiDisjuncts(cond, l, r) =>
-        rewriteAgg(a, l, r, splitDisjunctivePredicates(cond))
+        rewriteAgg(a, l, r, splitDisjunctivePredicates(cond), jt)
       // ColumnPruning inserts an attribute-only Project between the
       // Aggregate and the Join; see through it (our rewrite references
       // only attributes the Aggregate itself references, all of which
       // survive any pruning Project by definition).
-      case a @ Aggregate(_, _, Project(ps, Join(l, r, LeftOuter, Some(cond), _)), _)
+      case a @ Aggregate(_, _,
+          Project(ps, Join(l, r, jt @ (LeftOuter | Inner), Some(cond), _)), _)
           if ps.forall(_.isInstanceOf[Attribute]) &&
             splitsIntoEquiDisjuncts(cond, l, r) =>
-        rewriteAgg(a, l, r, splitDisjunctivePredicates(cond))
+        rewriteAgg(a, l, r, splitDisjunctivePredicates(cond), jt)
       case _ => None
     }
   }
@@ -337,7 +354,9 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   private def rewriteAgg(a: Aggregate, left: LogicalPlan, right: LogicalPlan,
-                         preds: Seq[Expression]): Option[LogicalPlan] = {
+                         preds: Seq[Expression],
+                         joinType: org.apache.spark.sql.catalyst.plans.JoinType)
+      : Option[LogicalPlan] = {
     // Group keys: plain left attributes only (covers SQL GROUP BY col and
     // DataFrame groupBy(col)); nonEmpty so no branch degenerates to a
     // 1-row cross-merged global aggregate.
@@ -381,6 +400,14 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             if e.deterministic && e.references.nonEmpty &&
               e.references.subsetOf(right.outputSet) =>
           units += ((ae, k, e)); Some(units.length - 1)
+        // count(*)/count(1) IS decomposable for INNER joins: every
+        // emitted row is a matched pair, so the branch/term pair counts
+        // sum (or IE-combine) to it exactly. (Under LeftOuter it stays
+        // unsupported: unmatched left rows count 1 there, which the
+        // partials cannot see.)
+        case Some((CountK, e))
+            if joinType == Inner && e.foldable && e.deterministic =>
+          units += ((ae, CountK, e)); Some(units.length - 1)
         case _ => None
       }
     }
@@ -413,8 +440,26 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         }
       case _ => return None
     }
+    if (units.isEmpty) return None
+    val realUnits = units.length
+
+    // INNER join: a group exists iff it has at least one matched PAIR,
+    // so the merged result is filtered on a pair count. Reuse the
+    // query's own count(*) unit when present, else append a synthetic
+    // one (filter-only — never projected). In the min/max-only form the
+    // per-predicate terms overlap, so this count can OVERSTATE the pair
+    // multiset — harmless, it is only ever compared against zero; the
+    // IE and branch forms combine it exactly.
+    val pairIdx: Option[Int] =
+      if (joinType != Inner) None
+      else {
+        val ae = Count(Literal(1)).toAggregateExpression()
+        val existing = units.indexWhere(_._1.semanticEquals(ae))
+        if (existing >= 0) Some(existing)
+        else { units += ((ae, CountK, Literal(1))); Some(units.length - 1) }
+      }
+
     val aggs = units.toSeq.map { case (_, k, e) => AggOut(k, e) }
-    if (aggs.isEmpty) return None
 
     // Normalize each disjunct to (leftKeyExpr, rightKeyExpr).
     val pairs = preds.map {
@@ -451,7 +496,10 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // predicates → IE still wins. Without stats: IE at n≤3 (written order
     // cannot be trusted), branch form in written order at n≥4 (IE's 2^n−1
     // terms cost more than they insure).
-    val allMinMax = aggs.forall(a => a.kind == MinK || a.kind == MaxK)
+    // form choice reads the REAL consumer units only — the synthetic
+    // pair-count (if any) rides whatever form they pick
+    val allMinMax = aggs.take(realUnits)
+      .forall(a => a.kind == MinK || a.kind == MaxK)
     val estsOpt =
       if (allMinMax) None else statsEstimates(left, right, pairs)
     val branchForm = !allMinMax && (estsOpt match {
@@ -734,6 +782,13 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         }
         Alias(rewritten, al.name)(exprId = al.exprId)
     }
-    Some(Project(finalOuts, merged))
+    // INNER join: groups with no matched pair never existed — term 0's
+    // LeftOuter merge spine kept them for attachment, the pair-count
+    // filter drops them (count semantics make the predicate non-null).
+    val kept = pairIdx match {
+      case Some(i) => Filter(GreaterThan(mergedUnit(i), Literal(0L)), merged)
+      case None    => merged
+    }
+    Some(Project(finalOuts, kept))
   }
 }

@@ -537,6 +537,79 @@ object Relational {
         |FROM j ORDER BY c_custkey""".stripMargin,
       headline = true),
 
+    // ---- INNER OR-join through the rule (round 17) ---------------------
+    // Catalyst's ExtractEquiJoinKeys needs conjunctive equalities, so an
+    // INNER join keyed on a disjunction also falls to
+    // BroadcastNestedLoopJoin. The rule now serves it with the same
+    // first-satisfied-predicate branch partition as the left-outer form,
+    // minus the null-complement branch. count(*) is exact here (inner
+    // joins emit matched pairs only), so the aggregate consumes the
+    // union directly. Plan gate: hash joins only, no BNLJ.
+    "q89_or_join_inner" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, COUNT(*) AS n_match, MIN(s_name) AS first_sup
+            |FROM customer JOIN supplier
+            |  ON c_nationkey = s_nationkey OR c_name = s_name
+            |GROUP BY c_custkey""".stripMargin)
+        def decorate(hashOnly: Boolean) =
+          df.select(col("c_custkey"),
+              col("n_match").cast("long").as("n_match"),
+              col("first_sup"), lit(hashOnly).as("plan_hash_joins"))
+            .orderBy("c_custkey")
+        val plan = decorate(hashOnly = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin"))
+      },
+      """SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_match,
+        |  MIN(s_name) AS first_sup, TRUE AS plan_hash_joins
+        |FROM customer JOIN supplier
+        |  ON c_nationkey = s_nationkey OR c_name = s_name
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
+    // ---- eager aggregation over the INNER OR-join (round 17) -----------
+    // q89 aggregates the materialized pair union; this gate never
+    // materializes it: the rule's eager form now reaches INNER joins,
+    // where count(*) IS decomposable (every emitted row is a matched
+    // pair) and the left-outer group completeness is replaced by a
+    // pair-count > 0 filter — customers with no matching supplier are
+    // ABSENT here, not zero rows (1477 groups at sf0.01, not 1500).
+    // Exploding predicate written LAST (order-robust IE at n=2); plan
+    // shape hash-gated: no BNLJ AND no Union.
+    "q90_or_join_inner_agg" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, COUNT(*) AS n_pairs,
+            |  COUNT(s_suppkey) AS n_match,
+            |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            |FROM customer JOIN supplier
+            |  ON c_name = s_name OR c_nationkey = s_nationkey
+            |GROUP BY c_custkey""".stripMargin)
+        def decorate(eager: Boolean) =
+          df.select(col("c_custkey"), col("n_pairs"), col("n_match"),
+              col("bal"), lit(eager).as("plan_eager"))
+            .orderBy("c_custkey")
+        val plan = decorate(eager = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("Union"))
+      },
+      """SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  COUNT(s_suppkey) AS n_match,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  TRUE AS plan_eager
+        |FROM customer JOIN supplier
+        |  ON c_name = s_name OR c_nationkey = s_nationkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
     // ---- ranking window: per-nation top-3 by balance -------------------
     "q09_window_rank" -> Q(
       (s, dir) => {

@@ -740,6 +740,134 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     assert(canon(got) === expected)
   }
 
+  // ---- INNER OR-joins (round 17) ---------------------------------------
+
+  private def naiveInnerOrJoin() = {
+    val lk = Lake(spark, sf0001)
+    lk.customer.join(lk.supplier,
+      col("c_nationkey") === col("s_nationkey") ||
+        col("c_name") === col("s_name"), "inner")
+  }
+
+  test("inner OR join: rewritten to hash-join branches, no null complement") {
+    withRule(on = false) {
+      assert(naiveInnerOrJoin().queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+    withRule(on = true) {
+      val plan = naiveInnerOrJoin().queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Union"), plan)
+    }
+  }
+
+  test("inner OR join: results are multiset-identical to the nested-loop plan") {
+    val expected = withRule(on = false) { canon(naiveInnerOrJoin()) }
+    val got = withRule(on = true) { canon(naiveInnerOrJoin()) }
+    assert(got === expected)
+  }
+
+  test("inner OR join law: null keys, overlap pairs, three predicates, SQL text") {
+    import spark.implicits._
+    def maybe[T](v: T, miss: Boolean): Option[T] = if (miss) None else Some(v)
+    val rnd = new scala.util.Random(20260816L)
+    val left = Seq.fill(30)((
+      maybe(rnd.nextInt(5).toLong, rnd.nextInt(5) == 0),
+      maybe(s"s${rnd.nextInt(5)}", rnd.nextInt(5) == 0),
+      maybe(rnd.nextInt(6).toLong, rnd.nextInt(5) == 0)
+    )).toDF("k1", "k2", "k3")
+    val right = Seq.fill(20)((
+      maybe(rnd.nextInt(5).toLong, rnd.nextInt(5) == 0),
+      maybe(s"s${rnd.nextInt(5)}", rnd.nextInt(5) == 0),
+      maybe(rnd.nextInt(6).toLong, rnd.nextInt(5) == 0)
+    )).toDF("r1", "r2", "r3")
+    val cond = col("k1") === col("r1") || col("k2") === col("r2") ||
+      col("k3") === col("r3")
+    def q() = left.join(right, cond, "inner")
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(canon(df) === expected)
+    }
+    // SQL text reaches the same rewrite
+    left.createOrReplaceTempView("orj_inner_l")
+    right.createOrReplaceTempView("orj_inner_r")
+    val sqlQ = "SELECT * FROM orj_inner_l JOIN orj_inner_r ON " +
+      "k1 = r1 OR k2 = r2 OR k3 = r3"
+    val sqlExpected = withRule(on = false) { canon(spark.sql(sqlQ)) }
+    withRule(on = true) {
+      val df = spark.sql(sqlQ)
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(canon(df) === sqlExpected)
+    }
+  }
+
+  test("agg over INNER OR join: eager plan incl. count(*); pair-less groups absent") {
+    def q() = naiveInnerOrJoin().groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_pairs"), count(col("s_suppkey")).as("n"),
+        min(col("s_name")).as("m"))
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Union") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(canon(df) === expected)
+    }
+    // sanity: inner drops unmatched customers, the outer form keeps them
+    val inner = withRule(on = true) { q().count() }
+    val outer = withRule(on = true) {
+      naiveOrJoin().groupBy("c_custkey").agg(count(col("s_suppkey")).as("n"))
+        .count()
+    }
+    assert(inner < outer, s"inner=$inner must drop pair-less groups (outer=$outer)")
+  }
+
+  test("agg over INNER OR join law: randomized — absent groups, count(*), minmax-only") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 0 until 4) {
+      def maybe[T](v: T): Option[T] = if (rnd.nextInt(5) == 0) None else Some(v)
+      val left = Seq.fill(35)((
+        maybe(rnd.nextInt(6).toLong),
+        maybe(rnd.nextInt(8).toLong),
+        maybe(s"s${rnd.nextInt(8)}")
+      )).toDF("g", "k1", "k2")
+        // an isolated group that matches NOTHING: must be absent
+        .unionByName(Seq((Some(99L), Some(999L), Some("zz")))
+          .toDF("g", "k1", "k2"))
+      val right = Seq.fill(22)((
+        maybe(rnd.nextInt(8).toLong),
+        maybe(s"s${rnd.nextInt(8)}"),
+        maybe(rnd.nextInt(100).toLong)
+      )).toDF("r1", "r2", "v")
+      val cond = col("k1") === col("r1") || col("k2") === col("r2")
+      def q() = left.join(right, cond, "inner").groupBy("g")
+        .agg(count(lit(1)).as("np"), count(col("v")).as("n"),
+          sum(col("v")).as("s"), avg(col("v")).as("a"),
+          min(col("r2")).as("mn"))
+      def qMinMax() = left.join(right, cond, "inner").groupBy("g")
+        .agg(min(col("r2")).as("mn"), max(col("r2")).as("mx"))
+      for (f <- Seq(q _, qMinMax _)) {
+        val expected = withRule(on = false) { canon(f()) }
+        withRule(on = true) {
+          val df = f()
+          // the fixture's own unionByName puts a Union in the LEFT
+          // subtree, so probe the eager form by its term aliases (and
+          // no nested loop) rather than by Union absence
+          val plan = df.queryExecution.executedPlan.toString
+          assert(plan.contains("__orj_t0_") &&
+            !plan.contains("BroadcastNestedLoopJoin"),
+            s"trial $trial: eager form must fire\n$plan")
+          assert(canon(df) === expected, s"trial $trial diverged")
+        }
+      }
+    }
+  }
+
   test("rule leaves non-equi OR joins alone") {
     withRule(on = true) {
       val lk = Lake(spark, sf0001)
