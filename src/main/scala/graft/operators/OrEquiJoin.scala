@@ -151,14 +151,26 @@ object OrEquiJoin {
   private def statsOrder(left: DataFrame, right: DataFrame,
                          preds: Seq[(String, String)]): Seq[(String, String)] = {
     import graft.plans.StarStatsRegistry
+    // sketch keys are WRITTEN column names; the caller's predicate
+    // strings resolve case-insensitively in the join (Spark's default
+    // resolver), so the lookup must match with the session's resolver
+    // too — an exact-string get would silently miss "C_NATIONKEY" and
+    // fall back to written order (ADVICE r17)
+    val resolver = left.sparkSession.sessionState.analyzer.resolver
+    def sketchFor(st: StarStatsRegistry.TableStats,
+                  name: String): Option[Array[Byte]] =
+      st.keySketches.get(name).orElse(
+        st.keySketches.collectFirst {
+          case (k, sk) if resolver(k, name) => sk
+        })
     val picked = for {
       (_, lSt) <- StarStatsRegistry.statsUnder(left.queryExecution.analyzed)
       (_, rSt) <- StarStatsRegistry.statsUnder(right.queryExecution.analyzed)
       ests <- {
         val all = preds.map { case (lc, rc) =>
           for {
-            lsk <- lSt.keySketches.get(lc)
-            rsk <- rSt.keySketches.get(rc)
+            lsk <- sketchFor(lSt, lc)
+            rsk <- sketchFor(rSt, rc)
           } yield {
             val ndv = math.max(1.0,
               math.max(StarStatsRegistry.distinctEstimate(lsk),

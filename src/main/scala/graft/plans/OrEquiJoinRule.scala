@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DecimalType
@@ -13,7 +13,14 @@ import org.apache.spark.sql.types.DecimalType
   * (round 17) take the same branch partition minus the null-complement
   * branch, and their aggregate consumers additionally support
   * `count(*)` (the pair count — exact for inner) with a pair-count > 0
-  * filter replacing the left-outer group completeness.
+  * filter replacing the left-outer group completeness. RIGHT and FULL
+  * OUTER OR-joins (round 18) complete the type matrix: RightOuter is
+  * the matched-pair branches plus the RIGHT null complement (right rows
+  * satisfying no predicate, left columns null-extended — the mirrored
+  * anti-join chain); FullOuter unions BOTH complements onto the
+  * branches. Matched pairs still land in exactly one branch, each
+  * unmatched row in exactly one complement, so every form is
+  * multiset-equivalent to its nested-loop original.
   *
   * This is the plan-level form of [[graft.operators.OrEquiJoin]] (SURVEY.md
   * §4): with the rule enabled, ANY query — SQL text, naive DataFrame code,
@@ -73,9 +80,9 @@ import org.apache.spark.sql.types.DecimalType
   *     each term's right side pre-aggregated on its own key — n terms
   *     for ANY n and ANY predicate order (order-robust; gated by q84
   *     with the exploding predicate written second).
-  *  2. TWO or THREE predicates with count/sum/avg present (min/max may
-  *     mix in), no usable stats OR several exploding predicates:
-  *     INCLUSION–EXCLUSION —
+  *  2. count/sum/avg present (min/max may mix in) and either no usable
+  *     stats at n≤3, or stats say several exploding predicates (at ANY
+  *     n — the cost inequality below): INCLUSION–EXCLUSION —
   *     `agg(⋁ p_i) = Σ over non-empty subsets S of (−1)^(|S|+1) ·
   *     agg(⋀_{i∈S} p_i)` (3 terms at n=2, 7 at n=3), every term's right
   *     side pre-aggregated on its (composite) key(s); min/max units
@@ -139,13 +146,32 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case AggOverOrJoin(rewritten) => rewritten
       case j @ Join(left, right, LeftOuter, Some(cond), _)
           if splitsIntoEquiDisjuncts(cond, left, right) =>
-        rewrite(left, right, splitDisjunctivePredicates(cond))
+        val preds = splitDisjunctivePredicates(cond)
+        Union(branchJoins(left, right, preds, j.hint) :+
+          leftComplement(left, right, preds, j.hint))
       // INNER OR-joins hit the same BNLJ trap (ExtractEquiJoinKeys
       // needs conjunctive equalities); the branch partition applies
       // verbatim, just without the null-complement branch.
       case j @ Join(left, right, Inner, Some(cond), _)
           if splitsIntoEquiDisjuncts(cond, left, right) =>
-        Union(branchJoins(left, right, splitDisjunctivePredicates(cond)))
+        Union(branchJoins(left, right, splitDisjunctivePredicates(cond), j.hint))
+      // RIGHT OUTER: the mirrored form — matched-pair branches plus the
+      // RIGHT null complement (right rows matching no predicate,
+      // null-extended on the left).
+      case j @ Join(left, right, RightOuter, Some(cond), _)
+          if splitsIntoEquiDisjuncts(cond, left, right) =>
+        val preds = splitDisjunctivePredicates(cond)
+        Union(branchJoins(left, right, preds, j.hint) :+
+          rightComplement(left, right, preds, j.hint))
+      // FULL OUTER: both complements — each matched pair in exactly one
+      // branch, each unmatched row (either side) in exactly one
+      // complement, so the union is the full-outer multiset.
+      case j @ Join(left, right, FullOuter, Some(cond), _)
+          if splitsIntoEquiDisjuncts(cond, left, right) =>
+        val preds = splitDisjunctivePredicates(cond)
+        Union(branchJoins(left, right, preds, j.hint) :+
+          leftComplement(left, right, preds, j.hint) :+
+          rightComplement(left, right, preds, j.hint))
     }
   }
 
@@ -207,35 +233,67 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * AND NOT(p1..p(k-1))` — each (left, right) pair lands in exactly the
     * branch of its first satisfied predicate, so the union of branches
     * is multiset-equal to the INNER OR join. Branch 1 keeps the ORIGINAL
-    * right (its ids become the union output). */
+    * right (its ids become the union output). The matched join's own
+    * hint carries over unchanged — branch sides keep the original
+    * orientation, and a broadcast hint on either side of an INNER join
+    * is a hash-join build-side hint, so the user's intent survives the
+    * rewrite (ADVICE r17). */
   private def branchJoins(left: LogicalPlan, right: LogicalPlan,
-                          preds: Seq[Expression]): Seq[LogicalPlan] =
+                          preds: Seq[Expression],
+                          hint: JoinHint): Seq[LogicalPlan] =
     preds.zipWithIndex.map { case (p, k) =>
       if (k == 0) {
-        Join(left, right, Inner, Some(p), JoinHint.NONE): LogicalPlan
+        Join(left, right, Inner, Some(p), hint): LogicalPlan
       } else {
         val (freshRight, m) = freshen(right)
         def remap(e: Expression): Expression =
           e.transform { case a: Attribute => m.getOrElse(a, a) }
         val cond = And(remap(p), remap(notYet(preds.take(k)).get))
-        Join(left, freshRight, Inner, Some(cond), JoinHint.NONE)
+        Join(left, freshRight, Inner, Some(cond), hint)
       }
     }
 
-  private def rewrite(left: LogicalPlan, right: LogicalPlan,
-                      preds: Seq[Expression]): LogicalPlan = {
-    // null-complement branch: anti-join chain, one fresh right per pred
+  /** The LEFT null complement: left rows satisfying no predicate (the
+    * anti-join chain, one fresh right per pred), null-extended on the
+    * right. Only the original RIGHT-side hint propagates, onto each anti
+    * join's build side — a LeftAnti hash join can only build right, so a
+    * user's broadcast-LEFT hint would force a nested-loop plan here, the
+    * exact shape this rule exists to remove. */
+  private def leftComplement(left: LogicalPlan, right: LogicalPlan,
+                             preds: Seq[Expression],
+                             hint: JoinHint): LogicalPlan = {
+    val antiHint = JoinHint(None, hint.rightHint)
     val unmatched = preds.foldLeft(left) { (acc, p) =>
       val (freshRight, m) = freshen(right)
       val cond = p.transform { case a: Attribute => m.getOrElse(a, a) }
-      Join(acc, freshRight, LeftAnti, Some(cond), JoinHint.NONE)
+      Join(acc, freshRight, LeftAnti, Some(cond), antiHint)
     }
-    val nullExtended = Project(
+    Project(
       left.output ++ right.output.map(a =>
         Alias(Literal(null, a.dataType), a.name)()),
       unmatched)
+  }
 
-    Union(branchJoins(left, right, preds) :+ nullExtended)
+  /** The RIGHT null complement (RightOuter/FullOuter): right rows
+    * satisfying no predicate, null-extended on the LEFT — the mirrored
+    * anti-join chain (right anti-joins fresh LEFT copies). The original
+    * LEFT-side hint lands on each anti join's build side (the sides are
+    * swapped here); the projection restores left++right column order so
+    * the Union aligns positionally with the matched-pair branches. */
+  private def rightComplement(left: LogicalPlan, right: LogicalPlan,
+                              preds: Seq[Expression],
+                              hint: JoinHint): LogicalPlan = {
+    val antiHint = JoinHint(None, hint.leftHint)
+    val unmatched = preds.foldLeft(right) { (acc, p) =>
+      val (freshLeft, m) = freshen(left)
+      val cond = p.transform { case a: Attribute => m.getOrElse(a, a) }
+      Join(acc, freshLeft, LeftAnti, Some(cond), antiHint)
+    }
+    Project(
+      left.output.map(a =>
+        Alias(Literal(null, a.dataType), a.name)(): NamedExpression) ++
+        right.output,
+      unmatched)
   }
 
   private def notYet(ps: Seq[Expression]): Option[Expression] =
@@ -503,10 +561,15 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val estsOpt =
       if (allMinMax) None else statsEstimates(left, right, pairs)
     val branchForm = !allMinMax && (estsOpt match {
+      // With stats the cost inequality applies at EVERY n (ADVICE r17:
+      // no n>=4 short-circuit): several exploding predicates can beat
+      // the branch form even at n=4, where IE's 15 pre-aggregated terms
+      // cost (2^4-1-4)·(|L|+|R|) — if the residual branches' estimated
+      // output exceeds that, IE still wins.
       case Some((es, nl, nr)) =>
         val ieOverhead =
           ((1L << preds.length) - 1 - preds.length).toDouble * (nl + nr)
-        preds.length >= 4 || (es.sum - es.max) < ieOverhead
+        (es.sum - es.max) < ieOverhead
       case None => preds.length >= 4
     })
     val ieMode = !allMinMax && !branchForm
@@ -619,12 +682,13 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     //      side pre-aggregated on its (composite) key(s) before touching
     //      `left`; min/max units read LEAST/GREATEST of the n singleton
     //      terms and ignore the signed overlap terms;
-    //  (3) n≥4 with count/sum/avg: IE grows 2^n−1 pre-aggregated joins
-    //      (15 at n=4) — costlier than the branch form saves — so the
-    //      branch-partition form remains, with branch 0 (the sole
-    //      pre-aggregated branch) STATS-PICKED above from persisted key
-    //      sketches; only when no stats exist does the |left|/|right|
-    //      bound still need the exploding predicate written FIRST.
+    //  (3) count/sum/avg where the cost model (or the no-stats n≥4
+    //      default: IE's 2^n−1 terms, 15 at n=4, cost more than they
+    //      insure) prefers it: the branch-partition form, with branch 0
+    //      (the sole pre-aggregated branch) STATS-PICKED above from
+    //      persisted key sketches; only when no stats exist does the
+    //      |left|/|right| bound still need the exploding predicate
+    //      written FIRST.
     // Forms (1)/(2) are |left|/|right|-bounded regardless of predicate
     // order — the order contract is gone for every n≤3 consumer mix, for
     // min/max-only at any n, and at n≥4 whenever both scans carry stats.

@@ -540,40 +540,47 @@ object Relational {
     // ---- INNER OR-join through the rule (round 17) ---------------------
     // Catalyst's ExtractEquiJoinKeys needs conjunctive equalities, so an
     // INNER join keyed on a disjunction also falls to
-    // BroadcastNestedLoopJoin. The rule now serves it with the same
+    // BroadcastNestedLoopJoin. The rule serves it with the same
     // first-satisfied-predicate branch partition as the left-outer form,
-    // minus the null-complement branch. count(*) is exact here (inner
-    // joins emit matched pairs only), so the aggregate consumes the
-    // union directly. Plan gate: hash joins only, no BNLJ.
+    // minus the null-complement branch. The MIN argument deliberately
+    // MIXES left and right columns (s_name || '/' || c_name) — an
+    // aggregate unit the eager rewrite rejects (args must be right-side
+    // only) — so the BARE inner Union path is what executes and what the
+    // oracle hash gates (ADVICE r17: with a right-only min, count(*) +
+    // min both decompose and the eager form would fire instead, leaving
+    // the bare path spec-gated only). Plan gate: no BNLJ AND the branch
+    // Union present.
     "q89_or_join_inner" -> Q(
       (s, dir) => {
         val child = s.newSession()
         child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
         Lake(child, dir).registerViews()
         val df = child.sql(
-          """SELECT c_custkey, COUNT(*) AS n_match, MIN(s_name) AS first_sup
+          """SELECT c_custkey, COUNT(*) AS n_match,
+            |  MIN(s_name || '/' || c_name) AS pair_tag
             |FROM customer JOIN supplier
             |  ON c_nationkey = s_nationkey OR c_name = s_name
             |GROUP BY c_custkey""".stripMargin)
-        def decorate(hashOnly: Boolean) =
+        def decorate(bareUnion: Boolean) =
           df.select(col("c_custkey"),
               col("n_match").cast("long").as("n_match"),
-              col("first_sup"), lit(hashOnly).as("plan_hash_joins"))
+              col("pair_tag"), lit(bareUnion).as("plan_bare_union"))
             .orderBy("c_custkey")
-        val plan = decorate(hashOnly = false)
+        val plan = decorate(bareUnion = false)
           .queryExecution.executedPlan.toString
-        decorate(!plan.contains("BroadcastNestedLoopJoin"))
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          plan.contains("Union"))
       },
       """SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_match,
-        |  MIN(s_name) AS first_sup, TRUE AS plan_hash_joins
+        |  MIN(s_name || '/' || c_name) AS pair_tag, TRUE AS plan_bare_union
         |FROM customer JOIN supplier
         |  ON c_nationkey = s_nationkey OR c_name = s_name
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
       headline = true),
 
     // ---- eager aggregation over the INNER OR-join (round 17) -----------
-    // q89 aggregates the materialized pair union; this gate never
-    // materializes it: the rule's eager form now reaches INNER joins,
+    // q89 gates the bare pair-union path; this gate never
+    // materializes it: the rule's eager form also reaches INNER joins,
     // where count(*) IS decomposable (every emitted row is a matched
     // pair) and the left-outer group completeness is replaced by a
     // pair-count > 0 filter — customers with no matching supplier are
@@ -609,6 +616,95 @@ object Relational {
         |  ON c_name = s_name OR c_nationkey = s_nationkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
       headline = true),
+
+    // ---- FULL OUTER OR-join (round 18): the type matrix closed ---------
+    // The last nested-loop OR shape: `FULL JOIN ... ON a=x OR b=y` got
+    // Catalyst's BNLJ until this round. The rule now unions the matched-
+    // pair branches with BOTH null complements (left rows matching no
+    // predicate null-extended right, and the mirrored right complement).
+    // The mostly-unmatched name/acctbal predicates make BOTH complements
+    // carry real rows (a nationkey predicate would match every row and
+    // leave the new complement branches empty), and keep the output
+    // |L|+|R|-bounded at every scale. The aggregate groups on
+    // COALESCE(c_nationkey, -1) so right-only rows land in one
+    // deterministic group; left_only/right_only pin the two complements
+    // in the oracle hash. FullOuter is outside the eager-agg rewrite, so the plan gate
+    // asserts the branch Union IS present and no BNLJ remains.
+    "q91_or_join_full" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT COALESCE(c_nationkey, -1) AS nat_grp, COUNT(*) AS n_rows,
+            |  SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+            |    AS left_only,
+            |  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+            |    AS right_only
+            |FROM customer FULL JOIN supplier
+            |  ON c_name = s_name OR c_acctbal = s_acctbal
+            |GROUP BY COALESCE(c_nationkey, -1)""".stripMargin)
+        def decorate(rewritten: Boolean) =
+          df.select(col("nat_grp"),
+              col("n_rows").cast("long").as("n_rows"),
+              col("left_only").cast("long").as("left_only"),
+              col("right_only").cast("long").as("right_only"),
+              lit(rewritten).as("plan_hash_joins"))
+            .orderBy("nat_grp")
+        val plan = decorate(rewritten = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          plan.contains("Union"))
+      },
+      """SELECT COALESCE(c_nationkey, -1) AS nat_grp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS left_only,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS right_only,
+        |  TRUE AS plan_hash_joins
+        |FROM customer FULL JOIN supplier
+        |  ON c_name = s_name OR c_acctbal = s_acctbal
+        |GROUP BY COALESCE(c_nationkey, -1) ORDER BY nat_grp""".stripMargin,
+      headline = true),
+
+    // ---- RIGHT OUTER OR-join (round 18) --------------------------------
+    // The mirrored form: matched-pair branches + the RIGHT null
+    // complement (suppliers matching no customer, null-extended left).
+    // s_suppkey is the preserved side so it is never null; unmatched
+    // counts c_custkey nulls. Non-headline: q91 carries the bench cost
+    // for the family, this gates the mirror's correctness tri-scale.
+    "q92_or_join_right" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT s_suppkey, COUNT(*) AS n_rows,
+            |  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+            |    AS unmatched,
+            |  MIN(c_name) AS first_cust
+            |FROM customer RIGHT JOIN supplier
+            |  ON c_name = s_name OR c_acctbal = s_acctbal
+            |GROUP BY s_suppkey""".stripMargin)
+        def decorate(rewritten: Boolean) =
+          df.select(col("s_suppkey"),
+              col("n_rows").cast("long").as("n_rows"),
+              col("unmatched").cast("long").as("unmatched"),
+              col("first_cust"), lit(rewritten).as("plan_hash_joins"))
+            .orderBy("s_suppkey")
+        val plan = decorate(rewritten = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          plan.contains("Union"))
+      },
+      """SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS unmatched,
+        |  MIN(c_name) AS first_cust, TRUE AS plan_hash_joins
+        |FROM customer RIGHT JOIN supplier
+        |  ON c_name = s_name OR c_acctbal = s_acctbal
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin),
 
     // ---- ranking window: per-nation top-3 by balance -------------------
     "q09_window_rank" -> Q(

@@ -868,6 +868,216 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  // ---- RIGHT/FULL OUTER OR-joins (round 18): the type matrix closed ----
+
+  private def naiveOuterOrJoin(joinType: String) = {
+    val lk = Lake(spark, sf0001)
+    // name never matches across customer/supplier and acctbal rarely
+    // does, so BOTH complements carry real rows
+    lk.customer.join(lk.supplier,
+      col("c_name") === col("s_name") ||
+        col("c_acctbal") === col("s_acctbal"), joinType)
+  }
+
+  test("right outer OR join: rewritten to branches + right complement, no BNLJ") {
+    withRule(on = false) {
+      assert(naiveOuterOrJoin("right").queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+    withRule(on = true) {
+      val df = naiveOuterOrJoin("right")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Union"), plan)
+    }
+  }
+
+  test("full outer OR join: rewritten to branches + both complements, no BNLJ") {
+    withRule(on = false) {
+      assert(naiveOuterOrJoin("full").queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+    withRule(on = true) {
+      val df = naiveOuterOrJoin("full")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Union"), plan)
+    }
+  }
+
+  test("right/full outer OR join: results multiset-identical to the nested-loop plan") {
+    for (jt <- Seq("right", "full")) {
+      val expected = withRule(on = false) { canon(naiveOuterOrJoin(jt)) }
+      val got = withRule(on = true) { canon(naiveOuterOrJoin(jt)) }
+      assert(got === expected, s"joinType=$jt diverged")
+    }
+  }
+
+  test("right/full outer OR join law: null keys BOTH sides, overlaps, 3 preds, SQL text") {
+    import spark.implicits._
+    def maybe[T](v: T, miss: Boolean): Option[T] = if (miss) None else Some(v)
+    val rnd = new scala.util.Random(20260818L)
+    val left = Seq.fill(30)((
+      maybe(rnd.nextInt(5).toLong, rnd.nextInt(5) == 0),
+      maybe(s"s${rnd.nextInt(5)}", rnd.nextInt(5) == 0),
+      maybe(rnd.nextInt(6).toLong, rnd.nextInt(5) == 0)
+    )).toDF("k1", "k2", "k3")
+    val right = Seq.fill(20)((
+      maybe(rnd.nextInt(5).toLong, rnd.nextInt(5) == 0),
+      maybe(s"s${rnd.nextInt(5)}", rnd.nextInt(5) == 0),
+      maybe(rnd.nextInt(6).toLong, rnd.nextInt(5) == 0)
+    )).toDF("r1", "r2", "r3")
+    val cond = col("k1") === col("r1") || col("k2") === col("r2") ||
+      col("k3") === col("r3")
+    for (jt <- Seq("right", "full")) {
+      def q() = left.join(right, cond, jt)
+      val expected = withRule(on = false) { canon(q()) }
+      withRule(on = true) {
+        val df = q()
+        assert(!df.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"))
+        assert(canon(df) === expected, s"joinType=$jt diverged")
+      }
+    }
+    // SQL text reaches the same rewrite
+    left.createOrReplaceTempView("orj_out_l")
+    right.createOrReplaceTempView("orj_out_r")
+    for (kw <- Seq("RIGHT", "FULL")) {
+      val sqlQ = s"SELECT * FROM orj_out_l $kw JOIN orj_out_r ON " +
+        "k1 = r1 OR k2 = r2 OR k3 = r3"
+      val sqlExpected = withRule(on = false) { canon(spark.sql(sqlQ)) }
+      withRule(on = true) {
+        val df = spark.sql(sqlQ)
+        assert(!df.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"))
+        assert(canon(df) === sqlExpected, s"$kw diverged")
+      }
+    }
+  }
+
+  test("aggregate over right/full outer OR join consumes the rewritten union") {
+    // Right/Full are OUTSIDE the eager-agg rewrite (group completeness
+    // differs); the bare rewrite must still fire under the aggregate.
+    for (jt <- Seq("right", "full")) {
+      def q() = naiveOuterOrJoin(jt)
+        .groupBy("s_suppkey")
+        .agg(count(col("c_custkey")).as("n"), min(col("c_name")).as("m"))
+      val expected = withRule(on = false) { canon(q()) }
+      withRule(on = true) {
+        val df = q()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+        assert(plan.contains("Union"), plan)
+        assert(canon(df) === expected, s"joinType=$jt diverged")
+      }
+    }
+  }
+
+  // ---- hint propagation (ADVICE r17) -----------------------------------
+
+  test("broadcast-right hint survives the rewrite onto every rebuilt join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join => LJoin}
+    withRule(on = true) {
+      val lk = Lake(spark, sf0001)
+      for (jt <- Seq("left", "inner")) {
+        val df = lk.customer.join(broadcast(lk.supplier),
+          col("c_nationkey") === col("s_nationkey") ||
+            col("c_name") === col("s_name"), jt)
+        val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+        assert(joins.nonEmpty, jt)
+        assert(joins.forall(_.hint.rightHint.exists(
+            _.strategy.contains(BROADCAST))),
+          s"$jt: every branch/anti join must keep the right-side " +
+            s"broadcast hint\n${df.queryExecution.optimizedPlan}")
+      }
+    }
+  }
+
+  test("broadcast-left hint: kept on branch joins, dropped from anti chains") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    withRule(on = true) {
+      val lk = Lake(spark, sf0001)
+      val df = broadcast(lk.customer).join(lk.supplier,
+        col("c_nationkey") === col("s_nationkey") ||
+          col("c_name") === col("s_name"), "left")
+      val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      val (anti, branch) = joins.partition(_.joinType == LeftAnti)
+      assert(branch.nonEmpty && anti.nonEmpty)
+      // inner branches honor the user's build-side intent...
+      assert(branch.forall(_.hint.leftHint.exists(
+        _.strategy.contains(BROADCAST))))
+      // ...but a LeftAnti hash join can only build right, so the left
+      // hint must NOT reach the complement chain (it would force the
+      // nested-loop shape this rule removes)
+      assert(anti.forall(_.hint.leftHint.isEmpty))
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("agg rule n=4 with stats: several exploders take IE (cost model at every n)") {
+    import spark.implicits._
+    import graft.operators.ZoneMapTable
+    // ALL four keys are low-cardinality (ndv 2/3/2/3): every residual
+    // branch materializes a near-cross-join — es.sum−es.max ≈ 1166 vs
+    // IE overhead (2^4−1−4)·(40+25) = 715 — so the cost inequality must
+    // keep inclusion–exclusion even at n=4 (ADVICE r17: no n≥4
+    // short-circuit), executing the full 15-term IE plan.
+    val base = "target/star_stage/orj_spec_ie4"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val l = (0 until 40).map(i =>
+        (i.toLong, (i % 2).toLong, (i % 3).toLong, (i % 2).toLong, (i % 3).toLong))
+      .toDF("g", "k1", "k2", "k3", "k4")
+    val r = (0 until 25).map(i =>
+        ((i % 2).toLong, (i % 3).toLong, ((i + 1) % 2).toLong, ((i + 1) % 3).toLong, i.toLong))
+      .toDF("r1", "r2", "r3", "r4", "v")
+    ZoneMapTable.write(l, s"$base/l", "g", Seq("g"), 1,
+      sketchCols = Seq("k1", "k2", "k3", "k4"))
+    ZoneMapTable.write(r, s"$base/r", "r1", Seq("r1"), 1,
+      sketchCols = Seq("r1", "r2", "r3", "r4"))
+    val lt = spark.read.parquet(s"$base/l/data")
+    val rt = spark.read.parquet(s"$base/r/data")
+    def q() = lt.join(rt,
+        col("k1") === col("r1") || col("k2") === col("r2") ||
+          col("k3") === col("r3") || col("k4") === col("r4"), "left")
+      .groupBy("g").agg(count(col("v")).as("n"), sum(col("v")).as("s"))
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      assert(b0KeyOf(df) === "none", "the branch form must NOT fire")
+      assert(df.queryExecution.optimizedPlan.toString.contains("__orj_t14_"),
+        "the 15th IE term (the 4-way overlap) must be present")
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("operator statsOrder resolves sketch names case-insensitively (ADVICE r17)") {
+    import graft.operators.OrEquiJoin
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val cust = spark.read.parquet(s"$statsStage/customer/data")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val supp = spark.read.parquet(s"$statsStage/supplier/data")
+      .select("s_suppkey", "s_name", "s_nationkey")
+    // UPPERCASED predicate names resolve in the join (Spark's default
+    // case-insensitive resolver) — the sketch lookup must match them too
+    val got = OrEquiJoin.leftOrJoinAgg(cust, supp,
+      "c_custkey", "s_suppkey", "n", "s_name", "m",
+      ("C_NAME", "S_NAME"), ("C_NATIONKEY", "S_NATIONKEY"))
+    val preKey = got.queryExecution.optimizedPlan.collectFirst {
+      case ag: Aggregate if ag.aggregateExpressions.exists {
+            case al: Alias => al.name == "__cnt0"
+            case _ => false
+          } =>
+        ag.groupingExpressions.flatMap(_.references.map(_.name)).mkString(",")
+    }.getOrElse("none")
+    // the resolved attribute keeps the caller's spelling — compare
+    // case-insensitively; what matters is that the reorder FIRED
+    assert(preKey.equalsIgnoreCase("s_nationkey"),
+      s"uppercase predicate names must still hit the sketches and reorder, got $preKey")
+  }
+
   test("rule leaves non-equi OR joins alone") {
     withRule(on = true) {
       val lk = Lake(spark, sf0001)
