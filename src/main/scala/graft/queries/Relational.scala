@@ -32,6 +32,45 @@ object Relational {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
 
+  /** Zone-mapped customer/supplier copies whose writes persisted per-key
+    * theta sketches — the decision input for the stats-picked OR-join
+    * branch (q87, q93). Serve-path convention: build once if absent;
+    * returns the stage root. */
+  private def orjStatsStage(s: SparkSession, dir: String): String = {
+    import graft.operators.ZoneMapTable
+    val stage = s"target/star_stage/q87_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val marker = new org.apache.hadoop.fs.Path(s"$stage/customer/_zonemap")
+    val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val lk = Lake(s, dir)
+      ZoneMapTable.write(lk.customer, s"$stage/customer", "c_custkey",
+        Seq("c_custkey"), 2,
+        sketchCols = Seq("c_name", "c_acctbal", "c_custkey", "c_nationkey"))
+      ZoneMapTable.write(lk.supplier, s"$stage/supplier", "s_suppkey",
+        Seq("s_suppkey"), 1,
+        sketchCols = Seq("s_name", "s_acctbal", "s_suppkey", "s_nationkey"))
+    }
+    stage
+  }
+
+  /** The right-side key the optimized plan's branch-0 pre-aggregation
+    * groups on (the `__orj_b0_k0` alias) — "none" when the branch form
+    * did not fire. */
+  private def b0KeyOf(df: DataFrame): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias => CAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate}
+    df.queryExecution.optimizedPlan.collectFirst {
+      case ag: LAggregate if ag.aggregateExpressions.exists {
+            case al: CAlias => al.name == "__orj_b0_k0"
+            case _ => false
+          } =>
+        ag.aggregateExpressions.collectFirst {
+          case al: CAlias if al.name == "__orj_b0_k0" =>
+            al.child.references.map(_.name).toSeq.sorted.mkString(",")
+        }.getOrElse("?")
+    }.getOrElse("none")
+  }
+
   val defs: Map[String, Q] = Map(
 
     // ---- F1 + P1: filter & projection pushed into the Parquet scan -----
@@ -414,21 +453,7 @@ object Relational {
     // absent; the timed work is the transparent pick + the join.
     "q87_or_join_stats_pick" -> Q(
       (s, dir) => {
-        import graft.operators.ZoneMapTable
-        import org.apache.spark.sql.catalyst.expressions.{Alias => CAlias}
-        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate}
-        val stage = s"target/star_stage/q87_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val marker = new org.apache.hadoop.fs.Path(s"$stage/customer/_zonemap")
-        val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
-        if (!fs.exists(marker)) {
-          val lk = Lake(s, dir)
-          ZoneMapTable.write(lk.customer, s"$stage/customer", "c_custkey",
-            Seq("c_custkey"), 2,
-            sketchCols = Seq("c_name", "c_acctbal", "c_custkey", "c_nationkey"))
-          ZoneMapTable.write(lk.supplier, s"$stage/supplier", "s_suppkey",
-            Seq("s_suppkey"), 1,
-            sketchCols = Seq("s_name", "s_acctbal", "s_suppkey", "s_nationkey"))
-        }
+        val stage = orjStatsStage(s, dir)
         // LAZY path (q85 gates the explicit loadStarStats form): drop any
         // in-JVM registration so the rule's first registry miss must
         // re-load the persisted `_starstats` sidecar itself — driver-side
@@ -457,20 +482,10 @@ object Relational {
             .orderBy("c_custkey")
         // probe the plan that will EXECUTE (the q82 discipline: literal
         // values cannot change the plan shape)
-        val probe = decorate(eager = false, b0Key = "probe").queryExecution
-        val planStr = probe.executedPlan.toString
-        val b0Key = probe.optimizedPlan.collectFirst {
-          case ag: LAggregate if ag.aggregateExpressions.exists {
-                case al: CAlias => al.name == "__orj_b0_k0"
-                case _ => false
-              } =>
-            ag.aggregateExpressions.collectFirst {
-              case al: CAlias if al.name == "__orj_b0_k0" =>
-                al.child.references.map(_.name).toSeq.sorted.mkString(",")
-            }.getOrElse("?")
-        }.getOrElse("none")
+        val probe = decorate(eager = false, b0Key = "probe")
+        val planStr = probe.queryExecution.executedPlan.toString
         decorate(!planStr.contains("BroadcastNestedLoopJoin") &&
-          !planStr.contains("Union"), b0Key)
+          !planStr.contains("Union"), b0KeyOf(probe))
       },
       """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
@@ -480,6 +495,52 @@ object Relational {
         |    OR c_custkey = s_suppkey OR c_nationkey = s_nationkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
       headline = true),
+
+    // ---- stats-pick under a FILTERED fact scan (round 18) --------------
+    // A user's WHERE clause must not silently lose the optimization:
+    // StarStatsRegistry.statsUnder sees through deterministic Filters
+    // (and attribute-only Projects), handing the rule the whole-table
+    // sketches as documented OVER-estimates — OR commutes, so a
+    // filter-blind estimate can only mis-order semantically equal
+    // branches, never corrupt. Same q87 inputs and predicates, with the
+    // fact filtered to ~1/5 of its rows (c_mktsegment = 'BUILDING');
+    // the pick must still land on the exploding nationkey predicate and
+    // the eager shape must still fire, both inside the oracle hash.
+    // Zero plan-time jobs is spec-asserted (OrEquiJoinRuleSpec).
+    "q93_or_join_filtered_pick" -> Q(
+      (s, dir) => {
+        val stage = orjStatsStage(s, dir)
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        child.read.parquet(s"$stage/customer/data")
+          .createOrReplaceTempView("customer_zm")
+        child.read.parquet(s"$stage/supplier/data")
+          .createOrReplaceTempView("supplier_zm")
+        val df = child.sql(
+          """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+            |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            |FROM customer_zm LEFT JOIN supplier_zm
+            |  ON c_name = s_name OR c_acctbal = s_acctbal
+            |    OR c_custkey = s_suppkey OR c_nationkey = s_nationkey
+            |WHERE c_mktsegment = 'BUILDING'
+            |GROUP BY c_custkey""".stripMargin)
+        def decorate(eager: Boolean, b0Key: String) =
+          df.select(col("c_custkey"), col("n_match"), col("bal"),
+              lit(eager).as("plan_eager"), lit(b0Key).as("b0_key"))
+            .orderBy("c_custkey")
+        val probe = decorate(eager = false, b0Key = "probe")
+        val planStr = probe.queryExecution.executedPlan.toString
+        decorate(!planStr.contains("BroadcastNestedLoopJoin") &&
+          !planStr.contains("Union"), b0KeyOf(probe))
+      },
+      """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  TRUE AS plan_eager, 's_nationkey' AS b0_key
+        |FROM customer LEFT JOIN supplier
+        |  ON c_name = s_name OR c_acctbal = s_acctbal
+        |    OR c_custkey = s_suppkey OR c_nationkey = s_nationkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
 
     // ---- DECIMAL AVG through the eager OR-join plan (round 17) ---------
     // AVG(CAST(.. AS DECIMAL(18,2))) over the exploding OR, exploding

@@ -703,6 +703,37 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("agg rule: stats-pick fires through a FILTERED fact scan, zero plan-time jobs") {
+    // a user's WHERE clause pushes a Filter between the scan and the
+    // join; statsUnder sees through deterministic Filters, handing the
+    // rule whole-table sketches as documented over-estimates (plan
+    // QUALITY only — OR commutes). The pick must still land on the
+    // exploding predicate and planning must stay job-free.
+    val cust = spark.read.parquet(s"$statsStage/customer/data")
+      .where(col("c_mktsegment") === "BUILDING")
+    val supp = spark.read.parquet(s"$statsStage/supplier/data")
+    val expected = withRule(on = false) { canon(fourPredAgg(cust, supp)) }
+    withRule(on = true) {
+      val df = fourPredAgg(cust, supp)
+      val tracker = spark.sparkContext.statusTracker
+      def jobs() = tracker.getJobIdsForGroup(null).length
+      def drain(): Unit = org.apache.spark.GraftTestSparkBridge
+        .waitListenerBusEmpty(spark.sparkContext)
+      drain()
+      val before = jobs()
+      val key = b0KeyOf(df)
+      drain()
+      assert(key === "s_nationkey",
+        s"the pick must survive the filtered fact, got $key")
+      assert(jobs() === before,
+        "planning the filtered stats-pick must run ZERO Spark jobs")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Union") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
   test("agg rule n=4: without stats the written order stands (branch 0 = first predicate)") {
     val lk = Lake(spark, sf0001) // raw driver parquet: no sketches anywhere
     withRule(on = true) {
