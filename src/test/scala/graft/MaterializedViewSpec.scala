@@ -1332,6 +1332,143 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedView.drop("mv_skstream")
   }
 
+  test("STREAM restart in either absorb window: join-backed sketch view stays exactly-once") {
+    // The batch-level chaos spec above drives absorb directly; this one
+    // drives the SAME two kill windows through a real restarted
+    // streaming query, over the hardest view shape — join-backed with
+    // an HLL sketch column (the hll-union idempotence claim). Windows:
+    //   (A) absorb fully committed (generation + ledger) but the stream
+    //       died before the CHECKPOINT commit → the restarted stream
+    //       replays the batch; the file ledger and the persisted batch
+    //       guard must make it a state-level no-op (no republish, no
+    //       double union);
+    //   (B) the stream died INSIDE absorb — generation written, ledger
+    //       NOT republished, checkpoint not committed → the restart
+    //       must re-fold the batch exactly once and vacuum the orphan
+    //       generation.
+    import MaterializedView.MvJoin
+    import org.apache.spark.sql.streaming.Trigger
+    val fact = freshDir("mvsk/fact"); val dim = freshDir("mvsk/dim")
+    val mv = freshDir("mvsk/mv"); val ckpt = freshDir("mvsk/ckpt")
+    (0 until 120).map(i => (i.toLong, (i % 3) * 10L, (i % 37).toLong, (i % 10) / 2.0))
+      .toDF("o_id", "o_cust", "o_user", "o_amt")
+      .coalesce(2).write.mode("overwrite").parquet(fact)
+    Seq((0L, "gold"), (10L, "iron"), (20L, "clay"))
+      .toDF("c_id", "c_tier").write.mode("overwrite").parquet(dim)
+    MaterializedView.create(spark, "mv_skchaos", fact,
+      groupCols = Seq("c_tier"),
+      aggs = Seq(MvAgg("count_star", outCol = "n"),
+        MvAgg("sum", "o_amt", Some("decimal(18,6)"), outCol = "amt"),
+        MvAgg("hll_sketch", "o_user", outCol = "uhll", lgK = Some(12))),
+      mvPath = mv,
+      joins = Seq(MvJoin(dim, Seq("o_cust"), Seq("c_id"))))
+    val defJson = new java.io.File(mv, "_mvdef.json")
+    def gensOf(): Set[String] =
+      new java.io.File(mv).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+        .map(_.getName).toSet
+    def appendFact(lo: Int, hi: Int): Unit =
+      (lo until hi).map(i => (i.toLong, (i % 3) * 10L, (i % 91).toLong, (i % 10) / 2.0))
+        .toDF("o_id", "o_cust", "o_user", "o_amt")
+        .coalesce(1).write.mode("append").parquet(fact)
+    def runStream(tag: String): Unit = {
+      val _ = tag // phase label for the call sites
+      val q = graft.streaming.MvStream.maintain(
+          spark.readStream.schema(spark.read.parquet(fact).schema)
+            .option("maxFilesPerTrigger", "1").parquet(fact),
+          "mv_skchaos", checkpoint = ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def restartJvm(): Unit = { // process death: only the disk survives
+      MaterializedView.drop("mv_skchaos")
+      MaterializedView.load(spark, mv)
+      ()
+    }
+    def checkServes(): Unit = withRouting {
+      val factDf = spark.read.parquet(fact); val dimDf = spark.read.parquet(dim)
+      def joined = factDf.join(dimDf, factDf("o_cust") === dimDf("c_id"))
+      val routed = joined.groupBy("c_tier")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_amt").cast(DecimalType(18, 6))).as("amt"),
+          hll_sketch_estimate(hll_sketch_agg(col("o_user"), lit(12))).as("nd"))
+      assert(readsPath(routed, mv), "recovered sketch view must route")
+      def canon(df: DataFrame) = df.orderBy("c_tier").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).toPlainString, r.getLong(3))).toSeq
+      val direct = {
+        spark.conf.set(MaterializedViewRule.ConfKey, "false")
+        try canon(joined.groupBy("c_tier")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_amt").cast(DecimalType(18, 6))).as("amt"),
+            countDistinct(col("o_user")).as("nd")))
+        finally spark.conf.set(MaterializedViewRule.ConfKey, "true")
+      }
+      assert(canon(routed) == direct,
+        s"restarted sketch view diverged:\n  ${canon(routed)}\n  $direct")
+    }
+    // A real process death restarts with a COLD checkpoint-log cache;
+    // in-JVM, Spark's per-path metadata cache would see the deleted
+    // commit as a concurrent writer — disable it to make the restart
+    // faithful to the crash being simulated.
+    val cacheKey = "spark.sql.streaming.metadataCache.enabled"
+    val prevCache = spark.conf.getOption(cacheKey)
+    spark.conf.set(cacheKey, "false")
+    try {
+      // ---- window A: checkpoint commit lost, absorb fully committed --
+      appendFact(120, 160)
+      runStream("A-initial")
+      val ledgerA = java.nio.file.Files.readAllBytes(defJson.toPath)
+      val gensA = gensOf()
+      val dataDirA = MaterializedView.get("mv_skchaos").get.dataDir
+      val commits = new java.io.File(s"$ckpt/commits")
+      val lastCommit = commits.listFiles()
+        .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+      assert(lastCommit.delete(), "kill: last checkpoint commit lost")
+      // a real crash writes neither the commit nor its checksum sidecar
+      new java.io.File(commits, s".${lastCommit.getName}.crc").delete()
+      restartJvm()
+      runStream("A-restart") // replays the last batch with the same id
+      assert(MaterializedView.get("mv_skchaos").get.dataDir == dataDirA,
+        "a replayed committed batch must not republish (hll never re-unioned)")
+      assert(java.util.Arrays.equals(
+          java.nio.file.Files.readAllBytes(defJson.toPath), ledgerA),
+        "the ledger must be byte-identical after the replay no-op")
+      checkServes()
+
+      // ---- window B: kill INSIDE absorb (gen written, ledger old) ----
+      val ledgerB = java.nio.file.Files.readAllBytes(defJson.toPath)
+      val gensB = gensOf()
+      appendFact(160, 200)
+      runStream("B-crashed") // the "crashed" run: absorb publishes + commits
+      java.nio.file.Files.write(defJson.toPath, ledgerB) // the kill:
+      new java.io.File(mv, "._mvdef.json.crc").delete()  // old ledger back
+      val commitsB = new java.io.File(s"$ckpt/commits")
+      val lastB = commitsB.listFiles()
+        .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+      assert(lastB.delete(), "kill: checkpoint commit lost too")
+      new java.io.File(commitsB, s".${lastB.getName}.crc").delete()
+      val orphans = gensOf() -- gensB
+      assert(orphans.nonEmpty, "the crashed absorb must leave its generation")
+      restartJvm()
+      runStream("B-restart") // replays the batch; ledger is BEHIND → real re-fold
+      assert((gensOf() & orphans).isEmpty,
+        "recovery's publish must vacuum the crashed generation")
+      checkServes()
+
+      // ---- the guard is not over-broad: a fresh append still lands --
+      appendFact(200, 230)
+      runStream("fresh-append")
+      checkServes()
+    } finally {
+      MaterializedView.drop("mv_skchaos")
+      prevCache match {
+        case Some(v) => spark.conf.set(cacheKey, v)
+        case None    => spark.conf.unset(cacheKey)
+      }
+    }
+  }
+
   test("exactly-once chaos: a kill in either half of the commit window never double-counts") {
     // The streamed-maintenance commit sequence is: (1) write the new
     // generation's parquet, (2) atomically rename _mvdef.json (the
