@@ -20,7 +20,13 @@ import org.apache.spark.sql.types.DecimalType
   * anti-join chain); FullOuter unions BOTH complements onto the
   * branches. Matched pairs still land in exactly one branch, each
   * unmatched row in exactly one complement, so every form is
-  * multiset-equivalent to its nested-loop original.
+  * multiset-equivalent to its nested-loop original. Aggregate
+  * consumers of a RightOuter OR-join commute into the left-outer
+  * eager machinery verbatim (the preserved side carries the group
+  * keys, the aggregated side the arguments — the Aggregate replaces
+  * the join wholesale, so child order never matters); FullOuter
+  * aggregates consume the rewritten union (group completeness would
+  * need both complements).
   *
   * This is the plan-level form of [[graft.operators.OrEquiJoin]] (SURVEY.md
   * §4): with the rule enabled, ANY query — SQL text, naive DataFrame code,
@@ -312,6 +318,14 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case a @ Aggregate(_, _, Join(l, r, jt @ (LeftOuter | Inner), Some(cond), _), _)
           if splitsIntoEquiDisjuncts(cond, l, r) =>
         rewriteAgg(a, l, r, splitDisjunctivePredicates(cond), jt)
+      // RIGHT OUTER commutes into the left-outer machinery verbatim:
+      // `a RIGHT JOIN b` is `b LEFT JOIN a` as a multiset, and the
+      // Aggregate replaces the join wholesale so child column order
+      // never matters — the preserved (group-key) side is `r`, the
+      // aggregated side is `l`.
+      case a @ Aggregate(_, _, Join(l, r, RightOuter, Some(cond), _), _)
+          if splitsIntoEquiDisjuncts(cond, l, r) =>
+        rewriteAgg(a, r, l, splitDisjunctivePredicates(cond), LeftOuter)
       // ColumnPruning inserts an attribute-only Project between the
       // Aggregate and the Join; see through it (our rewrite references
       // only attributes the Aggregate itself references, all of which
@@ -321,6 +335,11 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           if ps.forall(_.isInstanceOf[Attribute]) &&
             splitsIntoEquiDisjuncts(cond, l, r) =>
         rewriteAgg(a, l, r, splitDisjunctivePredicates(cond), jt)
+      case a @ Aggregate(_, _,
+          Project(ps, Join(l, r, RightOuter, Some(cond), _)), _)
+          if ps.forall(_.isInstanceOf[Attribute]) &&
+            splitsIntoEquiDisjuncts(cond, l, r) =>
+        rewriteAgg(a, r, l, splitDisjunctivePredicates(cond), LeftOuter)
       case _ => None
     }
   }

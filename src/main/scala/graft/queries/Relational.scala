@@ -542,6 +542,43 @@ object Relational {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
 
+    // ---- eager aggregation over the RIGHT OUTER OR-join (round 18) -----
+    // A RIGHT JOIN is a LEFT JOIN with the sides swapped, and an
+    // aggregate consumer replaces the join wholesale — so grouping on
+    // the preserved supplier side with customer-side aggregate args
+    // commutes into the same eager machinery (q81/q82 family): the
+    // exploding nationkey predicate written LAST, per-branch partials,
+    // no pair materialization. Plan shape hash-gated as q82 (no BNLJ,
+    // no Union in the EXECUTED plan).
+    "q94_or_join_right_agg" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT s_suppkey, COUNT(c_custkey) AS n_match,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+            |  MIN(c_name) AS first_cust
+            |FROM customer RIGHT JOIN supplier
+            |  ON c_name = s_name OR c_nationkey = s_nationkey
+            |GROUP BY s_suppkey""".stripMargin)
+        def decorate(eager: Boolean) =
+          df.select(col("s_suppkey"), col("n_match"), col("bal"),
+              col("first_cust"), lit(eager).as("plan_eager"))
+            .orderBy("s_suppkey")
+        val plan = decorate(eager = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("Union"))
+      },
+      """SELECT s_suppkey, COUNT(c_custkey) AS n_match,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  MIN(c_name) AS first_cust, TRUE AS plan_eager
+        |FROM customer RIGHT JOIN supplier
+        |  ON c_name = s_name OR c_nationkey = s_nationkey
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+      headline = true),
+
     // ---- DECIMAL AVG through the eager OR-join plan (round 17) ---------
     // AVG(CAST(.. AS DECIMAL(18,2))) over the exploding OR, exploding
     // predicate written SECOND: the IE plan fires with the merged

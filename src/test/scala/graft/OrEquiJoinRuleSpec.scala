@@ -986,20 +986,81 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
-  test("aggregate over right/full outer OR join consumes the rewritten union") {
-    // Right/Full are OUTSIDE the eager-agg rewrite (group completeness
-    // differs); the bare rewrite must still fire under the aggregate.
-    for (jt <- Seq("right", "full")) {
-      def q() = naiveOuterOrJoin(jt)
-        .groupBy("s_suppkey")
-        .agg(count(col("c_custkey")).as("n"), min(col("c_name")).as("m"))
+  test("aggregate over RIGHT outer OR join takes the EAGER plan (side-commuted)") {
+    // a RIGHT JOIN is a LEFT JOIN with the sides swapped, and the
+    // Aggregate replaces the join wholesale — so grouping on the
+    // preserved (right) side with left-side aggregate args rides the
+    // same eager machinery: no Union, no BNLJ, per-branch partials.
+    def q() = naiveOuterOrJoin("right")
+      .groupBy("s_suppkey")
+      .agg(count(col("c_custkey")).as("n"), min(col("c_name")).as("m"),
+        sum(col("c_acctbal")).as("s"))
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("Union"), s"eager form must fire\n$plan")
+      assert(canon(df) === expected)
+    }
+    // grouping on the NON-preserved side falls back to the bare union
+    def qLeftGroup() = naiveOuterOrJoin("right")
+      .groupBy("c_custkey")
+      .agg(min(col("s_name")).as("m"))
+    val expected2 = withRule(on = false) { canon(qLeftGroup()) }
+    withRule(on = true) {
+      val df = qLeftGroup()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Union"), plan)
+      assert(canon(df) === expected2)
+    }
+  }
+
+  test("aggregate over FULL outer OR join consumes the rewritten union") {
+    // FullOuter stays outside the eager-agg rewrite (group completeness
+    // needs both complements); the bare rewrite fires under the agg.
+    def q() = naiveOuterOrJoin("full")
+      .groupBy("s_suppkey")
+      .agg(count(col("c_custkey")).as("n"), min(col("c_name")).as("m"))
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("eager RIGHT outer law: null keys both sides, avg + minmax, vs nested loop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260819L)
+    for (trial <- 0 until 3) {
+      def maybe[T](v: T): Option[T] = if (rnd.nextInt(5) == 0) None else Some(v)
+      val left = Seq.fill(30)((
+        maybe(rnd.nextInt(8).toLong),
+        maybe(s"s${rnd.nextInt(8)}"),
+        maybe(rnd.nextInt(100).toLong)
+      )).toDF("k1", "k2", "v")
+      val right = Seq.fill(25)((
+        maybe(rnd.nextInt(6).toLong),
+        maybe(rnd.nextInt(8).toLong),
+        maybe(s"s${rnd.nextInt(8)}")
+      )).toDF("g", "r1", "r2")
+      val cond = col("k1") === col("r1") || col("k2") === col("r2")
+      def q() = left.join(right, cond, "right").groupBy("g")
+        .agg(count(col("v")).as("n"), sum(col("v")).as("s"),
+          avg(col("v")).as("a"), min(col("k2")).as("mn"),
+          max(col("k2")).as("mx"))
       val expected = withRule(on = false) { canon(q()) }
       withRule(on = true) {
         val df = q()
         val plan = df.queryExecution.executedPlan.toString
-        assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-        assert(plan.contains("Union"), plan)
-        assert(canon(df) === expected, s"joinType=$jt diverged")
+        assert(!plan.contains("Union") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"trial $trial: eager right-outer must fire\n$plan")
+        assert(canon(df) === expected, s"trial $trial diverged")
       }
     }
   }
