@@ -646,8 +646,14 @@ object Relational {
     // only) — so the BARE inner Union path is what executes and what the
     // oracle hash gates (ADVICE r17: with a right-only min, count(*) +
     // min both decompose and the eager form would fire instead, leaving
-    // the bare path spec-gated only). Plan gate: no BNLJ AND the branch
-    // Union present.
+    // the bare path spec-gated only). Because the bare path MATERIALIZES
+    // the pair multiset, the predicates are the selective custkey/acctbal
+    // pair — custkey=suppkey is 1:1 so the output is |S|-bounded and
+    // non-empty at every scale — the r17
+    // nationkey form under the eager plan never materialized anything,
+    // but on the bare path it would be a second q08-class quadratic
+    // headline (measured 40 s / ratio 28 at sf1 before this switch).
+    // Plan gate: no BNLJ AND the branch Union present.
     "q89_or_join_inner" -> Q(
       (s, dir) => {
         val child = s.newSession()
@@ -657,7 +663,7 @@ object Relational {
           """SELECT c_custkey, COUNT(*) AS n_match,
             |  MIN(s_name || '/' || c_name) AS pair_tag
             |FROM customer JOIN supplier
-            |  ON c_nationkey = s_nationkey OR c_name = s_name
+            |  ON c_custkey = s_suppkey OR c_acctbal = s_acctbal
             |GROUP BY c_custkey""".stripMargin)
         def decorate(bareUnion: Boolean) =
           df.select(col("c_custkey"),
@@ -672,7 +678,7 @@ object Relational {
       """SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_match,
         |  MIN(s_name || '/' || c_name) AS pair_tag, TRUE AS plan_bare_union
         |FROM customer JOIN supplier
-        |  ON c_nationkey = s_nationkey OR c_name = s_name
+        |  ON c_custkey = s_suppkey OR c_acctbal = s_acctbal
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
       headline = true),
 
