@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DecimalType
@@ -18,7 +18,16 @@ import org.apache.spark.sql.types.DecimalType
   * the matched-pair branches plus the RIGHT null complement (right rows
   * satisfying no predicate, left columns null-extended — the mirrored
   * anti-join chain); FullOuter unions BOTH complements onto the
-  * branches. Matched pairs still land in exactly one branch, each
+  * branches. LEFT SEMI and LEFT ANTI OR-joins (round 18) — explicit
+  * `LEFT SEMI/ANTI JOIN` syntax, DataFrame "left_semi"/"left_anti", and
+  * `[NOT] EXISTS (... WHERE a=x OR b=y)` subqueries (rewritten to the
+  * join early, before RewritePredicateSubquery would hand them a BNLJ
+  * after every injected rule has run) — finish the type matrix: semi is
+  * the first-match partition over LEFT ROWS (branch k =
+  * `left ANTI p1..p(k-1) SEMI pk`, disjoint, |L|-bounded), anti is the
+  * anti-join chain, and an Exists under arbitrary boolean structure
+  * (the ExistenceJoin shape) becomes the same partition carrying an
+  * existence FLAG column. Matched pairs still land in exactly one branch, each
   * unmatched row in exactly one complement, so every form is
   * multiset-equivalent to its nested-loop original. Aggregate
   * consumers of a RightOuter OR-join commute into the left-outer
@@ -178,6 +187,107 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         Union(branchJoins(left, right, preds, j.hint) :+
           leftComplement(left, right, preds, j.hint) :+
           rightComplement(left, right, preds, j.hint))
+      // LEFT SEMI: explicit `LEFT SEMI JOIN ... ON a=x OR b=y` (SQL text
+      // or DataFrame "left_semi") — ExtractEquiJoinKeys needs conjunctive
+      // equalities here too, so stock Spark plans a BNLJ. First-match
+      // partition over LEFT ROWS (not pairs): branch k keeps the left
+      // rows whose first satisfied predicate is pk,
+      //   (left ANTI p1 ... ANTI p(k-1)) SEMI pk
+      // — disjoint by construction (a branch-k row has no partner under
+      // any earlier predicate), so the Union is multiset-equal to the
+      // semi OR join: each qualifying left row appears exactly once,
+      // with its left multiplicity. |L|-bounded at every stage.
+      case j @ Join(left, right, LeftSemi, Some(cond), _)
+          if splitsIntoEquiDisjuncts(cond, left, right) =>
+        Union(semiBranches(left, right, splitDisjunctivePredicates(cond), j.hint))
+      // LEFT ANTI: no right row satisfies the OR iff none satisfies any
+      // disjunct, so the anti-join CHAIN (n hash anti joins over a
+      // shrinking left) replaces the nested-loop anti join — the
+      // complement construction above, minus the null-extension.
+      case j @ Join(left, right, LeftAnti, Some(cond), _)
+          if splitsIntoEquiDisjuncts(cond, left, right) =>
+        antiChain(left, right, splitDisjunctivePredicates(cond), j.hint.rightHint)
+      // EXISTS / NOT EXISTS with an OR of correlated equalities: at this
+      // point in the optimizer the Exists carries its pulled-up join
+      // condition but RewritePredicateSubquery (a LATER batch) has not
+      // yet turned it into a join — and when it does, no injected rule
+      // runs after it, so the user would get the nested-loop semi/anti
+      // join this rule exists to remove. Do the subquery-to-join step
+      // early for exactly the shape we rewrite (top-level [NOT] Exists
+      // conjunct, pure OR-of-equalities join condition, decorrelated
+      // subplan, disjoint outputs) and partition it in the same pass.
+      // Everything else stays with the stock rewrite.
+      case f @ Filter(cond, child) if existsConjunct(cond, child).isDefined =>
+        val (e, negated, rest) = existsConjunct(cond, child).get
+        val preds = splitDisjunctivePredicates(e.joinCond.reduce(And))
+        val rewritten: LogicalPlan =
+          if (negated) antiChain(child, e.plan, preds, e.hint)
+          else Union(semiBranches(child, e.plan, preds, JoinHint(None, e.hint)))
+        rest match {
+          case Some(r) => Filter(r, rewritten)
+          case None    => rewritten
+        }
+      // EXISTS under arbitrary boolean structure (`EXISTS(...) OR x = 1`,
+      // inside CASE WHEN, ...): RewritePredicateSubquery would plan an
+      // ExistenceJoin — with an OR-of-equalities condition, a BNLJ yet
+      // again. The same disjoint partition computes the existence FLAG:
+      // every left row lands in exactly one of the semi branches (flag
+      // true) or the anti chain (flag false), the Exists expression is
+      // replaced by the flag attribute, and the surrounding condition —
+      // whatever its shape — evaluates unchanged (EXISTS is never null,
+      // and neither is the flag). One Exists per pass; the operator
+      // batch's fixed point picks up any others.
+      case Filter(cond, child) if existsAnywhere(cond, child).isDefined =>
+        val e = existsAnywhere(cond, child).get
+        val preds = splitDisjunctivePredicates(e.joinCond.reduce(And))
+        val flag = Alias(Literal(true), "__orj_exists")()
+        def tagged(p: LogicalPlan, v: Boolean): LogicalPlan =
+          Project(p.output :+
+            Alias(Literal(v), flag.name)(exprId = flag.exprId), p)
+        val branches =
+          semiBranches(child, e.plan, preds, JoinHint(None, e.hint))
+            .map(tagged(_, v = true)) :+
+            tagged(antiChain(child, e.plan, preds, e.hint), v = false)
+        val newCond = cond.transform {
+          case ex: Exists if ex.exprId == e.exprId => flag.toAttribute
+        }
+        Project(child.output, Filter(newCond, Union(branches)))
+    }
+  }
+
+  /** Shared precondition of the EXISTS rewrites: the Exists' pulled-up
+    * join condition is a pure OR-of-equalities between the filter child
+    * and a DECORRELATED subplan with disjoint output ids. */
+  private def okExists(e: Exists, child: LogicalPlan): Boolean =
+    e.joinCond.nonEmpty && e.joinCond.forall(_.resolved) &&
+      splitsIntoEquiDisjuncts(e.joinCond.reduce(And), child, e.plan) &&
+      e.plan.outputSet.intersect(child.outputSet).isEmpty &&
+      !e.plan.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[OuterReference])))
+
+  /** A rewritable Exists ANYWHERE in the condition (the flag form). */
+  private def existsAnywhere(cond: Expression, child: LogicalPlan)
+      : Option[Exists] =
+    cond.collectFirst { case e: Exists if okExists(e, child) => e }
+
+  /** Extracts a rewritable [NOT] EXISTS conjunct from a filter condition:
+    * the Exists expression, whether it was negated, and the remaining
+    * conjuncts (None when the Exists was the whole condition). Applies
+    * only when the Exists' join condition is a pure OR-of-equalities
+    * between the filter child and a DECORRELATED subplan with disjoint
+    * output ids — the exact precondition of the semi/anti partition. */
+  private def existsConjunct(cond: Expression, child: LogicalPlan)
+      : Option[(Exists, Boolean, Option[Expression])] = {
+    def ok(e: Exists): Boolean = okExists(e, child)
+    val conjuncts = splitConjunctivePredicates(cond)
+    conjuncts.iterator.zipWithIndex.collectFirst {
+      case (e: Exists, i) if ok(e) =>
+        (e, false, i)
+      case (Not(e: Exists), i) if ok(e) =>
+        (e, true, i)
+    }.map { case (e, neg, i) =>
+      val rest = conjuncts.patch(i, Nil, 1)
+      (e, neg, rest.reduceOption(And))
     }
   }
 
@@ -259,6 +369,63 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
+  /** A fresh copy of `other`, PRUNED to the attributes `preds` reference.
+    * The semi/anti rewrites can run where no ColumnPruning follows (the
+    * EXISTS path fires from the same operator batch, but its output is
+    * also correct if reached late), and the probe side of a semi/anti
+    * join only ever needs its key columns — so each rebuilt copy prunes
+    * itself instead of relying on a later rule. At 100 TB this is the
+    * difference between scanning the key columns and scanning the table
+    * once per predicate. */
+  private def prunedFresh(other: LogicalPlan, preds: Seq[Expression])
+      : (LogicalPlan, AttributeMap[Attribute]) = {
+    val (fresh, m) = freshen(other)
+    val needed = AttributeSet(preds.flatMap(_.references))
+    val keep = other.output.filter(needed.contains).map(a => m.getOrElse(a, a))
+    val pruned: LogicalPlan =
+      if (keep.length == other.output.length) fresh
+      else Project(keep, fresh)
+    (pruned, m)
+  }
+
+  /** The anti-join CHAIN: rows of `keep` with no `other` partner under
+    * ANY predicate — n hash anti joins over a shrinking preserved side,
+    * one pruned fresh `other` copy per predicate. `buildHint` is the
+    * original hint of whichever side `other` was — a LeftAnti hash join
+    * can only build right, so only the probe side's hint may propagate
+    * (a preserved-side broadcast hint would force the nested-loop plan
+    * this rule removes). Chains sharing a predicate prefix canonicalize
+    * identically, so physical exchange reuse deduplicates their work. */
+  private def antiChain(keep: LogicalPlan, other: LogicalPlan,
+                        preds: Seq[Expression],
+                        buildHint: Option[HintInfo]): LogicalPlan = {
+    val antiHint = JoinHint(None, buildHint)
+    preds.foldLeft(keep) { (acc, p) =>
+      val (fo, m) = prunedFresh(other, preds)
+      val cond = p.transform { case a: Attribute => m.getOrElse(a, a) }
+      Join(acc, fo, LeftAnti, Some(cond), antiHint)
+    }
+  }
+
+  /** The LEFT SEMI branches: branch k = left rows whose FIRST satisfied
+    * predicate is pk, i.e. `(left ANTI p1 .. ANTI p(k-1)) SEMI pk` —
+    * disjoint by construction, so the Union is the semi OR join as a
+    * multiset. Every stage outputs a subset of `left` (original ids, so
+    * downstream references resolve unchanged) and the right side is
+    * pruned to its key columns. Only the right-side hint propagates
+    * (semi/anti hash joins build right). */
+  private def semiBranches(left: LogicalPlan, right: LogicalPlan,
+                           preds: Seq[Expression],
+                           hint: JoinHint): Seq[LogicalPlan] = {
+    val semiHint = JoinHint(None, hint.rightHint)
+    preds.zipWithIndex.map { case (p, k) =>
+      val base = antiChain(left, right, preds.take(k), hint.rightHint)
+      val (fr, m) = prunedFresh(right, preds)
+      val cond = p.transform { case a: Attribute => m.getOrElse(a, a) }
+      Join(base, fr, LeftSemi, Some(cond), semiHint): LogicalPlan
+    }
+  }
+
   /** The LEFT null complement: left rows satisfying no predicate (the
     * anti-join chain, one fresh right per pred), null-extended on the
     * right. Only the original RIGHT-side hint propagates, onto each anti
@@ -267,18 +434,11 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * exact shape this rule exists to remove. */
   private def leftComplement(left: LogicalPlan, right: LogicalPlan,
                              preds: Seq[Expression],
-                             hint: JoinHint): LogicalPlan = {
-    val antiHint = JoinHint(None, hint.rightHint)
-    val unmatched = preds.foldLeft(left) { (acc, p) =>
-      val (freshRight, m) = freshen(right)
-      val cond = p.transform { case a: Attribute => m.getOrElse(a, a) }
-      Join(acc, freshRight, LeftAnti, Some(cond), antiHint)
-    }
+                             hint: JoinHint): LogicalPlan =
     Project(
       left.output ++ right.output.map(a =>
         Alias(Literal(null, a.dataType), a.name)()),
-      unmatched)
-  }
+      antiChain(left, right, preds, hint.rightHint))
 
   /** The RIGHT null complement (RightOuter/FullOuter): right rows
     * satisfying no predicate, null-extended on the LEFT — the mirrored
@@ -288,19 +448,12 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * the Union aligns positionally with the matched-pair branches. */
   private def rightComplement(left: LogicalPlan, right: LogicalPlan,
                               preds: Seq[Expression],
-                              hint: JoinHint): LogicalPlan = {
-    val antiHint = JoinHint(None, hint.leftHint)
-    val unmatched = preds.foldLeft(right) { (acc, p) =>
-      val (freshLeft, m) = freshen(left)
-      val cond = p.transform { case a: Attribute => m.getOrElse(a, a) }
-      Join(acc, freshLeft, LeftAnti, Some(cond), antiHint)
-    }
+                              hint: JoinHint): LogicalPlan =
     Project(
       left.output.map(a =>
         Alias(Literal(null, a.dataType), a.name)(): NamedExpression) ++
         right.output,
-      unmatched)
-  }
+      antiChain(right, left, preds, hint.leftHint))
 
   private def notYet(ps: Seq[Expression]): Option[Expression] =
     if (ps.isEmpty) None

@@ -810,6 +810,75 @@ object Relational {
         |  ON c_name = s_name OR c_acctbal = s_acctbal
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin),
 
+    // ---- EXISTS with an OR of correlated equalities (round 18) ---------
+    // The semi/anti shapes finish the OR-join type matrix. Stock Spark
+    // turns `WHERE EXISTS (... a=x OR b=y)` into a LeftSemi join in
+    // RewritePredicateSubquery — a batch that runs AFTER every injected
+    // optimizer rule, so without the early Filter(Exists) case the user
+    // gets the nested-loop semi join no matter what the rule knows. The
+    // rewrite is the first-match partition over LEFT ROWS: branch k =
+    // (customer ANTI p1..p(k-1)) SEMI pk — disjoint, |L|-bounded at
+    // every stage, probe sides pruned to their key columns. acctbal
+    // rarely matches and nationkey commonly does, so BOTH branches carry
+    // rows. Plan gate: no BNLJ AND the branch Union present. Headline:
+    // the first timed semi-join family member.
+    "q95_or_join_semi" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, c_name, c_mktsegment FROM customer
+            |WHERE EXISTS (SELECT 1 FROM supplier
+            |  WHERE c_acctbal = s_acctbal OR c_nationkey = s_nationkey)"""
+            .stripMargin)
+        def decorate(rewritten: Boolean) =
+          df.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+              lit(rewritten).as("plan_semi_union"))
+            .orderBy("c_custkey")
+        val plan = decorate(rewritten = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          plan.contains("Union"))
+      },
+      """SELECT c_custkey, c_name, c_mktsegment, TRUE AS plan_semi_union
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM supplier
+        |  WHERE c_acctbal = s_acctbal OR c_nationkey = s_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
+    // ---- NOT EXISTS with an OR (round 18): the anti chain --------------
+    // `NOT EXISTS (... a=x OR b=y)` = no supplier satisfies ANY disjunct
+    // = the hash anti-join CHAIN (customer ANTI p1 ANTI p2), no Union, no
+    // BNLJ. The name predicate never matches and acctbal rarely does, so
+    // most customers survive (non-empty at every scale) while both anti
+    // levels run. Non-headline: q95 carries the family's bench cost.
+    "q96_or_join_anti" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, c_name, c_acctbal FROM customer
+            |WHERE NOT EXISTS (SELECT 1 FROM supplier
+            |  WHERE c_acctbal = s_acctbal OR c_name = s_name)"""
+            .stripMargin)
+        def decorate(rewritten: Boolean) =
+          df.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+              lit(rewritten).as("plan_anti_chain"))
+            .orderBy("c_custkey")
+        val plan = decorate(rewritten = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("Union"))
+      },
+      """SELECT c_custkey, c_name, c_acctbal, TRUE AS plan_anti_chain
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier
+        |  WHERE c_acctbal = s_acctbal OR c_name = s_name)
+        |ORDER BY c_custkey""".stripMargin),
+
     // ---- ranking window: per-nation top-3 by balance -------------------
     "q09_window_rank" -> Q(
       (s, dir) => {

@@ -1065,6 +1065,244 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  // ---- LEFT SEMI / LEFT ANTI OR-joins (round 18): EXISTS shapes --------
+
+  private def naiveSemiOrJoin(joinType: String) = {
+    val lk = Lake(spark, sf0001)
+    // acctbal rarely matches, nationkey commonly does — both branches of
+    // the first-match partition carry rows
+    lk.customer.join(lk.supplier,
+      col("c_acctbal") === col("s_acctbal") ||
+        col("c_nationkey") === col("s_nationkey"), joinType)
+  }
+
+  test("left semi OR join: disjoint semi branches, no BNLJ") {
+    withRule(on = false) {
+      assert(naiveSemiOrJoin("left_semi").queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+    withRule(on = true) {
+      val df = naiveSemiOrJoin("left_semi")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Union"), plan)
+    }
+    val expected = withRule(on = false) { canon(naiveSemiOrJoin("left_semi")) }
+    val got = withRule(on = true) { canon(naiveSemiOrJoin("left_semi")) }
+    assert(got === expected)
+  }
+
+  test("left anti OR join: hash anti-join chain, no BNLJ") {
+    withRule(on = false) {
+      assert(naiveSemiOrJoin("left_anti").queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+    withRule(on = true) {
+      val plan = naiveSemiOrJoin("left_anti")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+    val expected = withRule(on = false) { canon(naiveSemiOrJoin("left_anti")) }
+    val got = withRule(on = true) { canon(naiveSemiOrJoin("left_anti")) }
+    assert(got === expected)
+  }
+
+  test("semi/anti OR join law: null keys, dup left rows, 3 preds, SQL text") {
+    import spark.implicits._
+    def maybe[T](v: T, miss: Boolean): Option[T] = if (miss) None else Some(v)
+    val rnd = new scala.util.Random(20260816L)
+    // duplicate left rows pin MULTIPLICITY (semi keeps each qualifying
+    // left row as many times as it occurs; anti likewise)
+    val base = Seq.fill(25)((
+      maybe(rnd.nextInt(5).toLong, rnd.nextInt(5) == 0),
+      maybe(s"s${rnd.nextInt(5)}", rnd.nextInt(5) == 0),
+      maybe(rnd.nextInt(6).toLong, rnd.nextInt(5) == 0)
+    ))
+    val left = (base ++ base.take(8)).toDF("k1", "k2", "k3")
+    val right = Seq.fill(20)((
+      maybe(rnd.nextInt(5).toLong, rnd.nextInt(5) == 0),
+      maybe(s"s${rnd.nextInt(5)}", rnd.nextInt(5) == 0),
+      maybe(rnd.nextInt(6).toLong, rnd.nextInt(5) == 0)
+    )).toDF("r1", "r2", "r3")
+    val cond = col("k1") === col("r1") || col("k2") === col("r2") ||
+      col("k3") === col("r3")
+    for (jt <- Seq("left_semi", "left_anti")) {
+      def q() = left.join(right, cond, jt)
+      val expected = withRule(on = false) { canon(q()) }
+      withRule(on = true) {
+        val df = q()
+        assert(!df.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"))
+        assert(canon(df) === expected, s"joinType=$jt diverged")
+      }
+    }
+    left.createOrReplaceTempView("orj_sa_l")
+    right.createOrReplaceTempView("orj_sa_r")
+    for (kw <- Seq("SEMI", "ANTI")) {
+      val sqlQ = s"SELECT * FROM orj_sa_l LEFT $kw JOIN orj_sa_r ON " +
+        "k1 = r1 OR k2 = r2 OR k3 = r3"
+      val sqlExpected = withRule(on = false) { canon(spark.sql(sqlQ)) }
+      withRule(on = true) {
+        val df = spark.sql(sqlQ)
+        assert(!df.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"))
+        assert(canon(df) === sqlExpected, s"$kw diverged")
+      }
+    }
+  }
+
+  test("EXISTS with OR of correlated equalities: rewritten before RewritePredicateSubquery") {
+    val lk = Lake(spark, sf0001)
+    lk.customer.createOrReplaceTempView("orj_ex_c")
+    lk.supplier.createOrReplaceTempView("orj_ex_s")
+    val q = """SELECT c_custkey, c_name FROM orj_ex_c
+              |WHERE EXISTS (SELECT 1 FROM orj_ex_s
+              |  WHERE c_acctbal = s_acctbal OR c_nationkey = s_nationkey)"""
+      .stripMargin
+    withRule(on = false) {
+      assert(spark.sql(q).queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+    val expected = withRule(on = false) { canon(spark.sql(q)) }
+    withRule(on = true) {
+      val df = spark.sql(q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("NOT EXISTS with OR: anti chain; other filter conjuncts survive") {
+    val lk = Lake(spark, sf0001)
+    lk.customer.createOrReplaceTempView("orj_nex_c")
+    lk.supplier.createOrReplaceTempView("orj_nex_s")
+    val q = """SELECT c_custkey, c_name FROM orj_nex_c
+              |WHERE c_mktsegment = 'BUILDING' AND NOT EXISTS (
+              |  SELECT 1 FROM orj_nex_s
+              |  WHERE c_acctbal = s_acctbal OR c_name = s_name)"""
+      .stripMargin
+    withRule(on = false) {
+      assert(spark.sql(q).queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+    val expected = withRule(on = false) { canon(spark.sql(q)) }
+    withRule(on = true) {
+      val df = spark.sql(q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("EXISTS law: null keys, dup outer rows, vs the stock subquery plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    def maybe[T](v: T): Option[T] = if (rnd.nextInt(4) == 0) None else Some(v)
+    val base = Seq.fill(30)((
+      maybe(rnd.nextInt(6).toLong), maybe(s"g${rnd.nextInt(6)}")))
+    (base ++ base.take(10)).toDF("k1", "k2")
+      .createOrReplaceTempView("orj_exl_l")
+    Seq.fill(25)((maybe(rnd.nextInt(6).toLong), maybe(s"g${rnd.nextInt(6)}")))
+      .toDF("r1", "r2").createOrReplaceTempView("orj_exl_r")
+    for (neg <- Seq("", "NOT ")) {
+      val q = s"SELECT * FROM orj_exl_l WHERE ${neg}EXISTS (" +
+        "SELECT 1 FROM orj_exl_r WHERE k1 = r1 OR k2 = r2)"
+      val expected = withRule(on = false) { canon(spark.sql(q)) }
+      withRule(on = true) {
+        val df = spark.sql(q)
+        assert(!df.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"))
+        assert(canon(df) === expected, s"neg='$neg' diverged")
+      }
+    }
+  }
+
+  test("semi/anti rewrite prunes the probe side to its key columns") {
+    withRule(on = true) {
+      // the probe (right) side of every rebuilt semi/anti join must scan
+      // only the key columns — at 100 TB reading all supplier columns
+      // once per predicate is the difference the self-prune exists for
+      val plan = naiveSemiOrJoin("left_semi")
+        .queryExecution.executedPlan.toString
+      val scanSchemas = "ReadSchema: [^\n]*supplier[^\n]*".r
+      // every supplier scan in the plan reads at most the two key cols
+      val schemas = plan.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("s_acctbal"))
+        .toSeq
+      assert(schemas.nonEmpty, plan)
+      assert(schemas.forall(s => !s.contains("s_address")),
+        s"probe side must not read non-key columns\n$plan")
+    }
+  }
+
+  test("EXISTS under OR (the ExistenceJoin shape): flag partition, no BNLJ") {
+    val lk = Lake(spark, sf0001)
+    lk.customer.createOrReplaceTempView("orj_exf_c")
+    lk.supplier.createOrReplaceTempView("orj_exf_s")
+    val q = """SELECT c_custkey, c_name FROM orj_exf_c
+              |WHERE c_mktsegment = 'MACHINERY' OR EXISTS (
+              |  SELECT 1 FROM orj_exf_s
+              |  WHERE c_acctbal = s_acctbal OR c_nationkey = s_nationkey)"""
+      .stripMargin
+    withRule(on = false) {
+      assert(spark.sql(q).queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+    val expected = withRule(on = false) { canon(spark.sql(q)) }
+    withRule(on = true) {
+      val df = spark.sql(q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("flag-form law: NOT EXISTS under OR, two EXISTS in one filter, nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260820L)
+    def maybe[T](v: T): Option[T] = if (rnd.nextInt(4) == 0) None else Some(v)
+    val base = Seq.fill(30)((
+      maybe(rnd.nextInt(6).toLong), maybe(s"g${rnd.nextInt(6)}"),
+      rnd.nextInt(3)))
+    (base ++ base.take(10)).toDF("k1", "k2", "tag")
+      .createOrReplaceTempView("orj_fl_l")
+    Seq.fill(25)((maybe(rnd.nextInt(6).toLong), maybe(s"g${rnd.nextInt(6)}")))
+      .toDF("r1", "r2").createOrReplaceTempView("orj_fl_r")
+    Seq.fill(15)((maybe(rnd.nextInt(6).toLong), maybe(s"g${rnd.nextInt(6)}")))
+      .toDF("u1", "u2").createOrReplaceTempView("orj_fl_r2")
+    val queries = Seq(
+      // NOT EXISTS under OR
+      "SELECT * FROM orj_fl_l WHERE tag = 0 OR NOT EXISTS (" +
+        "SELECT 1 FROM orj_fl_r WHERE k1 = r1 OR k2 = r2)",
+      // two EXISTS against different subqueries in one condition —
+      // the fixed point rewrites both
+      "SELECT * FROM orj_fl_l WHERE EXISTS (" +
+        "SELECT 1 FROM orj_fl_r WHERE k1 = r1 OR k2 = r2) OR EXISTS (" +
+        "SELECT 1 FROM orj_fl_r2 WHERE k1 = u1 OR k2 = u2)")
+    for (q <- queries) {
+      val expected = withRule(on = false) { canon(spark.sql(q)) }
+      withRule(on = true) {
+        val df = spark.sql(q)
+        assert(!df.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"), q)
+        assert(canon(df) === expected, s"diverged: $q")
+      }
+    }
+  }
+
+  test("EXISTS with a non-equi OR stays on the stock plan (no crash)") {
+    val lk = Lake(spark, sf0001)
+    lk.customer.createOrReplaceTempView("orj_ne_c")
+    lk.supplier.createOrReplaceTempView("orj_ne_s")
+    val q = """SELECT c_custkey FROM orj_ne_c
+              |WHERE EXISTS (SELECT 1 FROM orj_ne_s
+              |  WHERE c_acctbal < s_acctbal OR c_nationkey = s_nationkey)"""
+      .stripMargin
+    val expected = withRule(on = false) { canon(spark.sql(q)) }
+    withRule(on = true) { assert(canon(spark.sql(q)) === expected) }
+  }
+
   // ---- hint propagation (ADVICE r17) -----------------------------------
 
   test("broadcast-right hint survives the rewrite onto every rebuilt join") {
