@@ -159,34 +159,27 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // and the aggregate pattern would never be seen).
     plan.transformDown {
       case AggOverOrJoin(rewritten) => rewritten
-      case j @ Join(left, right, LeftOuter, Some(cond), _)
-          if splitsIntoEquiDisjuncts(cond, left, right) =>
-        val preds = splitDisjunctivePredicates(cond)
-        Union(branchJoins(left, right, preds, j.hint) :+
-          leftComplement(left, right, preds, j.hint))
+      case OrJoin(left, right, LeftOuter, preds, hint) =>
+        Union(branchJoins(left, right, preds, hint) :+
+          leftComplement(left, right, preds, hint))
       // INNER OR-joins hit the same BNLJ trap (ExtractEquiJoinKeys
       // needs conjunctive equalities); the branch partition applies
       // verbatim, just without the null-complement branch.
-      case j @ Join(left, right, Inner, Some(cond), _)
-          if splitsIntoEquiDisjuncts(cond, left, right) =>
-        Union(branchJoins(left, right, splitDisjunctivePredicates(cond), j.hint))
+      case OrJoin(left, right, Inner, preds, hint) =>
+        Union(branchJoins(left, right, preds, hint))
       // RIGHT OUTER: the mirrored form — matched-pair branches plus the
       // RIGHT null complement (right rows matching no predicate,
       // null-extended on the left).
-      case j @ Join(left, right, RightOuter, Some(cond), _)
-          if splitsIntoEquiDisjuncts(cond, left, right) =>
-        val preds = splitDisjunctivePredicates(cond)
-        Union(branchJoins(left, right, preds, j.hint) :+
-          rightComplement(left, right, preds, j.hint))
+      case OrJoin(left, right, RightOuter, preds, hint) =>
+        Union(branchJoins(left, right, preds, hint) :+
+          rightComplement(left, right, preds, hint))
       // FULL OUTER: both complements — each matched pair in exactly one
       // branch, each unmatched row (either side) in exactly one
       // complement, so the union is the full-outer multiset.
-      case j @ Join(left, right, FullOuter, Some(cond), _)
-          if splitsIntoEquiDisjuncts(cond, left, right) =>
-        val preds = splitDisjunctivePredicates(cond)
-        Union(branchJoins(left, right, preds, j.hint) :+
-          leftComplement(left, right, preds, j.hint) :+
-          rightComplement(left, right, preds, j.hint))
+      case OrJoin(left, right, FullOuter, preds, hint) =>
+        Union(branchJoins(left, right, preds, hint) :+
+          leftComplement(left, right, preds, hint) :+
+          rightComplement(left, right, preds, hint))
       // LEFT SEMI: explicit `LEFT SEMI JOIN ... ON a=x OR b=y` (SQL text
       // or DataFrame "left_semi") — ExtractEquiJoinKeys needs conjunctive
       // equalities here too, so stock Spark plans a BNLJ. First-match
@@ -197,16 +190,14 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       // any earlier predicate), so the Union is multiset-equal to the
       // semi OR join: each qualifying left row appears exactly once,
       // with its left multiplicity. |L|-bounded at every stage.
-      case j @ Join(left, right, LeftSemi, Some(cond), _)
-          if splitsIntoEquiDisjuncts(cond, left, right) =>
-        Union(semiBranches(left, right, splitDisjunctivePredicates(cond), j.hint))
+      case OrJoin(left, right, LeftSemi, preds, hint) =>
+        Union(semiBranches(left, right, preds, hint))
       // LEFT ANTI: no right row satisfies the OR iff none satisfies any
       // disjunct, so the anti-join CHAIN (n hash anti joins over a
       // shrinking left) replaces the nested-loop anti join — the
       // complement construction above, minus the null-extension.
-      case j @ Join(left, right, LeftAnti, Some(cond), _)
-          if splitsIntoEquiDisjuncts(cond, left, right) =>
-        antiChain(left, right, splitDisjunctivePredicates(cond), j.hint.rightHint)
+      case OrJoin(left, right, LeftAnti, preds, hint) =>
+        antiChain(left, right, preds, hint.rightHint)
       // EXISTS / NOT EXISTS with an OR of correlated equalities: at this
       // point in the optimizer the Exists carries its pulled-up join
       // condition but RewritePredicateSubquery (a LATER batch) has not
@@ -219,7 +210,7 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       // Everything else stays with the stock rewrite.
       case f @ Filter(cond, child) if existsConjunct(cond, child).isDefined =>
         val (e, negated, rest) = existsConjunct(cond, child).get
-        val preds = splitDisjunctivePredicates(e.joinCond.reduce(And))
+        val preds = equiDisjuncts(e.joinCond.reduce(And), child, e.plan).get
         val rewritten: LogicalPlan =
           if (negated) antiChain(child, e.plan, preds, e.hint)
           else Union(semiBranches(child, e.plan, preds, JoinHint(None, e.hint)))
@@ -239,7 +230,7 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       // batch's fixed point picks up any others.
       case Filter(cond, child) if existsAnywhere(cond, child).isDefined =>
         val e = existsAnywhere(cond, child).get
-        val preds = splitDisjunctivePredicates(e.joinCond.reduce(And))
+        val preds = equiDisjuncts(e.joinCond.reduce(And), child, e.plan).get
         val flag = Alias(Literal(true), "__orj_exists")()
         def tagged(p: LogicalPlan, v: Boolean): LogicalPlan =
           Project(p.output :+
@@ -260,7 +251,7 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * and a DECORRELATED subplan with disjoint output ids. */
   private def okExists(e: Exists, child: LogicalPlan): Boolean =
     e.joinCond.nonEmpty && e.joinCond.forall(_.resolved) &&
-      splitsIntoEquiDisjuncts(e.joinCond.reduce(And), child, e.plan) &&
+      equiDisjuncts(e.joinCond.reduce(And), child, e.plan).isDefined &&
       e.plan.outputSet.intersect(child.outputSet).isEmpty &&
       !e.plan.exists(_.expressions.exists(_.exists(
         _.isInstanceOf[OuterReference])))
@@ -291,15 +282,78 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** A cross-side equality: one side's references entirely in `left`,
+    * the other's entirely in `right`, both non-empty (a literal side is
+    * not a hash-join key — `c_x = 5` must never pass as a "disjunct", it
+    * would turn a branch join into a filtered cross join). */
+  private def crossEqui(e: Expression,
+                        left: LogicalPlan, right: LogicalPlan): Boolean = e match {
+    case EqualTo(a, b) =>
+      a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet)) ||
+          (b.references.subsetOf(left.outputSet) &&
+            a.references.subsetOf(right.outputSet)))
+    case _ => false
+  }
+
+  /** The STRICT shape — every disjunct a single cross-side equality —
+    * required by the aggregate machinery (its key normalization and
+    * pre-aggregation need one bare key pair per predicate). */
   private def splitsIntoEquiDisjuncts(cond: Expression,
                                       left: LogicalPlan, right: LogicalPlan): Boolean = {
     val parts = splitDisjunctivePredicates(cond)
-    parts.length >= 2 && parts.forall {
-      case EqualTo(a, b) =>
-        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
-          (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
-      case _ => false
-    } && cond.deterministic
+    parts.length >= 2 && parts.forall(crossEqui(_, left, right)) &&
+      cond.deterministic
+  }
+
+  /** The WIDENED shape for the join-level rewrites: the condition is —
+    * or DISTRIBUTES to — an OR of >=2 deterministic terms, each carrying
+    * at least one cross-side equality among its conjuncts, so every
+    * branch join is hash-joinable (the remaining conjuncts ride along as
+    * residual join conditions). This admits the TPC-H Q19 class with
+    * per-disjunct keys, e.g.
+    *   ON c_custkey = s_suppkey
+    *   OR (c_nationkey = s_nationkey AND c_acctbal = s_acctbal).
+    * Distribution `c AND (d1 OR d2)` -> `(d1 AND c) OR (d2 AND c)` (a
+    * row-level boolean identity, sound under every join type) applies
+    * only when NO top-level conjunct is itself a cross-side equality:
+    * if one is, stock Spark already hash-joins on it with the Or as a
+    * residual condition — one n-key join no branch union beats. It
+    * matters because BooleanSimplification FACTORS common conjuncts out
+    * of user-written disjunctions in this same fixed point, so
+    * `(a=x AND f) OR (b=y AND f)` reaches this rule as
+    * `f AND (a=x OR b=y)` — un-distributed, that shape is a BNLJ when
+    * `f` carries no equality. */
+  private def equiDisjuncts(cond: Expression,
+                            left: LogicalPlan, right: LogicalPlan)
+      : Option[Seq[Expression]] = {
+    def usable(parts: Seq[Expression]): Boolean =
+      parts.length >= 2 && parts.forall(p =>
+        p.deterministic &&
+          splitConjunctivePredicates(p).exists(crossEqui(_, left, right)))
+    val direct = splitDisjunctivePredicates(cond)
+    if (usable(direct)) Some(direct)
+    else {
+      val conj = splitConjunctivePredicates(cond)
+      if (conj.length < 2 || !cond.deterministic ||
+          conj.exists(crossEqui(_, left, right))) None
+      else conj.zipWithIndex.iterator.map { case (c, i) =>
+        val rest = conj.patch(i, Nil, 1)
+        splitDisjunctivePredicates(c).map(d => (d +: rest).reduce(And))
+      }.find(usable)
+    }
+  }
+
+  /** Join extractor for the widened OR shape. */
+  private object OrJoin {
+    def unapply(p: LogicalPlan): Option[(LogicalPlan, LogicalPlan,
+        org.apache.spark.sql.catalyst.plans.JoinType, Seq[Expression],
+        JoinHint)] = p match {
+      case j @ Join(l, r, jt, Some(cond), _) =>
+        equiDisjuncts(cond, l, r).map(ps => (l, r, jt, ps, j.hint))
+      case _ => None
+    }
   }
 
   /** Fresh copy of a subplan: new expression ids throughout, plus the

@@ -879,6 +879,85 @@ object Relational {
         |  WHERE c_acctbal = s_acctbal OR c_name = s_name)
         |ORDER BY c_custkey""".stripMargin),
 
+    // ---- Q19-class OR join: conjunction disjuncts, per-disjunct keys ---
+    // TPC-H Q19's famous shape generalized: each disjunct is a
+    // CONJUNCTION carrying its own join key (match by id OR by
+    // nation+balance). No common equality exists across the disjuncts,
+    // so ExtractEquiJoinKeys finds no key and stock Spark nests; the
+    // widened matcher accepts any disjunct with at least one cross-side
+    // equality among its conjuncts — the rest ride the branch hash join
+    // as residual conditions. The MIN mixes left and right columns so
+    // the eager rewrite stands down and the BARE union path (the novel
+    // plan) is what the oracle hash gates; custkey=suppkey is 1:1 and
+    // nation+acctbal pairs are rare, so output is |S|-bounded at every
+    // scale. Plan gate: no BNLJ AND the branch Union present.
+    "q97_or_join_q19" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, COUNT(*) AS n_pairs,
+            |  MIN(s_name || '/' || c_name) AS pair_tag
+            |FROM customer JOIN supplier
+            |  ON c_custkey = s_suppkey
+            |  OR (c_nationkey = s_nationkey AND c_acctbal = s_acctbal)
+            |GROUP BY c_custkey""".stripMargin)
+        def decorate(bareUnion: Boolean) =
+          df.select(col("c_custkey"),
+              col("n_pairs").cast("long").as("n_pairs"),
+              col("pair_tag"), lit(bareUnion).as("plan_bare_union"))
+            .orderBy("c_custkey")
+        val plan = decorate(bareUnion = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          plan.contains("Union"))
+      },
+      """SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  MIN(s_name || '/' || c_name) AS pair_tag, TRUE AS plan_bare_union
+        |FROM customer JOIN supplier
+        |  ON c_custkey = s_suppkey
+        |  OR (c_nationkey = s_nationkey AND c_acctbal = s_acctbal)
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
+    // ---- distributed OR under EXISTS: the factored shape ---------------
+    // BooleanSimplification factors common conjuncts OUT of user-written
+    // disjunctions, so `(a=x AND f) OR (b=y AND f)` reaches the optimizer
+    // as `f AND (a=x OR b=y)` — with a non-equi f there is no hash key
+    // and stock Spark nests. The rule distributes f back into each
+    // branch (a row-level boolean identity) and serves the EXISTS with
+    // hash semi branches carrying f as a residual join condition.
+    // Customers with a strictly richer supplier in their nation (or a
+    // name twin): |L|-bounded, both branches populated through the
+    // nationkey disjunct. Non-headline: q97 carries the family's bench
+    // cost.
+    "q98_or_join_distributed" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, c_name FROM customer
+            |WHERE EXISTS (SELECT 1 FROM supplier
+            |  WHERE (c_nationkey = s_nationkey OR c_name = s_name)
+            |    AND c_acctbal < s_acctbal)""".stripMargin)
+        def decorate(rewritten: Boolean) =
+          df.select(col("c_custkey"), col("c_name"),
+              lit(rewritten).as("plan_semi_union"))
+            .orderBy("c_custkey")
+        val plan = decorate(rewritten = false)
+          .queryExecution.executedPlan.toString
+        decorate(!plan.contains("BroadcastNestedLoopJoin") &&
+          plan.contains("Union"))
+      },
+      """SELECT c_custkey, c_name, TRUE AS plan_semi_union
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM supplier
+        |  WHERE (c_nationkey = s_nationkey OR c_name = s_name)
+        |    AND c_acctbal < s_acctbal)
+        |ORDER BY c_custkey""".stripMargin),
+
     // ---- ranking window: per-nation top-3 by balance -------------------
     "q09_window_rank" -> Q(
       (s, dir) => {

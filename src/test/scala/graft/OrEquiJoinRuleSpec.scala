@@ -1291,6 +1291,106 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Q19-class disjuncts: conjunctions with per-disjunct keys --------
+
+  test("Q19-class OR join (conjunction disjuncts, per-disjunct keys): every join type") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260821L)
+    def maybe[T](v: T): Option[T] = if (rnd.nextInt(5) == 0) None else Some(v)
+    val left = Seq.fill(30)((
+      maybe(rnd.nextInt(5).toLong), maybe(s"s${rnd.nextInt(5)}"),
+      maybe(rnd.nextInt(40).toLong)
+    )).toDF("k1", "k2", "v")
+    val right = Seq.fill(25)((
+      maybe(rnd.nextInt(5).toLong), maybe(s"s${rnd.nextInt(5)}"),
+      maybe(rnd.nextInt(40).toLong)
+    )).toDF("r1", "r2", "w")
+    // disjunct 1 = key + non-equi residual, disjunct 2 = a DIFFERENT key
+    // + same-side filter: no common equality exists, stock Spark has no
+    // hash key and nests
+    val cond = (col("k1") === col("r1") && col("v") < col("w")) ||
+      (col("k2") === col("r2") && col("w") > lit(5L))
+    for (jt <- Seq("inner", "left", "right", "full", "left_semi", "left_anti")) {
+      def q() = left.join(right, cond, jt)
+      withRule(on = false) {
+        assert(q().queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"), s"fixture not nested at $jt")
+      }
+      val expected = withRule(on = false) { canon(q()) }
+      withRule(on = true) {
+        val df = q()
+        assert(!df.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"), s"$jt still nested")
+        assert(canon(df) === expected, s"joinType=$jt diverged")
+      }
+    }
+  }
+
+  test("factored common conjunct is distributed back into the disjuncts") {
+    // A user writes (a=x AND f) OR (b=y AND f); BooleanSimplification
+    // factors it to f AND (a=x OR b=y) in the SAME fixed point — with a
+    // non-equi f, that shape has no hash key and stock Spark nests. The
+    // rule distributes f back into each branch.
+    val lk = Lake(spark, sf0001)
+    def q() = lk.customer.join(lk.supplier,
+      (col("c_nationkey") === col("s_nationkey") &&
+        col("c_acctbal") < col("s_acctbal")) ||
+        (col("c_name") === col("s_name") &&
+          col("c_acctbal") < col("s_acctbal")), "left")
+    withRule(on = false) {
+      assert(q().queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("conjunction with a top-level equality stands down (stock already hash-joins)") {
+    val lk = Lake(spark, sf0001)
+    // a=x AND (b=y OR c=z): ExtractEquiJoinKeys hash-joins on a=x with
+    // the Or as residual — one single-key join the branch union cannot
+    // beat, so the rule must NOT fire
+    def q() = lk.customer.join(lk.supplier,
+      col("c_nationkey") === col("s_nationkey") &&
+        (col("c_name") === col("s_name") ||
+          col("c_acctbal") === col("s_acctbal")), "inner")
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("Union"), s"rule must stand down\n$plan")
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("EXISTS with a distributed OR (common non-equi conjunct): semi branches fire") {
+    val lk = Lake(spark, sf0001)
+    lk.customer.createOrReplaceTempView("orj_q19_c")
+    lk.supplier.createOrReplaceTempView("orj_q19_s")
+    val q = """SELECT c_custkey, c_name FROM orj_q19_c
+              |WHERE EXISTS (SELECT 1 FROM orj_q19_s
+              |  WHERE (c_nationkey = s_nationkey OR c_name = s_name)
+              |    AND c_acctbal < s_acctbal)""".stripMargin
+    withRule(on = false) {
+      assert(spark.sql(q).queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+    val expected = withRule(on = false) { canon(spark.sql(q)) }
+    withRule(on = true) {
+      val df = spark.sql(q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
   test("EXISTS with a non-equi OR stays on the stock plan (no crash)") {
     val lk = Lake(spark, sf0001)
     lk.customer.createOrReplaceTempView("orj_ne_c")
