@@ -207,10 +207,11 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       // early for exactly the shape we rewrite (top-level [NOT] Exists
       // conjunct, pure OR-of-equalities join condition, decorrelated
       // subplan, disjoint outputs) and partition it in the same pass.
-      // Everything else stays with the stock rewrite.
-      case f @ Filter(cond, child) if existsConjunct(cond, child).isDefined =>
-        val (e, negated, rest) = existsConjunct(cond, child).get
-        val preds = equiDisjuncts(e.joinCond.reduce(And), child, e.plan).get
+      // Everything else stays with the stock rewrite. The extractors
+      // bind the disjuncts okExists already computed — one equiDisjuncts
+      // run per matching Filter, not three (ADVICE r18).
+      case f @ ExistsConjunctFilter(e, negated, rest, preds) =>
+        val child = f.child
         val rewritten: LogicalPlan =
           if (negated) antiChain(child, e.plan, preds, e.hint)
           else Union(semiBranches(child, e.plan, preds, JoinHint(None, e.hint)))
@@ -228,9 +229,8 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       // whatever its shape — evaluates unchanged (EXISTS is never null,
       // and neither is the flag). One Exists per pass; the operator
       // batch's fixed point picks up any others.
-      case Filter(cond, child) if existsAnywhere(cond, child).isDefined =>
-        val e = existsAnywhere(cond, child).get
-        val preds = equiDisjuncts(e.joinCond.reduce(And), child, e.plan).get
+      case f @ ExistsAnywhereFilter(e, preds) =>
+        val child = f.child
         val flag = Alias(Literal(true), "__orj_exists")()
         def tagged(p: LogicalPlan, v: Boolean): LogicalPlan =
           Project(p.output :+
@@ -239,48 +239,74 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           semiBranches(child, e.plan, preds, JoinHint(None, e.hint))
             .map(tagged(_, v = true)) :+
             tagged(antiChain(child, e.plan, preds, e.hint), v = false)
-        val newCond = cond.transform {
+        val newCond = f.condition.transform {
           case ex: Exists if ex.exprId == e.exprId => flag.toAttribute
         }
         Project(child.output, Filter(newCond, Union(branches)))
     }
   }
 
-  /** Shared precondition of the EXISTS rewrites: the Exists' pulled-up
+  /** Shared precondition of the EXISTS rewrites, returning the computed
+    * disjuncts so callers never re-derive them: the Exists' pulled-up
     * join condition is a pure OR-of-equalities between the filter child
-    * and a DECORRELATED subplan with disjoint output ids. */
-  private def okExists(e: Exists, child: LogicalPlan): Boolean =
-    e.joinCond.nonEmpty && e.joinCond.forall(_.resolved) &&
-      equiDisjuncts(e.joinCond.reduce(And), child, e.plan).isDefined &&
-      e.plan.outputSet.intersect(child.outputSet).isEmpty &&
-      !e.plan.exists(_.expressions.exists(_.exists(
-        _.isInstanceOf[OuterReference])))
+    * and a DECORRELATED subplan with disjoint output ids. The subplan
+    * must also be free of DomainJoin placeholders: stock
+    * RewritePredicateSubquery calls rewriteDomainJoins before building
+    * its join, and a plan that keeps a DomainJoin has no physical
+    * strategy — correlation under an Aggregate/Limit/Window elsewhere in
+    * the subquery leaves one even after the OR condition pulls up clean
+    * (ADVICE r18). */
+  private def okExists(e: Exists, child: LogicalPlan)
+      : Option[Seq[Expression]] =
+    if (e.joinCond.nonEmpty && e.joinCond.forall(_.resolved) &&
+        e.plan.outputSet.intersect(child.outputSet).isEmpty &&
+        deterministicPlan(child) && deterministicPlan(e.plan) &&
+        !e.plan.exists(p => p.isInstanceOf[DomainJoin] ||
+          p.expressions.exists(_.exists(_.isInstanceOf[OuterReference]))))
+      equiDisjuncts(e.joinCond.reduce(And), child, e.plan)
+    else None
 
-  /** A rewritable Exists ANYWHERE in the condition (the flag form). */
-  private def existsAnywhere(cond: Expression, child: LogicalPlan)
-      : Option[Exists] =
-    cond.collectFirst { case e: Exists if okExists(e, child) => e }
+  /** A rewritable Exists ANYWHERE in the filter condition (the flag
+    * form), bound together with its disjuncts. */
+  private object ExistsAnywhereFilter {
+    def unapply(f: Filter): Option[(Exists, Seq[Expression])] =
+      f.condition.collect { case e: Exists => e }.iterator
+        .map(e => okExists(e, f.child).map((e, _)))
+        .collectFirst { case Some(x) => x }
+  }
 
-  /** Extracts a rewritable [NOT] EXISTS conjunct from a filter condition:
-    * the Exists expression, whether it was negated, and the remaining
-    * conjuncts (None when the Exists was the whole condition). Applies
-    * only when the Exists' join condition is a pure OR-of-equalities
-    * between the filter child and a DECORRELATED subplan with disjoint
-    * output ids — the exact precondition of the semi/anti partition. */
-  private def existsConjunct(cond: Expression, child: LogicalPlan)
-      : Option[(Exists, Boolean, Option[Expression])] = {
-    def ok(e: Exists): Boolean = okExists(e, child)
-    val conjuncts = splitConjunctivePredicates(cond)
-    conjuncts.iterator.zipWithIndex.collectFirst {
-      case (e: Exists, i) if ok(e) =>
-        (e, false, i)
-      case (Not(e: Exists), i) if ok(e) =>
-        (e, true, i)
-    }.map { case (e, neg, i) =>
-      val rest = conjuncts.patch(i, Nil, 1)
-      (e, neg, rest.reduceOption(And))
+  /** A rewritable [NOT] EXISTS CONJUNCT of a filter condition: the Exists
+    * expression, whether it was negated, the remaining conjuncts (None
+    * when the Exists was the whole condition), and the disjuncts okExists
+    * computed. Applies only under okExists' preconditions — the exact
+    * preconditions of the semi/anti partition. */
+  private object ExistsConjunctFilter {
+    def unapply(f: Filter)
+        : Option[(Exists, Boolean, Option[Expression], Seq[Expression])] = {
+      val conjuncts = splitConjunctivePredicates(f.condition)
+      conjuncts.iterator.zipWithIndex.map {
+        case (e: Exists, i) =>
+          okExists(e, f.child).map(ps => (e, false, i, ps))
+        case (Not(e: Exists), i) =>
+          okExists(e, f.child).map(ps => (e, true, i, ps))
+        case _ => None
+      }.collectFirst { case Some(x) => x }.map { case (e, neg, i, ps) =>
+        (e, neg, conjuncts.patch(i, Nil, 1).reduceOption(And), ps)
+      }
     }
   }
+
+  /** Every partition rewrite duplicates the preserved side across Union
+    * branches and re-evaluates fresh copies of the other side per branch
+    * — sound only when BOTH subplans are deterministic. With a
+    * nondeterministic expression anywhere in either subtree (a `rand()`
+    * filter, say), the "each row in exactly one branch" invariant breaks:
+    * rows can land in several branches or none, and the flag form could
+    * emit one row under both flag values — silently diverging from
+    * stock's single-evaluation join. Mirrors the existing
+    * cond.deterministic check at the PLAN level (ADVICE r18). */
+  private[plans] def deterministicPlan(p: LogicalPlan): Boolean =
+    !p.exists(_.expressions.exists(!_.deterministic))
 
   /** A cross-side equality: one side's references entirely in `left`,
     * the other's entirely in `right`, both non-empty (a literal side is
@@ -295,16 +321,6 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           (b.references.subsetOf(left.outputSet) &&
             a.references.subsetOf(right.outputSet)))
     case _ => false
-  }
-
-  /** The STRICT shape — every disjunct a single cross-side equality —
-    * required by the aggregate machinery (its key normalization and
-    * pre-aggregation need one bare key pair per predicate). */
-  private def splitsIntoEquiDisjuncts(cond: Expression,
-                                      left: LogicalPlan, right: LogicalPlan): Boolean = {
-    val parts = splitDisjunctivePredicates(cond)
-    parts.length >= 2 && parts.forall(crossEqui(_, left, right)) &&
-      cond.deterministic
   }
 
   /** The WIDENED shape for the join-level rewrites: the condition is —
@@ -350,7 +366,8 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     def unapply(p: LogicalPlan): Option[(LogicalPlan, LogicalPlan,
         org.apache.spark.sql.catalyst.plans.JoinType, Seq[Expression],
         JoinHint)] = p match {
-      case j @ Join(l, r, jt, Some(cond), _) =>
+      case j @ Join(l, r, jt, Some(cond), _)
+          if deterministicPlan(l) && deterministicPlan(r) =>
         equiDisjuncts(cond, l, r).map(ps => (l, r, jt, ps, j.hint))
       case _ => None
     }
@@ -368,7 +385,7 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * defined by Project/Aggregate/Window nodes are re-issued too;
     * rarer alias-definers (Generate, Expand, ...) are caught by the
     * [[rewriteAgg]] full-freshen bail-out. */
-  private def freshen(p: LogicalPlan): (LogicalPlan, AttributeMap[Attribute]) = {
+  private[plans] def freshen(p: LogicalPlan): (LogicalPlan, AttributeMap[Attribute]) = {
     def reAlias(list: Seq[NamedExpression]): Seq[NamedExpression] = list.map {
       case al: Alias => al.newInstance().asInstanceOf[NamedExpression]
       case o         => o
@@ -448,14 +465,18 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * original hint of whichever side `other` was — a LeftAnti hash join
     * can only build right, so only the probe side's hint may propagate
     * (a preserved-side broadcast hint would force the nested-loop plan
-    * this rule removes). Chains sharing a predicate prefix canonicalize
-    * identically, so physical exchange reuse deduplicates their work. */
+    * this rule removes). Each stage prunes to ITS OWN predicate's
+    * columns — not the chain's union — so every build of predicate pk
+    * across all branches canonicalizes IDENTICALLY and physical
+    * exchange reuse collapses the O(n²) semi-branch stages to n real
+    * builds (spec-pinned: 4 preds = 4 BroadcastExchange + 6
+    * ReusedExchange). */
   private def antiChain(keep: LogicalPlan, other: LogicalPlan,
                         preds: Seq[Expression],
                         buildHint: Option[HintInfo]): LogicalPlan = {
     val antiHint = JoinHint(None, buildHint)
     preds.foldLeft(keep) { (acc, p) =>
-      val (fo, m) = prunedFresh(other, preds)
+      val (fo, m) = prunedFresh(other, Seq(p))
       val cond = p.transform { case a: Attribute => m.getOrElse(a, a) }
       Join(acc, fo, LeftAnti, Some(cond), antiHint)
     }
@@ -474,7 +495,9 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val semiHint = JoinHint(None, hint.rightHint)
     preds.zipWithIndex.map { case (p, k) =>
       val base = antiChain(left, right, preds.take(k), hint.rightHint)
-      val (fr, m) = prunedFresh(right, preds)
+      // own-predicate pruning, same as the anti stages: the pk build is
+      // canonically identical across every branch -> exchange reuse
+      val (fr, m) = prunedFresh(right, Seq(p))
       val cond = p.transform { case a: Attribute => m.getOrElse(a, a) }
       Join(base, fr, LeftSemi, Some(cond), semiHint): LogicalPlan
     }
@@ -522,31 +545,34 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * then fires on the child during the same top-down pass). */
   private object AggOverOrJoin {
     def unapply(plan: LogicalPlan): Option[LogicalPlan] = plan match {
-      case a @ Aggregate(_, _, Join(l, r, jt @ (LeftOuter | Inner), Some(cond), _), _)
-          if splitsIntoEquiDisjuncts(cond, l, r) =>
-        rewriteAgg(a, l, r, splitDisjunctivePredicates(cond), jt)
+      // The WIDENED disjunct shape (round 19): each disjunct may be a
+      // conjunction carrying its own cross-side equalities (TPC-H Q19
+      // class) — rewriteAgg parses keys/residuals per disjunct and
+      // bails (None) where the eager forms cannot apply, falling to the
+      // bare-join rewrite on the child in the same top-down pass.
+      case a @ Aggregate(_, _, Join(l, r, jt @ (LeftOuter | Inner), Some(cond), _), _) =>
+        equiDisjuncts(cond, l, r).flatMap(ps => rewriteAgg(a, l, r, ps, jt))
       // RIGHT OUTER commutes into the left-outer machinery verbatim:
       // `a RIGHT JOIN b` is `b LEFT JOIN a` as a multiset, and the
       // Aggregate replaces the join wholesale so child column order
       // never matters — the preserved (group-key) side is `r`, the
       // aggregated side is `l`.
-      case a @ Aggregate(_, _, Join(l, r, RightOuter, Some(cond), _), _)
-          if splitsIntoEquiDisjuncts(cond, l, r) =>
-        rewriteAgg(a, r, l, splitDisjunctivePredicates(cond), LeftOuter)
+      case a @ Aggregate(_, _, Join(l, r, RightOuter, Some(cond), _), _) =>
+        equiDisjuncts(cond, l, r)
+          .flatMap(ps => rewriteAgg(a, r, l, ps, LeftOuter))
       // ColumnPruning inserts an attribute-only Project between the
       // Aggregate and the Join; see through it (our rewrite references
       // only attributes the Aggregate itself references, all of which
       // survive any pruning Project by definition).
       case a @ Aggregate(_, _,
           Project(ps, Join(l, r, jt @ (LeftOuter | Inner), Some(cond), _)), _)
-          if ps.forall(_.isInstanceOf[Attribute]) &&
-            splitsIntoEquiDisjuncts(cond, l, r) =>
-        rewriteAgg(a, l, r, splitDisjunctivePredicates(cond), jt)
+          if ps.forall(_.isInstanceOf[Attribute]) =>
+        equiDisjuncts(cond, l, r).flatMap(d => rewriteAgg(a, l, r, d, jt))
       case a @ Aggregate(_, _,
           Project(ps, Join(l, r, RightOuter, Some(cond), _)), _)
-          if ps.forall(_.isInstanceOf[Attribute]) &&
-            splitsIntoEquiDisjuncts(cond, l, r) =>
-        rewriteAgg(a, r, l, splitDisjunctivePredicates(cond), LeftOuter)
+          if ps.forall(_.isInstanceOf[Attribute]) =>
+        equiDisjuncts(cond, l, r)
+          .flatMap(d => rewriteAgg(a, r, l, d, LeftOuter))
       case _ => None
     }
   }
@@ -621,26 +647,14 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     } yield (ests, lStats.nRows, rStats.nRows)
   }
 
-  /** `preds`/`pairs` permuted so the predicate with the LARGEST
-    * estimated output — the one whose materialized branch would explode
-    * worst and therefore gains most from being the (sole) pre-aggregated
-    * branch — comes first. Ties keep written order (indexOf takes the
-    * first maximum). */
-  private def permuteBest(preds: Seq[Expression],
-                          pairs: Seq[(Expression, Expression)],
-                          ests: Seq[Double])
-      : (Seq[Expression], Seq[(Expression, Expression)]) =
-    ests.indexOf(ests.max) match {
-      case i if i > 0 =>
-        val perm = i +: preds.indices.filterNot(_ == i)
-        (perm.map(preds), perm.map(pairs))
-      case _ => (preds, pairs)
-    }
-
   private def rewriteAgg(a: Aggregate, left: LogicalPlan, right: LogicalPlan,
                          preds: Seq[Expression],
                          joinType: org.apache.spark.sql.catalyst.plans.JoinType)
       : Option[LogicalPlan] = {
+    // The eager forms re-evaluate fresh copies of both sides per
+    // term/branch — same single-evaluation exposure as the partition
+    // rewrites, same guard.
+    if (!deterministicPlan(left) || !deterministicPlan(right)) return None
     // Group keys: plain left attributes only (covers SQL GROUP BY col and
     // DataFrame groupBy(col)); nonEmpty so no branch degenerates to a
     // 1-row cross-merged global aggregate.
@@ -745,12 +759,28 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
     val aggs = units.toSeq.map { case (_, k, e) => AggOut(k, e) }
 
-    // Normalize each disjunct to (leftKeyExpr, rightKeyExpr).
-    val pairs = preds.map {
-      case EqualTo(x, y) if x.references.subsetOf(left.outputSet) => (x, y)
-      case EqualTo(x, y) => (y, x)
-      case _ => return None
+    // Parse each disjunct (the widened Q19 class, round 19): its
+    // cross-side equality KEYS — composite allowed, `(a=x AND b=y)`
+    // pre-aggregates on the pair — a RIGHT-ONLY residual conjunction
+    // (filters the pre-aggregation's INPUT instead of blocking the
+    // eager plan), and whether any residual references the left
+    // (mixed): a mixed disjunct can never pre-aggregate, so it forces
+    // the branch form and stays a real join there.
+    case class Disj(keys: Seq[(Expression, Expression)],
+                    res: Option[Expression], mixed: Boolean)
+    val parsed: Seq[Disj] = preds.map { p =>
+      val conj = splitConjunctivePredicates(p)
+      val (eqs, rest) = conj.partition(crossEqui(_, left, right))
+      if (eqs.isEmpty) return None
+      val keys = eqs.map {
+        case EqualTo(x, y) if x.references.subsetOf(left.outputSet) => (x, y)
+        case EqualTo(x, y) => (y, x)
+      }
+      val rightOnly = rest.filter(_.references.subsetOf(right.outputSet))
+      Disj(keys, rightOnly.reduceOption(And),
+        mixed = rest.length != rightOnly.length)
     }
+    val anyMixed = parsed.exists(_.mixed)
 
     // Every term/branch beyond the first joins a FRESHENED copy of a
     // subplan against plans carrying the ORIGINAL ids; if freshen cannot
@@ -784,9 +814,17 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // pair-count (if any) rides whatever form they pick
     val allMinMax = aggs.take(realUnits)
       .forall(a => a.kind == MinK || a.kind == MaxK)
+    // The n-term min/max and IE forms pre-aggregate EVERY term, which a
+    // left-referencing (mixed) residual makes impossible — those shapes
+    // take the branch form, where a mixed disjunct is just a real join.
+    val minMaxForm = allMinMax && !anyMixed
+    // Composite-key disjuncts estimate from their first key — an
+    // over-estimate of the branch output (each extra conjunct only
+    // shrinks it), sound for a quality-only choice.
     val estsOpt =
-      if (allMinMax) None else statsEstimates(left, right, pairs)
-    val branchForm = !allMinMax && (estsOpt match {
+      if (minMaxForm) None
+      else statsEstimates(left, right, parsed.map(_.keys.head))
+    val branchForm = !minMaxForm && (anyMixed || (estsOpt match {
       // With stats the cost inequality applies at EVERY n (ADVICE r17:
       // no n>=4 short-circuit): several exploding predicates can beat
       // the branch form even at n=4, where IE's 15 pre-aggregated terms
@@ -797,12 +835,27 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           ((1L << preds.length) - 1 - preds.length).toDouble * (nl + nr)
         (es.sum - es.max) < ieOverhead
       case None => preds.length >= 4
-    })
-    val ieMode = !allMinMax && !branchForm
-    val (oPreds, oPairs) = estsOpt match {
-      case Some((es, _, _)) if branchForm => permuteBest(preds, pairs, es)
-      case _ => (preds, pairs)
-    }
+    }))
+    val ieMode = !minMaxForm && !branchForm
+    // Branch 0 must be pre-aggregatable (not mixed). With stats, pick
+    // the ELIGIBLE disjunct with the largest estimated output; without,
+    // keep written order unless preds(0) is mixed. OR commutes, so
+    // permuting is unconditionally sound.
+    val (oPreds, oParsed) =
+      if (!branchForm) (preds, parsed)
+      else {
+        val elig = parsed.indices.filter(i => !parsed(i).mixed)
+        if (elig.isEmpty) return None
+        val pick = estsOpt match {
+          case Some((es, _, _)) => elig.maxBy(es)
+          case None             => elig.head
+        }
+        if (pick == 0) (preds, parsed)
+        else {
+          val perm = pick +: preds.indices.filterNot(_ == pick)
+          (perm.map(preds), perm.map(parsed))
+        }
+      }
 
     def fresh(p: Prim, e: Expression): AggregateFunction = p match {
       case PCount => Count(e)
@@ -867,16 +920,22 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         e.transform { case at: Attribute => rm.getOrElse(at, at) }
       def remapL(e: Expression): Expression =
         e.transform { case at: Attribute => lm.getOrElse(at, at) }
-      val keyAliases = keyIdx.zipWithIndex.map { case (ki, j) =>
-        Alias(remapR(oPairs(ki)._2), s"__orj_${tag}_k$j")()
+      val keyPairs = keyIdx.flatMap(ki => oParsed(ki).keys)
+      val keyAliases = keyPairs.zipWithIndex.map { case ((_, rk), j) =>
+        Alias(remapR(rk), s"__orj_${tag}_k$j")()
       }
       val preAliases = flatPrims.zipWithIndex.map { case ((p, e), i) =>
         Alias(agg(fresh(p, remapR(e))), s"__orj_${tag}_p$i")()
       }
-      val pre = Aggregate(keyIdx.map(ki => remapR(oPairs(ki)._2)),
-        keyAliases ++ preAliases, r)
-      val cond = keyIdx.zip(keyAliases).map { case (ki, ka) =>
-        EqualTo(remapL(oPairs(ki)._1), ka.toAttribute): Expression
+      // right-only residuals filter the pre-aggregation's INPUT — the
+      // Q19-class generalization: the term still touches only `right`
+      val rFiltered = keyIdx.flatMap(ki => oParsed(ki).res)
+        .reduceOption(And)
+        .map(e => Filter(remapR(e), r): LogicalPlan).getOrElse(r)
+      val pre = Aggregate(keyPairs.map(kp => remapR(kp._2)),
+        keyAliases ++ preAliases, rFiltered)
+      val cond = keyPairs.zip(keyAliases).map { case ((lk, _), ka) =>
+        EqualTo(remapL(lk), ka.toAttribute): Expression
       }.reduce(And)
       val joined = Join(l, pre, joinType, Some(cond), JoinHint.NONE)
       val gk = groupAttrs.map(g => lm.getOrElse(g, g))
@@ -924,7 +983,7 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       (1 to oPreds.length).flatMap(k =>
         oPreds.indices.combinations(k).map(_.toSeq))
     val termKeys: Option[Seq[Seq[Int]]] =
-      if (allMinMax) Some(oPreds.indices.map(Seq(_)))
+      if (minMaxForm) Some(oPreds.indices.map(Seq(_)))
       else if (ieMode) Some(ieKeys)
       else None
 

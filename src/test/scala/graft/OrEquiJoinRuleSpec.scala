@@ -1225,7 +1225,6 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       // once per predicate is the difference the self-prune exists for
       val plan = naiveSemiOrJoin("left_semi")
         .queryExecution.executedPlan.toString
-      val scanSchemas = "ReadSchema: [^\n]*supplier[^\n]*".r
       // every supplier scan in the plan reads at most the two key cols
       val schemas = plan.linesIterator
         .filter(l => l.contains("ReadSchema") && l.contains("s_acctbal"))
@@ -1234,6 +1233,34 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       assert(schemas.forall(s => !s.contains("s_address")),
         s"probe side must not read non-key columns\n$plan")
     }
+  }
+
+  test("semi prefix chains REUSE exchanges: 4 preds = 4 builds, 6 reused") {
+    // semiBranches builds O(n²) anti/semi stages over shared predicate
+    // prefixes; the scaladoc claims canonicalized prefixes dedup via
+    // physical exchange reuse. Pin it: at n=4 the 10 probe-side builds
+    // (1+2+3+4) must collapse to 4 real exchanges + 6 ReusedExchange —
+    // the difference between 4 and 10 scans of the probe side. AQE off:
+    // its stage-cache reuse is equivalent but invisible pre-execution.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withRule(on = true) {
+      val lk = Lake(spark, sf0001)
+      val df = lk.customer.join(lk.supplier,
+        col("c_custkey") === col("s_suppkey") ||
+          col("c_nationkey") === col("s_nationkey") ||
+          col("c_name") === col("s_name") ||
+          col("c_acctbal") === col("s_acctbal"), "left_semi")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      // a ReusedExchange line echoes its target's "BroadcastExchange ..."
+      // description — count per line, not per substring
+      val reused = plan.linesIterator.count(_.contains("ReusedExchange"))
+      val built = plan.linesIterator.count(l =>
+        l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
+      assert(built == 4, s"expected 4 distinct probe builds, got $built\n$plan")
+      assert(reused == 6, s"expected 6 reused exchanges, got $reused\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("EXISTS under OR (the ExistenceJoin shape): flag partition, no BNLJ") {
@@ -1506,6 +1533,182 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     // case-insensitively; what matters is that the reorder FIRED
     assert(preKey.equalsIgnoreCase("s_nationkey"),
       s"uppercase predicate names must still hit the sketches and reorder, got $preKey")
+  }
+
+  // ---- eager aggregation over WIDENED (Q19-class) disjuncts (round 19)
+
+  test("Q19 eager agg law: composite-key disjunct rides IE, vs nested loop") {
+    // q97's join shape with a RIGHT-ONLY aggregate consumer: disjunct 2
+    // is a conjunction of two equalities — a composite pre-aggregation
+    // key — so the IE form applies (n=2, no stats) instead of the
+    // pair-materializing bare union
+    val lk = Lake(spark, sf0001)
+    def q() = lk.customer.join(lk.supplier,
+        col("c_custkey") === col("s_suppkey") ||
+          (col("c_nationkey") === col("s_nationkey") &&
+            col("c_acctbal") === col("s_acctbal")))
+      .groupBy("c_custkey")
+      .agg(count(col("s_suppkey")).as("n_match"),
+        sum(col("s_acctbal")).as("bal"), min(col("s_name")).as("first_sup"))
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__orj_t0_"), s"IE form must fire\n$opt")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("right-only residual filters the pre-aggregation input, law") {
+    val lk = Lake(spark, sf0001)
+    def q() = lk.customer.join(lk.supplier,
+        col("c_nationkey") === col("s_nationkey") ||
+          (col("c_acctbal") === col("s_acctbal") && col("s_suppkey") < 50))
+      .groupBy("c_custkey")
+      .agg(count(col("s_suppkey")).as("n_match"),
+        max(col("s_acctbal")).as("top_bal"))
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__orj_t0_"), s"IE form must fire\n$opt")
+      assert(!df.queryExecution.executedPlan.toString.contains("Union"))
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("mixed residual forces the branch form; branch 0 stays eligible, law") {
+    val lk = Lake(spark, sf0001)
+    // disjunct 2's residual references BOTH sides -> no pre-aggregation
+    // for it: branch form, disjunct 1 pre-aggregates, disjunct 2 is a
+    // real join with the residual riding the branch condition
+    def q(order: Int) = {
+      val p1 = col("c_custkey") === col("s_suppkey")
+      val p2 = col("c_nationkey") === col("s_nationkey") &&
+        col("c_acctbal") < col("s_acctbal")
+      val cond = if (order == 0) p1 || p2 else p2 || p1
+      lk.customer.join(lk.supplier, cond)
+        .groupBy("c_custkey")
+        .agg(count(col("s_suppkey")).as("n_match"),
+          sum(col("s_acctbal")).as("bal"))
+    }
+    for (order <- Seq(0, 1)) {
+      val expected = withRule(on = false) { canon(q(order)) }
+      withRule(on = true) {
+        val df = q(order)
+        // branch 0 must be the ELIGIBLE (non-mixed) custkey disjunct in
+        // BOTH written orders — written-second it must permute forward
+        assert(b0KeyOf(df) === "s_suppkey", s"order=$order")
+        assert(canon(df) === expected, s"order=$order diverged")
+      }
+    }
+  }
+
+  test("all-mixed disjuncts: eager bails to the bare union, law") {
+    val lk = Lake(spark, sf0001)
+    def q() = lk.customer.join(lk.supplier,
+        (col("c_nationkey") === col("s_nationkey") &&
+          col("c_acctbal") < col("s_acctbal")) ||
+          (col("c_name") === col("s_name") &&
+            col("c_acctbal") > col("s_acctbal")))
+      .groupBy("c_custkey")
+      .agg(count(col("s_suppkey")).as("n_match"))
+    val expected = withRule(on = false) { canon(q()) }
+    withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      // no eligible branch 0 -> the join-level branch rewrite (Union)
+      // still removes the nested loop
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Union"), plan)
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("widened eager agg law: nulls in keys and residual columns") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260819L)
+    def maybe[T](v: T): Option[T] = if (rnd.nextInt(4) == 0) None else Some(v)
+    val l = Seq.fill(40)((
+      maybe(rnd.nextInt(5).toLong), maybe(rnd.nextInt(5).toLong),
+      rnd.nextInt(100))).toDF("k1", "k2", "g")
+    val r = Seq.fill(30)((
+      maybe(rnd.nextInt(5).toLong), maybe(rnd.nextInt(5).toLong),
+      maybe(rnd.nextInt(40).toLong))).toDF("r1", "r2", "w")
+    for (jt <- Seq("left", "inner")) {
+      def q() = l.join(r,
+          col("k1") === col("r1") ||
+            (col("k2") === col("r2") && col("w") < 20), jt)
+        .groupBy("g")
+        .agg(count(col("w")).as("n"), sum(col("w")).as("s"),
+          min(col("w")).as("mn"))
+      val expected = withRule(on = false) { canon(q()) }
+      withRule(on = true) {
+        val df = q()
+        assert(df.queryExecution.optimizedPlan.toString.contains("__orj_t0_"),
+          s"jt=$jt: IE must fire")
+        assert(canon(df) === expected, s"jt=$jt diverged")
+      }
+    }
+  }
+
+  test("EXISTS guard: DomainJoin-carrying subplans stand down to stock (ADVICE r18)") {
+    import spark.implicits._
+    // A correlated predicate UNDER an Aggregate inside the EXISTS subquery
+    // decorrelates via a DomainJoin placeholder, and only stock
+    // RewritePredicateSubquery's rewriteDomainJoins can eliminate it — the
+    // rule building its partition join directly would retain the
+    // DomainJoin, which has no physical strategy. The pulled-up condition
+    // still passes equiDisjuncts (the OR distributes over the domain
+    // conjunct), so without the guard this shape fails at planning.
+    Seq((1L, 10L, 5L), (2L, 20L, 6L), (3L, 30L, 7L))
+      .toDF("k1", "k2", "k3").createOrReplaceTempView("orj_dj_l")
+    Seq((1L, 100L), (2L, 200L), (9L, 5L))
+      .toDF("r1", "v").createOrReplaceTempView("orj_dj_r")
+    val q = """SELECT * FROM orj_dj_l WHERE EXISTS (
+              |  SELECT 1 FROM (
+              |    SELECT r1, count(*) AS c FROM orj_dj_r
+              |    WHERE v > orj_dj_l.k3 GROUP BY r1) s
+              |  WHERE k1 = s.r1 OR k2 = s.c)""".stripMargin
+    val expected = withRule(on = false) { canon(spark.sql(q)) }
+    withRule(on = true) {
+      val df = spark.sql(q)
+      // must PLAN (no retained DomainJoin) and match stock's answer; the
+      // BNLJ proves the rule actually STOOD DOWN on this shape (stock
+      // plans the OR-semi as a nested loop) rather than the fixture
+      // missing the extractor for some other reason
+      assert(df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(canon(df) === expected)
+    }
+  }
+
+  test("nondeterministic subplans stand down: partition rewrites decline (ADVICE r18)") {
+    val lk = Lake(spark, sf0001)
+    // a rand() filter is legal Spark; duplicating that side across Union
+    // branches would re-evaluate it per branch and break the
+    // exactly-one-branch invariant — the rule must leave the join alone
+    withRule(on = true) {
+      // (a trivially-true rand predicate would be optimized away before
+      // this rule's batch; 0.5 keeps the Filter in the optimized plan)
+      for ((l, r) <- Seq(
+          (lk.customer.filter(rand(7) > 0.5), lk.supplier),
+          (lk.customer, lk.supplier.filter(rand(7) > 0.5)))) {
+        val join = l.join(r,
+          col("c_nationkey") === col("s_nationkey") ||
+            col("c_name") === col("s_name"), "left")
+        assert(join.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"),
+          "nondeterministic subplan must keep the stock single-evaluation plan")
+        // the eager-agg form has the same exposure and the same guard
+        val agg = join.groupBy("c_custkey")
+          .agg(count(col("s_suppkey")).as("n"))
+        assert(agg.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"))
+      }
+    }
   }
 
   test("rule leaves non-equi OR joins alone") {
