@@ -54,6 +54,12 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config(graft.plans.OrEquiJoinRule.ConfKey, "true")
+    // NullAwareAntiJoinRule armed for the same reason: a user-authored
+    // `(a, b) NOT IN (SELECT x, y ...)` over nullable keys is stock
+    // Spark's last remaining nested-loop join family; the rewrite is
+    // law-pinned (NullAwareAntiJoinRuleSpec, rule-on ≡ rule-off over
+    // randomized nullable fixtures) and oracle-gated (q99).
+    .config(graft.plans.NullAwareAntiJoinRule.ConfKey, "true")
     // StarOrderRule armed by default: inert until a table carries
     // write-time key sketches — registered in-JVM by ZoneMapTable
     // sketchCols writes, loaded explicitly via loadStarStats, or

@@ -141,6 +141,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // opt-in via spark.graft.rewriteOrJoin (see OrEquiJoinRule scaladoc)
     e.injectOptimizerRule(_ => OrEquiJoinRule)
+    // opt-in via spark.graft.rewriteNotIn (NullAwareAntiJoinRule)
+    e.injectOptimizerRule(_ => NullAwareAntiJoinRule)
     // opt-in via spark.graft.rewriteMaterializedViews (MaterializedViewRule)
     e.injectOptimizerRule(_ => MaterializedViewRule)
     // opt-in via spark.graft.starOrderFromStats + a populated
