@@ -958,6 +958,134 @@ object Relational {
         |    AND c_acctbal < s_acctbal)
         |ORDER BY c_custkey""".stripMargin),
 
+    // ---- null-aware anti join: NOT IN over nullable keys (round 19) ----
+    // The LAST nested-loop family stock Spark plans: multi-column
+    // `(a, b) NOT IN (subquery)` gets a BroadcastNestedLoopJoin with the
+    // per-column `v=o OR ISNULL(v=o)` condition — O(|L|·|S|) compares
+    // and a full broadcast of the subquery, at ANY nullability (the
+    // ISNULL arms are built after the last NullPropagation pass).
+    // NullAwareAntiJoinRule rewrites it to a 1-row cardinality-flag
+    // cross (the t12-class broadcast) plus hash EXISTENCE joins per
+    // left null-class. The NULLIFs plant real nulls in every class the
+    // 3VL semantics branch on: left column-a nulls (nation 4), left
+    // column-b nulls (MACHINERY), right column-a nulls (nation 9) —
+    // and the literal 'BUILDING' right column pins the conditional
+    // join elision (a non-nullable right column must skip its wildcard
+    // existence join). Plan gate: no LeftAnti nested loop remains AND
+    // the flag aggregate is present (the rewrite, not stock, produced
+    // the plan). |L|-bounded output at every scale.
+    "q99_not_in_null_aware" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.NullAwareAntiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, c_name FROM customer
+            |WHERE (NULLIF(c_nationkey, 4), NULLIF(c_mktsegment, 'MACHINERY'))
+            |  NOT IN (SELECT NULLIF(s_nationkey, 9), 'BUILDING' FROM supplier)"""
+            .stripMargin)
+        def decorate(rewritten: Boolean) =
+          df.select(col("c_custkey"), col("c_name"),
+              lit(rewritten).as("plan_naaj"))
+            .orderBy("c_custkey")
+        val plan = decorate(rewritten = false)
+          .queryExecution.executedPlan.toString
+        val nestedAnti =
+          "BroadcastNestedLoopJoin[^\n]*LeftAnti".r.findFirstIn(plan).isDefined
+        decorate(!nestedAnti && plan.contains("__naaj_cnt"))
+      },
+      // DuckDB has no tuple-NOT-IN-subquery syntax; the oracle replays
+      // the 3VL definition directly — a row survives NOT IN iff NO
+      // subquery row leaves the pair equality TRUE-or-NULL, i.e. NOT
+      // EXISTS a row where each column is equal-or-null-on-either-side.
+      // (An INDEPENDENT formulation of the same semantics, so the gate
+      // cross-checks the engine's NOT IN against first principles, not
+      // against another engine's NOT IN implementation.)
+      """SELECT c_custkey, c_name, TRUE AS plan_naaj
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier
+        |  WHERE (NULLIF(c_nationkey, 4) = NULLIF(s_nationkey, 9)
+        |         OR NULLIF(c_nationkey, 4) IS NULL
+        |         OR NULLIF(s_nationkey, 9) IS NULL)
+        |    AND (NULLIF(c_mktsegment, 'MACHINERY') = 'BUILDING'
+        |         OR NULLIF(c_mktsegment, 'MACHINERY') IS NULL))
+        |ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
+    // ---- Q19-class eager aggregation (round 19) ------------------------
+    // q97's conjunction-disjunct join with a RIGHT-ONLY aggregate
+    // consumer: the eager machinery now parses WIDENED disjuncts —
+    // disjunct 2's two equalities become a COMPOSITE pre-aggregation
+    // key — so the inclusion–exclusion form fires (n=2, no stats)
+    // instead of materializing the pair multiset through the bare
+    // union. Plan gate: the IE term aliases present AND no Union/BNLJ
+    // remains. |keys|-bounded pre-aggregations, |L|-bounded output.
+    "q100_q19_eager_agg" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+            |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            |FROM customer JOIN supplier
+            |  ON c_custkey = s_suppkey
+            |  OR (c_nationkey = s_nationkey AND c_acctbal = s_acctbal)
+            |GROUP BY c_custkey""".stripMargin)
+        def decorate(eager: Boolean) =
+          df.select(col("c_custkey"), col("n_match"), col("bal"),
+              lit(eager).as("plan_eager"))
+            .orderBy("c_custkey")
+        val opt = df.queryExecution.optimizedPlan.toString
+        val plan = decorate(eager = false)
+          .queryExecution.executedPlan.toString
+        decorate(opt.contains("__orj_t0_") &&
+          !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Union"))
+      },
+      """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  TRUE AS plan_eager
+        |FROM customer JOIN supplier
+        |  ON c_custkey = s_suppkey
+        |  OR (c_nationkey = s_nationkey AND c_acctbal = s_acctbal)
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      headline = true),
+
+    // ---- right-only residual through the eager agg (round 19) ----------
+    // The residual `s_suppkey < 50` references only the right side, so
+    // it FILTERS disjunct 2's pre-aggregation input instead of blocking
+    // the eager plan. LEFT join keeps the group-completeness path
+    // honest (every customer appears, unmatched ones with n=0/null
+    // aggregates). Non-headline: q100 carries the family's bench cost.
+    "q101_residual_eager_agg" -> Q(
+      (s, dir) => {
+        val child = s.newSession()
+        child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
+        Lake(child, dir).registerViews()
+        val df = child.sql(
+          """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+            |  MIN(s_name) AS first_sup
+            |FROM customer LEFT JOIN supplier
+            |  ON c_nationkey = s_nationkey
+            |  OR (c_acctbal = s_acctbal AND s_suppkey < 50)
+            |GROUP BY c_custkey""".stripMargin)
+        def decorate(eager: Boolean) =
+          df.select(col("c_custkey"), col("n_match"), col("first_sup"),
+              lit(eager).as("plan_eager"))
+            .orderBy("c_custkey")
+        val opt = df.queryExecution.optimizedPlan.toString
+        val plan = decorate(eager = false)
+          .queryExecution.executedPlan.toString
+        decorate(opt.contains("__orj_t0_") &&
+          !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Union"))
+      },
+      """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
+        |  MIN(s_name) AS first_sup, TRUE AS plan_eager
+        |FROM customer LEFT JOIN supplier
+        |  ON c_nationkey = s_nationkey
+        |  OR (c_acctbal = s_acctbal AND s_suppkey < 50)
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
     // ---- ranking window: per-nation top-3 by balance -------------------
     "q09_window_rank" -> Q(
       (s, dir) => {

@@ -69,7 +69,11 @@ object PlanAudit {
     "q57_rolling_p95",
     // q58: two 1-row sketch aggregates crossed (the t12 class)
     "q58_join_estimate",
-    "q43_skew_stats")
+    "q43_skew_stats",
+    // q99: the NOT-IN rewrite's 1-row cardinality-flag aggregate
+    // broadcast-crossed onto the left (the t12 class); the LeftAnti
+    // nested loop it REPLACES is asserted absent inside the gate itself
+    "q99_not_in_null_aware")
 
   private val allowedGlobalWindow = Set.empty[String]
 
