@@ -25,6 +25,7 @@ import graft.functions.TextFunctions._
   *   orjoin [nL] [nR]         OR-join three ways (BNLJ / rule / operator)
   *   pq [sfDir]               PQ reconstruction cosine distribution (s11)
   *   q87 [sfDir]              q87 gate phase timer (probe/load/plan/exec)
+  *   qtime <q,..> [sfDir] [r] any declared query: build/plan/exec phase split
   *   reuse [sfDir]            band self-join exchange reuse, two forms
   *   sigpersist [sfDir] [r]   d2: persist signatures or not, end-to-end
   *   skew [nLeft]             hot-key SMJ: AQE off / on / salted
@@ -59,15 +60,82 @@ object Profile {
       case "orjoin"      => orJoin(rest)
       case "pq"          => pq(rest)
       case "q87"         => q87(rest)
+      case "qtime"       => qtime(rest)
       case "reuse"       => reuse(rest)
       case "sigpersist"  => sigPersist(rest)
       case "skew"        => skew(rest)
       case other =>
         System.err.println(
           s"unknown profile '$other' — one of: agg annotate bloom dedupnear " +
-            "dedupstages fam kll orjoin pq q87 reuse sigpersist skew")
+            "dedupstages fam kll orjoin pq q87 qtime reuse sigpersist skew")
         if (other != "help") sys.exit(2)
     }
+  }
+
+  /** Phase split for declared queries (optimization round 19, guide §1):
+    * where does a bench second actually go? For each named query, per rep:
+    *   build = the `fn(spark, dir)` call — driver-side jobs (iterative
+    *           fits, plan probes, index builds) run HERE;
+    *   plan  = forcing `queryExecution.executedPlan` on the returned frame
+    *           (analysis + optimization + physical planning, pre-AQE);
+    *   exec  = the noop save (what Bench times INCLUDES build+plan).
+    * A listener counts jobs launched and sums task wall time per phase, so
+    * "32 jobs, 0.1 s of task time, 2 s wall" reads as scheduling/planning
+    * overhead, not data work.
+    *
+    *   runMain graft.tools.Profile qtime q86_or_join_3pred[,q99...] [sfDir] [reps]
+    */
+  private def qtime(args: Array[String]): Unit = {
+    val names = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("q86_or_join_3pred"))
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val showJobs = sys.env.get("GRAFT_QTIME_JOBS").contains("1")
+    val spark = session("qtime")
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val taskNs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (showJobs) jobStart.put(j.jobId, (j.time,
+          Option(j.properties).map(_.getProperty("callSite.short", "?")).getOrElse("?")))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (showJobs) Option(jobStart.remove(j.jobId)).foreach { case (t0, site) =>
+          println(f"[qtime-job]   job ${j.jobId}%3d ${(j.time - t0) / 1e3}%7.2fs  $site")
+        }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskInfo != null)
+          taskNs.addAndGet((t.taskInfo.finishTime - t.taskInfo.launchTime) * 1000000L)
+      }
+    })
+    def phase[A](f: => A): (A, Double, Long, Long, Double) = {
+      val (j0, t0, n0) = (jobs.get, taskNs.get, tasks.get)
+      val w0 = System.nanoTime()
+      val r = f
+      Thread.sleep(60) // listener bus drain (diagnostic-grade)
+      ((r, (System.nanoTime() - w0) / 1e9 - 0.06, jobs.get - j0, tasks.get - n0,
+        (taskNs.get - t0) / 1e9))
+    }
+    for (name <- names) {
+      val fn = graft.SparkEntry.queries(name)
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save() // warmup
+      for (r <- 1 to reps) {
+        val (df, bw, bj, bn, bt) = phase { fn(spark, sfDir) }
+        val (_, pw, pj, pn, pt) = phase { df.queryExecution.executedPlan }
+        val (_, ew, ej, en, et) = phase {
+          df.write.mode("overwrite").format("noop").save()
+        }
+        println(f"[qtime] $name%-28s rep$r  " +
+          f"build ${bw}%6.2fs (${bj}%3d jobs/${bn}%4d tasks/${bt}%6.2fs task)  " +
+          f"plan ${pw}%6.2fs (${pj}%3d j)  " +
+          f"exec ${ew}%6.2fs (${ej}%3d jobs/${en}%4d tasks/${et}%6.2fs task)")
+      }
+    }
+    spark.stop()
   }
 
   private def session(name: String): SparkSession = {
