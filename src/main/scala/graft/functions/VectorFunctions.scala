@@ -81,8 +81,8 @@ object VectorFunctions {
 
   /** Sign bit of the projection of `v` onto a deterministic pseudo-random
     * hyperplane (plane index + dimension index seed xxhash64, mapped to
-    * [-1, 1)). Used for LSH bucketing of embeddings — no stored plane
-    * matrix, any worker regenerates coefficients on the fly. */
+    * [-1, 1)). The reference implementation of one [[lshBucket]] bit —
+    * kept as the law-spec oracle for the fused kernel. */
   def hyperplaneBit(v: Column, plane: Int): Column = {
     // coefficient for dim i: xxhash64(i, plane) scaled to [-1, 1)
     val proj = aggregate(
@@ -93,12 +93,23 @@ object VectorFunctions {
     when(proj >= 0, lit(1)).otherwise(lit(0))
   }
 
-  /** LSH bucket id from `nPlanes` hyperplane sign bits (0 planes = the
-    * degenerate single bucket, i.e. exact all-pairs mode). `planeOffset`
-    * selects a disjoint hyperplane family — offset t*nPlanes gives the
-    * t-th independent hash table for multi-table banding. */
-  def lshBucket(v: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+  /** LSH bucket id from `nPlanes` hyperplane sign bits composed from
+    * [[hyperplaneBit]] — one interpreted zip_with/fold pass per plane.
+    * Reference path and law-spec oracle for [[lshBucket]]. */
+  def lshBucketHof(v: Column, nPlanes: Int, planeOffset: Int = 0): Column =
     if (nPlanes == 0) lit(0)
     else (0 until nPlanes).map(p => hyperplaneBit(v, planeOffset + p) * lit(1 << p))
       .reduce(_ + _)
+
+  /** LSH bucket id from `nPlanes` hyperplane sign bits (0 planes = the
+    * degenerate single bucket, i.e. exact all-pairs mode). `planeOffset`
+    * selects a disjoint hyperplane family — offset t*nPlanes gives the
+    * t-th independent hash table for multi-table banding.
+    *
+    * Fused codegen kernel ([[graft.plans.LshBucketExpr]]): all planes in
+    * one pass over the raw array, bit-identical to [[lshBucketHof]]
+    * (VectorKernelSpec pins it) — the HOF form paid one interpreted
+    * per-element lambda eval per plane per row. */
+  def lshBucket(v: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    graft.plans.VectorKernelExprs.lshBucket(v, nPlanes, planeOffset)
 }

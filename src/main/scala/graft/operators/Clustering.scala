@@ -41,36 +41,80 @@ object Clustering {
   private def roundTo(x: Double, decimals: Int): Double =
     BigDecimal(x).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Σ (x_i - c_i)² with float→double left fold — the portable order. */
-  private def l2sq(x: Column, c: Seq[Double]): Column =
+  /** Σ (x_i - c_i)² with float→double left fold — the portable order.
+    * Reference/law-spec form of the fused [[graft.plans.NearestCentroidExpr]]
+    * distance (VectorKernelSpec pins bit-equality). */
+  private[graft] def l2sqHof(x: Column, c: Seq[Double]): Column =
     aggregate(
       zip_with(x, typedlit(c), (a, b) =>
         (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
       lit(0.0), (acc, v) => acc + v)
 
   /** Σ (x_i - m_i)·v_i, same fold order as the SQL oracle's
-    * `list_sum([(x[i] - m[i]) * v[i] ...])`. */
+    * `list_sum([(x[i] - m[i]) * v[i] ...])`. Fused codegen kernel
+    * ([[graft.plans.CenteredDotExpr]]); [[centeredDotHof]] is the
+    * law-spec reference. */
   private def centeredDot(x: Column, m: Seq[Double], v: Seq[Double]): Column =
+    graft.plans.VectorKernelExprs.centeredDot(x, m, v)
+
+  /** The interpreted HOF form [[centeredDot]] replaced (guide §4):
+    * kept as the bit-equality oracle for VectorKernelSpec. */
+  private[graft] def centeredDotHof(x: Column, m: Seq[Double],
+                                        v: Seq[Double]): Column =
     aggregate(
       zip_with(
         zip_with(x, typedlit(m), (a, b) => a.cast(DoubleType) - b),
         typedlit(v), (a, b) => a * b),
       lit(0.0), (acc, p) => acc + p)
 
-  /** Nearest-centroid id (0-based) by squared L2, distance rounded to
-    * `distDecimals` so borderline argmin comparisons cannot differ
-    * across engines, ties to the SMALLEST cluster id
-    * (`array_position` returns the FIRST minimum; `cents` is ascending
-    * by id). */
+  /** struct(cluster, dist) of the nearest centroid by rounded squared
+    * L2: distance rounded to `distDecimals` so borderline argmin
+    * comparisons cannot differ across engines, ties to the SMALLEST
+    * cluster id (first-minimum semantics; `cents` is ascending by id).
+    * Fused codegen kernel ([[graft.plans.NearestCentroidExpr]]) — the
+    * previous form built k interpreted zip_with/fold distances plus
+    * array_min/array_position per row. [[nearestHof]] is the law-spec
+    * reference. */
+  private def nearestStruct(x: Column, cents: Seq[Array[Double]],
+                            distDecimals: Int): Column =
+    graft.plans.VectorKernelExprs.nearestCentroid(
+      x, cents.map(_.toSeq), distDecimals)
+
+  /** Nearest-centroid id (0-based). */
   private def nearest(x: Column, cents: Seq[Array[Double]],
-                      distDecimals: Int): Column = {
-    val dists = array(cents.map(c => round(l2sq(x, c.toSeq), distDecimals)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("long")
+                      distDecimals: Int): Column =
+    nearestStruct(x, cents, distDecimals).getField("cluster")
+
+  /** The composable form [[nearest]]/[[nearestStruct]] replaced:
+    * law-spec reference for the kernel's cluster AND dist halves. */
+  private[graft] def nearestHof(x: Column, cents: Seq[Array[Double]],
+                                    distDecimals: Int): Column = {
+    val dists = array(cents.map(c => round(l2sqHof(x, c.toSeq), distDecimals)): _*)
+    struct(
+      (array_position(dists, array_min(dists)) - 1).cast("long").as("cluster"),
+      array_min(dists).as("dist"))
   }
 
   private def dimOf(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** Persist `df` for the duration of an iterative fit, unpersist after.
+    *
+    * Every fit below runs `iters` aggregate jobs over the SAME projected
+    * input; without this, each round re-reads the source parquet and
+    * re-pays [[Parallelism.ensure]]'s spreading shuffle — `iters + 2`
+    * scans where one suffices (guide §2.4/§5: a DataFrame reused across
+    * jobs whose recomputation costs a scan each round is the textbook
+    * persist case; at 100 TB the fit input is the narrow (id, vec)
+    * projection, spilling to disk beats N source scans). The cache
+    * lives strictly WITHIN one fit call — unpersisted in `finally`
+    * before anything returns — so a bench rep or oracle run never sees
+    * another run's materialized state. */
+  private def withFitCache[A](df: DataFrame)(body: DataFrame => A): A = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(cached) finally cached.unpersist(blocking = false)
+  }
 
   /** Lloyd k-means, fully deterministic and oracle-replayable:
     *  - init: the vectors of the `k` smallest ids, elements rounded to
@@ -91,8 +135,8 @@ object Clustering {
                       distDecimals: Int = 9): Seq[Array[Double]] = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 0, "iters must be >= 0")
-    val c0 = Parallelism.ensure(df)
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    withFitCache(Parallelism.spread(df, 4L << 20)
+        .select(col(idCol).as("__id"), col(vecCol).as("__v"))) { c0 =>
     val dim = dimOf(c0, "__v")
     if (dim == 0) return Seq.empty
     // seed: the k smallest ids' vectors — TakeOrderedAndProject, no sort
@@ -118,6 +162,7 @@ object Clustering {
       }
     }
     cents
+    }
   }
 
   /** Final assignment `(idCol, cluster)` of every row to its nearest
@@ -162,13 +207,10 @@ object Clustering {
     if (cents.isEmpty)
       return df.select(col(idCol), lit(0L).as("cluster"),
         lit(0.0).as("dist")).limit(0)
-    val dists = array(cents.map(c =>
-      round(l2sq(col(vecCol), c.toSeq), distDecimals)): _*)
-    df.select(col(idCol), dists.as("__d"))
+    df.select(col(idCol), nearestStruct(col(vecCol), cents, distDecimals).as("__n"))
       .select(col(idCol),
-        (array_position(col("__d"), array_min(col("__d"))) - 1)
-          .cast("long").as("cluster"),
-        array_min(col("__d")).as("dist"))
+        col("__n").getField("cluster").as("cluster"),
+        col("__n").getField("dist").as("dist"))
   }
 
   /** Per-dimension z-score standardization summary `(idCol, z_min,
@@ -184,7 +226,7 @@ object Clustering {
   def standardize(df: DataFrame, idCol: String, vecCol: String,
                   momentDecimals: Int = 6,
                   outDecimals: Int = 6): DataFrame = {
-    val c0 = Parallelism.ensure(df)
+    val c0 = Parallelism.spread(df, 4L << 20)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val dim = dimOf(c0, "__v")
     if (dim == 0)
@@ -240,7 +282,7 @@ object Clustering {
              meanDecimals: Int = 6, wDecimals: Int = 5,
              vDecimals: Int = 6): (Array[Double], Array[Double]) = {
     require(iters >= 0, "iters must be >= 0")
-    val c0 = Parallelism.ensure(df).select(col(vecCol).as("__v"))
+    withFitCache(Parallelism.spread(df, 4L << 20).select(col(vecCol).as("__v"))) { c0 =>
     val dim = dimOf(c0, "__v")
     if (dim == 0) return (Array.empty, Array.empty)
     val meanRow = c0.agg(
@@ -270,6 +312,7 @@ object Clustering {
           else w.map(x => roundTo(x / norm, vDecimals))
     }
     (m, v)
+    }
   }
 
   /** Per-row projection `(idCol, pc1)` onto the fitted direction —
@@ -304,7 +347,7 @@ object Clustering {
               vDecimals: Int = 6): (Array[Double], Seq[Array[Double]]) = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 0, "iters must be >= 0")
-    val c0 = Parallelism.ensure(df).select(col(vecCol).as("__v"))
+    withFitCache(Parallelism.spread(df, 4L << 20).select(col(vecCol).as("__v"))) { c0 =>
     val dim = dimOf(c0, "__v")
     if (dim == 0) return (Array.empty, Seq.empty)
     val meanRow = c0.agg(
@@ -370,6 +413,7 @@ object Clustering {
       components :+= v
     }
     (m, components)
+    }
   }
 
   /** Per-row PCA reconstruction error `(idCol, err)`: the squared norm

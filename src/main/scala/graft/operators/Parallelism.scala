@@ -23,21 +23,40 @@ import org.apache.spark.sql.DataFrame
   * `files >= target` means large tables never pay a single FileStatus
   * RPC. */
 object Parallelism {
-  def ensure(df: DataFrame): DataFrame = {
+  def ensure(df: DataFrame): DataFrame = spreadTo(df, _ => 0L)
+
+  /** [[ensure]] with a WORK FLOOR per task: spread to at most
+    * ceil(inputBytes / minBytesPerTask) partitions (still capped at the
+    * cluster's parallelism). For stages whose per-row cost is a fused
+    * codegen kernel (the vector paths since round 19), per-task fixed
+    * overhead (~tens of ms: scheduling, codegen class init, cache-batch
+    * decode) dominates below ~1 MB of input per task — profiled on
+    * s17/s18: 32-way spreading of a 0.5 MB fit input cost ~10 s of task
+    * time where 4-way cost 0.9 s for the same rows. Scale-adaptive by
+    * construction: the floor derives the partition count from input
+    * SIZE, so big inputs still spread to every core and genuinely large
+    * tables short-circuit before any FileStatus call, exactly as
+    * [[ensure]] does. Interpreted/CPU-per-byte-heavy consumers
+    * (shingling, hashing, annotate) should stay on [[ensure]] — their
+    * work floor is far below 1 MB/task. */
+  def spread(df: DataFrame, minBytesPerTask: Long): DataFrame =
+    spreadTo(df, totalWork => totalWork / math.max(1L, minBytesPerTask))
+
+  private def spreadTo(df: DataFrame, maxByWork: Long => Long): DataFrame = {
     if (df.isStreaming) return df // micro-batch planner owns parallelism
     val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
+    val targetAll = spark.sparkContext.defaultParallelism
     val files = df.inputFiles
     // >= target files can only split further, never coalesce below one
     // partition per file-split bin in the small-file case we guard;
     // empty = non-file source (streaming, local relation): hands off
-    if (files.isEmpty || files.length >= target) return df
+    if (files.isEmpty || files.length >= targetAll) return df
     def bytesConf(key: String, dflt: Long): Long =
       spark.conf.getOption(key).map(JavaUtils.byteStringAsBytes).getOrElse(dflt)
     val openCost = bytesConf("spark.sql.files.openCostInBytes", 4L * 1024 * 1024)
     val maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
     val minPartitionNum = spark.conf.getOption("spark.sql.files.minPartitionNum")
-      .flatMap(_.toIntOption).getOrElse(target)
+      .flatMap(_.toIntOption).getOrElse(targetAll)
     val hconf = spark.sparkContext.hadoopConfiguration
     val totalWork = files.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
@@ -50,6 +69,12 @@ object Parallelism {
       math.max(openCost, totalWork / math.max(1, minPartitionNum)))
     val estPartitions = math.max(1L,
       math.ceil(totalWork.toDouble / maxSplitBytes).toLong)
-    if (estPartitions < target) df.repartition(target) else df
+    // work floor: don't spread below minBytesPerTask of input per task
+    // (maxByWork = 0 → plain ensure semantics, spread to every core)
+    val byWork = maxByWork(totalWork)
+    val target =
+      if (byWork <= 0) targetAll.toLong
+      else math.max(1L, math.min(targetAll.toLong, byWork))
+    if (estPartitions < target) df.repartition(target.toInt) else df
   }
 }

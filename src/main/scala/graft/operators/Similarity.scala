@@ -26,7 +26,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = Parallelism.ensure(corpus)
+    val c = Parallelism.spread(corpus, 4L << 20)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
@@ -51,7 +51,7 @@ object Similarity {
       when(n === 0.0, v.cast("array<double>"))
         .otherwise(transform(v, x => x.cast("double") / n))
     }
-    val c = Parallelism.ensure(corpus)
+    val c = Parallelism.spread(corpus, 4L << 20)
       .select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("c_unit"))
     val q = queries
       .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("q_unit"))
@@ -78,7 +78,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, planes: Int = 4,
               multiProbe: Int = 0): DataFrame = {
-    val c = Parallelism.ensure(corpus)
+    val c = Parallelism.spread(corpus, 4L << 20)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", lshBucket(col("c_vec"), planes))
     val probes = math.min(multiProbe, planes)
@@ -218,7 +218,7 @@ object Similarity {
 
   private[graft] def trainCells(corpus: DataFrame, idCol: String, vecCol: String,
                                 planes: Int, kmeansIters: Int): (DataFrame, DataFrame) = {
-    val c0 = Parallelism.ensure(corpus)
+    val c0 = Parallelism.spread(corpus, 4L << 20)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     if (kmeansIters == 0) {
       // untrained cells are LSH buckets; one width-wise mean per cell
@@ -229,6 +229,14 @@ object Similarity {
     } else {
       val spark = corpus.sparkSession
       import spark.implicits._
+      // the seed fetch + every Lloyd round aggregates over the same
+      // projected input: persist it for the fit's duration (guide §5),
+      // unpersisted below before anything returns — per-round source
+      // re-scans were iters+1 where one suffices. The RETURNED
+      // assignment plan is built after the unpersist, so it reads the
+      // source directly (no cross-call cached state).
+      val c0fit = c0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       // Seed from a deterministic hash-sample of ACTUAL corpus vectors:
       // LSH-bucket means can occupy far fewer than 2^planes cells when
       // the data's cluster structure straddles the hyperplanes, and
@@ -273,6 +281,7 @@ object Similarity {
       }
       (assign(cents),
         cents.map { case (b, v) => (b, v.toSeq) }.toDF("bucket", "centroid"))
+      } finally c0fit.unpersist(blocking = false)
     }
   }
 
