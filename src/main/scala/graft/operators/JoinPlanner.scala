@@ -103,8 +103,14 @@ object JoinPlanner {
 
   /** The decision [[plannedJoin]] executes, exposed for tests and
     * observability: which physical shape the sketch statistics picked,
-    * and the salt count when salting. */
-  final case class JoinPlan(strategy: String, salts: Int)
+    * the salt count when salting, and the demonstrably-hot probe keys
+    * (string-rendered) the frequency sketch surfaced. When `hotKeys` is
+    * non-empty the salted execution replicates the build side ONLY for
+    * those keys ([[SkewJoin.saltedJoinHot]]) — `salts`× replication of
+    * a handful of rows instead of the whole build side. Empty = legacy
+    * full replication. */
+  final case class JoinPlan(strategy: String, salts: Int,
+                            hotKeys: Seq[String] = Nil)
 
   /** Pick the join shape from sketch statistics alone: two 1-row
     * aggregates ([[joinStats]] for sizes, [[skewProbe]] on the probe
@@ -126,22 +132,45 @@ object JoinPlanner {
               skewShareThreshold: Double = 0.125,
               targetRatio: Double = 4.0, maxSalts: Int = 64): JoinPlan = {
     require(targetRatio >= 1.0 && maxSalts > 1)
-    val st = joinStats(left, lKey, right, rKey, broadcastMaxRows).head()
-    st.getAs[String]("strategy") match {
-      case b @ ("broadcast-left" | "broadcast-right") => JoinPlan(b, 1)
-      case _ =>
-        val sp = skewProbe(left, lKey).head()
-        val nRows = sp.getAs[Long]("n_rows")
-        val dLeft = math.max(1L, st.getAs[Long]("d_left"))
-        val share =
-          if (nRows == 0L) 0.0 else sp.getAs[Double]("top_share")
-        if (share >= skewShareThreshold) {
-          val mean = nRows.toDouble / dLeft
-          val need = math.ceil(
-            sp.getAs[Long]("top_rows") / (mean * targetRatio)).toInt
-          if (need <= 1) JoinPlan("shuffle-hash", 1)
-          else JoinPlan("salted", math.min(need, maxSalts))
-        } else JoinPlan("shuffle-hash", 1)
+    // ONE aggregate pass per side (optimization r19, guide §2.3/§1.2):
+    // the size/distinct sketches AND the probe side's heavy-hitter
+    // sketch ride the same left scan — previously the skew probe was a
+    // SECOND full scan of the probe side (at 100 TB: a second pass over
+    // the fact to decide what the first pass could already tell). The
+    // freq sketch is computed unconditionally; in the broadcast case it
+    // is a wasted map-side sketch on a scan that had to happen anyway,
+    // in every other case it replaces a full re-scan. Decision inputs
+    // and thresholds are unchanged (JoinOpsSpec pins them).
+    import graft.plans.ThetaSketchExprs._
+    import graft.plans.FreqSketchExprs._
+    val l = left.agg(count(lit(1)).as("n_left"),
+      thetaSketchAgg(col(lKey), 18).as("skl"),
+      freqTopItems(freqSketchAgg(col(lKey).cast("string"), 1024), lit(1))
+        .as("top"))
+    val r = right.agg(count(lit(1)).as("n_right"),
+      thetaSketchAgg(col(rKey), 18).as("skr"))
+    val st = l.crossJoin(broadcast(r))
+      .select(col("n_left"), col("n_right"),
+        thetaEstimate(col("skl")).as("d_left"),
+        try_element_at(col("top"), lit(1)).getField("item").as("top_key"),
+        coalesce(try_element_at(col("top"), lit(1)).getField("est"), lit(0L))
+          .as("top_rows"))
+      .head()
+    val nLeft = st.getAs[Long]("n_left")
+    val nRight = st.getAs[Long]("n_right")
+    if (math.min(nLeft, nRight) <= broadcastMaxRows)
+      JoinPlan(if (nRight <= nLeft) "broadcast-right" else "broadcast-left", 1)
+    else {
+      val dLeft = math.max(1L, st.getAs[Long]("d_left"))
+      val topRows = st.getAs[Long]("top_rows")
+      val share = if (nLeft == 0L) 0.0 else topRows.toDouble / nLeft
+      if (share >= skewShareThreshold) {
+        val mean = nLeft.toDouble / dLeft
+        val need = math.ceil(topRows / (mean * targetRatio)).toInt
+        if (need <= 1) JoinPlan("shuffle-hash", 1)
+        else JoinPlan("salted", math.min(need, maxSalts),
+          Option(st.getAs[String]("top_key")).toSeq)
+      } else JoinPlan("shuffle-hash", 1)
     }
   }
 
@@ -174,9 +203,16 @@ object JoinPlanner {
       case "salted" =>
         // saltedJoin joins on one shared column name: align the right
         // key to the left's, which also lands the plain path's
-        // right-minus-key output shape
-        SkewJoin.saltedJoin(left,
-          right.withColumnRenamed(rKey, lKey), lKey, plan.salts)
+        // right-minus-key output shape. With known hot keys, replicate
+        // ONLY those (saltedJoinHot) — the whole-build-side replication
+        // is the legacy fallback for callers that salt blind.
+        if (plan.hotKeys.nonEmpty)
+          SkewJoin.saltedJoinHot(left,
+            right.withColumnRenamed(rKey, lKey), lKey, plan.salts,
+            plan.hotKeys)
+        else
+          SkewJoin.saltedJoin(left,
+            right.withColumnRenamed(rKey, lKey), lKey, plan.salts)
       case _ => plain(left, right)
     }
   }

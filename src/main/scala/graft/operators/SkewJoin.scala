@@ -33,6 +33,36 @@ object SkewJoin {
       .drop(rSalted(key)).drop("__salt")
   }
 
+  /** [[saltedJoin]] restricted to KNOWN hot keys (optimization r19,
+    * guide §2.5 "special-case the hot keys"): non-hot rows keep salt 0
+    * on both sides (joined exactly once, no replication), hot left rows
+    * spread over `salts` sub-keys and ONLY the hot right rows replicate
+    * to cover them. Replication cost drops from |right|·salts rows to
+    * |hot|·salts — at 100 TB the difference between salting being free
+    * insurance and multiplying the build side 64-fold. Output is
+    * multiset-identical to the plain equi-join (law-pinned in SkewSpec):
+    * every (l, r) key match pairs under exactly one salt value.
+    * `hotKeys` compare against the key's STRING rendering — the form
+    * the frequency sketch that discovered them stores. */
+  def saltedJoinHot(left: DataFrame, right: DataFrame, key: String,
+                    salts: Int, hotKeys: Seq[String]): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    require(hotKeys.nonEmpty, "saltedJoinHot needs at least one hot key")
+    val isHotL = left(key).cast("string").isin(hotKeys: _*)
+    val isHotR = right(key).cast("string").isin(hotKeys: _*)
+    val lSalted = left.withColumn("__salt",
+      when(isHotL, pmod(xxhash64(
+        struct(left.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)))
+        .otherwise(lit(0L)))
+    val rSalted = right.withColumn("__salt",
+      explode(when(isHotR,
+        sequence(lit(0L), lit(salts.toLong - 1L)))
+        .otherwise(array(lit(0L)))))
+    lSalted.join(rSalted, lSalted(key) === rSalted(key) &&
+        lSalted("__salt") === rSalted("__salt"))
+      .drop(rSalted(key)).drop("__salt")
+  }
+
   /** Salt-count advisor: the q43_skew_stats pre-flight as a reusable
     * decision. Profiles `key`'s load distribution with one tiny
     * two-level aggregate (1-row driver fetch — constant at any scale)

@@ -451,13 +451,16 @@ object SimilarityQueries {
         val iKeys = inline.select("query_id", "rank", "neighbor_id")
         // (query_id, rank) is unique per side (row_number), so multiset
         // equality is exactly "the full-outer join has no one-sided
-        // rows" — ONE action, where the exceptAll pair would replay the
-        // inline re-train a second time
-        val agree = sKeys.withColumn("__s", lit(1))
+        // rows". Counted INSIDE the output plan (optimization r19, guide
+        // §1.2): the previous eager `.isEmpty` was a separate ACTION that
+        // executed the served + inline legs once just to fold a boolean
+        // literal into the projection — the fused aggregate computes the
+        // identical boolean in the one timed job.
+        val mismatch = sKeys.withColumn("__s", lit(1))
           .join(iKeys.withColumn("__i", lit(1)),
             Seq("query_id", "rank", "neighbor_id"), "full_outer")
           .where(col("__s").isNull || col("__i").isNull)
-          .isEmpty
+          .agg(count(lit(1)).as("n_mismatch"))
         val exact = Similarity.bruteForceTopK(corpus, queries,
             "vec_id", "embedding", k = 5)
           .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
@@ -466,8 +469,9 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("hits"))
         sKeys.agg(countDistinct(col("query_id")).as("n_queries"))
           .crossJoin(hits)
+          .crossJoin(mismatch)
           .select(col("n_queries"),
-            lit(agree).as("index_matches_inline"),
+            (col("n_mismatch") === 0).as("index_matches_inline"),
             (col("hits").cast("double") / (col("n_queries") * 5) >= 0.25)
               .as("recall_ok"))
       },

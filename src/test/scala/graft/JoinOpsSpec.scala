@@ -132,6 +132,54 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(canon(salted.drop("o_custkey")) === canon(plain.drop("o_custkey")))
   }
 
+  test("hot-key salted join is multiset-identical to the plain equi-join") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    }
+    // one hot key (0), several warm keys, dim covers hot + cold + absent
+    val hot = ((1 to 800).map(i => (0L, i)) ++
+      (1 to 20).flatMap(k => (1 to 5).map(i => (k.toLong, i))))
+      .toDF("k", "payload")
+    val dim = (0 to 25).map(k => (k.toLong, s"name$k")).toDF("k", "name")
+    val plain = canon(hot.join(dim, Seq("k")))
+    // hot key present, several salt counts
+    for (s <- Seq(2, 8, 64))
+      assert(canon(SkewJoin.saltedJoinHot(hot, dim, "k", s, Seq("0"))) === plain,
+        s"salts=$s diverged")
+    // multiple hot keys, incl. one with no dim partner and one absent
+    // from the probe side entirely
+    assert(canon(SkewJoin.saltedJoinHot(hot, dim, "k", 8,
+      Seq("0", "3", "999"))) === plain)
+    // hot list that misses the actual hot key still joins correctly
+    // (it only degrades the straggler protection, never the answer)
+    assert(canon(SkewJoin.saltedJoinHot(hot, dim, "k", 8, Seq("7"))) === plain)
+    // replication is hot-rows-only: the salted right side carries
+    // |dim| + (salts-1) x |hot dim rows| rows, not |dim| x salts
+    val rSalted = dim.withColumn("__salt",
+      explode(when(col("k").cast("string").isin("0"),
+        sequence(lit(0L), lit(7L))).otherwise(array(lit(0L)))))
+    assert(rSalted.count() === dim.count() + 7)
+  }
+
+  test("planFor surfaces the hot key and executeJoin salts only it") {
+    import graft.operators.JoinPlanner
+    import spark.implicits._
+    val hot = spark.range(0, 2000)
+      .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(0, 50).select(col("id").as("dk"),
+      concat(lit("v"), col("id")).as("v"))
+    val plan = JoinPlanner.planFor(hot, "k", dim, "dk", broadcastMaxRows = 10L)
+    assert(plan.strategy === "salted" && plan.salts > 1)
+    assert(plan.hotKeys === Seq("1"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(JoinPlanner.executeJoin(plan, hot, "k", dim, "dk")) ===
+      canon(hot.join(dim, hot("k") === dim("dk")).drop(dim("dk"))))
+  }
+
   test("auto-salted join: advisor picks >1 on skew, 1 on uniform, equal either way") {
     import spark.implicits._
     // 1000 rows on one hot key + 10 uniform keys: max/mean >> 4
