@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pruning without code changes here.
   */
 final case class Lake(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def table(name: String): DataFrame = Lake.read(spark, s"$dir/$name.parquet")
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -55,4 +55,54 @@ object Lake {
   val tableNames: Seq[String] = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
+
+  /** JVM-wide parquet SCHEMA cache keyed on the table's file fingerprint
+    * (every leaf file's name, length, mtime — folded into one long).
+    *
+    * `spark.read.parquet(path)` infers the schema EAGERLY with a 1-task
+    * Spark job per call; a query fn that registers the ten lake views
+    * pays ten such jobs per invocation (profiled on q99: its entire
+    * build phase was exactly those jobs), and every bench rep and oracle
+    * run repeats them. This caches only METADATA — the inferred
+    * StructType, exactly what a manifest-bearing table format (Iceberg/
+    * Delta) persists so readers never re-infer (guide §6) — never data
+    * or results: a changed/regenerated table changes its fingerprint and
+    * re-infers, and cache hits hand the schema to `spark.read.schema(…)`
+    * over the same files, so every invocation still computes from the
+    * parquet inputs. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.types.StructType)]()
+
+  private[graft] def read(spark: SparkSession, path: String): DataFrame = {
+    val fp = fingerprint(spark, path)
+    if (fp == 0L) return spark.read.parquet(path) // unlistable: hands off
+    val cached = schemaCache.get(path)
+    if (cached != null && cached._1 == fp)
+      spark.read.schema(cached._2).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(path, (fp, df.schema))
+      df
+    }
+  }
+
+  private def fingerprint(spark: SparkSession, path: String): Long = {
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(p, true)
+      var h = 1125899906842597L
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
+          h = h * 31 + f.getPath.getName.hashCode
+          h = h * 31 + f.getLen
+          h = h * 31 + f.getModificationTime
+          n += 1
+        }
+      }
+      if (n == 0) 0L else h
+    } catch { case _: Exception => 0L }
+  }
 }
