@@ -130,7 +130,11 @@ object ZoneMapTable {
   def starStats(spark: SparkSession, dir: String): Option[DataFrame] =
     manifestGens(spark, dir, committedOnly = true).lastOption.flatMap { g =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/_zonemap/g=$g/$StarStatsDir")
-      if (zfsOf(spark, p).exists(p)) Some(spark.read.parquet(p.toString))
+      // known fixed sidecar schema: skip the per-call 1-task schema-
+      // inference job (the r19 Lake.read rationale; the lazy rule-side
+      // loader already reads with this schema)
+      if (zfsOf(spark, p).exists(p))
+        Some(spark.read.schema(starStatsSchema).parquet(p.toString))
       else None
     }
 

@@ -472,7 +472,7 @@ object EventsQueries {
             MvAgg("count_star", outCol = "n_events"),
             MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
           mvPath = mvPath)
-        val q = sess.read.parquet(base)
+        val q = graft.Lake.read(sess, base)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(18, 6))).as("sv"))
@@ -514,7 +514,7 @@ object EventsQueries {
             MvAgg("count", "value", Some("decimal(18,6)"), outCol = "n_vals_dec"),
             MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
           mvPath = mvPath)
-        val q = sess.read.parquet(base)
+        val q = graft.Lake.read(sess, base)
           .groupBy("event_type")
           .agg(count(col("value")).as("n_vals"),
             avg(col("value").cast(DecimalType(18, 6))).as("avg_dec"))
@@ -555,7 +555,7 @@ object EventsQueries {
             MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
           mvPath = mvPath,
           groupExprs = Seq(MvGroupExpr("h", "date_trunc('hour', ts)")))
-        val q = sess.read.parquet(base)
+        val q = graft.Lake.read(sess, base)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(18, 6))).as("sv"))
@@ -596,7 +596,7 @@ object EventsQueries {
               outCol = "revenue")),
           mvPath = mvPath,
           joins = Seq(MvJoin(dimP, Seq("o_custkey"), Seq("c_custkey"))))
-        val o = sess.read.parquet(fact); val c = sess.read.parquet(dimP)
+        val o = graft.Lake.read(sess, fact); val c = graft.Lake.read(sess, dimP)
         val q = o.join(c, o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
@@ -642,9 +642,9 @@ object EventsQueries {
           joins = Seq(
             MvJoin(ordP, Seq("l_orderkey"), Seq("o_orderkey")),
             MvJoin(custP, Seq("o_custkey"), Seq("c_custkey"))))
-        val l = sess.read.parquet(factP)
-        val o = sess.read.parquet(ordP)
-        val c = sess.read.parquet(custP)
+        val l = graft.Lake.read(sess, factP)
+        val o = graft.Lake.read(sess, ordP)
+        val c = graft.Lake.read(sess, custP)
         val q = l.join(o, l("l_orderkey") === o("o_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")
@@ -691,7 +691,7 @@ object EventsQueries {
             MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
           mvPath = mvPath,
           groupExprs = Seq(MvGroupExpr("h", "date_trunc('hour', ts)")))
-        val q = sess.read.parquet(base)
+        val q = graft.Lake.read(sess, base)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             avg(col("value").cast(DecimalType(18, 6))).as("avg_dec"),
@@ -733,7 +733,7 @@ object EventsQueries {
             MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
           mvPath = mvPath,
           groupExprs = Seq(MvGroupExpr("h", "date_trunc('hour', ts)")))
-        val q = sess.read.parquet(base)
+        val q = graft.Lake.read(sess, base)
           .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(18, 6))).as("sv"))
@@ -775,7 +775,7 @@ object EventsQueries {
             MvAgg("hll_sketch", "user_id", outCol = "uhll", lgK = Some(14))),
           mvPath = mvPath,
           groupExprs = Seq(MvGroupExpr("d", "date_trunc('day', ts)")))
-        def sketchQ(ss: SparkSession) = ss.read.parquet(base)
+        def sketchQ(ss: SparkSession) = graft.Lake.read(ss, base)
           .groupBy("event_type")
           .agg(hll_sketch_estimate(
             hll_sketch_agg(col("user_id"), lit(14))).as("est"))
@@ -783,7 +783,7 @@ object EventsQueries {
         val mvServed = servedFromMv(routed, base)
         val directEst = sketchQ(s) // main session: routing never enabled
           .withColumnRenamed("est", "direct_est")
-        val exact = s.read.parquet(base).groupBy("event_type")
+        val exact = graft.Lake.read(s, base).groupBy("event_type")
           .agg(count_distinct(col("user_id")).as("n_exact"))
         routed.join(directEst, Seq("event_type"))
           .join(exact, Seq("event_type"))
@@ -818,13 +818,13 @@ object EventsQueries {
         val base = s"$dir/events.parquet"
         val mvPath =
           s"target/mv/events_advised_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        def w1 = sess.read.parquet(base).groupBy("event_type")
+        def w1 = graft.Lake.read(sess, base).groupBy("event_type")
           .agg(sum(col("value").cast(DecimalType(18, 6))).as("sv"))
-        def w2 = sess.read.parquet(base)
+        def w2 = graft.Lake.read(sess, base)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
           .agg(count(lit(1)).as("n"),
             avg(col("value").cast(DecimalType(18, 6))).as("m"))
-        def w3 = sess.read.parquet(base).agg(count(lit(1)).as("n"))
+        def w3 = graft.Lake.read(sess, base).agg(count(lit(1)).as("n"))
         val advice = MaterializedView.advise(sess, Seq(w1, w2, w3))
         require(advice.size == 1, s"expected one advice, got $advice")
         val a = advice.head
@@ -877,7 +877,7 @@ object EventsQueries {
             MvAgg("count_star", outCol = "n_events"),
             MvAgg("sum", "value", Some("decimal(18,6)"), outCol = "sv")),
           mvPath = mvPath)
-        val q = sess.read.parquet(base)
+        val q = graft.Lake.read(sess, base)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(18, 6))).as("sv"))
@@ -928,12 +928,12 @@ object EventsQueries {
             MvAgg("kll", "value", outCol = "vkll", lgK = Some(32768))),
           mvPath = mvPath,
           groupExprs = Seq(MvGroupExpr("d", "date_trunc('day', ts)")))
-        val q = sess.read.parquet(base).groupBy("event_type")
+        val q = graft.Lake.read(sess, base).groupBy("event_type")
           .agg(count(col("value")).as("n_vals"),
             kllQuantile(kllAgg(col("value"), 32768), lit(0.5)).as("p50"),
             kllQuantile(kllAgg(col("value"), 32768), lit(0.95)).as("p95"))
         val served = servedFromMv(q, base)
-        val ev = sess.read.parquet(base).where(col("value").isNotNull)
+        val ev = graft.Lake.read(sess, base).where(col("value").isNotNull)
           .select(col("event_type"), col("value"))
         // the configured rank-error band (2x the sketch's one-sided
         // normalized rank error at the gate's k)
@@ -976,7 +976,7 @@ object EventsQueries {
         val mvPath =
           s"target/mv/advised_star_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         def star(f: DataFrame => DataFrame): DataFrame = {
-          val o = sess.read.parquet(fact); val c = sess.read.parquet(dimP)
+          val o = graft.Lake.read(sess, fact); val c = graft.Lake.read(sess, dimP)
           f(o.join(c, o("o_custkey") === c("c_custkey")))
         }
         def w1 = star(_.groupBy("c_mktsegment")
@@ -1036,18 +1036,18 @@ object EventsQueries {
         val cBase = s"$dir/customer.parquet"
         val mvPath =
           s"target/mv/advised_budget_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        def w1 = sess.read.parquet(evBase).groupBy("event_type")
+        def w1 = graft.Lake.read(sess, evBase).groupBy("event_type")
           .agg(sum(col("value").cast(DecimalType(18, 6))).as("sv"))
-        def w2 = sess.read.parquet(evBase).agg(count(lit(1)).as("n"))
+        def w2 = graft.Lake.read(sess, evBase).agg(count(lit(1)).as("n"))
         def w3 = {
-          val o = sess.read.parquet(oBase)
-          val c = sess.read.parquet(cBase)
+          val o = graft.Lake.read(sess, oBase)
+          val c = graft.Lake.read(sess, cBase)
           o.join(c, o("o_custkey") === c("c_custkey"))
             .groupBy("c_mktsegment")
             .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
               .as("revenue"))
         }
-        def w4 = sess.read.parquet(liBase).groupBy("l_returnflag")
+        def w4 = graft.Lake.read(sess, liBase).groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"))
         val ranked = MaterializedView.adviseBudgeted(
           sess, Seq(w1, w2, w3, w4), budgetRows = 8L)

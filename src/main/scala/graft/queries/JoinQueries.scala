@@ -510,7 +510,7 @@ object JoinQueries {
             s"missing persisted star stats under $stage/$t")
         val child = s.newSession()
         child.conf.set(StarOrderRule.ConfKey, "true")
-        def scan(n: String) = child.read.parquet(s"$stage/$n/data")
+        def scan(n: String) = graft.Lake.read(child, s"$stage/$n/data")
         val joined = scan("fact") // adversarial WRITTEN order
           .join(scan("dim_supplier"), col("l_suppkey") === col("s_suppkey"))
           .join(scan("dim_orders"), col("l_orderkey") === col("o_orderkey"))

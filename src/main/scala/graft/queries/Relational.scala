@@ -465,9 +465,9 @@ object Relational {
             graft.plans.StarStatsRegistry.qualify(s, s"$stage/$t/data"))
         val child = s.newSession()
         child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
-        child.read.parquet(s"$stage/customer/data")
+        graft.Lake.read(child, s"$stage/customer/data")
           .createOrReplaceTempView("customer_zm")
-        child.read.parquet(s"$stage/supplier/data")
+        graft.Lake.read(child, s"$stage/supplier/data")
           .createOrReplaceTempView("supplier_zm")
         val df = child.sql(
           """SELECT c_custkey, COUNT(s_suppkey) AS n_match,
@@ -512,9 +512,9 @@ object Relational {
         val stage = orjStatsStage(s, dir)
         val child = s.newSession()
         child.conf.set(graft.plans.OrEquiJoinRule.ConfKey, "true")
-        child.read.parquet(s"$stage/customer/data")
+        graft.Lake.read(child, s"$stage/customer/data")
           .createOrReplaceTempView("customer_zm")
-        child.read.parquet(s"$stage/supplier/data")
+        graft.Lake.read(child, s"$stage/supplier/data")
           .createOrReplaceTempView("supplier_zm")
         val df = child.sql(
           """SELECT c_custkey, COUNT(s_suppkey) AS n_match,

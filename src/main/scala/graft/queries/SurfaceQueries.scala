@@ -156,7 +156,7 @@ object SurfaceQueries {
         val stage = s"target/part_stage/orders_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         Lake(s, dir).orders
           .write.mode("overwrite").partitionBy("o_orderpriority").parquet(stage)
-        s.read.parquet(stage)
+        graft.Lake.read(s, stage)
           .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
           .groupBy("o_orderpriority", "o_orderstatus")
           .agg(count(lit(1)).as("n"),
