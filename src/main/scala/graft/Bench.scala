@@ -210,7 +210,13 @@ object Bench {
             math.rint(n / 1e5) / 10)
         } finally in.close()
       } catch { case _: Throwable => (-1.0, 0.0) }
-      s""""env":{"load_avg":$loadAvg,"cpus":$nCpus,"contended":$contended,"load_max":$loadMax,"heap_max_gb":${math.rint(rt.maxMemory() / 1e8) / 10},"scan_mbps":$scanMbps,"scan_probe_mb":$scanProbeMb}"""
+      // cpus_configured: the parallelism the run actually EXECUTES at —
+      // $SPARK_GRAFT_CPUS as wired into master(local[N]) — distinct from
+      // `cpus` (the machine's availableProcessors). VERDICT r19 item 2:
+      // the low-core scaling probe read `cpus` (32 on an 8-core-
+      // configured run) and flagged the round `suspect_cpus_ignored`;
+      // this field lets the driver verify the contract from the record.
+      s""""env":{"load_avg":$loadAvg,"cpus":$nCpus,"cpus_configured":${spark.sparkContext.defaultParallelism},"contended":$contended,"load_max":$loadMax,"heap_max_gb":${math.rint(rt.maxMemory() / 1e8) / 10},"scan_mbps":$scanMbps,"scan_probe_mb":$scanProbeMb}"""
     }
 
     val (res1, total1, failed1) = benchAt(sfDir)

@@ -69,7 +69,18 @@ object Lake {
     * or results: a changed/regenerated table changes its fingerprint and
     * re-infers, and cache hits hand the schema to `spark.read.schema(…)`
     * over the same files, so every invocation still computes from the
-    * parquet inputs. */
+    * parquet inputs.
+    *
+    * Known caveat (ADVICE r19): the fingerprint is name+length+mtime per
+    * leaf file (plus file count via the fold), so an IN-PLACE rewrite
+    * that keeps every file name, byte length, and mtime millisecond
+    * would serve a stale schema. None of the engine's own write paths
+    * can produce that — they write fresh part-file names (UUID-suffixed)
+    * into the directory, which changes both the name fold and the count
+    * — and parquet files with different schemas virtually never collide
+    * on exact byte length. If an external writer ever rewrites tables
+    * in place, fold a content hint (footer length / checksum mtime)
+    * into the fingerprint. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.types.StructType)]()
 

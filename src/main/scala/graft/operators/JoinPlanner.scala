@@ -143,18 +143,21 @@ object JoinPlanner {
     // and thresholds are unchanged (JoinOpsSpec pins them).
     import graft.plans.ThetaSketchExprs._
     import graft.plans.FreqSketchExprs._
+    // top-k, not top-1 (ADVICE r19): with SEVERAL keys above the skew
+    // threshold, surfacing only the heaviest would pin every other heavy
+    // key to salt 0 on one task — worse than legacy full-replication
+    // salting, which at least spread all left rows. Every sketch item
+    // whose share clears skewShareThreshold is surfaced as hot; the salt
+    // count still sizes to the single heaviest key (the straggler bound).
     val l = left.agg(count(lit(1)).as("n_left"),
       thetaSketchAgg(col(lKey), 18).as("skl"),
-      freqTopItems(freqSketchAgg(col(lKey).cast("string"), 1024), lit(1))
-        .as("top"))
+      freqTopItems(freqSketchAgg(col(lKey).cast("string"), 1024),
+        lit(maxSalts)).as("top"))
     val r = right.agg(count(lit(1)).as("n_right"),
       thetaSketchAgg(col(rKey), 18).as("skr"))
     val st = l.crossJoin(broadcast(r))
       .select(col("n_left"), col("n_right"),
-        thetaEstimate(col("skl")).as("d_left"),
-        try_element_at(col("top"), lit(1)).getField("item").as("top_key"),
-        coalesce(try_element_at(col("top"), lit(1)).getField("est"), lit(0L))
-          .as("top_rows"))
+        thetaEstimate(col("skl")).as("d_left"), col("top"))
       .head()
     val nLeft = st.getAs[Long]("n_left")
     val nRight = st.getAs[Long]("n_right")
@@ -162,14 +165,17 @@ object JoinPlanner {
       JoinPlan(if (nRight <= nLeft) "broadcast-right" else "broadcast-left", 1)
     else {
       val dLeft = math.max(1L, st.getAs[Long]("d_left"))
-      val topRows = st.getAs[Long]("top_rows")
+      val top = st.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top")
+      val topRows = top.headOption.map(_.getAs[Long]("est")).getOrElse(0L)
       val share = if (nLeft == 0L) 0.0 else topRows.toDouble / nLeft
       if (share >= skewShareThreshold) {
         val mean = nLeft.toDouble / dLeft
         val need = math.ceil(topRows / (mean * targetRatio)).toInt
         if (need <= 1) JoinPlan("shuffle-hash", 1)
         else JoinPlan("salted", math.min(need, maxSalts),
-          Option(st.getAs[String]("top_key")).toSeq)
+          top.filter(r => r.getAs[String]("item") != null &&
+              r.getAs[Long]("est").toDouble / nLeft >= skewShareThreshold)
+            .map(_.getAs[String]("item")).toSeq)
       } else JoinPlan("shuffle-hash", 1)
     }
   }
@@ -206,7 +212,12 @@ object JoinPlanner {
         // right-minus-key output shape. With known hot keys, replicate
         // ONLY those (saltedJoinHot) — the whole-build-side replication
         // is the legacy fallback for callers that salt blind.
-        if (plan.hotKeys.nonEmpty)
+        // hot-key salting compares hotness via the keys' string
+        // rendering, which only agrees with the native `===` when both
+        // keys share one type (ADVICE r19) — differently-typed keys take
+        // the legacy full-replication path, correct for any coercion
+        if (plan.hotKeys.nonEmpty &&
+            left.schema(lKey).dataType == right.schema(rKey).dataType)
           SkewJoin.saltedJoinHot(left,
             right.withColumnRenamed(rKey, lKey), lKey, plan.salts,
             plan.hotKeys)

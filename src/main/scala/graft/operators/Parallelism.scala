@@ -40,7 +40,13 @@ object Parallelism {
     * (shingling, hashing, annotate) should stay on [[ensure]] — their
     * work floor is far below 1 MB/task. */
   def spread(df: DataFrame, minBytesPerTask: Long): DataFrame =
-    spreadTo(df, totalWork => totalWork / math.max(1L, minBytesPerTask))
+    // ceil, floored at 1: plain floor division returns 0 for inputs
+    // smaller than one task's floor, which collides with the `byWork <= 0`
+    // "ensure semantics" sentinel below and would spread the tiniest
+    // inputs to every core — the exact overhead this floor exists to
+    // prevent (ADVICE r19)
+    spreadTo(df, totalWork => math.max(1L,
+      math.ceil(totalWork.toDouble / math.max(1L, minBytesPerTask)).toLong))
 
   private def spreadTo(df: DataFrame, maxByWork: Long => Long): DataFrame = {
     if (df.isStreaming) return df // micro-batch planner owns parallelism

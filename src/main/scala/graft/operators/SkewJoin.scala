@@ -48,6 +48,18 @@ object SkewJoin {
                     salts: Int, hotKeys: Seq[String]): DataFrame = {
     require(salts > 1, "salts must be > 1")
     require(hotKeys.nonEmpty, "saltedJoinHot needs at least one hot key")
+    // The hot test renders each side's key to STRING while the join
+    // compares natively: with differently-typed keys a value can satisfy
+    // `===` (after implicit coercion) yet render differently (bigint 1
+    // vs decimal 1.00) — the right rows would not replicate while hot
+    // left rows spread over salts, silently DROPPING matched pairs with
+    // salt != 0 (ADVICE r19). Same-type keys make the two comparisons
+    // agree; differently-typed callers must cast first (JoinPlanner
+    // falls back to full-replication salting, which has no hot test).
+    require(left.schema(key).dataType == right.schema(key).dataType,
+      s"saltedJoinHot requires same-typed keys, got " +
+        s"${left.schema(key).dataType.catalogString} vs " +
+        s"${right.schema(key).dataType.catalogString}")
     val isHotL = left(key).cast("string").isin(hotKeys: _*)
     val isHotR = right(key).cast("string").isin(hotKeys: _*)
     val lSalted = left.withColumn("__salt",

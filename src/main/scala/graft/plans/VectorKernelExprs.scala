@@ -36,13 +36,30 @@ import org.apache.spark.sql.types._
   * gates pin the integrated results at three scale factors.
   */
 object VectorKernels {
-  /** Spark's Round-on-double semantics, shared by eval and codegen. */
+  /** Spark's Round-on-double semantics, shared by eval and codegen.
+    * NaN/±Inf pass through unchanged — RoundBase returns non-finite
+    * doubles as-is, while BigDecimal(x) would throw
+    * NumberFormatException (ADVICE r19: a NaN element in one vector
+    * must not crash the whole query where the HOF `round()` it
+    * replaces returned NaN). */
   def roundD(x: Double, scale: Int): Double =
-    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** xxhash64(i: int, plane: int) with Spark's seed-chaining (seed 42). */
   def hashIntPlane(i: Int, plane: Int): Long =
     XXH64.hashInt(plane, XXH64.hashInt(i, 42L))
+
+  /** Spark's `<` over doubles for the argmin fold (shared by eval and
+    * codegen): NaN orders ABOVE every value (and equal to itself), so a
+    * NaN distance never beats a finite one and a finite one always
+    * beats NaN — exactly how the replaced `array_min` treats NaN
+    * (ADVICE r19: Java's raw `<` is false on any NaN operand, which
+    * would pin the argmin to index 0 when centroid 0's distance is
+    * NaN while the HOF picks the finite minimum). */
+  def ltSpark(a: Double, b: Double): Boolean =
+    if (java.lang.Double.isNaN(a)) false
+    else java.lang.Double.isNaN(b) || a < b
 }
 
 private[plans] trait VectorKernelInput { self: UnaryExpression =>
@@ -171,7 +188,7 @@ case class NearestCentroidExpr(child: Expression,
         j += 1
       }
       val dist = VectorKernels.roundD(acc, distDecimals)
-      if (c == 0 || dist < best) { best = dist; bestIdx = c.toLong }
+      if (c == 0 || VectorKernels.ltSpark(dist, best)) { best = dist; bestIdx = c.toLong }
       c += 1
     }
     InternalRow(bestIdx, best)
@@ -208,7 +225,7 @@ case class NearestCentroidExpr(child: Expression,
          |        $acc += $d * $d;
          |      }
          |      double $dist = graft.plans.VectorKernels.roundD($acc, $distDecimals);
-         |      if ($c == 0 || $dist < $best) { $best = $dist; $bestIdx = (long) $c; }
+         |      if ($c == 0 || graft.plans.VectorKernels.ltSpark($dist, $best)) { $best = $dist; $bestIdx = (long) $c; }
          |    }
          |    ${ev.value} = new $rowClass(new Object[]{$bestIdx, $best});
          |  }
@@ -261,7 +278,10 @@ case class LshBucketExpr(child: Expression, nPlanes: Int, planeOffset: Int)
           (VectorKernels.hashIntPlane(j, plane).toDouble / Long.MaxValue.toDouble)
         j += 1
       }
-      if (proj >= 0) bucket |= (1 << p)
+      // Spark's `proj >= 0` is TRUE for NaN (NaN orders above every
+      // number), Java's is false — mirror Spark so a NaN projection
+      // sets the bit exactly as the HOF form did (ADVICE r19)
+      if (proj >= 0 || java.lang.Double.isNaN(proj)) bucket |= (1 << p)
       p += 1
     }
     bucket
@@ -296,7 +316,7 @@ case class LshBucketExpr(child: Expression, nPlanes: Int, planeOffset: Int)
          |          ((double) graft.plans.VectorKernels.hashIntPlane($j, $planeOffset + $p)
          |            / (double) Long.MAX_VALUE);
          |      }
-         |      if ($proj >= 0) $bucket |= (1 << $p);
+         |      if ($proj >= 0 || Double.isNaN($proj)) $bucket |= (1 << $p);
          |    }
          |  }
          |}

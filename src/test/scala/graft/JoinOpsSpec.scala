@@ -180,6 +180,50 @@ class JoinOpsSpec extends AnyFunSuite {
       canon(hot.join(dim, hot("k") === dim("dk")).drop(dim("dk"))))
   }
 
+  test("planFor surfaces EVERY key above the skew threshold, not just the top-1 (ADVICE r19)") {
+    import graft.operators.JoinPlanner
+    // two heavy keys (45% / 35% of rows) + uniform residual: top-1-only
+    // hot lists would pin the second heavy key to salt 0 on one task
+    val hot = spark.range(0, 4000)
+      .select(when(col("id") % 20 < 9, lit(1L))
+        .when(col("id") % 20 < 16, lit(2L))
+        .otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(0, 50).select(col("id").as("dk"),
+      concat(lit("v"), col("id")).as("v"))
+    val plan = JoinPlanner.planFor(hot, "k", dim, "dk", broadcastMaxRows = 10L)
+    assert(plan.strategy === "salted")
+    assert(plan.hotKeys.toSet === Set("1", "2"),
+      s"both heavy keys must surface, got ${plan.hotKeys}")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(JoinPlanner.executeJoin(plan, hot, "k", dim, "dk")) ===
+      canon(hot.join(dim, hot("k") === dim("dk")).drop(dim("dk"))))
+  }
+
+  test("mixed-typed keys refuse hot salting and fall back correctly (ADVICE r19)") {
+    import graft.operators.JoinPlanner
+    import spark.implicits._
+    // bigint 1 and decimal 1.00 satisfy === under coercion but render
+    // differently as strings — the hot test would silently drop matched
+    // pairs with salt != 0. saltedJoinHot must refuse; executeJoin must
+    // take the legacy full-replication path and stay multiset-identical.
+    val left = ((1 to 400).map(i => (1L, i)) ++ Seq((2L, 401), (3L, 402)))
+      .toDF("k", "payload")
+    val right = Seq(1, 2, 3, 4).toDF("dk")
+      .select(col("dk").cast("decimal(10,2)").as("dk"),
+        concat(lit("v"), col("dk")).as("v"))
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoinHot(left,
+        right.withColumnRenamed("dk", "k"), "k", 8, Seq("1"))
+    }
+    val plan = JoinPlanner.JoinPlan("salted", 8, Seq("1"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(JoinPlanner.executeJoin(plan, left, "k", right, "dk")) ===
+      canon(left.join(right, left("k") === right("dk")).drop(right("dk"))))
+  }
+
   test("auto-salted join: advisor picks >1 on skew, 1 on uniform, equal either way") {
     import spark.implicits._
     // 1000 rows on one hot key + 10 uniform keys: max/mean >> 4

@@ -28,6 +28,18 @@ class ParallelismSpec extends AnyFunSuite {
     }
   }
 
+  test("spread floors at ONE partition for inputs under one task's work (ADVICE r19)") {
+    val docs = Lake(spark, sf0001).documents // one tiny parquet file, ~KBs
+    // a work floor far above the input must spread to exactly 1 partition
+    // — never 0 (which would collide with the ensure sentinel and fan the
+    // tiniest input to every core, the overhead this floor prevents)
+    val spreadWide = Parallelism.spread(docs, Long.MaxValue / 4)
+    assert(spreadWide.rdd.getNumPartitions === 1)
+    // a floor below the input behaves like ensure (capped at the cluster)
+    assert(Parallelism.spread(docs, 1L).rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("probe adds no extra job and leaves streaming frames untouched") {
     // streaming: df.rdd would throw AnalysisException; the metadata probe
     // must fall through without touching the frame

@@ -124,6 +124,55 @@ class VectorKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("kernels match HOF forms on NaN and ±Inf inputs (ADVICE r19)") {
+    // non-finite elements exercise the three guards the random fixtures
+    // never hit: roundD must pass NaN/Inf through (BigDecimal(NaN)
+    // throws), the argmin fold must use Spark's NaN-above-everything
+    // ordering, and the LSH sign test must treat NaN >= 0 as TRUE.
+    val specials = Seq(Float.NaN, Float.PositiveInfinity,
+      Float.NegativeInfinity, 0.0f, -0.0f)
+    val rows: Seq[(Long, Option[Seq[Option[Float]]])] =
+      specials.zipWithIndex.map { case (s, i) =>
+        i.toLong -> Some(vec(16).map(Option(_)).updated(3, Some(s)))
+      } ++ Seq(
+        100L -> Some(Seq.fill(16)(Option(Float.NaN))),
+        101L -> Some(Seq.fill(16)(Option(Float.PositiveInfinity))),
+        102L -> Some(Seq.fill(16)(Option(Float.NegativeInfinity))))
+    val df = rows.toDF("id", "v").orderBy("id")
+    val m = Seq.fill(16)(rnd.nextDouble() - 0.5)
+    val d = Seq.fill(16)(rnd.nextDouble() - 0.5)
+    // centroid 0 carries a NaN element — every row's distance to it is
+    // NaN, so a Java `<` fold would pin the argmin to 0 while Spark's
+    // ordering must pick the nearest FINITE centroid
+    val cents = Seq.fill(4)(Seq.fill(16)(rnd.nextDouble()).toArray)
+    val nanC = cents.head.clone(); nanC(7) = Double.NaN
+    val withNan = cents.updated(0, nanC)
+    def kernels(frame: org.apache.spark.sql.DataFrame) = frame.select(
+      col("id"),
+      VectorKernelExprs.centeredDot(col("v"), m, d),
+      VectorKernelExprs.nearestCentroid(col("v"), withNan.map(_.toSeq), 9)
+        .getField("cluster"),
+      VectorKernelExprs.nearestCentroid(col("v"), withNan.map(_.toSeq), 9)
+        .getField("dist"),
+      VectorKernelExprs.lshBucket(col("v"), 8))
+    def hofs(frame: org.apache.spark.sql.DataFrame) = frame.select(
+      col("id"),
+      Clustering.centeredDotHof(col("v"), m, d),
+      Clustering.nearestHof(col("v"), withNan, 9).getField("cluster"),
+      Clustering.nearestHof(col("v"), withNan, 9).getField("dist"),
+      VectorFunctions.lshBucketHof(col("v"), 8))
+    // toSeq equality is false on NaN (primitive NaN != NaN); compare the
+    // exact decimal rendering instead — Double.toString round-trips, so
+    // this is still bit-faithful (and distinguishes -0.0 from 0.0)
+    def render(frame: org.apache.spark.sql.DataFrame) =
+      frame.collect().map(_.toString).toSeq
+    assert(render(kernels(df)) == render(hofs(df))) // codegen path
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(render(kernels(df)) == render(hofs(df))) // interpreted path
+    }
+  }
+
   test("kernels are partition-count invariant") {
     val df = fixture(100, 32)
     val cents = Seq.fill(4)(Seq.fill(32)(rnd.nextDouble()).toArray)
