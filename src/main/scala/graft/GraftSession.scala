@@ -76,6 +76,21 @@ object GraftSession {
     // loses row-group pruning AND zone-map footer stats — at 100 TB the
     // difference between skipping a year of data and reading it
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // ObjectHashAggregate's sort-based fallback fires after this many
+    // DISTINCT groups per task (default 128 — sized for KB-scale sketch
+    // buffers). The engine's typed-imperative aggregates are two
+    // families: scalar string min/max (tens of bytes per group — the
+    // OR-join merge aggregates group by keys with thousands-to-millions
+    // of distinct values, where 128 means "always sort") and
+    // theta/KLL/freq sketches (KB-to-256KB per group, but only ever
+    // aggregated over LOW-cardinality groups in this engine — global
+    // rollups and small key sets, bounded by the sketch gates'
+    // contracts). 64k raises the scalar family's hash ceiling to
+    // ~MB-scale maps while the graceful sort fallback — exactly
+    // today's SortAggregate behavior — still protects anything larger,
+    // so the setting is scale-safe, not a local[32] tune.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "65536")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests/tools. Cores and shuffle partitions track the

@@ -112,32 +112,49 @@ object OrEquiJoin {
     // Branch 0: residual-free, so the right side collapses to one row
     // per distinct join key BEFORE the join touches `left`.
     val (l0, r0) = preds.head
+    val countT = right.schema(countCol).dataType
+    val minT = right.schema(minCol).dataType
+    // string minimums via the typed-imperative twin (ObjectHashAggregate
+    // instead of SortAggregate — result-identical, see
+    // graft.plans.TypedMinMax); other types keep the stock Min
+    def minC(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (minT == org.apache.spark.sql.types.StringType) {
+        import org.apache.spark.sql.{GraftColumnBridge => B}
+        B.column(graft.plans.TypedMin(B.expression(c)).toAggregateExpression())
+      } else min(c)
     val pre = right.groupBy(col(r0))
-      .agg(count(col(countCol)).as("__cnt0"), min(col(minCol)).as("__min0"))
+      .agg(count(col(countCol)).as("__cnt0"), minC(col(minCol)).as("__min0"))
+    // UNION MERGE (round 20, guide §2.4): the branches used to merge by
+    // a per-branch groupBy each plus a chain of null-safe left joins on
+    // the group key — n aggregate exchanges and n−1 join exchanges,
+    // every one an AQE stage barrier. Branch outputs PARTITION the
+    // joined multiset, so the same totals fall out of ONE aggregate
+    // over a slotted union: branch 0 contributes its pre-aggregated
+    // (count, min) partials (merged by SUM / MIN — sum and min ignore
+    // the other branches' null padding), branches 1..n-1 contribute
+    // their RAW (countCol, minCol) pair columns (counted/minimized
+    // first-level, seeing only their own rows). Branch 0's left join
+    // saw every left row, so the union's group set is complete; a null
+    // group key is one group under groupBy exactly as it was under the
+    // null-safe attach joins.
     val b0 = left.join(pre, left(l0) === pre(r0), "left")
-      .groupBy(col(groupCol))
-      .agg(sum(col("__cnt0")).as("__n0"), min(col("__min0")).as("__m0"))
-
+      .select(col(groupCol), col("__cnt0").as("__pc"),
+        col("__min0").as("__pm"),
+        lit(null).cast(countT).as("__rc"), lit(null).cast(minT).as("__rm"))
     // Branches 1..n-1: the residual references left columns, so these
     // stay real joins — sized by their own predicate's selectivity.
     val parts = preds.zipWithIndex.drop(1).map { case (p, k) =>
       left.join(right, eq(p) && notYet(k), "inner")
-        .groupBy(col(groupCol))
-        .agg(count(col(countCol)).as(s"__n$k"), min(col(minCol)).as(s"__m$k"))
+        .select(col(groupCol), lit(null).cast("bigint").as("__pc"),
+          lit(null).cast(minT).as("__pm"),
+          right(countCol).as("__rc"), right(minCol).as("__rm"))
     }
-    // b0's left join saw EVERY left row, so its group set is complete:
-    // later partials attach with null-safe left joins (a null group key
-    // is a group like any other, exactly as groupBy treats it).
-    val merged = parts.zipWithIndex.foldLeft(b0) { case (acc, (p, i)) =>
-      acc.join(p.withColumnRenamed(groupCol, s"__g$i"),
-          col(groupCol) <=> col(s"__g$i"), "left")
-        .drop(s"__g$i")
-    }
-    val nTotal = preds.indices
-      .map(k => coalesce(col(s"__n$k"), lit(0L))).reduce(_ + _)
-    val mCols = preds.indices.map(k => col(s"__m$k"))
-    val mBest = if (mCols.size == 1) mCols.head else least(mCols: _*)
-    merged.select(col(groupCol), nTotal.as(countOut), mBest.as(minOut))
+    val merged = parts.foldLeft(b0)(_ unionAll _)
+      .groupBy(col(groupCol))
+      .agg((coalesce(sum(col("__pc")), lit(0L)) + count(col("__rc")))
+          .as(countOut),
+        least(minC(col("__pm")), minC(col("__rm"))).as(minOut))
+    merged.select(col(groupCol), col(countOut), col(minOut))
   }
 
   /** `preds` permuted so the best pre-aggregation candidate — the

@@ -857,18 +857,31 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         }
       }
 
+    // MIN/MAX over the DEFAULT string type route through the typed-
+    // imperative twins (result-identical, law-pinned): a declarative
+    // Min(string) buffer demotes the whole aggregate to SortAggregate —
+    // a Sort of the input on both sides of every exchange — while the
+    // typed form plans as ObjectHashAggregate (guide §4, VERDICT r19
+    // item 6). Collated string types keep the stock path (the typed
+    // comparison is byte-wise).
+    def minOf(e: Expression): AggregateFunction =
+      if (e.dataType == org.apache.spark.sql.types.StringType) TypedMin(e)
+      else Min(e)
+    def maxOf(e: Expression): AggregateFunction =
+      if (e.dataType == org.apache.spark.sql.types.StringType) TypedMax(e)
+      else Max(e)
     def fresh(p: Prim, e: Expression): AggregateFunction = p match {
       case PCount => Count(e)
       case PSum   => Sum(e)
-      case PMin   => Min(e)
-      case PMax   => Max(e)
+      case PMin   => minOf(e)
+      case PMax   => maxOf(e)
     }
     // Merge partials of an already-partial column: counts re-merge by
     // SUM, sums by SUM, min/max by themselves.
     def merge(p: Prim, part: Expression): AggregateFunction = p match {
       case PCount | PSum => Sum(part)
-      case PMin          => Min(part)
-      case PMax          => Max(part)
+      case PMin          => minOf(part)
+      case PMax          => maxOf(part)
     }
     def agg(fn: AggregateFunction): Expression = fn.toAggregateExpression()
     // Sum-of-Sum widens decimal precision (p+10 -> p+20); cast the
@@ -905,10 +918,13 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // (composite) join key BEFORE touching `left` — rows of `right` with
     // a null key form a null pre-agg group the EqualTo condition never
     // matches, same as the OR join where a null key satisfies no
-    // predicate — then joined and merged per group. `freshSides` re-ids
-    // both subplans (the cross-term merge joins would otherwise
-    // self-join duplicate ids); term 0 keeps the ORIGINAL left so the
-    // group attrs' ids flow to the final projection unchanged.
+    // predicate. Returns the JOINED frame with the partial columns
+    // still attached (the union merge below does ALL cross-group
+    // merging in one final aggregate — round 20). `freshSides` re-ids
+    // both subplans (the terms land in one Union, and downstream
+    // consumers must never see duplicate ids); term 0 keeps the
+    // ORIGINAL left so the group attrs' ids flow to the final
+    // projection unchanged.
     def preAggTerm(keyIdx: Seq[Int], tag: String, freshSides: Boolean,
                    joinType: org.apache.spark.sql.catalyst.plans.JoinType)
         : (LogicalPlan, Seq[Attribute], Seq[Alias]) = {
@@ -939,19 +955,7 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       }.reduce(And)
       val joined = Join(l, pre, joinType, Some(cond), JoinHint.NONE)
       val gk = groupAttrs.map(g => lm.getOrElse(g, g))
-      val mergeAliases = flatPrims.zipWithIndex.map { case ((p, _), i) =>
-        Alias(sameType(agg(merge(p, preAliases(i).toAttribute)),
-          partialTypes(i)), s"__orj_${tag}_m$i")()
-      }
-      (Aggregate(gk, (gk: Seq[NamedExpression]) ++ mergeAliases, joined), gk,
-        mergeAliases)
-    }
-
-    def attach(acc: LogicalPlan, t: LogicalPlan, gk: Seq[Attribute]): LogicalPlan = {
-      val cond = groupAttrs.zip(gk)
-        .map { case (g, gg) => EqualNullSafe(g, gg): Expression }
-        .reduce(And)
-      Join(acc, t, LeftOuter, Some(cond), JoinHint.NONE)
+      (joined, gk, preAliases)
     }
 
     // ---- plan shape choice -------------------------------------------
@@ -987,51 +991,98 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       else if (ieMode) Some(ieKeys)
       else None
 
-    val (merged: LogicalPlan, slot: (Int => Seq[Expression])) =
+    // ---- union merge (round 20, guide §2.4) ---------------------------
+    // The terms used to combine by a chain of per-term merge Aggregates
+    // + LeftOuter attach joins on the group key: n merge exchanges plus
+    // up to n−1 join exchanges, every one an AQE stage materialization
+    // barrier (q86 ran 26 sequential single-task jobs). Instead, UNION
+    // the term JOIN outputs — each term owns a disjoint block of P slot
+    // columns, null-padded in every other branch — and merge in ONE
+    // final aggregate. Per (group, term) the slot function sees exactly
+    // the former per-term rows (aggregates ignore the other branches'
+    // null padding), a term with no rows for a group yields null
+    // exactly as the former unmatched LeftOuter attach did, term 0's
+    // LeftOuter join keeps the group set complete, and a null group key
+    // is one group under groupBy just as it was under the EqualNullSafe
+    // attach — so the merged relation is row-identical while n+n−1
+    // exchanges collapse into one and the term subtrees become
+    // independent (AQE materializes them concurrently). At scale this
+    // also strictly shrinks shuffled bytes: the attach chain re-
+    // shuffled the accumulated spine per join, the union shuffles each
+    // term's partials once.
+    //  - pre-aggregated terms (IE / min-max / branch 0) carry PARTIAL
+    //    columns: the final aggregate re-merges them (counts/sums by
+    //    SUM, min/max by themselves);
+    //  - residual branches (branch form, k>=1) carry their RAW argument
+    //    columns: the final aggregate applies the first-level function,
+    //    which sees only that branch's rows — null padding elsewhere,
+    //    and a projected arg column counts/sums exactly as the arg
+    //    expression did over the branch join's rows.
+    case class TermU(plan: LogicalPlan, gk: Seq[Attribute],
+                     cols: Seq[NamedExpression], preAgged: Boolean)
+    val terms: Seq[TermU] =
       termKeys match {
         case Some(keys) =>
-          // term 0 keeps the original left under a LeftOuter join, so its
-          // group set is complete; later terms attach by null-safe-
-          // equality left joins (attach), exactly as the branch form.
-          val terms = keys.zipWithIndex.map { case (ks, i) =>
-            if (i == 0) preAggTerm(ks, s"t$i", freshSides = false, LeftOuter)
-            else preAggTerm(ks, s"t$i", freshSides = true, Inner)
+          // term 0 keeps the original left under a LeftOuter join, so
+          // its group set is complete; later terms are fresh inner joins.
+          keys.zipWithIndex.map { case (ks, i) =>
+            val (j, gk, pre) =
+              if (i == 0) preAggTerm(ks, s"t$i", freshSides = false, LeftOuter)
+              else preAggTerm(ks, s"t$i", freshSides = true, Inner)
+            TermU(j, gk, pre.map(_.toAttribute), preAgged = true)
           }
-          val m = terms.tail.foldLeft(terms.head._1: LogicalPlan) {
-            case (acc, (t, gk, _)) => attach(acc, t, gk)
-          }
-          (m, (j: Int) =>
-            terms.map(_._3(j).toAttribute.withNullability(true)))
         case None =>
-        // ---- branch 0: residual-free, so `right` pre-aggregates to one
-        // partial row per distinct first-predicate key.
-        val (b0, _, b0Aliases) =
-          preAggTerm(Seq(0), "b0", freshSides = false, LeftOuter)
-        // ---- branches 1..n-1: residuals reference left columns, so
-        // these stay real joins — sized by their own predicate's
-        // selectivity — but aggregate IMMEDIATELY, before any merge.
-        val parts = oPreds.indices.drop(1).map { k =>
-          val (fl, lm) = freshen(left)
-          val (fr, rm) = freshen(right)
-          def remap(e: Expression): Expression = e.transform {
-            case at: Attribute => rm.getOrElse(at, lm.getOrElse(at, at))
+          // ---- branch 0: residual-free, so `right` pre-aggregates to
+          // one partial row per distinct first-predicate key.
+          val (j0, gk0, pre0) =
+            preAggTerm(Seq(0), "b0", freshSides = false, LeftOuter)
+          // ---- branches 1..n-1: residuals reference left columns, so
+          // these stay real joins — sized by their own predicate's
+          // selectivity — contributing raw argument columns.
+          val parts = oPreds.indices.drop(1).map { k =>
+            val (fl, lm) = freshen(left)
+            val (fr, rm) = freshen(right)
+            def remap(e: Expression): Expression = e.transform {
+              case at: Attribute => rm.getOrElse(at, lm.getOrElse(at, at))
+            }
+            val cond = And(remap(oPreds(k)), remap(notYet(oPreds.take(k)).get))
+            val jk = Join(fl, fr, Inner, Some(cond), JoinHint.NONE)
+            val gk = groupAttrs.map(lm(_))
+            val argAliases = flatPrims.zipWithIndex.map { case ((_, e), i) =>
+              Alias(remap(e), s"__orj_b${k}_a$i")()
+            }
+            TermU(jk, gk, argAliases, preAgged = false)
           }
-          val cond = And(remap(oPreds(k)), remap(notYet(oPreds.take(k)).get))
-          val jk = Join(fl, fr, Inner, Some(cond), JoinHint.NONE)
-          val gk = groupAttrs.map(lm(_))
-          val partAliases = flatPrims.zipWithIndex.map { case ((p, e), i) =>
-            Alias(agg(fresh(p, remap(e))), s"__orj_b${k}_$i")()
-          }
-          (Aggregate(gk, (gk: Seq[NamedExpression]) ++ partAliases, jk), gk,
-            partAliases)
-        }
-        // b0's group set is complete (its left join saw every left row)
-        val m = parts.foldLeft(b0: LogicalPlan) { case (acc, (bk, gk, _)) =>
-          attach(acc, bk, gk)
-        }
-        (m, (j: Int) => b0Aliases(j).toAttribute.withNullability(true) +:
-          parts.map(_._3(j).toAttribute.withNullability(true)))
+          TermU(j0, gk0, pre0.map(_.toAttribute), preAgged = true) +: parts
       }
+    val nSlots = flatPrims.length
+    val branches: Seq[LogicalPlan] = terms.zipWithIndex.map { case (t, ti) =>
+      val slots: Seq[NamedExpression] = terms.zipWithIndex.flatMap {
+        case (u, ui) =>
+          if (ui == ti) t.cols
+          else u.cols.zipWithIndex.map { case (c, j) =>
+            Alias(Literal(null, c.dataType), s"__orj_z${ui}_$j")()
+          }
+      }
+      Project((t.gk: Seq[NamedExpression]) ++ slots, t.plan)
+    }
+    val unioned = Union(branches)
+    // Union output ids come from the FIRST child — term 0, whose group
+    // keys are the ORIGINAL attributes, so the final projection's
+    // groupAttrs references resolve unchanged.
+    val gkOut = unioned.output.take(groupAttrs.length)
+    val mergeAliases: Seq[Seq[Alias]] = terms.zipWithIndex.map { case (t, ti) =>
+      flatPrims.zipWithIndex.map { case ((p, _), j) =>
+        val c = unioned.output(groupAttrs.length + ti * nSlots + j)
+        val fn = if (t.preAgged) merge(p, c) else fresh(p, c)
+        Alias(sameType(agg(fn), partialTypes(j)), s"__orj_u${ti}_m$j")()
+      }
+    }
+    val merged: LogicalPlan =
+      Aggregate(gkOut, (gkOut: Seq[NamedExpression]) ++ mergeAliases.flatten,
+        unioned)
+    val slot: Int => Seq[Expression] =
+      (j: Int) => mergeAliases.map(_(j).toAttribute.withNullability(true))
     // slots carrying PER-PREDICATE partials (additive); in IE mode the
     // later slots are the signed overlaps — min/max must not read them
     val nAdditive =
@@ -1040,12 +1091,10 @@ object OrEquiJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
     // ---- final projection: original output names AND exprIds, so parent
     // operators resolve unchanged.
-    // Partials referenced here sit on the RIGHT of the LeftOuter merge
-    // joins, so they are nullable HERE even when the term aggregate
-    // output is not (count is non-nullable below the join) — `slot`
-    // re-marks them nullable; claiming the pre-join nullability would
-    // let NullPropagation fold away the Coalesce/IsNull guards and
-    // corrupt unmatched groups.
+    // A term with no rows for a group yields a NULL merged slot (Sum/
+    // Min/Max over that term's all-null padding) — `slot` marks every
+    // partial nullable so NullPropagation never folds away the
+    // Coalesce/IsNull guards that give unmatched groups their 0/null.
     // Decimal Add/Subtract widen precision per node and BinaryOperator
     // wants same-typed children, so every arithmetic step casts back to
     // the common partial type (the same p+10 accumulator Sum itself

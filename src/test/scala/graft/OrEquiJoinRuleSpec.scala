@@ -92,10 +92,10 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     withRule(on = true) {
       val plan = naiveAgg().queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      // a Union in the plan means the bare-join rewrite fired and the
-      // aggregate still consumes the materialized pair multiset; the
-      // eager plan aggregates per branch and merges by join instead
-      assert(!plan.contains("Union"), plan)
+      // the eager plan is probed by its own __orj_ aliases (since the
+      // round-20 union merge BOTH forms contain a Union; the bare-join
+      // rewrite carries no __orj_ aliases, so the alias alone separates)
+      assert(plan.contains("__orj_"), plan)
     }
   }
 
@@ -109,7 +109,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
           |GROUP BY c_custkey""".stripMargin)
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      assert(!plan.contains("Union"), plan)
+      assert(plan.contains("__orj_"), plan)
       val expected = withRule(on = false) { canon(naiveAgg().select("c_custkey", "n_match", "first_sup")) }
       assert(canon(df) === expected)
     }
@@ -160,7 +160,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      assert(!plan.contains("Union"), plan)
+      assert(plan.contains("__orj_"), plan)
       assert(canon(df) === expected)
     }
   }
@@ -192,7 +192,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      assert(!plan.contains("Union"), plan)
+      assert(plan.contains("__orj_"), plan)
       assert(canon(df) === expected)
     }
   }
@@ -217,7 +217,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     withRule(on = true) {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Union") &&
+      assert(plan.contains("__orj_") &&
         !plan.contains("BroadcastNestedLoopJoin"), plan)
       assert(df.schema("a").dataType === expectedType)
       assert(canon(df) === expected)
@@ -240,7 +240,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      assert(!plan.contains("Union"), plan)
+      assert(plan.contains("__orj_"), plan)
       assert(canon(df) === expected)
     }
   }
@@ -265,7 +265,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      assert(!plan.contains("Union"), plan)
+      assert(plan.contains("__orj_"), plan)
       assert(canon(df) === expected)
     }
   }
@@ -295,7 +295,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val expected = withRule(on = false) { canon(q()) }
       withRule(on = true) {
         val df = q()
-        assert(!df.queryExecution.executedPlan.toString.contains("Union"))
+        assert(df.queryExecution.executedPlan.toString.contains("__orj_"))
         assert(canon(df) === expected, s"preds=$preds")
       }
     }
@@ -324,7 +324,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      assert(!plan.contains("Union"), plan)
+      assert(plan.contains("__orj_"), plan)
       assert(canon(df) === expected)
     }
   }
@@ -360,7 +360,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val expected = withRule(on = false) { canon(q()) }
       withRule(on = true) {
         val df = q()
-        assert(!df.queryExecution.executedPlan.toString.contains("Union"))
+        assert(df.queryExecution.executedPlan.toString.contains("__orj_"))
         assert(canon(df) === expected, s"order=$order")
       }
     }
@@ -391,7 +391,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      assert(!plan.contains("Union"), plan)
+      assert(plan.contains("__orj_"), plan)
       assert(canon(df) === expected)
     }
   }
@@ -411,7 +411,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      assert(!plan.contains("Union"), plan)
+      assert(plan.contains("__orj_"), plan)
       assert(canon(df) === expected)
     }
   }
@@ -443,7 +443,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       withRule(on = true) {
         val df = q()
         val plan = df.queryExecution.executedPlan.toString
-        assert(!plan.contains("Union"), plan)
+        assert(plan.contains("__orj_"), plan)
         assert(canon(df) === expected, s"order=$order")
       }
     }
@@ -473,7 +473,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val expected = withRule(on = false) { canon(q()) }
       withRule(on = true) {
         val df = q()
-        assert(!df.queryExecution.executedPlan.toString.contains("Union"))
+        assert(df.queryExecution.executedPlan.toString.contains("__orj_"))
         assert(canon(df) === expected, s"cond=$cond")
       }
     }
@@ -544,7 +544,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
         val df = q()
         if (nPreds >= 2) {
           val plan = df.queryExecution.executedPlan.toString
-          assert(!plan.contains("Union"), s"trial $trial: agg case must fire\n$plan")
+          assert(plan.contains("__orj_"), s"trial $trial: agg case must fire\n$plan")
         }
         assert(canon(df) === expected, s"trial $trial nPreds=$nPreds diverged")
       }
@@ -609,7 +609,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       assert(b0KeyOf(df) === "s_nationkey",
         "the 25-value nationkey predicate must be the pre-aggregated branch")
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Union") &&
+      assert(plan.contains("__orj_") &&
         !plan.contains("BroadcastNestedLoopJoin"), plan)
       assert(canon(df) === expected)
     }
@@ -665,7 +665,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       assert(!df.queryExecution.optimizedPlan.toString.contains("__orj_t2_"),
         "no IE overlap term may remain in the branch plan")
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Union") &&
+      assert(plan.contains("__orj_") &&
         !plan.contains("BroadcastNestedLoopJoin"), plan)
       assert(canon(df) === expected)
     }
@@ -728,7 +728,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       assert(jobs() === before,
         "planning the filtered stats-pick must run ZERO Spark jobs")
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Union") &&
+      assert(plan.contains("__orj_") &&
         !plan.contains("BroadcastNestedLoopJoin"), plan)
       assert(canon(df) === expected)
     }
@@ -844,7 +844,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
     withRule(on = true) {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Union") &&
+      assert(plan.contains("__orj_") &&
         !plan.contains("BroadcastNestedLoopJoin"), plan)
       assert(canon(df) === expected)
     }
@@ -1000,7 +1000,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val df = q()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      assert(!plan.contains("Union"), s"eager form must fire\n$plan")
+      assert(plan.contains("__orj_"), s"eager form must fire\n$plan")
       assert(canon(df) === expected)
     }
     // grouping on the NON-preserved side falls back to the bare union
@@ -1057,7 +1057,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       withRule(on = true) {
         val df = q()
         val plan = df.queryExecution.executedPlan.toString
-        assert(!plan.contains("Union") &&
+        assert(plan.contains("__orj_") &&
           !plan.contains("BroadcastNestedLoopJoin"),
           s"trial $trial: eager right-outer must fire\n$plan")
         assert(canon(df) === expected, s"trial $trial diverged")
@@ -1556,7 +1556,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val opt = df.queryExecution.optimizedPlan.toString
       assert(opt.contains("__orj_t0_"), s"IE form must fire\n$opt")
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Union"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("__orj_"), plan)
       assert(canon(df) === expected)
     }
   }
@@ -1574,7 +1574,7 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       val df = q()
       val opt = df.queryExecution.optimizedPlan.toString
       assert(opt.contains("__orj_t0_"), s"IE form must fire\n$opt")
-      assert(!df.queryExecution.executedPlan.toString.contains("Union"))
+      assert(df.queryExecution.executedPlan.toString.contains("__orj_"))
       assert(canon(df) === expected)
     }
   }
@@ -1720,5 +1720,36 @@ class OrEquiJoinRuleSpec extends AnyFunSuite {
       // inequality disjunct -> not rewritable -> still nested loop
       assert(df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
     }
+  }
+
+  test("TypedMin/TypedMax == Min/Max on strings, and plan ObjectHashAggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.{GraftColumnBridge => B}
+    import graft.plans.{TypedMin, TypedMax}
+    // nulls, empty strings, multi-byte UTF-8, groups with no non-null
+    // input — every edge Min/Max treat specially
+    val rnd = new scala.util.Random(77)
+    val pool = Seq("", "a", "à", "zz", "éclair", "Z", "0", "ab c")
+    val rows: Seq[(Long, Option[String])] = (0 until 500).map { i =>
+      (i.toLong % 37,
+        if (rnd.nextInt(5) == 0) None
+        else Some(pool(rnd.nextInt(pool.length)) + rnd.nextInt(100)))
+    } ++ Seq((100L, None), (100L, None), (101L, Some("")))
+    val df = rows.toDF("g", "s")
+    def tmin(c: org.apache.spark.sql.Column) =
+      B.column(TypedMin(B.expression(c)).toAggregateExpression())
+    def tmax(c: org.apache.spark.sql.Column) =
+      B.column(TypedMax(B.expression(c)).toAggregateExpression())
+    val typed = df.groupBy("g").agg(tmin(col("s")).as("mn"),
+      tmax(col("s")).as("mx"), count(col("s")).as("n"))
+    val stock = df.groupBy("g").agg(min(col("s")).as("mn"),
+      max(col("s")).as("mx"), count(col("s")).as("n"))
+    assert(typed.orderBy("g").collect().map(_.toString).toSeq ===
+      stock.orderBy("g").collect().map(_.toString).toSeq)
+    // the whole point: the typed twins must plan hash-based, the stock
+    // string min/max demotes to SortAggregate
+    val typedPlan = typed.queryExecution.executedPlan.toString
+    assert(typedPlan.contains("ObjectHashAggregate"), typedPlan)
+    assert(stock.queryExecution.executedPlan.toString.contains("SortAggregate"))
   }
 }
