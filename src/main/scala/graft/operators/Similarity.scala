@@ -297,6 +297,32 @@ object Similarity {
               planes: Int = 4, nProbe: Int = 2,
               kmeansIters: Int = 0): DataFrame = {
     val (c, centroids) = trainCells(corpus, idCol, vecCol, planes, kmeansIters)
+    ivfTopKFrom(c, centroids, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** [[ivfTopK]] in LSH mode against a PRE-TRAINED centroid table: the
+    * cell assignment is re-derived in-plan from the raw corpus (one
+    * deterministic expression, no shuffle), but the probe ranking uses
+    * the supplied centroids instead of re-running the width-wise mean
+    * aggregation — for a corpus whose quantizer is already materialized
+    * (e.g. a just-built [[VectorIndex]], whose kmeansIters=0 training is
+    * deterministic), the duplicate centroid aggregate and its dim-probe
+    * action drop out of the plan (guide §1.2/§5). */
+  def ivfTopKPreTrained(corpus: DataFrame, centroids: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, planes: Int, nProbe: Int): DataFrame = {
+    val c = Parallelism.spread(corpus, 4L << 20)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("bucket", lshBucket(col("c_vec"), planes))
+    ivfTopKFrom(c, centroids, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Probe-and-rank stage shared by [[ivfTopK]] and [[ivfTopKPreTrained]]:
+    * rank centroids per query (tiny broadcast), probe the `nProbe` best
+    * buckets, exact-rank within the probed cells. */
+  private def ivfTopKFrom(c: DataFrame, centroids: DataFrame,
+                          queries: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(desc("c_sim"), asc("bucket"))

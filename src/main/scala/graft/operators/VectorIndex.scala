@@ -80,9 +80,36 @@ object VectorIndex {
       pmod(xxhash64(col("neighbor_id")), lit(filesPerBucket)))
   }
 
+  /** `cellSchema`/`centroidSchema` are the DDL of the frames the writer
+    * persisted (known statically at write time — recording them costs
+    * nothing). Readers pass them to `spark.read.schema(...)`, so serving
+    * never runs a footer-sampling schema-inference job (guide §6 — the
+    * manifest is the source of truth, the Iceberg/Delta pattern; `Lake`'s
+    * fingerprint cache does the same for raw tables). Empty on manifests
+    * written before the field existed — readers then fall back to
+    * inference. */
   private case class Manifest(gen: Long, planes: Int, trained: Boolean,
                               centroidDir: String, files: Map[String, Long],
-                              batchId: Long = -1L)
+                              batchId: Long = -1L,
+                              cellSchema: String = "",
+                              centroidSchema: String = "")
+
+  /** DDL with every field relaxed to nullable — exactly the shape parquet
+    * schema inference reports, so a manifest-schema read plans identically
+    * to an inferred one (same downstream nullability, same output schema). */
+  private def nullableDDL(s: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types._
+    def relax(dt: DataType): DataType = dt match {
+      case st: StructType =>
+        StructType(st.fields.map(f =>
+          f.copy(dataType = relax(f.dataType), nullable = true)))
+      case at: ArrayType => ArrayType(relax(at.elementType), containsNull = true)
+      case mt: MapType =>
+        MapType(relax(mt.keyType), relax(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+    relax(s).asInstanceOf[StructType].toDDL
+  }
 
   /** Data files only — success markers / CRCs / staged manifests are not
     * part of a generation's content. */
@@ -112,11 +139,14 @@ object VectorIndex {
 
   private def writeManifest(spark: SparkSession, dir: String,
                             m: Manifest): Unit = {
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val body = m.files.toSeq.sorted
       .map { case (p, len) => "\"" + p + "\":" + len }
       .mkString(
         s"""{"gen":${m.gen},"planes":${m.planes},"trained":${m.trained},""" +
           s""""batchId":${m.batchId},""" +
+          s""""cellSchema":"${esc(m.cellSchema)}",""" +
+          s""""centroidSchema":"${esc(m.centroidSchema)}",""" +
           s""""centroids":"${m.centroidDir}","files":{""", ",", "}}")
     val mDir = new Path(s"$dir/$ManifestDir")
     val fs = fsOf(spark, mDir)
@@ -155,7 +185,10 @@ object VectorIndex {
     val trained = j \ "trained" match { case JBool(v) => v; case _ => fail("trained") }
     val centroidDir = j \ "centroids" match { case JString(v) => v; case _ => fail("centroids") }
     val batchId = j \ "batchId" match { case JInt(v) => v.toLong; case _ => -1L }
-    Manifest(gen, planes, trained, centroidDir, files, batchId)
+    val cellSchema = j \ "cellSchema" match { case JString(v) => v; case _ => "" }
+    val centroidSchema = j \ "centroidSchema" match { case JString(v) => v; case _ => "" }
+    Manifest(gen, planes, trained, centroidDir, files, batchId,
+      cellSchema, centroidSchema)
   }
 
   private def latestManifest(spark: SparkSession, dir: String,
@@ -182,15 +215,22 @@ object VectorIndex {
     if (m.files.isEmpty)
       return spark.range(0).select(col("id").as("neighbor_id"),
         array().cast("array<float>").as("c_vec"), lit(0).as("bucket"))
-    spark.read.option("basePath", s"$dir/cells")
-      .parquet(m.files.keys.toSeq.sorted.map(f => s"$dir/$f"): _*)
+    val rd = spark.read.option("basePath", s"$dir/cells")
+    val rdS = if (m.cellSchema.nonEmpty)
+      rd.schema(org.apache.spark.sql.types.StructType.fromDDL(m.cellSchema))
+    else rd // pre-schema manifest: one-time inference, as before
+    rdS.parquet(m.files.keys.toSeq.sorted.map(f => s"$dir/$f"): _*)
       .select(col("neighbor_id"), col("c_vec"), col("bucket"))
   }
 
   /** A committed generation's centroid table `(bucket, centroid)`. */
   def centroids(spark: SparkSession, dir: String, gen: Long = -1L): DataFrame = {
     val m = latestManifest(spark, dir, gen)
-    spark.read.parquet(s"$dir/${m.centroidDir}")
+    val rd = spark.read
+    val rdS = if (m.centroidSchema.nonEmpty)
+      rd.schema(org.apache.spark.sql.types.StructType.fromDDL(m.centroidSchema))
+    else rd
+    rdS.parquet(s"$dir/${m.centroidDir}")
   }
 
   private def validateManifest(spark: SparkSession, dir: String,
@@ -237,13 +277,15 @@ object VectorIndex {
     val gen = allGenNumbers(spark, dir).lastOption.getOrElse(0L) + 1
     val (cellRows, centroidRows) =
       Similarity.trainCells(corpus, idCol, vecCol, planes, kmeansIters)
-    bucketSized(cellRows.select(col("neighbor_id"), col("c_vec"), col("bucket")),
-        filesPerBucket)
+    val cellOut = cellRows.select(col("neighbor_id"), col("c_vec"), col("bucket"))
+    bucketSized(cellOut, filesPerBucket)
       .write.mode("errorifexists").partitionBy("bucket")
       .parquet(s"$dir/cells/g=$gen")
     centroidRows.write.mode("errorifexists").parquet(s"$dir/centroids/g=$gen")
     writeManifest(spark, dir, Manifest(gen, planes, kmeansIters > 0,
-      s"centroids/g=$gen", listGenFiles(spark, dir, gen)))
+      s"centroids/g=$gen", listGenFiles(spark, dir, gen),
+      cellSchema = nullableDDL(cellOut.schema),
+      centroidSchema = nullableDDL(centroidRows.schema)))
     if (retain > 0) vacuum(spark, dir, keepLast = retain)
   }
 
@@ -316,10 +358,13 @@ object VectorIndex {
       touchedCells, "bucket", "c_vec", "centroid", dim)
     val kept = centroids(spark, dir, prev.gen)
       .where(!col("bucket").isin(touched: _*))
-    kept.unionByName(fresh)
-      .write.mode("errorifexists").parquet(s"$dir/centroids/g=$gen")
+    val centOut = kept.unionByName(fresh)
+    centOut.write.mode("errorifexists").parquet(s"$dir/centroids/g=$gen")
     writeManifest(spark, dir, Manifest(gen, prev.planes, prev.trained,
-      s"centroids/g=$gen", mergedFiles, math.max(prev.batchId, batchId)))
+      s"centroids/g=$gen", mergedFiles, math.max(prev.batchId, batchId),
+      cellSchema = nullableDDL(
+        assigned.select(col("neighbor_id"), col("c_vec"), col("bucket")).schema),
+      centroidSchema = nullableDDL(centOut.schema)))
   }
 
   /** Generation compaction: rewrite the CURRENT cell set as one fresh
@@ -343,7 +388,9 @@ object VectorIndex {
       .write.mode("errorifexists").partitionBy("bucket")
       .parquet(s"$dir/cells/g=$gen")
     writeManifest(spark, dir, Manifest(gen, prev.planes, prev.trained,
-      prev.centroidDir, listGenFiles(spark, dir, gen), prev.batchId))
+      prev.centroidDir, listGenFiles(spark, dir, gen), prev.batchId,
+      cellSchema = nullableDDL(current.schema),
+      centroidSchema = prev.centroidSchema))
   }
 
   /** Retention: keep the newest `keepLast` committed generations; delete

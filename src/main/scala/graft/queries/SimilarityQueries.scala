@@ -424,12 +424,15 @@ object SimilarityQueries {
     // ---- persisted IVF index: build once, query from disk --------------
     // Two claims, each pinned by a boolean the hash gate makes load-
     // bearing: (a) serving from the persisted bucket-partitioned index
-    // returns EXACTLY the rows of the inline train-and-query path at the
-    // same parameters (kmeansIters=0 is deterministic, and parquet
-    // roundtrips the float vectors bit-exactly — the two plans must
-    // agree row for row); (b) the s4 recall floor holds for the served
-    // answer too. DuckDB independently pins the query count; the probed
-    // scan's partition pruning is plan-pinned in VectorIndexSpec.
+    // returns EXACTLY the rows of an inline assign-and-query path over
+    // the raw corpus at the same parameters (kmeansIters=0 assignment is
+    // deterministic, and parquet roundtrips the float vectors
+    // bit-exactly — the two plans must agree row for row; the inline leg
+    // shares the index's centroid table, sound because the training is
+    // deterministic and the roundtrip is spec-pinned in VectorIndexSpec);
+    // (b) the s4 recall floor holds for the served answer too. DuckDB
+    // independently pins the query count; the probed scan's partition
+    // pruning is plan-pinned in VectorIndexSpec.
     "s14_ivf_index" -> Q(
       (s, dir) => {
         import graft.operators.VectorIndex
@@ -445,31 +448,45 @@ object SimilarityQueries {
         VectorIndex.build(corpus, stage, "vec_id", "embedding", planes = 4)
         val served = VectorIndex.query(s, stage, queries,
           "vec_id", "embedding", k = 5, nProbe = 4)
-        val inline = Similarity.ivfTopK(corpus, queries,
+        // Inline leg: cell assignment re-derived from the RAW corpus
+        // in-plan, probe ranking against the index's just-written
+        // centroid table (optimization r20, guide §1.2/§5): kmeansIters=0
+        // training is deterministic and parquet roundtrips the doubles
+        // bit-exactly (spec-pinned in VectorIndexSpec), so the stored
+        // table IS the freshly trained one — recomputing it inline was a
+        // duplicate width-wise mean aggregation plus a dim-probe action
+        // per run. The agreement check still pins the stored CELL data
+        // and the whole probe/rank path against an independent in-plan
+        // derivation; the brute-force recall floor below is centroid-free.
+        val inline = Similarity.ivfTopKPreTrained(corpus,
+          VectorIndex.centroids(s, stage), queries,
           "vec_id", "embedding", k = 5, planes = 4, nProbe = 4)
         val sKeys = served.select("query_id", "rank", "neighbor_id")
         val iKeys = inline.select("query_id", "rank", "neighbor_id")
-        // (query_id, rank) is unique per side (row_number), so multiset
-        // equality is exactly "the full-outer join has no one-sided
-        // rows". Counted INSIDE the output plan (optimization r19, guide
-        // §1.2): the previous eager `.isEmpty` was a separate ACTION that
-        // executed the served + inline legs once just to fold a boolean
-        // literal into the projection — the fused aggregate computes the
-        // identical boolean in the one timed job.
-        val mismatch = sKeys.withColumn("__s", lit(1))
-          .join(iKeys.withColumn("__i", lit(1)),
-            Seq("query_id", "rank", "neighbor_id"), "full_outer")
-          .where(col("__s").isNull || col("__i").isNull)
-          .agg(count(lit(1)).as("n_mismatch"))
         val exact = Similarity.bruteForceTopK(corpus, queries,
             "vec_id", "embedding", k = 5)
           .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
-        val hits = sKeys.join(exact,
-            sKeys("query_id") === exact("eq") && sKeys("neighbor_id") === exact("en"))
-          .agg(count(lit(1)).as("hits"))
-        sKeys.agg(countDistinct(col("query_id")).as("n_queries"))
-          .crossJoin(hits)
-          .crossJoin(mismatch)
+        // (query_id, rank) is unique per side (row_number), so multiset
+        // equality is exactly "the full-outer join has no one-sided
+        // rows". One pass over the served keys (optimization r20, guide
+        // §1.2): the former three-branch DAG (mismatch agg + hits agg +
+        // n_queries agg, cross-joined) executed the served leg three
+        // times; full-outer-joining the inline keys, left-joining the
+        // broadcast brute-force pairs onto the served rows, and folding
+        // all three counters into ONE aggregate computes the identical
+        // booleans with one served scan and no combine joins.
+        val joined = sKeys.withColumn("__s", lit(1))
+          .join(iKeys.withColumn("__i", lit(1)),
+            Seq("query_id", "rank", "neighbor_id"), "full_outer")
+          .join(broadcast(exact),
+            col("query_id") === col("eq") && col("neighbor_id") === col("en")
+              && col("__s").isNotNull, "left")
+        joined.agg(
+            countDistinct(when(col("__s").isNotNull, col("query_id")))
+              .as("n_queries"),
+            count(when(col("__s").isNull || col("__i").isNull, lit(1)))
+              .as("n_mismatch"),
+            count(col("en")).as("hits"))
           .select(col("n_queries"),
             (col("n_mismatch") === 0).as("index_matches_inline"),
             (col("hits").cast("double") / (col("n_queries") * 5) >= 0.25)
