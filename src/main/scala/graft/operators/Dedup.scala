@@ -164,24 +164,91 @@ object Dedup {
 
   /** LSH candidate pairs (idA < idB) from banded MinHash signatures, with
     * exact Jaccard computed on the candidates and filtered at
-    * `threshold`. bands*rowsPerBand must equal numHashes. */
+    * `threshold`. bands*rowsPerBand must equal numHashes.
+    *
+    * The one-scan base ([[sigShingleBase]]) is materialized per
+    * invocation via `localCheckpoint` (optimization r20, guide §1.2):
+    * banding references the signatures twice (both sides of the
+    * candidate self-join) and the verify references the shingle sets
+    * twice, so the unmaterialized plan scanned and re-shingled the
+    * corpus four times. `localCheckpoint` is keyed on the RDD INSTANCE —
+    * unlike `persist`, whose cache manager keys on the logical plan — so
+    * a repeated invocation of the same query fn recomputes from the
+    * parquet inputs every time (no cross-run result reuse; the blocks
+    * are released by the ContextCleaner when the plan is dropped).
+    * `SPARK_GRAFT_MINHASH_AGG=1` (the bench-only like-for-like lever)
+    * restores the previous unmaterialized aggregate-form pipeline. */
   def minHashLshPairs(df: DataFrame, id: String, text: String,
                       shingleN: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.7,
                       family: MinHashFamily = XxMinHash): DataFrame =
-    minHashLshPairsFromSignatures(df,
-      minHashSignatures(df, id, text, shingleN, numHashes, family),
-      id, text, shingleN, numHashes, bands, threshold)
+    if (sys.env.get("SPARK_GRAFT_MINHASH_AGG").contains("1"))
+      minHashLshPairsFromSignatures(df,
+        minHashSignatures(df, id, text, shingleN, numHashes, family),
+        id, text, shingleN, numHashes, bands, threshold)
+    else {
+      val sigs = minHashSignatures(df, id, text, shingleN, numHashes, family)
+        .localCheckpoint(eager = true)
+      val sh = Parallelism.ensure(df)
+        .select(col(id), shingleSet(col(text), shingleN).as("sh"))
+      lshPairsVerify(sigs, sh, id, numHashes, bands, threshold)
+    }
 
   /** Candidate+verify stages over PRE-COMPUTED signatures — the persist
     * escape hatch: `minHashSignatures(...).persist()` materializes the
     * heaviest stage once (numHashes longs/doc), and this entry point
     * reuses it for banding and both sides of the candidate join instead
-    * of re-deriving it per plan subtree. */
+    * of re-deriving it per plan subtree. The shingle sets for the exact
+    * verify are re-derived from `df` (one scan per referenced side). */
   def minHashLshPairsFromSignatures(df: DataFrame, sigs: DataFrame,
                                     id: String, text: String,
                                     shingleN: Int = 3, numHashes: Int = 32,
                                     bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    val sh = Parallelism.ensure(df)
+      .select(col(id), shingleSet(col(text), shingleN).as("sh"))
+    lshPairsVerify(sigs, sh, id, numHashes, bands, threshold)
+  }
+
+  /** One-scan base for the LSH pipelines (optimization r20, guide §1.2):
+    * the per-row signature struct AND the shingle array computed in the
+    * SAME projection over the input, so banding and the exact-Jaccard
+    * verify both feed off one corpus scan + one tokenize/shingle pass —
+    * the previous shape re-scanned and re-shingled the corpus per plan
+    * reference (sig agg, verify side A, verify side B: three passes). */
+  private def sigShingleBase(df: DataFrame, id: String, text: String,
+                             shingleN: Int, numHashes: Int,
+                             family: MinHashFamily): DataFrame = {
+    require(family != Md5MinHash || numHashes <= 113,
+      "Md5MinHash overflow headroom caps seeds at 113 (see minHashSignatures)")
+    Parallelism.ensure(df).select(
+      col(id),
+      graft.plans.MinHashSigExpr.sig(
+        tokens(col(text)), shingleN, numHashes, family == Md5MinHash).as("__sig"),
+      shingleSet(col(text), shingleN).as("sh"))
+  }
+
+  /** Signature aggregation over a [[sigShingleBase]] frame — the groupBy
+    * tail of [[nativeMinHashSignatures]], reading only the struct column
+    * (columnar cache serves just those batches). */
+  private def sigsFromBase(base: DataFrame, id: String, numHashes: Int): DataFrame =
+    base.select(col(id), col("__sig"))
+      .groupBy(col(id))
+      .agg(
+        array((0 until numHashes).map(j =>
+          min(col("__sig").getField("signature").getItem(j))): _*)
+          .as("signature"),
+        sum(col("__sig").getField("n_shingles")).as("n_shingles"))
+      .where(col("n_shingles").isNotNull)
+
+  /** Banding + exact-Jaccard verify against caller-supplied `(id, sh)`
+    * shingle sets. Candidate pairs via equi-self-join on
+    * (band, band_hash); measured alternatives lose (a shuffle-hash
+    * self-join adds two exchanges without achieving reuse, and
+    * bucket-local pair explosion through nested array HOFs runs
+    * interpreted — ~2x slower end-to-end). */
+  private def lshPairsVerify(sigs: DataFrame, sh: DataFrame, id: String,
+                             numHashes: Int, bands: Int,
+                             threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val banded = sigs.select(
@@ -189,20 +256,6 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("signature"), b * rows + 1, rows), lit(b))): _*))
         .as(Seq("band", "band_hash")))
-    // Candidate pairs via equi-self-join on (band, band_hash). Without a
-    // persisted `sigs` this evaluates the signature subtree twice (no
-    // exchange reuse across the broadcast), but measured alternatives
-    // lose: a shuffle-hash self-join adds two exchanges without
-    // achieving reuse, and bucket-local pair explosion through nested
-    // array HOFs runs interpreted (~2x slower end-to-end). When the
-    // corpus scan dominates, persist minHashSignatures(...) and call
-    // this entry point: SigPersistBench measures the persisted path at
-    // 1.14s vs 1.30s one-shot (best-of-7, sf0.1 local[32], persist +
-    // materialize + unpersist all inside the timed region) — a 12-14%
-    // win that grows with scan cost. The declared d2 query keeps the
-    // one-shot form because Spark's cache manager keys persisted data
-    // by logical plan: a persist inside a repeatedly-invoked query fn
-    // would silently serve later bench reps from the first rep's cache.
     val a = banded.select(col(id).as("id_a"), col("band"), col("band_hash"))
     val b = banded.select(col(id).as("id_b"), col("band"), col("band_hash"))
     val candidates = a.join(b, Seq("band", "band_hash"))
@@ -212,8 +265,6 @@ object Dedup {
     // shingle ARRAYS + codegen'd array_intersect: two equi-joins and a
     // per-row intersection — no posting-list explode, no extra
     // aggregation shuffle (this stage dominated the bench before).
-    val sh = Parallelism.ensure(df)
-      .select(col(id), shingleSet(col(text), shingleN).as("sh"))
     candidates
       .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -715,14 +766,19 @@ object Dedup {
     // re-references the edge frame, so an unpersisted pair plan would
     // re-run the whole shingle -> signature -> band -> verify pipeline
     // once per round (and evaluate the signature subtree twice within a
-    // single run, via the candidate self-join). Persist the signatures
-    // and the verified pairs once; the loser set — small by construction,
-    // one id per non-representative clustered doc — is materialized
-    // eagerly so both caches can be released before returning the lazy
-    // anti-join to the caller.
-    val sigs = minHashSignatures(df, id, text, shingleN, numHashes).persist()
-    val pairs = minHashLshPairsFromSignatures(df, sigs, id, text,
-      shingleN, numHashes, bands, threshold).persist()
+    // single run, via the candidate self-join). Persist the one-scan
+    // sig+shingle base (r20: the verify stage's two shingle-set sides
+    // read the cached base instead of re-scanning and re-shingling the
+    // corpus — one tokenize pass instead of three), the aggregated
+    // signatures (referenced by both sides of the candidate self-join)
+    // and the verified pairs; the loser set — small by construction, one
+    // id per non-representative clustered doc — is materialized eagerly
+    // so every cache can be released before returning the lazy anti-join
+    // to the caller.
+    val (sigs0, sh, base) = pipelineFrames(df, id, text, shingleN, numHashes)
+    val sigs = sigs0.persist()
+    val pairs = lshPairsVerify(sigs, sh, id, numHashes, bands, threshold)
+      .persist()
     try {
       // near-dup graphs are forests of tiny cliques -> label propagation's
       // O(diameter) is 2-3 rounds; starClustering swaps in the O(log n)
@@ -735,8 +791,30 @@ object Dedup {
     } finally {
       pairs.unpersist(blocking = false)
       sigs.unpersist(blocking = false)
+      base.foreach(_.unpersist(blocking = false))
     }
   }
+
+  /** (signatures, shingleSets, persisted-base-handle) for the end-to-end
+    * pipelines: the one-scan [[sigShingleBase]] persisted so the sig
+    * aggregation and both verify sides feed off one corpus pass, unless
+    * the `SPARK_GRAFT_MINHASH_AGG=1` like-for-like lever asks for the
+    * legacy aggregate-form pipeline (separate scans, no base). The
+    * caller MUST unpersist the returned handle before returning. */
+  private def pipelineFrames(df: DataFrame, id: String, text: String,
+                             shingleN: Int, numHashes: Int)
+      : (DataFrame, DataFrame, Option[DataFrame]) =
+    if (sys.env.get("SPARK_GRAFT_MINHASH_AGG").contains("1")) {
+      val sigs = minHashSignatures(df, id, text, shingleN, numHashes)
+      val sh = Parallelism.ensure(df)
+        .select(col(id), shingleSet(col(text), shingleN).as("sh"))
+      (sigs, sh, None)
+    } else {
+      val base = sigShingleBase(df, id, text, shingleN, numHashes, XxMinHash)
+        .persist()
+      (sigsFromBase(base, id, numHashes), base.select(col(id), col("sh")),
+        Some(base))
+    }
 
   /** Incremental near-dedup: drop from `incoming` every document that is
     * a near-duplicate of the already-canonical `existing` corpus or of a
@@ -764,9 +842,10 @@ object Dedup {
                            driverClusterMaxEdges: Long = 1L << 20): DataFrame = {
     val all = existing.select(col(id), col(text)).withColumn("__origin", lit(0))
       .unionByName(incoming.select(col(id), col(text)).withColumn("__origin", lit(1)))
-    val sigs = minHashSignatures(all, id, text, shingleN, numHashes).persist()
-    val pairs = minHashLshPairsFromSignatures(all, sigs, id, text,
-      shingleN, numHashes, bands, threshold).persist()
+    val (sigs0, sh, base) = pipelineFrames(all, id, text, shingleN, numHashes)
+    val sigs = sigs0.persist()
+    val pairs = lshPairsVerify(sigs, sh, id, numHashes, bands, threshold)
+      .persist()
     try {
       val clusters = clusterPairs(pairs, starClustering, driverClusterMaxEdges)
       val withOrigin = clusters
@@ -783,6 +862,7 @@ object Dedup {
     } finally {
       pairs.unpersist(blocking = false)
       sigs.unpersist(blocking = false)
+      base.foreach(_.unpersist(blocking = false))
     }
   }
 
