@@ -165,13 +165,21 @@ object Curation {
     * same way a sharded pretraining writer does (a single GLOBAL ordered
     * cumsum would serialize; the stratum key is the scale lever). */
   def packSequences(df: DataFrame, strataCol: String, idCol: String,
-                    textCol: String, budgetTokens: Long): DataFrame = {
+                    textCol: String, budgetTokens: Long): DataFrame =
+    packSequencesCounted(df,
+      strataCol, idCol, size(tokens(col(textCol))).cast("long"), budgetTokens)
+
+  /** [[packSequences]] over a PRE-COMPUTED token count (optimization r20,
+    * guide §4): a pipeline whose upstream annotate stage already carries
+    * `n_tokens` passes it here as `col("n_tokens")` instead of paying a
+    * second tokenize pass over the full text column. */
+  def packSequencesCounted(df: DataFrame, strataCol: String, idCol: String,
+                           nTokens: Column, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0)
     val w = Window.partitionBy(strataCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     Parallelism.ensure(df)
-      .select(col(strataCol), col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .select(col(strataCol), col(idCol), nTokens.as("n_tokens"))
       .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("pack_id", expr(s"start_off DIV $budgetTokens"))
       .withColumn("pack_off", pmod(col("start_off"), lit(budgetTokens)))

@@ -177,13 +177,20 @@ object CurationQueries {
         val train = docs.where(col("doc_id") % 2 === 0)
         val bench = docs.where(col("doc_id") % 2 === 1)
         // `sourced` feeds three consumers (both decontamination inputs
-        // and the final semi join), so its subtree re-evaluates per
-        // consumer — measured CHEAPER than materializing: a
-        // localCheckpoint stage boundary here ran 3.9s vs 2.7s warm at
-        // sf0.1 (checkpointing the full text column costs more than the
-        // repeated pruned scan + broadcast semi-join it saves).
-        val sourced = Curation.filterBySource(train, "source", "text",
-          minDocs = 5L, minAvgQuality = 0.49)
+        // and the final semi join). Materializing the full sourced frame
+        // is a loss (a localCheckpoint stage boundary here ran 3.9s vs
+        // 2.7s warm at sf0.1 — the full text column costs more to store
+        // than the repeated scan it saves), but the SOURCE VERDICT is a
+        // handful of strings: checkpointing just the kept-source list
+        // (optimization r20, guide §1.2) makes each consumer a bare
+        // scan + broadcast semi-join — the per-doc qualityScore pass and
+        // its aggregation run once instead of once per consumer.
+        // Equivalent to Curation.filterBySource by construction.
+        val keptSrc = Curation.sourceStats(train, "source", "text",
+            minDocs = 5L, minAvgQuality = 0.49)
+          .where(col("kept")).select("source")
+          .localCheckpoint(true)
+        val sourced = train.join(broadcast(keptSrc), Seq("source"), "left_semi")
         val clean = sourced.join(
           graft.operators.Dedup.decontaminate(sourced, bench, "doc_id", "text",
               shingleN = 5)
@@ -192,8 +199,10 @@ object CurationQueries {
         val curated = Curation.curate(clean, "doc_id", "text",
           Curation.Config(minQuality = 0.5, dropUnknownLang = true,
             sampleSixteenths = 16))
-        Curation.packSequences(curated, "lang_pred", "doc_id", "text",
-            budgetTokens = 256L)
+        // the curate stage's annotate struct already carries n_tokens —
+        // the counted packer skips a second tokenize of the text column
+        Curation.packSequencesCounted(curated, "lang_pred", "doc_id",
+            col("n_tokens"), budgetTokens = 256L)
           .orderBy("doc_id")
       },
       Some(
