@@ -84,6 +84,25 @@ object Lake {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.types.StructType)]()
 
+  /** DDL with every field relaxed to nullable — exactly the shape parquet
+    * schema inference reports, so a recorded-schema read plans
+    * identically to an inferred one (same downstream nullability, same
+    * output schema). Shared by the manifest-bearing writers (VectorIndex,
+    * ZoneMapTable) that record their schemas at write time (guide §6). */
+  private[graft] def nullableDDL(s: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types._
+    def relax(dt: DataType): DataType = dt match {
+      case st: StructType =>
+        StructType(st.fields.map(f =>
+          f.copy(dataType = relax(f.dataType), nullable = true)))
+      case at: ArrayType => ArrayType(relax(at.elementType), containsNull = true)
+      case mt: MapType =>
+        MapType(relax(mt.keyType), relax(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+    relax(s).asInstanceOf[StructType].toDDL
+  }
+
   private[graft] def read(spark: SparkSession, path: String): DataFrame = {
     val fp = fingerprint(spark, path)
     if (fp == 0L) return spark.read.parquet(path) // unlistable: hands off

@@ -97,19 +97,8 @@ object VectorIndex {
   /** DDL with every field relaxed to nullable — exactly the shape parquet
     * schema inference reports, so a manifest-schema read plans identically
     * to an inferred one (same downstream nullability, same output schema). */
-  private def nullableDDL(s: org.apache.spark.sql.types.StructType): String = {
-    import org.apache.spark.sql.types._
-    def relax(dt: DataType): DataType = dt match {
-      case st: StructType =>
-        StructType(st.fields.map(f =>
-          f.copy(dataType = relax(f.dataType), nullable = true)))
-      case at: ArrayType => ArrayType(relax(at.elementType), containsNull = true)
-      case mt: MapType =>
-        MapType(relax(mt.keyType), relax(mt.valueType), valueContainsNull = true)
-      case other => other
-    }
-    relax(s).asInstanceOf[StructType].toDDL
-  }
+  private def nullableDDL(s: org.apache.spark.sql.types.StructType): String =
+    graft.Lake.nullableDDL(s)
 
   /** Data files only — success markers / CRCs / staged manifests are not
     * part of a generation's content. */

@@ -68,12 +68,57 @@ object ZoneMapTable {
     readManifest(spark, dir)
 
   /** Newest committed manifest (legacy flat `_zonemap` layouts read as
-    * a fallback when no committed generation exists). */
+    * a fallback when no committed generation exists). Reads with the
+    * generation's recorded manifest schema when the `_schemas.json`
+    * sidecar carries one — no footer-sampling inference job per pruned
+    * read (r20, guide §6); pre-sidecar generations still infer. */
   private def readManifest(spark: SparkSession, dir: String): DataFrame =
     manifestGens(spark, dir, committedOnly = true).lastOption match {
-      case Some(g) => spark.read.parquet(s"$dir/_zonemap/g=$g")
+      case Some(g) =>
+        val rd = spark.read
+        readSchemas(spark, dir, g).flatMap(_._2) match {
+          case Some(ddl) => rd.schema(
+            org.apache.spark.sql.types.StructType.fromDDL(ddl))
+              .parquet(s"$dir/_zonemap/g=$g")
+          case None => rd.parquet(s"$dir/_zonemap/g=$g")
+        }
       case None    => spark.read.parquet(s"$dir/_zonemap")
     }
+
+  /** Name of the per-generation schema sidecar (no '=' — Spark's file
+    * index treats `_x=y` names as data). */
+  private val SchemasSidecar = "_schemas.json"
+
+  /** The generation's recorded (tableDDL, manifestDDL) — either may be
+    * absent (pre-sidecar generation, or a publish without a table
+    * schema). Driver-side FS read, no Spark job. */
+  private def readSchemas(spark: SparkSession, dir: String,
+                          gen: Long): Option[(Option[String], Option[String])] = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$dir/_zonemap/g=$gen/$SchemasSidecar")
+    val fs = zfsOf(spark, p)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(text)
+    def field(n: String): Option[String] = j \ n match {
+      case JString(v) if v.nonEmpty => Some(v)
+      case _ => None
+    }
+    Some((field("table"), field("manifest")))
+  }
+
+  /** The newest committed generation's recorded TABLE schema, when one
+    * was published — what [[prunedReadMulti]] hands to
+    * `spark.read.schema(...)` so survivor reads skip inference. */
+  private def tableSchemaOf(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    manifestGens(spark, dir, committedOnly = true).lastOption
+      .flatMap(g => readSchemas(spark, dir, g)).flatMap(_._1)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
 
   /** Land a manifest as the next committed generation (allocation skips
     * torn dirs), then prune every OTHER generation below it — derived
@@ -85,7 +130,8 @@ object ZoneMapTable {
   private def publishManifest(spark: SparkSession, dir: String,
                               manifest: DataFrame,
                               batchId: Long = -1L,
-                              starStats: Option[DataFrame] = None): Unit = {
+                              starStats: Option[DataFrame] = None,
+                              tableSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     // ONE generation listing serves both allocation and the
     // post-publish prune — commit metadata round trips stay O(1) in
     // table size and generation count (a concurrent writer's new dir
@@ -93,6 +139,22 @@ object ZoneMapTable {
     val known = manifestGens(spark, dir, committedOnly = false)
     val next = known.lastOption.getOrElse(0L) + 1
     manifest.write.mode("errorifexists").parquet(s"$dir/_zonemap/g=$next")
+    // schema sidecar (r20, guide §6): record the manifest's and (when
+    // the writer has it) the table's DDL inside the generation dir,
+    // BEFORE the commit marker — crash-atomic with the manifest — so
+    // readers plan without schema-inference jobs. Relaxed to the
+    // all-nullable shape inference reports (identical downstream plans).
+    locally {
+      def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val body = "{" +
+        tableSchema.map(st =>
+          "\"table\":\"" + esc(graft.Lake.nullableDDL(st)) + "\",").getOrElse("") +
+        "\"manifest\":\"" + esc(graft.Lake.nullableDDL(manifest.schema)) + "\"}"
+      val sp = new org.apache.hadoop.fs.Path(
+        s"$dir/_zonemap/g=$next/$SchemasSidecar")
+      val out = zfsOf(spark, sp).create(sp, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
     // write-time key sketches land INSIDE the generation dir, before the
     // commit marker — crash-atomic with the zone manifest (the leading
     // underscore keeps the manifest's parquet read from seeing them)
@@ -284,14 +346,16 @@ object ZoneMapTable {
         // before it must stay no-ops on replay (the rebuild's contents
         // already reflect them)
         publishManifest(spark, dir, statsOf(spark, fresh, statsCols, df.schema),
-          lastBatchId(spark, dir), st.map(starStatsDf(spark, _)))
+          lastBatchId(spark, dir), st.map(starStatsDf(spark, _)),
+          tableSchema = Some(df.schema))
         st
       } else {
         LakeMaintenance.clusterBy(df, s"$dir/data", clusterCol, files)
         val all = listDataFiles(spark, dir)
         val st = starOf(all)
         publishManifest(spark, dir, statsOf(spark, all, statsCols, df.schema),
-          starStats = st.map(starStatsDf(spark, _)))
+          starStats = st.map(starStatsDf(spark, _)),
+          tableSchema = Some(df.schema))
         st
       }
     star match {
@@ -621,7 +685,8 @@ object ZoneMapTable {
     publishManifest(spark, dir,
       readManifest(spark, dir).unionByName(freshStats),
       math.max(lastAbsorbed, batchId),
-      mergedStar.map(starStatsDf(spark, _)))
+      mergedStar.map(starStatsDf(spark, _)),
+      tableSchema = Some(df.schema))
     mergedStar.foreach(registerStarStats(spark, dir, _))
   }
 
@@ -655,7 +720,8 @@ object ZoneMapTable {
       starStats(spark, dir).map { prev =>
         starStatsDf(spark, prev.collect().map(r =>
           (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2))).toSeq)
-      })
+      },
+      tableSchema = Some(current.schema))
   }
 
   /** Reclaim every file under `data/` the newest committed manifest
@@ -688,14 +754,8 @@ object ZoneMapTable {
     * observability. Manifest-sized work: one small read, a file-count
     * list on the driver (the same object any manifest reader holds). */
   def survivingFiles(spark: SparkSession, dir: String, statsCol: String,
-                     lo: Column, hi: Column): (Seq[String], Long) = {
-    val manifest = readManifest(spark, dir)
-    val total = manifest.count()
-    val kept = manifest
-      .where(!(col(s"max_$statsCol") < lo || col(s"min_$statsCol") > hi))
-      .select("file").collect().map(_.getString(0)).toSeq
-    (kept, total)
-  }
+                     lo: Column, hi: Column): (Seq[String], Long) =
+    survivingFilesMulti(spark, dir, Seq((statsCol, lo, hi)))
 
   /** Range read through the manifest: only intersecting files are opened;
     * the exact predicate is re-applied to the survivors (zones are
@@ -718,13 +778,18 @@ object ZoneMapTable {
                           preds: Seq[(String, Column, Column)]): (Seq[String], Long) = {
     require(preds.nonEmpty, "give at least one (column, lo, hi) predicate")
     val manifest = readManifest(spark, dir)
-    val total = manifest.count()
     val keep = preds.map { case (c, lo, hi) =>
       !(col(s"max_$c") < lo || col(s"min_$c") > hi)
     }.reduce(_ && _)
-    val kept = manifest.where(keep)
-      .select("file").collect().map(_.getString(0)).toSeq
-    (kept, total)
+    // one collect serves both the total and the survivor list (r20,
+    // guide §5: the count + filtered collect pair was two jobs over the
+    // same tiny manifest). A null verdict (all-null stats column) reads
+    // as not-kept, exactly as the former `.where(keep)` dropped it.
+    val rows = manifest.select(col("file"), keep.as("__keep")).collect()
+    val kept = rows.collect {
+      case r if !r.isNullAt(1) && r.getBoolean(1) => r.getString(0)
+    }.toSeq
+    (kept, rows.length.toLong)
   }
 
   /** Conjunctive range read: open only files whose zones intersect ALL
@@ -732,9 +797,17 @@ object ZoneMapTable {
   def prunedReadMulti(spark: SparkSession, dir: String,
                       preds: Seq[(String, Column, Column)]): DataFrame = {
     val (kept, _) = survivingFilesMulti(spark, dir, preds)
-    val all = spark.read.parquet(s"$dir/data")
-    val base = if (kept.isEmpty) all.limit(0)
-               else spark.read.parquet(kept: _*)
+    // read through the generation's recorded table schema when present —
+    // no inference job over the survivors; and the full-table frame
+    // exists only for the empty-survivor schema fallback (building it
+    // unconditionally ran an inference job over the whole data dir on
+    // EVERY pruned read — r20, guide §6)
+    val rd = tableSchemaOf(spark, dir) match {
+      case Some(st) => spark.read.schema(st)
+      case None     => spark.read
+    }
+    val base = if (kept.isEmpty) rd.parquet(s"$dir/data").limit(0)
+               else rd.parquet(kept: _*)
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.where(col(c) >= lo && col(c) <= hi)
     }
@@ -751,7 +824,8 @@ object ZoneMapTable {
     val spark = df.sparkSession
     LakeMaintenance.zOrderBy(df, s"$dir/data", clusterCols, files)
     publishManifest(spark, dir,
-      statsOf(spark, listDataFiles(spark, dir), statsCols, df.schema))
+      statsOf(spark, listDataFiles(spark, dir), statsCols, df.schema),
+      tableSchema = Some(df.schema))
   }
 
   // ---- versioned zone-mapped tables: time travel × data skipping ------
