@@ -57,6 +57,7 @@ object Profile {
       case "dedupstages" => dedupStages(rest)
       case "fam"         => fam(rest)
       case "kll"         => kll(rest)
+      case "naajplan"    => naajPlan(rest)
       case "orjoin"      => orJoin(rest)
       case "pq"          => pq(rest)
       case "q87"         => q87(rest)
@@ -69,6 +70,31 @@ object Profile {
           s"unknown profile '$other' — one of: agg annotate bloom dedupnear " +
             "dedupstages fam kll orjoin pq q87 qtime reuse sigpersist skew")
         if (other != "help") sys.exit(2)
+    }
+  }
+
+  /** q99's NOT-IN plan with NullAwareAntiJoinRule DISARMED vs ARMED —
+    * the evidence artifact VERDICT r19 asked for (its committed
+    * before/after pair was byte-identical because the declared query
+    * always arms the rule on its child session; this dumps the stock
+    * BroadcastNestedLoopJoin plan a rule-off session actually produces).
+    *
+    *   runMain graft.tools.Profile naajplan [sfDir]
+    */
+  private def naajPlan(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = session("naajplan")
+    val sql =
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE (NULLIF(c_nationkey, 4), NULLIF(c_mktsegment, 'MACHINERY'))
+        |  NOT IN (SELECT NULLIF(s_nationkey, 9), 'BUILDING' FROM supplier)"""
+        .stripMargin
+    for (armed <- Seq(false, true)) {
+      val child = spark.newSession()
+      child.conf.set(graft.plans.NullAwareAntiJoinRule.ConfKey, armed.toString)
+      Lake(child, dir).registerViews()
+      println(s"==================== q99 NOT-IN, rewriteNotIn=$armed ====================")
+      println(child.sql(sql).queryExecution.executedPlan.toString)
     }
   }
 
