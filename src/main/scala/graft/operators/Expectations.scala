@@ -103,18 +103,37 @@ object Expectations {
       .collect { case (n, xs) if xs.size > 1 => n }
     require(dup.isEmpty, s"duplicate expectation names: ${dup.mkString(", ")}")
     val rowLocal = checks.flatMap(c => violation(c).map(c.name -> _))
+    // Referential checks ride the SAME aggregate scan as the row-local
+    // ones (optimization r20, guide §1.2): each RefersTo left-joins its
+    // DISTINCT reference keys onto the fact (broadcast when the
+    // dimension fits, never a loop; distinct keys = no fanout, so every
+    // row-local count is unchanged), and its dangling-key sum becomes
+    // one more column of the shared aggregate — the previous shape paid
+    // one full fact scan per RefersTo on top of the row-local scan.
+    val refChecks = checks.zipWithIndex.collect {
+      case (r: RefersTo, i) => (r, s"__resolved_$i")
+    }
+    val fused = rowLocal.map { case (name, bad) =>
+      name -> sum(when(bad, 1L).otherwise(0L)).as(name)
+    } ++ refChecks.map { case (r, flag) =>
+      r.name -> coalesce(sum(when(col(r.col).isNotNull && col(flag).isNull,
+        1L).otherwise(0L)), lit(0L)).as(r.name)
+    }
     val localReport: Option[DataFrame] =
-      if (rowLocal.isEmpty) None
+      if (fused.isEmpty) None
       else {
-        val aggs = count(lit(1)).as("n_rows") +: rowLocal.map {
-          case (name, bad) =>
-            sum(when(bad, 1L).otherwise(0L)).as(name)
+        val joined = refChecks.foldLeft(df) { case (f, (r, flag)) =>
+          val keys = r.ref.select(col(r.refCol).as(r.col))
+            .where(col(r.col).isNotNull)
+            .distinct().withColumn(flag, lit(1L))
+          f.join(broadcast(keys), Seq(r.col), "left_outer")
         }
-        val row = df.agg(aggs.head, aggs.tail: _*)
+        val aggs = count(lit(1)).as("n_rows") +: fused.map(_._2)
+        val row = joined.agg(aggs.head, aggs.tail: _*)
         // one aggregate row unpivoted to (check, violations, n_rows) —
         // |checks| columns to |checks| rows, driver-free
         Some(row.select(
-          explode(map(rowLocal.flatMap { case (name, _) =>
+          explode(map(fused.flatMap { case (name, _) =>
             Seq(lit(name), coalesce(col(s"`$name`"), lit(0L)))
           }: _*)).as(Seq("check_name", "violations")),
           col("n_rows")))
@@ -128,20 +147,7 @@ object Expectations {
             .as("violations"),
           coalesce(sum(col("__n")), lit(0L)).as("n_rows"))
     }
-    val refReports = checks.collect { case r @ RefersTo(c, ref, refCol) =>
-      // distinct reference keys LEFT-join the fact keys (no fanout),
-      // then one aggregate counts the dangling non-null keys — a
-      // broadcast hash join when the dimension fits, never a loop
-      val keys = ref.select(col(refCol).as(c)).where(col(c).isNotNull)
-        .distinct().withColumn("__resolved", lit(1L))
-      df.select(col(c)).join(keys, Seq(c), "left_outer")
-        .agg(
-          lit(r.name).as("check_name"),
-          coalesce(sum(when(col(c).isNotNull && col("__resolved").isNull, 1L)
-            .otherwise(0L)), lit(0L)).as("violations"),
-          count(lit(1)).as("n_rows"))
-    }
-    (localReport.toSeq ++ uniqueReports ++ refReports)
+    (localReport.toSeq ++ uniqueReports)
       .reduce(_ unionByName _)
       .withColumn("passed", col("violations") === 0L)
       .orderBy("check_name")
