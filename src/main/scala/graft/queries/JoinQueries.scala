@@ -420,11 +420,19 @@ object JoinQueries {
           when(col("l_orderkey") % 10 =!= 0, lit(0L))
             .otherwise(col("l_orderkey")).as("hk"),
           col("l_extendedprice"))
+        // the dim is itself an aggregate: materialize it once per
+        // invocation (instance-keyed localCheckpoint — recomputed from
+        // parquet every run) so planFor's size/sketch stats and the
+        // executed join read the same materialized rows instead of
+        // re-running the orders groupBy twice (optimization r20, guide
+        // §1.2 — at scale, one dim aggregation per planned join, not
+        // one per stats probe plus one per execution)
         val dim = lk.orders.select(
             when(col("o_orderkey") % 10 =!= 0, lit(0L))
               .otherwise(col("o_orderkey")).as("dk"),
             col("o_orderpriority"))
           .groupBy("dk").agg(min("o_orderpriority").as("prio"))
+          .localCheckpoint(true)
         val plan = JoinPlanner.planFor(skewed, "hk", dim, "dk",
           broadcastMaxRows = 10L)
         JoinPlanner.executeJoin(plan, skewed, "hk", dim, "dk")
